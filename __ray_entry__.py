@@ -1,44 +1,235 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the h3ray engine (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray itself; nothing here (or in h3ray) calls
+ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- entry(): flagship geotag->encode->per-cell-count pipeline on sf0.001.
+- queries(): one callable per implemented pipeline (SURVEY.md §2); each takes
+  sf_dir and returns a Dataset / DataFrame / pyarrow Table.
+- oracle_sql(): DuckDB-equivalent SQL for the relationally-expressible
+  queries (identical column names). H3 math queries are validated by the
+  C-library conformance corpora in tests/ instead (DuckDB has no H3), so
+  they appear without an oracle entry (driver does a rows-only check).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from h3ray.io import pages as pio
+    from h3ray.pipelines import geotag
+
+    pages = pio.pages_from_documents(SF0001)
+    return geotag.cell_counts(pages, res=7, parent_res=2)
+
+
+def _h3_cell_counts(sf_dir: str):
+    from h3ray.io import pages as pio
+    from h3ray.pipelines import geotag
+
+    return geotag.cell_counts(pio.pages_from_documents(sf_dir), res=7,
+                              parent_res=2)
+
+
+def _h3_geotag_cells(sf_dir: str):
+    from h3ray.io import pages as pio
+    from h3ray.pipelines import geotag
+
+    ds = geotag.geotag_cells(pio.pages_from_documents(sf_dir), res=9,
+                             parent_res=3)
+    return ds.select_columns(["url", "cell_r9", "parent_r3"])
+
+
+def _h3_knn_join(sf_dir: str):
+    from h3ray.io import pages as pio
+    from h3ray.pipelines import knn
+
+    return knn.knn_join(pio.pages_from_documents(sf_dir),
+                        pio.CITY_LAT[:5], pio.CITY_LNG[:5],
+                        res=5, k_ring=2, k_nearest=5, concurrency=2)
+
+
+def _h3_tile_assign(sf_dir: str):
+    from h3ray.io import pages as pio
+    from h3ray.pipelines import tiles
+
+    return tiles.tile_assign(pio.pages_from_documents(sf_dir), res=9,
+                             tile_res=5)
+
+
+def _h3_compact_tiles(sf_dir: str):
+    """Distinct res-6 cells of the corpus, compacted (distributed)."""
+    from h3ray.io import pages as pio
+    from h3ray.pipelines import geotag, tiles
+
+    ds = geotag.geotag_cells(pio.pages_from_documents(sf_dir), res=6,
+                             parent_res=2, keep_cols=("url",))
+    cells = ds.select_columns(["cell_r6"]).groupby("cell_r6").count() \
+        .select_columns(["cell_r6"])
+    return tiles.compact_cells_dataset(cells, cell_col="cell_r6", group_res=2)
+
+
+def _ann_topk(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from h3ray.pipelines import ann
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    mask = tbl["vec_id"].to_numpy() < 5
+    queries = np.stack(tbl.filter(mask)["embedding"].to_numpy(
+        zero_copy_only=False))
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = ann.brute_force_topk(ds, queries, k=10, concurrency=2)
+    return out.select_columns(["query_id", "vec_id"])
+
+
+def _minhash_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from h3ray.text.dedup import minhash_duplicate_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return minhash_duplicate_pairs(ds, key_col="doc_id")
+
+
+def _simhash(sf_dir: str):
+    import ray.data as rd
+
+    from h3ray.text.dedup import simhash_stage
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(simhash_stage(), batch_format="pyarrow") \
+        .select_columns(["doc_id", "simhash"])
+
+
+def _langid(sf_dir: str):
+    import ray.data as rd
+
+    from h3ray.text.analysis import langid_stage
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(langid_stage(), batch_format="pyarrow") \
+        .select_columns(["doc_id", "lang_pred"])
+
+
+def _quality(sf_dir: str):
+    import ray.data as rd
+
+    from h3ray.text.analysis import quality_stage
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(quality_stage(), batch_format="pyarrow") \
+        .select_columns(["doc_id", "q_len"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from h3ray.pipelines import relational as rel
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- relational / training-data ops (DuckDB-oracled) ---
+        "lineitem_pricing_summary": rel.lineitem_agg,
+        "orders_by_mktsegment": rel.orders_by_segment,
+        "events_by_type": rel.events_by_type,
+        "events_hourly_windows": rel.events_hourly_windows,
+        "docs_by_lang": rel.docs_by_lang,
+        "docs_token_counts": rel.docs_token_counts,
+        "docs_exact_dedup": rel.docs_exact_dedup,
+        "docs_quality_len": _quality,
+        "ann_topk_cosine": _ann_topk,
+        # --- H3 spatial pipelines (conformance-tested; rows-only here) ---
+        "h3_cell_counts": _h3_cell_counts,
+        "h3_geotag_cells": _h3_geotag_cells,
+        "h3_knn_join": _h3_knn_join,
+        "h3_tile_assign": _h3_tile_assign,
+        "h3_compact_tiles": _h3_compact_tiles,
+        "minhash_dup_pairs": _minhash_pairs,
+        "simhash_fingerprints": _simhash,
+        "langid_predictions": _langid,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lineitem_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                       * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS sum_disc_cents,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_by_mktsegment": """
+            SELECT c_mktsegment,
+                   COUNT(*) AS num_orders,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS total_price_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "events_by_type": """
+            SELECT event_type, COUNT(*) AS num_events,
+                   CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS total_value_micro
+            FROM events GROUP BY event_type
+        """,
+        "events_hourly_windows": """
+            SELECT user_id,
+                   CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS hour_bucket,
+                   COUNT(*) AS num_events,
+                   CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS total_value_micro
+            FROM events GROUP BY user_id, hour_bucket
+        """,
+        "docs_by_lang": """
+            SELECT lang, COUNT(*) AS num_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY lang
+        """,
+        "docs_token_counts": """
+            SELECT doc_id,
+                   CASE WHEN TRIM(text) = '' THEN 0
+                        ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'))
+                   END AS n_tokens
+            FROM documents
+        """,
+        "docs_exact_dedup": """
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "docs_quality_len": """
+            SELECT doc_id, CAST(LENGTH(text) AS DOUBLE) AS q_len
+            FROM documents
+        """,
+        "ann_topk_cosine": """
+            SELECT query_id, vec_id FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(e.embedding,
+                                                           q.embedding) DESC,
+                                    e.vec_id ASC) AS rnk
+                FROM embeddings e
+                CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                            WHERE vec_id < 5) q
+            ) WHERE rnk <= 10
+        """,
+    }

@@ -73,24 +73,37 @@ def compact(cells) -> np.ndarray:
     u = np.unique(cells)
     if u.shape[0] != cells.shape[0]:
         raise ValueError("duplicate input cells")
+    return compact_mixed(u)
 
-    out = []
-    cur = u  # sorted; sibling runs are contiguous
-    for level in range(r, 0, -1):
-        # Candidates: center children (digit 0 at `level`).
+
+def compact_mixed(cells) -> np.ndarray:
+    """Bottom-up compaction of a set of non-overlapping cells (any mix of
+    resolutions). Internal helper for distributed compaction rounds; the
+    public `compact` enforces the reference's homogeneous-input contract.
+    """
+    cells = bits.as_i64(np.asarray(cells))
+    if cells.size == 0:
+        return cells
+    res = bits.get_resolution(cells)
+    out = [cells[res == 0]]
+    max_res = int(res.max())
+    carry = np.empty(0, dtype=np.int64)
+    for level in range(max_res, 0, -1):
+        cur = np.concatenate([cells[res == level], carry])
+        if cur.size == 0:
+            carry = cur
+            continue
+        cur = np.sort(cur)
         parent = bits.cell_to_parent(cur, level - 1)
-        # Count children per parent.
-        uniq, start, counts = np.unique(parent, return_index=True,
-                                        return_counts=True)
+        uniq, counts = np.unique(parent, return_counts=True)
         need = np.where(bits.is_pentagon(uniq), 6, 7)
         complete = counts == need
-        # Cells whose parent is complete get merged; others are emitted.
         merged_mask = np.repeat(complete, counts)
         out.append(cur[~merged_mask])
-        cur = uniq[complete]
-        if cur.size == 0:
-            break
-    if cur.size:
-        out.append(cur)
-    result = np.concatenate(out) if out else cur
-    return np.sort(result)
+        carry = uniq[complete]
+        if level == 1 and carry.size:
+            out.append(carry)
+            carry = np.empty(0, dtype=np.int64)
+    if carry.size:
+        out.append(carry)
+    return np.sort(np.concatenate(out))

@@ -1,0 +1,71 @@
+"""Flagship pipeline: geotag pages -> H3 cells -> per-cell aggregates / sink.
+
+read_parquet(pages) -> map_batches(geotag) -> map_batches(encode res R)
+ -> map_batches(parent res P) -> { per-cell counts | partitioned sink }.
+
+Counts use the partial-aggregate pattern: each batch pre-reduces to unique
+(parent_cell, count) rows before the groupby shuffle, so the all-to-all moves
+~#distinct-cells rows instead of ~#pages rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..kernels import bits
+from ..ops import stages
+
+
+def geotag_cells(pages_ds, res: int = 9, parent_res: int = 3,
+                 keep_cols: tuple[str, ...] = ("url",)):
+    """pages -> (keep_cols..., lat, lng, cell_r{res}, parent_r{parent_res})."""
+    ds = pages_ds
+    if keep_cols is not None:
+        ds = ds.select_columns(list(keep_cols))
+    ds = ds.map_batches(stages.geotag_stage(), batch_format="pyarrow",
+                        batch_size=65536)
+    ds = ds.map_batches(stages.encode_stage(res), batch_format="pyarrow",
+                        batch_size=65536)
+    ds = ds.map_batches(
+        stages.parent_stage(parent_res, cell_col=f"cell_r{res}"),
+        batch_format="pyarrow", batch_size=65536)
+    return ds
+
+
+def cell_counts(pages_ds, res: int = 9, parent_res: int = 3):
+    """Count pages per parent cell, combiner-style (partial then merge)."""
+    from ray.data.aggregate import Sum
+
+    ds = geotag_cells(pages_ds, res=res, parent_res=parent_res,
+                      keep_cols=("url",))
+    col = f"parent_r{parent_res}"
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        cells = batch[col].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(cells, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(uniq), pa.array(counts.astype(np.int64))],
+            names=[col, "partial_count"])
+
+    partials = ds.map_batches(partial_counts, batch_format="pyarrow",
+                              batch_size=131072)
+    return partials.groupby(col).aggregate(
+        Sum("partial_count", alias_name="num_pages"))
+
+
+def write_geotagged(pages_ds, out_dir: str, res: int = 9, parent_res: int = 3):
+    """Sink: full pages + cells, parquet partitioned by coarse parent cell.
+
+    Partitioning by `parent_r{parent_res}` gives a resumable layout: each
+    partition directory is an independent unit of work.
+    """
+    ds = pages_ds.map_batches(stages.geotag_stage(), batch_format="pyarrow",
+                              batch_size=16384)
+    ds = ds.map_batches(stages.encode_stage(res), batch_format="pyarrow",
+                        batch_size=16384)
+    ds = ds.map_batches(
+        stages.parent_stage(parent_res, cell_col=f"cell_r{res}"),
+        batch_format="pyarrow", batch_size=16384)
+    ds.write_parquet(out_dir, partition_cols=[f"parent_r{parent_res}"])
+    return out_dir

