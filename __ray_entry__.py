@@ -71,10 +71,11 @@ def _h3_compact_tiles(sf_dir: str):
     from h3ray.io import pages as pio
     from h3ray.pipelines import geotag, tiles
 
+    # No explicit distinct needed: compact_cells_dataset dedups batch-locally
+    # and again inside each parent group (duplicates co-locate by key).
     ds = geotag.geotag_cells(pio.pages_from_documents(sf_dir), res=6,
                              parent_res=2, keep_cols=("url",))
-    cells = ds.select_columns(["cell_r6"]).groupby("cell_r6").count() \
-        .select_columns(["cell_r6"])
+    cells = ds.select_columns(["cell_r6"])
     return tiles.compact_cells_dataset(cells, cell_col="cell_r6", group_res=2)
 
 

@@ -1,0 +1,162 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline seconds>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N}
+
+`--scaling` runs the headline encode+join pipeline at num_cpus=8 and 32 in
+fresh subprocesses on the same input and reports both throughputs plus
+efficiency = T(32)/(4*T(8)) throughput-wise.
+
+The headline workload is the north-star one: geotag-encode 10^6 synthetic
+pages (res 9) + per-cell counts + kNN join — all streaming, no full
+materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "2000000"))
+PAGES_DIR = os.environ.get("GRAFT_PAGES_DIR", f"/tmp/h3ray_bench_pages_{N_PAGES}")
+
+
+def ensure_pages_parquet():
+    """Materialize the synthetic pages input once (shared across runs)."""
+    if not Path(PAGES_DIR).exists() or not any(Path(PAGES_DIR).glob("*.parquet")):
+        from h3ray.io import pages as pio
+
+        pio.write_pages_parquet(N_PAGES, PAGES_DIR, parallelism=64)
+
+
+def run_benchmarks() -> dict:
+    import logging
+
+    import numpy as np
+    import ray
+    import ray.data as rd
+    from ray.data import DataContext
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from h3ray.io import pages as pio
+    from h3ray.pipelines import ann, geotag, knn, relational, tiles
+
+    ensure_pages_parquet()
+    timings: dict[str, float] = {}
+
+    def read_pages():
+        return rd.read_parquet(PAGES_DIR, columns=["url"],
+                               override_num_blocks=4 * NUM_CPUS)
+
+    # Warm-up (untimed): page cache + worker processes + imports, so the
+    # timed runs measure steady-state throughput, not cold-start.
+    geotag.cell_counts(read_pages(), res=9, parent_res=3).count()
+
+    # 1. Headline: geotag + encode res 9 + per-parent-cell counts.
+    t0 = time.time()
+    n_cells = geotag.cell_counts(read_pages(), res=9, parent_res=3).count()
+    timings["encode_cell_counts"] = time.time() - t0
+
+    # 2. kNN join against 100 query points.
+    t0 = time.time()
+    out = knn.knn_join(read_pages(), pio.CITY_LAT[:50], pio.CITY_LNG[:50],
+                       res=7, k_ring=2, k_nearest=10,
+                       concurrency=max(2, NUM_CPUS // 2))
+    n_knn = out.count()
+    timings["knn_join"] = time.time() - t0
+
+    # 3. Tile assignment (encode + parent) streamed to parquet sink.
+    t0 = time.time()
+    sink = f"/tmp/h3ray_bench_tiles_{NUM_CPUS}"
+    import shutil
+
+    shutil.rmtree(sink, ignore_errors=True)
+    tiles.tile_assign(read_pages(), res=9, tile_res=4).write_parquet(sink)
+    timings["tile_assign_sink"] = time.time() - t0
+
+    # 4. Distributed compact of the res-7 cell set (dedup inside).
+    t0 = time.time()
+    cells = geotag.geotag_cells(read_pages(), res=7, parent_res=2,
+                                keep_cols=("url",)).select_columns(["cell_r7"])
+    n_compact = tiles.compact_cells_dataset(cells, "cell_r7",
+                                            group_res=2).count()
+    timings["compact_cells"] = time.time() - t0
+
+    # 5. Relational oracle queries over $GRAFT_SF_DIR.
+    for name, fn in (("lineitem_agg", relational.lineitem_agg),
+                     ("docs_exact_dedup", relational.docs_exact_dedup)):
+        t0 = time.time()
+        fn(SF_DIR).count()
+        timings[name] = time.time() - t0
+
+    headline = timings["encode_cell_counts"] + timings["knn_join"]
+    result = {
+        "metric": "h3ray geotag-encode + spatial-join wall time "
+                  f"({N_PAGES} pages, res 9)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_pages": N_PAGES,
+        "rows_per_sec_encode": round(N_PAGES / timings["encode_cell_counts"]),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling():
+    """Same job at 8 and 32 CPUs in fresh processes; report efficiency."""
+    ensure_pages_parquet_subproc()
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_PAGES_DIR=PAGES_DIR)
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    thr8 = results[8]["n_pages"] / results[8]["value"]
+    thr32 = results[32]["n_pages"] / results[32]["value"]
+    eff = thr32 / (4 * thr8)
+    print(json.dumps({
+        "headline_sec_8cpu": results[8]["value"],
+        "headline_sec_32cpu": results[32]["value"],
+        "rows_per_sec_8cpu": round(thr8),
+        "rows_per_sec_32cpu": round(thr32),
+        "scaling_efficiency_8_to_32": round(eff, 3),
+        "queries_8": results[8]["queries"],
+        "queries_32": results[32]["queries"],
+    }))
+
+
+def ensure_pages_parquet_subproc():
+    env = dict(os.environ, RAY_GRAFT_CPUS="32", GRAFT_PAGES_DIR=PAGES_DIR)
+    subprocess.run(
+        [sys.executable, "-c",
+         f"import sys; sys.path.insert(0, '{Path(__file__).parent}'); "
+         "import ray; ray.init(address='local', num_cpus=32, "
+         "include_dashboard=False, logging_level='ERROR'); "
+         "import bench; bench.ensure_pages_parquet(); ray.shutdown()"],
+        env=env, check=True, capture_output=True)
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_benchmarks()))

@@ -262,32 +262,52 @@ def latlng_rads_to_cell(lat_rad, lng_rad, res: int) -> np.ndarray:
     bc = FACEIJK_BASE_CELL[face, ii, jj, kk]
     rot = FACEIJK_BASE_ROT[face, ii, jj, kk]
 
+    # Canonical rotations (faceijk.rs:104-125), applied in digit space
+    # (digits[:, :res]) to avoid repeated unpack/pack of the bit field.
+    valid = digits[:, :res] if res > 0 else digits[:, :0]
+    pent = BC_IS_PENTAGON[bc]
+
+    def _first_axe_digits(v):
+        if v.shape[1] == 0:
+            return np.zeros(v.shape[0], dtype=np.int64)
+        nz = v != 0
+        idx = np.argmax(nz, axis=1)
+        out = v[np.arange(v.shape[0]), idx]
+        return np.where(nz.any(axis=1), out, 0)
+
+    if pent.any() and res > 0:
+        leads_k = _first_axe_digits(valid) == 1
+        fix = pent & leads_k
+        if fix.any():
+            cw_off = (BC_CW_OFFSET[bc, 0] == face) | (BC_CW_OFFSET[bc, 1] == face)
+            m_cw = fix & cw_off
+            m_ccw = fix & ~cw_off
+            if m_cw.any():
+                valid[m_cw] = bits.ROTATE60_CW[valid[m_cw]]
+            if m_ccw.any():
+                valid[m_ccw] = bits.ROTATE60_CCW[valid[m_ccw]]
+        # Pentagon rotations applied `rot` times (each step depends on the
+        # current leading axe -> masked sequential loop, max 5 iterations).
+        todo = np.where(pent, rot, 0)
+        while (todo > 0).any():
+            m = todo > 0
+            axe = _first_axe_digits(valid)
+            dbl = m & (axe == 3)  # JK -> rotate twice (bits.rs:181-218)
+            sgl = m & ~dbl
+            if sgl.any():
+                valid[sgl] = bits.ROTATE60_CCW[valid[sgl]]
+            if dbl.any():
+                valid[dbl] = bits.ROTATE60_CCW_N[2][valid[dbl]]
+            todo -= m
+    hex_rot = np.where(pent, 0, rot)
+    if (hex_rot > 0).any() and res > 0:
+        # Single fancy-indexed lookup: table[count, digit] per row.
+        valid[:] = bits.ROTATE60_CCW_N[hex_rot[:, None], valid]
+
     cells = bits.pack_digits(
         np.full(n, DEFAULT_CELL_INDEX & ~0x1FFFFFFFFFFF, dtype=np.int64), digits)
     cells = bits.set_resolution(cells, res)
     cells = bits.set_base_cell(cells, bc)
-
-    # Canonical rotations (faceijk.rs:104-125).
-    pent = BC_IS_PENTAGON[bc]
-    if pent.any():
-        leads_k = bits.first_axe(cells) == 1
-        fix = pent & leads_k
-        if fix.any():
-            cw_off = (BC_CW_OFFSET[bc, 0] == face) | (BC_CW_OFFSET[bc, 1] == face)
-            cells = np.where(fix & cw_off, bits.rotate60(cells, 1, ccw=False), cells)
-            cells = np.where(fix & ~cw_off, bits.rotate60(cells, 1, ccw=True), cells)
-        # Pentagon rotations, applied `rot` times.
-        todo = rot.copy()
-        todo[~pent] = 0
-        while (todo > 0).any():
-            m = todo > 0
-            cells = np.where(m, bits.pentagon_rotate60(cells, ccw=True), cells)
-            todo -= m
-    hex_mask = ~pent
-    for count in range(1, 6):
-        m = hex_mask & (rot == count)
-        if m.any():
-            cells = np.where(m, bits.rotate60(cells, count, ccw=True), cells)
     return cells
 
 

@@ -24,12 +24,12 @@ def geotag_cells(pages_ds, res: int = 9, parent_res: int = 3,
     if keep_cols is not None:
         ds = ds.select_columns(list(keep_cols))
     ds = ds.map_batches(stages.geotag_stage(), batch_format="pyarrow",
-                        batch_size=65536)
+                        batch_size=32768)
     ds = ds.map_batches(stages.encode_stage(res), batch_format="pyarrow",
-                        batch_size=65536)
+                        batch_size=32768)
     ds = ds.map_batches(
         stages.parent_stage(parent_res, cell_col=f"cell_r{res}"),
-        batch_format="pyarrow", batch_size=65536)
+        batch_format="pyarrow", batch_size=32768)
     return ds
 
 

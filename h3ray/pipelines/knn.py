@@ -109,7 +109,7 @@ def knn_join(pages_ds, query_lat, query_lng, *, res: int = 7, k_ring: int = 2,
     candidates = pages_ds.select_columns(["url"]).map_batches(
         KnnCandidateStage,
         fn_constructor_args=(index_ref, res),
-        batch_format="pyarrow", batch_size=65536,
+        batch_format="pyarrow", batch_size=32768,
         concurrency=concurrency)
 
     def top_k(group: pd.DataFrame) -> pd.DataFrame:

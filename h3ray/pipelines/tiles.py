@@ -51,7 +51,13 @@ def compact_cells_dataset(cells_ds, cell_col: str = "cell",
         return pa.Table.from_arrays([pa.array(bits.as_u64(out))],
                                     names=[cell_col])
 
-    keyed = cells_ds.map_batches(
+    def batch_distinct(batch: pa.Table) -> pa.Table:
+        cells = np.unique(batch[cell_col].to_numpy(zero_copy_only=False))
+        return pa.Table.from_arrays([pa.array(cells)], names=[cell_col])
+
+    # Batch-local distinct first so the shuffle moves unique cells only.
+    keyed = cells_ds.map_batches(batch_distinct, batch_format="pyarrow",
+                                 batch_size=262144).map_batches(
         stages.parent_stage(group_res, cell_col=cell_col, out_col="_gkey"),
         batch_format="pyarrow", batch_size=131072)
     round1 = keyed.groupby("_gkey").map_groups(

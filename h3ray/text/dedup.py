@@ -114,6 +114,8 @@ def exact_dedup(ds, key_col: str, text_col: str = "text"):
     """
     from .analysis import fingerprint_stage
 
+    from ray.data.aggregate import Min
+
     def project(batch: pa.Table) -> pa.Table:
         return batch.select([key_col, "fingerprint"])
 
@@ -121,11 +123,8 @@ def exact_dedup(ds, key_col: str, text_col: str = "text"):
                         batch_size=65536) \
         .map_batches(project, batch_format="pyarrow")
 
-    def keep_min(group: pd.DataFrame) -> pd.DataFrame:
-        return group.nsmallest(1, key_col)[[key_col]]
-
-    return fp.groupby("fingerprint").map_groups(keep_min,
-                                                batch_format="pandas")
+    return fp.groupby("fingerprint").aggregate(
+        Min(key_col, alias_name=key_col)).select_columns([key_col])
 
 
 def minhash_duplicate_pairs(ds, key_col: str, text_col: str = "text",
