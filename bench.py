@@ -27,7 +27,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-N_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "2000000"))
+N_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "8000000"))
 PAGES_DIR = os.environ.get("GRAFT_PAGES_DIR", f"/tmp/h3ray_bench_pages_{N_PAGES}")
 
 

@@ -143,20 +143,34 @@ def make_pages_batch(ids: np.ndarray) -> pa.Table:
     ids = np.asarray(ids, dtype=np.int64)
     h = _mix64(ids.astype(np.uint64))
     # Zipf-ish site distribution: site = floor(exp(u * ln(100000)))
+    import pyarrow.compute as pc
+
     u = _unit(h, 20)
     site = np.floor(np.exp(u * np.log(100000.0))).astype(np.int64) % 100000
-    urls = pa.array([f"https://site{s:05d}.example/{p:07d}"
-                     for s, p in zip(site, ids % 10_000_000)], type=pa.string())
+    site_s = pc.utf8_lpad(pc.cast(pa.array(site), pa.string()), 5, "0")
+    path_s = pc.utf8_lpad(pc.cast(pa.array(ids % 10_000_000), pa.string()),
+                          7, "0")
+    urls = pc.binary_join_element_wise(
+        pa.scalar("https://site"), site_s, pa.scalar(".example/"), path_s, "")
     ts = (np.int64(1609459200_000000) + ids * 977) # fixed epoch + offset, us
-    # Deterministic token sequence per id.
+    # Deterministic token sequence per id — fully vectorized: draw all words
+    # flat, then join per row with Arrow's binary_join.
+    import pyarrow.compute as pc
+
     n_words = 8 + (h % np.uint64(25)).astype(np.int64)
-    texts = []
-    for idx in range(len(ids)):
-        hh = _mix64(np.uint64(h[idx]) + np.arange(n_words[idx], dtype=np.uint64))
-        texts.append(" ".join(_WORDS[(hh % np.uint64(len(_WORDS))).astype(np.int64)]))
-    text = pa.array(texts, type=pa.string())
-    html = pa.array([f"<html><body>{t}</body></html>".encode() for t in texts],
-                    type=pa.binary())
+    bounds = np.concatenate([[0], np.cumsum(n_words)])
+    total = int(bounds[-1])
+    intra = np.arange(total, dtype=np.uint64) - np.repeat(
+        bounds[:-1].astype(np.uint64), n_words)
+    hh = _mix64(np.repeat(h, n_words) + intra)
+    flat_words = pa.array(_WORDS[(hh % np.uint64(len(_WORDS))).astype(np.int64)])
+    if isinstance(flat_words, pa.ChunkedArray):
+        flat_words = flat_words.combine_chunks()
+    word_lists = pa.ListArray.from_arrays(bounds.astype(np.int32), flat_words)
+    text = pc.binary_join(word_lists, " ")
+    html = pc.binary_join_element_wise(
+        pa.scalar("<html><body>"), text, pa.scalar("</body></html>"), "")
+    html = html.cast(pa.binary())
     lang = pa.array(LANGS[(h % np.uint64(5)).astype(np.int64)], type=pa.string())
     return pa.Table.from_arrays(
         [urls, pa.array(ts, type=pa.timestamp("us")), html, text, lang],

@@ -53,26 +53,36 @@ def haversine_km(a_lat, a_lng, b_lat, b_lng):
     return 2.0 * np.arctan2(np.sqrt(h), np.sqrt(1.0 - h)) * EARTH_RADIUS_KM
 
 
+def _resolve_index(index_ref):
+    """Fetch the broadcast index (zero-copy plasma read, cached per worker)."""
+    if isinstance(index_ref, dict):
+        return index_ref
+    import ray
+
+    return ray.get(index_ref)
+
+
 class KnnCandidateStage:
-    """Actor-pool stage: broadcast query index fetched once per actor."""
+    """Candidate stage; usable as actor (__init__ once) or via tasks
+    (module-level `knn_candidates_fn`, broadcast resolved per batch —
+    a zero-copy local object-store read)."""
 
     def __init__(self, index_ref, res: int):
-        if isinstance(index_ref, dict):
-            self.index = index_ref
-        else:
-            import ray
-
-            self.index = ray.get(index_ref)
+        self.index = _resolve_index(index_ref)
         self.res = res
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        return knn_candidates(batch, self.index, self.res)
+
+
+def knn_candidates(batch: pa.Table, index, res: int) -> pa.Table:
         urls = batch["url"]
         if isinstance(urls, pa.ChunkedArray):
             urls = urls.combine_chunks()
         lat, lng = pages_io.geotag(urls)
-        cells = latlng.latlng_to_cell(lat, lng, self.res)
+        cells = latlng.latlng_to_cell(lat, lng, res)
 
-        idx = self.index
+        idx = index
         pos = np.searchsorted(idx["uniq_cells"], cells)
         pos = np.minimum(pos, idx["uniq_cells"].shape[0] - 1)
         hit = idx["uniq_cells"][pos] == cells
@@ -99,18 +109,23 @@ class KnnCandidateStage:
 
 
 def knn_join(pages_ds, query_lat, query_lng, *, res: int = 7, k_ring: int = 2,
-             k_nearest: int = 5, concurrency: int = 4):
-    """Top-k nearest pages per query point (broadcast ring-expansion join)."""
+             k_nearest: int = 5, concurrency: int | None = None):
+    """Top-k nearest pages per query point (broadcast ring-expansion join).
+
+    Uses stateless tasks (not an actor pool): the per-batch broadcast fetch
+    is a zero-copy local object-store read, and task workers stay warm
+    across executions.
+    """
     import ray
 
     index = build_query_index(query_lat, query_lng, res, k_ring)
     index_ref = ray.put(index)
 
+    def fn(batch: pa.Table) -> pa.Table:
+        return knn_candidates(batch, _resolve_index(index_ref), res)
+
     candidates = pages_ds.select_columns(["url"]).map_batches(
-        KnnCandidateStage,
-        fn_constructor_args=(index_ref, res),
-        batch_format="pyarrow", batch_size=32768,
-        concurrency=concurrency)
+        fn, batch_format="pyarrow", batch_size=32768)
 
     def top_k(group: pd.DataFrame) -> pd.DataFrame:
         return group.sort_values(["distance_km", "url"]).head(k_nearest)
