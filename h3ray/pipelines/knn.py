@@ -20,7 +20,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..io import pages as pages_io
-from ..kernels import grid, latlng
+from ..kernels import grid, latlng, localij
 from ..kernels.constants import EARTH_RADIUS_KM
 
 
@@ -41,7 +41,7 @@ def build_query_index(query_lat, query_lng, res: int, k_ring: int):
     counts = np.diff(np.append(starts, disk_cells.shape[0]))
     return {
         "uniq_cells": uniq, "starts": starts, "counts": counts,
-        "qid": qid, "qlat": query_lat, "qlng": query_lng,
+        "qid": qid, "qlat": query_lat, "qlng": query_lng, "qcells": qcells,
     }
 
 
@@ -90,8 +90,8 @@ def knn_candidates(batch: pa.Table, index, res: int) -> pa.Table:
         if rows.size == 0:
             return pa.Table.from_arrays(
                 [pa.array([], pa.int64()), pa.array([], pa.string()),
-                 pa.array([], pa.float64())],
-                names=["query_id", "url", "distance_km"])
+                 pa.array([], pa.float64()), pa.array([], pa.int64())],
+                names=["query_id", "url", "distance_km", "grid_dist"])
         counts = idx["counts"][pos[rows]]
         starts = idx["starts"][pos[rows]]
         # Expand each hit row to its per-query matches.
@@ -103,9 +103,15 @@ def knn_candidates(batch: pa.Table, index, res: int) -> pa.Table:
         d = haversine_km(np.deg2rad(lat[out_rows]), np.deg2rad(lng[out_rows]),
                          np.deg2rad(idx["qlat"][qids]),
                          np.deg2rad(idx["qlng"][qids]))
+        # Hex-grid distance rank key (cell.rs:1294-1299); -1 where undefined
+        # (pentagon distortion). Candidates come from gridDisk(k_ring), so
+        # defined distances are always <= k_ring.
+        gd, gok = localij.grid_distance(idx["qcells"][qids], cells[out_rows])
+        gd = np.where(gok, gd, -1)
         return pa.Table.from_arrays(
-            [pa.array(qids), urls.take(pa.array(out_rows)), pa.array(d)],
-            names=["query_id", "url", "distance_km"])
+            [pa.array(qids), urls.take(pa.array(out_rows)), pa.array(d),
+             pa.array(gd)],
+            names=["query_id", "url", "distance_km", "grid_dist"])
 
 
 def knn_join(pages_ds, query_lat, query_lng, *, res: int = 7, k_ring: int = 2,
