@@ -79,6 +79,25 @@ def _h3_compact_tiles(sf_dir: str):
     return tiles.compact_cells_dataset(cells, cell_col="cell_r6", group_res=2)
 
 
+def _h3_pip_join(sf_dir: str):
+    """Exact point-in-polygon join: pages vs 8 city polygons."""
+    from h3ray.io import pages as pio
+    from h3ray.pipelines import pip
+
+    ds = pip.pip_join(pio.pages_from_documents(sf_dir),
+                      pip.city_polygons(8), res=8, exact=True)
+    return ds.select_columns(["url", "polygon_id"])
+
+
+def _h3_polygon_coverage(sf_dir: str):
+    """polygonToCells coverage table for 8 city polygons (res 7)."""
+    import ray.data as rd
+
+    from h3ray.pipelines import pip
+
+    return rd.from_arrow(pip.coverage_table(pip.city_polygons(8), res=7))
+
+
 def _ann_topk(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -157,6 +176,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "h3_cell_counts": _h3_cell_counts,
         "h3_geotag_cells": _h3_geotag_cells,
         "h3_knn_join": _h3_knn_join,
+        "h3_pip_join": _h3_pip_join,
+        "h3_polygon_coverage": _h3_polygon_coverage,
         "h3_tile_assign": _h3_tile_assign,
         "h3_compact_tiles": _h3_compact_tiles,
         "minhash_dup_pairs": _minhash_pairs,
