@@ -126,8 +126,14 @@ def _intersection_2d(p0x, p0y, p1x, p1y, q0x, q0y, q1x, q1y):
     return t * s1x + p0x, t * s1y + p0y
 
 
-def hexagon_boundaries(cells):
-    """Boundaries for non-pentagon cells. Returns (offsets, lat, lng) rads."""
+def hexagon_boundary_slots(cells):
+    """Boundary of non-pentagon cells as fixed slot planes.
+
+    Returns (slot_lat, slot_lng, slot_ok), each (n, 12): slot 2v holds
+    topological vertex v, slot 2v+1 the distortion vertex on edge (v, v+1)
+    when present (class III icosahedron-edge crossings). Used by the ragged
+    boundary assembly, edge boundaries, and vertexToLatLng.
+    """
     cells = bits.as_i64(np.asarray(cells))
     n = cells.shape[0]
     face_c, ci, cj, ck, adj_res, class3 = _substrate_center(cells)
@@ -206,7 +212,7 @@ def hexagon_boundaries(cells):
             ilng[rows_k, edges_k] = np.arctan2(v[:, 1], v[:, 0])
             has_inter[rows_k, edges_k] = True
 
-    # Assemble ragged output: slots [V0, I0, V1, I1, ..., V5, I5].
+    # Slot planes: [V0, I0, V1, I1, ..., V5, I5].
     slot_lat = np.empty((n, 12))
     slot_lng = np.empty((n, 12))
     slot_ok = np.zeros((n, 12), dtype=bool)
@@ -216,7 +222,12 @@ def hexagon_boundaries(cells):
     slot_lat[:, 1::2] = ilat
     slot_lng[:, 1::2] = ilng
     slot_ok[:, 1::2] = has_inter
+    return slot_lat, slot_lng, slot_ok
 
+
+def hexagon_boundaries(cells):
+    """Boundaries for non-pentagon cells. Returns (offsets, lat, lng) rads."""
+    slot_lat, slot_lng, slot_ok = hexagon_boundary_slots(cells)
     counts = slot_ok.sum(axis=1)
     offsets = np.concatenate([[0], np.cumsum(counts)])
     mask = slot_ok.reshape(-1)

@@ -107,3 +107,167 @@ def compact_mixed(cells) -> np.ndarray:
     if carry.size:
         out.append(carry)
     return np.sort(np.concatenate(out))
+
+
+# ---------------------------------------------------------------------------
+# Cell ordering: succ / pred / first / last (cell.rs:1501-1619)
+# ---------------------------------------------------------------------------
+
+_IJ_MASK = np.int64(0o666666666666666)
+_CARRY_FILL = np.int64(0o666666666666666)
+
+
+def _trailing_zeros(x):
+    """Vectorized count of trailing zero bits (values < 2^53)."""
+    low = (x & -x).astype(np.float64)  # isolate lowest set bit
+    _, exp = np.frexp(low)
+    return np.where(x == 0, 64, exp - 1)
+
+
+def first_cell(res: int) -> np.int64:
+    """First cell at `res` in index order (cell.rs:1596-1600)."""
+    b = bits.set_resolution(np.array([0x0800_0000_0000_0000], np.int64), res)
+    return bits.set_unused(b, res)[0]
+
+
+def last_cell(res: int) -> np.int64:
+    """Last cell at `res` in index order (cell.rs:1612-1616)."""
+    b = bits.set_resolution(np.array([0x080F_3B6D_B6DB_6DB6], np.int64), res)
+    return bits.set_unused(b, res)[0]
+
+
+def succ(cells):
+    """Vectorized next-cell-in-order (cell.rs:1501-1549).
+
+    Returns (next, ok); ok=False where the input is the last cell.
+    """
+    cells = bits.as_i64(np.asarray(cells))
+    res = bits.get_resolution(cells)
+    res_off = bits.direction_offset(res)
+    work = cells >> res_off
+
+    # First direction digit that is not IJ (6): ++ without carry.
+    respos = _trailing_zeros(work ^ _IJ_MASK) // 3
+    # Clear digits below the carry point.
+    mask = ~((np.int64(1) << (respos * 3)) - 1)
+    work &= mask
+    out = bits.set_unused(work << res_off, res)
+
+    in_digits = respos < res
+    one = np.int64(1) << (res_off + respos * 3)
+    cand = out + np.where(in_digits, one, 0)
+    # Skip the deleted pentagon K subsequence.
+    invalid = in_digits & ~bits.is_valid_cell(cand)
+    cand = cand + np.where(invalid, one, 0)
+
+    base = bits.get_base_cell(cells)
+    ok = in_digits | (base != 121)
+    hop = ~in_digits & (base != 121)
+    cand = np.where(hop, bits.set_base_cell(out, base + 1), cand)
+    return np.where(ok, cand, 0), ok
+
+
+def pred(cells):
+    """Vectorized previous-cell-in-order (cell.rs:1553-1589)."""
+    cells = bits.as_i64(np.asarray(cells))
+    res = bits.get_resolution(cells)
+    res_off = bits.direction_offset(res)
+    work = cells >> res_off
+
+    respos = _trailing_zeros(work) // 3
+    mask = (np.int64(1) << (respos * 3)) - 1
+    work |= _CARRY_FILL & mask
+    out = bits.set_unused(work << res_off, res)
+
+    in_digits = respos < res
+    one = np.int64(1) << (res_off + respos * 3)
+    cand = out - np.where(in_digits, one, 0)
+    invalid = in_digits & ~bits.is_valid_cell(cand)
+    cand = cand - np.where(invalid, one, 0)
+
+    base = bits.get_base_cell(cells)
+    ok = in_digits | (base != 0)
+    hop = ~in_digits & (base != 0)
+    cand = np.where(hop, bits.set_base_cell(out, base - 1), cand)
+    return np.where(ok, cand, 0), ok
+
+
+# ---------------------------------------------------------------------------
+# Child position (cell.rs:529-671)
+# ---------------------------------------------------------------------------
+
+def child_position(cells, parent_res: int):
+    """Vectorized childPos: rank among the parent's children (cell.rs:545-599).
+
+    Returns (pos, ok); ok=False where res(cell) < parent_res.
+    """
+    from .constants import HEXAGON_CHILDREN_COUNTS, PENTAGON_CHILDREN_COUNTS
+
+    cells = bits.as_i64(np.asarray(cells))
+    res = bits.get_resolution(cells)
+    ok = res >= parent_res
+    # The ancestor at the TARGET res picks the formula for every level.
+    chain_pent = bits.is_pentagon(
+        bits.cell_to_parent(cells, np.minimum(parent_res, res)))
+    pos = np.zeros(cells.shape[0], dtype=np.int64)
+    max_res = int(res.max()) if cells.size else 0
+    for r in range(parent_res + 1, max_res + 1):
+        m = ok & (r <= res)
+        if not m.any():
+            continue
+        digit = bits.get_direction(cells, r)
+        diff = np.clip(res - r, 0, 15)
+        hex_count = HEXAGON_CHILDREN_COUNTS[diff]
+        pent_count = PENTAGON_CHILDREN_COUNTS[diff]
+        contrib_hex = digit * hex_count
+        # Pentagon-chain path: the immediate ancestor (r-1) being a pentagon
+        # shifts the digit past the deleted K axis, and slot 0 is the
+        # pentagon-children block (cell.rs:556-586).
+        par_pent_r = bits.is_pentagon(bits.cell_to_parent(cells, r - 1))
+        d = np.where(par_pent_r & (digit > 0), digit - 1, digit)
+        count0 = np.where(par_pent_r, pent_count, hex_count)
+        contrib_pent = np.where(d == 0, 0, (d - 1) * hex_count + count0)
+        pos += np.where(m, np.where(chain_pent, contrib_pent, contrib_hex), 0)
+    return np.where(ok, pos, 0), ok
+
+
+def child_at(cells, positions, child_res: int):
+    """Vectorized childPosToCell (cell.rs:621-671).
+
+    Returns (child, ok); ok=False on coarser target res or out-of-range
+    position.
+    """
+    from .constants import HEXAGON_CHILDREN_COUNTS, PENTAGON_CHILDREN_COUNTS
+
+    cells = bits.as_i64(np.asarray(cells))
+    position = np.asarray(positions, dtype=np.int64).copy()
+    res = bits.get_resolution(cells)
+    ok = (child_res >= res) & (position >= 0) & \
+        (position < bits.children_count(cells, child_res))
+
+    child = bits.set_resolution(cells, child_res)
+    in_pent = bits.is_pentagon(cells)
+    max_res = int(res.min()) if cells.size else 0
+    for r in range(max_res + 1, child_res + 1):
+        m = ok & (r > res)
+        if not m.any():
+            continue
+        diff = child_res - r
+        hex_count = HEXAGON_CHILDREN_COUNTS[np.clip(diff, 0, 15)]
+        pent_count = PENTAGON_CHILDREN_COUNTS[np.clip(diff, 0, 15)]
+        m_pent = m & in_pent
+        m_pent_zero = m_pent & (position < pent_count)
+        m_pent_exit = m_pent & ~(position < pent_count)
+        m_hex = m & ~in_pent
+        digit = np.zeros_like(position)
+        if m_pent_exit.any():
+            pos2 = position - pent_count
+            digit = np.where(m_pent_exit, pos2 // hex_count + 2, digit)
+            position = np.where(m_pent_exit, pos2 % hex_count, position)
+            in_pent = in_pent & ~m_pent_exit
+        if m_hex.any():
+            digit = np.where(m_hex, position // hex_count, digit)
+            position = np.where(m_hex, position % hex_count, position)
+        # m_pent_zero: digit stays 0, position unchanged.
+        child = np.where(m, bits.set_direction(child, digit, r), child)
+    return np.where(ok, child, 0), ok
