@@ -98,6 +98,18 @@ def _h3_polygon_coverage(sf_dir: str):
     return rd.from_arrow(pip.coverage_table(pip.city_polygons(8), res=7))
 
 
+def _h3_dissolve_coverage(sf_dir: str):
+    """Dissolve each city polygon's res-6 coverage back into an outline."""
+    import ray.data as rd
+
+    from h3ray.pipelines import pip, tiles
+
+    cov = pip.coverage_table(pip.city_polygons(8), res=6)
+    out = tiles.dissolve_groups(rd.from_arrow(cov), "polygon_id")
+    return out.select_columns(["polygon_id", "poly_idx", "ring_idx",
+                               "vert_idx"])
+
+
 def _ann_topk(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -178,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "h3_knn_join": _h3_knn_join,
         "h3_pip_join": _h3_pip_join,
         "h3_polygon_coverage": _h3_polygon_coverage,
+        "h3_dissolve_coverage": _h3_dissolve_coverage,
         "h3_tile_assign": _h3_tile_assign,
         "h3_compact_tiles": _h3_compact_tiles,
         "minhash_dup_pairs": _minhash_pairs,

@@ -1,0 +1,198 @@
+"""cellsToLinkedMultiPolygon: dissolve a cell set into outline polygons.
+
+From-scratch port of the reference Solvent semantics
+(src/geom/solvent/arc_set.rs): collect every cell's directed edges in CCW
+order as circular linked arcs, cancel opposite pairs while stitching the
+survivors together, union-find the connected components, walk the remaining
+linked rings, and sort rings by (component, signed Cagnoli area) so each
+polygon's outer ring comes first (smallest signed area), then polygons by
+descending exterior area. Empty boundary (full sphere) yields the 8-triangle
+world polygon (arc_set.rs:493-530).
+
+Heterogeneous (multi-res) input is supported by uncompacting to the target
+resolution first — same output, the reference's Gosper-outline fast path is
+a performance optimization we replace with distribution (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from . import bits, edgevertex as ev, hierarchy
+
+
+def linear_ring_area(lng: np.ndarray, lat: np.ndarray) -> float:
+    """Signed-normalized spherical ring area (math/area.rs:33-78), radians."""
+    if lng.shape[0] == 0:
+        return 0.0
+    lat_t = lat * 0.5 + math.pi * 0.25
+    sin_t = np.sin(lat_t)
+    cos_t = np.cos(lat_t)
+    nx = np.roll(lng, -1)
+    sa = sin_t * np.roll(sin_t, -1)
+    ca = cos_t * np.roll(cos_t, -1)
+    delta = nx - lng
+    terms = -2.0 * np.arctan2(sa * np.sin(delta), sa * np.cos(delta) + ca)
+    total = math.fsum(terms)
+    return total + 4.0 * math.pi if total < 0.0 else total
+
+
+def _world_polygon():
+    """8 triangular polygons covering the sphere (arc_set.rs:497-530)."""
+    q = math.pi / 2
+    tris = [
+        [(0.0, q), (0.0, 0.0), (q, 0.0)],
+        [(0.0, q), (q, 0.0), (math.pi, 0.0)],
+        [(0.0, q), (math.pi, 0.0), (-q, 0.0)],
+        [(0.0, q), (-q, 0.0), (0.0, 0.0)],
+        [(0.0, -q), (0.0, 0.0), (-q, 0.0)],
+        [(0.0, -q), (-q, 0.0), (-math.pi, 0.0)],
+        [(0.0, -q), (-math.pi, 0.0), (q, 0.0)],
+        [(0.0, -q), (q, 0.0), (-0.0, 0.0)],
+    ]
+    out = []
+    for tri in tris:
+        ring = np.rad2deg(np.array(tri + [tri[0]], dtype=np.float64))
+        out.append([ring])
+    return out
+
+
+def dissolve(cells, resolution: int | None = None):
+    """Dissolve a set of cells into a multipolygon outline.
+
+    Args:
+        cells: unique cell array; homogeneous resolution unless `resolution`
+            is given (then ancestors are uncompacted to it).
+
+    Returns:
+        list of polygons; each polygon a list of rings; each ring an (k, 2)
+        float64 array of [lng, lat] in DEGREES, closed (first == last),
+        exterior ring first — directly consumable by
+        region.prepare_geometry().
+    """
+    cells = bits.as_i64(np.asarray(cells))
+    u = np.unique(cells)
+    if u.shape[0] != cells.shape[0]:
+        raise ValueError("duplicate input cells")
+    if cells.size == 0:
+        return []
+    res = bits.get_resolution(cells)
+    if resolution is not None:
+        if (res > resolution).any():
+            raise ValueError("cell finer than target resolution")
+        row, cells = hierarchy.cell_to_children(np.sort(u), resolution)
+        cell_ids = row  # component seed: one id per input cell
+    else:
+        if (res != res[0]).any():
+            raise ValueError("heterogeneous resolutions (pass resolution=)")
+        cells = np.sort(u)
+        cell_ids = np.arange(cells.shape[0])
+
+    # All directed edges, CCW per cell (cell.rs:889-895 order).
+    erow, edges = ev.origin_to_directed_edges(cells)
+    rev = ev.edge_reverse(edges)
+
+    n = edges.shape[0]
+    nxt = np.empty(n, dtype=np.int64)
+    prv = np.empty(n, dtype=np.int64)
+    # Circular links within each cell's edge block (erow is sorted).
+    starts = np.searchsorted(erow, np.arange(cells.shape[0]))
+    counts = np.diff(np.append(starts, n))
+    pos = np.arange(n) - starts[erow]
+    nxt = starts[erow] + (pos + 1) % counts[erow]
+    prv = starts[erow] + (pos - 1) % counts[erow]
+
+    # Cancel opposite pairs: edge i is internal iff its reverse exists.
+    order = np.argsort(edges)
+    sorted_edges = edges[order]
+    loc = np.searchsorted(sorted_edges, rev)
+    loc = np.minimum(loc, n - 1)
+    has_rev = sorted_edges[loc] == rev
+    rev_idx = order[loc]
+
+    # Union-find over cells connected by shared edges.
+    parent = np.arange(cells.shape[0])
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    # Stitch: process each internal pair once (arc_set.rs:281-318).
+    removed = np.zeros(n, dtype=bool)
+    for i in np.flatnonzero(has_rev):
+        j = rev_idx[i]
+        if removed[i] or removed[j]:
+            continue
+        pi, ni = prv[i], nxt[i]
+        pj, nj = prv[j], nxt[j]
+        nxt[pi] = nj
+        prv[nj] = pi
+        nxt[pj] = ni
+        prv[ni] = pj
+        removed[i] = removed[j] = True
+        ra, rb = find(erow[i]), find(erow[j])
+        if ra != rb:
+            parent[ra] = rb
+
+    # Walk surviving rings.
+    rings = []
+    visited = np.zeros(n, dtype=bool)
+    off, blat, blng = ev.edge_boundary_rads(edges[~removed]) if \
+        (~removed).any() else (np.array([0]), np.empty(0), np.empty(0))
+    surv_pos = np.full(n, -1, dtype=np.int64)
+    surv_pos[~removed] = np.arange(int((~removed).sum()))
+    for start in np.flatnonzero(~removed):
+        if visited[start]:
+            continue
+        comp = find(erow[start])
+        lats: list[np.ndarray] = []
+        lngs: list[np.ndarray] = []
+        cur = start
+        while True:
+            visited[cur] = True
+            p = surv_pos[cur]
+            s, e = off[p], off[p + 1]
+            # Drop the last boundary vertex (shared with the next arc).
+            lats.append(blat[s:e - 1])
+            lngs.append(blng[s:e - 1])
+            cur = nxt[cur]
+            if cur == start:
+                break
+        rlat = np.concatenate(lats)
+        rlng = np.concatenate(lngs)
+        area = linear_ring_area(rlng, rlat)
+        rings.append((comp, area, rlng, rlat))
+
+    if not rings:
+        # Full-sphere coverage: no boundary edges survive.
+        return _world_polygon() if cells.size else []
+
+    rings.sort(key=lambda r: (r[0], r[1]))
+
+    # Group rings into polygons: first ring per component = outer.
+    polygons = []
+    cur_comp = None
+    cur_poly = None
+    for comp, _area, rlng, rlat in rings:
+        ring = np.stack([np.rad2deg(np.append(rlng, rlng[0])),
+                         np.rad2deg(np.append(rlat, rlat[0]))], axis=1)
+        if comp != cur_comp:
+            if cur_poly is not None:
+                polygons.append(cur_poly)
+            cur_poly = [ring]
+            cur_comp = comp
+        else:
+            cur_poly.append(ring)
+    polygons.append(cur_poly)
+
+    # Sort polygons by descending exterior area (arc_set.rs:482-486).
+    def ext_area(poly):
+        r = np.deg2rad(poly[0])
+        return linear_ring_area(r[:-1, 0], r[:-1, 1])
+
+    polygons.sort(key=lambda p: -ext_area(p))
+    return polygons

@@ -88,3 +88,40 @@ def compact_cells_dataset(cells_ds, cell_col: str = "cell",
         base_compact, batch_format="pyarrow").select_columns([cell_col])
 
     return fine.union(round2)
+
+
+def dissolve_groups(ds, group_col: str, cell_col: str = "cell",
+                    resolution: int | None = None):
+    """Distributed cellsToLinkedMultiPolygon per group.
+
+    groupby(group_col) shuffles each group's cells to one worker; the local
+    linked-arc dissolve runs per group (SURVEY.md §2.4: dissolve is local to
+    a cell-set partition). Output rows are fully relational:
+    (group, poly_idx, ring_idx, vert_idx, lng, lat) — exterior ring_idx 0.
+    """
+    from ..kernels import solvent
+
+    def local_dissolve(group: pa.Table) -> pa.Table:
+        cells = np.unique(bits.as_i64(
+            group[cell_col].to_numpy(zero_copy_only=False)))
+        polys = solvent.dissolve(cells, resolution=resolution)
+        gval = group[group_col][0].as_py()
+        g, p, r, v, lng, lat = [], [], [], [], [], []
+        for pi, poly in enumerate(polys):
+            for ri, ring in enumerate(poly):
+                k = ring.shape[0]
+                g.extend([gval] * k)
+                p.extend([pi] * k)
+                r.extend([ri] * k)
+                v.extend(range(k))
+                lng.extend(ring[:, 0].tolist())
+                lat.extend(ring[:, 1].tolist())
+        return pa.Table.from_arrays(
+            [pa.array(g), pa.array(p, pa.int32()), pa.array(r, pa.int32()),
+             pa.array(v, pa.int32()), pa.array(lng, pa.float64()),
+             pa.array(lat, pa.float64())],
+            names=[group_col, "poly_idx", "ring_idx", "vert_idx",
+                   "lng", "lat"])
+
+    return ds.groupby(group_col).map_groups(local_dissolve,
+                                            batch_format="pyarrow")
