@@ -127,6 +127,26 @@ def _ann_topk(sf_dir: str):
     return out.select_columns(["query_id", "vec_id"])
 
 
+def _emb_cosine_dups(sf_dir: str):
+    import ray.data as rd
+
+    from h3ray.pipelines import ann
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = ann.cosine_dup_pairs(ds, threshold=0.4, concurrency=2)
+    return out.select_columns(["id_a", "id_b"])
+
+
+def _multimodal_features(sf_dir: str):
+    from h3ray import multimodal
+    from h3ray.io import pages as pio
+
+    ds = pio.pages_from_documents(sf_dir)
+    out = multimodal.decode_metadata(ds, col="html", concurrency=2)
+    return out.select_columns(["url", "img_w", "img_h", "decode_ok"])
+
+
 def _minhash_pairs(sf_dir: str):
     import ray.data as rd
 
@@ -184,6 +204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_dedup": rel.docs_exact_dedup,
         "docs_quality_len": _quality,
         "ann_topk_cosine": _ann_topk,
+        "emb_cosine_dup_pairs": _emb_cosine_dups,
+        "multimodal_decode_meta": _multimodal_features,
         # --- H3 spatial pipelines (conformance-tested; rows-only here) ---
         "h3_cell_counts": _h3_cell_counts,
         "h3_geotag_cells": _h3_geotag_cells,
@@ -253,6 +275,11 @@ def oracle_sql() -> dict[str, str]:
         "docs_quality_len": """
             SELECT doc_id, CAST(LENGTH(text) AS DOUBLE) AS q_len
             FROM documents
+        """,
+        "emb_cosine_dup_pairs": """
+            SELECT e1.vec_id AS id_a, e2.vec_id AS id_b
+            FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+            WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.4
         """,
         "ann_topk_cosine": """
             SELECT query_id, vec_id FROM (

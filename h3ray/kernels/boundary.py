@@ -126,6 +126,29 @@ def _intersection_2d(p0x, p0y, p1x, p1y, q0x, q0y, q1x, q1y):
     return t * s1x + p0x, t * s1y + p0y
 
 
+def hexagon_vertex_faces(cells):
+    """Post-overage icosahedron face of each topological vertex, (n, 6).
+
+    The face set of a hexagon cell (icosahedronFaces, cell.rs:322-380) is
+    exactly the set of its vertices' post-adjust faces.
+    """
+    cells = bits.as_i64(np.asarray(cells))
+    n = cells.shape[0]
+    face_c, ci, cj, ck, adj_res, class3 = _substrate_center(cells)
+    verts = np.where(class3[:, None, None], VERTS_CIII[None, :, :],
+                     VERTS_CII[None, :, :])
+    vi = ci[:, None] + verts[:, :, 0]
+    vj = cj[:, None] + verts[:, :, 1]
+    vk = ck[:, None] + verts[:, :, 2]
+    mn = np.minimum(np.minimum(vi, vj), vk)
+    vi, vj, vk = vi - mn, vj - mn, vk - mn
+    face_r = np.repeat(face_c, 6)
+    res_r = np.repeat(adj_res, 6)
+    fa, _, _, _, _ = _adjust_overage_substrate(
+        face_r, vi.reshape(-1), vj.reshape(-1), vk.reshape(-1), res_r)
+    return fa.reshape(n, 6)
+
+
 def hexagon_boundary_slots(cells):
     """Boundary of non-pentagon cells as fixed slot planes.
 

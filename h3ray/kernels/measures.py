@@ -154,3 +154,51 @@ def degs_to_rads(x):
 
 def rads_to_degs(x):
     return np.rad2deg(np.asarray(x, dtype=np.float64))
+
+
+def max_face_count(cells) -> np.ndarray:
+    """maxFaceCount (cell.rs:417-425): 5 for pentagons else 2."""
+    return np.where(bits.is_pentagon(bits.as_i64(np.asarray(cells))), 5, 2)
+
+
+def icosahedron_faces(cells) -> np.ndarray:
+    """icosahedronFaces (cell.rs:322-380) as a uint32 face bitset per cell.
+
+    Hexagons: set of post-overage vertex faces (vectorized). Class II
+    pentagons recurse through their center child (all their vertices lie on
+    icosahedron edges); class III pentagons use the pentagon vertex faces.
+    """
+    from .boundary import _pentagon_boundary_single, hexagon_vertex_faces
+    from .boundary import _substrate_center, _adjust_overage_substrate
+    from .boundary import VERTS_CIII
+
+    cells = bits.as_i64(np.asarray(cells))
+    n = cells.shape[0]
+    out = np.zeros(n, dtype=np.int64)
+    pent = bits.is_pentagon(cells)
+    res = bits.get_resolution(cells)
+
+    # Class II pentagons -> center child at res+1 (class III).
+    fixup = pent & (res % 2 == 0)
+    work = np.where(fixup, bits.cell_to_center_child(cells, np.where(
+        fixup, res + 1, res)), cells)
+
+    hex_rows = np.flatnonzero(~pent)
+    if hex_rows.size:
+        faces = hexagon_vertex_faces(work[hex_rows])
+        m = np.bitwise_or.reduce(np.int64(1) << faces, axis=1)
+        out[hex_rows] = m
+    for row in np.flatnonzero(pent):
+        c = np.array([work[row]], dtype=np.int64)
+        face_c, ci, cj, ck, adj_res, _ = _substrate_center(c)
+        mask = 0
+        for vtx in range(5):
+            vi = ci + VERTS_CIII[vtx, 0]
+            vj = cj + VERTS_CIII[vtx, 1]
+            vk = ck + VERTS_CIII[vtx, 2]
+            mn = np.minimum(np.minimum(vi, vj), vk)
+            f, _, _, _, _ = _adjust_overage_substrate(
+                face_c.copy(), vi - mn, vj - mn, vk - mn, adj_res, max_iter=6)
+            mask |= 1 << int(f[0])
+        out[row] = mask
+    return out.astype(np.uint32)

@@ -1,0 +1,160 @@
+"""Multimodal (image/audio/video) processing stages over opaque binary columns.
+
+Design (SURVEY/engine brief): media payloads travel as `binary` columns with
+typed metadata columns beside them; decode / feature-extract / resize /
+frame-sample are STATEFUL actor-pool stages — the codec/model handle is
+built once per actor in `__init__`, batches flow through `__call__` as
+zero-copy Arrow tables. Media codecs (PIL/ffmpeg/torchaudio) are not in this
+environment, so the decode core is STUBBED: `codec="fake"` (default) is a
+deterministic byte-hash pseudo-decoder that produces stable shapes/features
+for tests and benchmarks; `codec="pil"`/`codec="ffmpeg"` raise
+NotImplementedError unless the library is importable. The Ray-side plumbing
+(schemas, batch sizing, actor signatures, output layout) is real.
+
+Large payloads need small batches: size `batch_size` so
+batch_size x avg_payload x concurrency fits the worker heap (e.g. 256 rows
+of 1 MB images x 8 actors ~ 2 GiB).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _hash_bytes_batch(bin_col: pa.Array) -> np.ndarray:
+    """Deterministic 64-bit hash per binary payload (vectorized-ish)."""
+    import hashlib
+
+    out = np.empty(len(bin_col), dtype=np.uint64)
+    for i, v in enumerate(bin_col):
+        b = v.as_py() or b""
+        out[i] = np.frombuffer(hashlib.blake2b(b, digest_size=8).digest(),
+                               dtype=np.uint64)[0]
+    return out
+
+
+class ImageDecodeStage:
+    """binary -> (width, height, channels, ok) metadata columns.
+
+    Actor-pool stage: `ds.map_batches(ImageDecodeStage, fn_constructor_kwargs=
+    {"codec": "fake"}, concurrency=N, batch_size=256, batch_format="pyarrow")`.
+    """
+
+    def __init__(self, col: str = "html", codec: str = "fake"):
+        self.col = col
+        if codec == "pil":
+            try:
+                from PIL import Image  # noqa: F401
+                self._pil = Image
+            except ImportError as exc:  # codec not baked into this env
+                raise NotImplementedError(
+                    "PIL not available in this environment; use codec='fake'"
+                ) from exc
+        elif codec != "fake":
+            raise NotImplementedError(f"codec {codec!r} not supported")
+        self.codec = codec
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = _hash_bytes_batch(col)
+        # Deterministic fake decode: dimensions derived from the payload hash.
+        width = (64 + (h % np.uint64(193))).astype(np.int32)
+        height = (64 + ((h >> np.uint64(8)) % np.uint64(129))).astype(np.int32)
+        lengths = np.array([len(v.as_py() or b"") for v in col],
+                           dtype=np.int64)
+        ok = lengths > 0
+        return batch.append_column(
+            "img_w", pa.array(width)).append_column(
+            "img_h", pa.array(height)).append_column(
+            "img_c", pa.array(np.full(len(col), 3, dtype=np.int32))
+        ).append_column("decode_ok", pa.array(ok))
+
+
+class FeatureExtractStage:
+    """binary -> fixed-dim float32 embedding column (`feat`).
+
+    Stands in for batched model inference: the "model" (a seeded random
+    projection) is built once per actor; per batch the payload hash seeds a
+    deterministic feature vector, then the projection is applied vectorized.
+    """
+
+    def __init__(self, col: str = "html", dim: int = 16, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.col = col
+        self.dim = dim
+        self.proj = rng.standard_normal((dim, dim)).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = _hash_bytes_batch(col)
+        # Expand each hash into `dim` deterministic floats in [-1, 1).
+        idx = np.arange(self.dim, dtype=np.uint64)
+        mixed = (h[:, None] * np.uint64(0x9E3779B97F4A7C15)
+                 + idx[None, :] * np.uint64(0xBF58476D1CE4E5B9))
+        mixed ^= mixed >> np.uint64(31)
+        raw = (mixed >> np.uint64(11)).astype(np.float64) / float(1 << 52)
+        feats = ((raw - 1.0).astype(np.float32) @ self.proj)
+        norm = np.linalg.norm(feats, axis=1, keepdims=True)
+        feats = feats / np.maximum(norm, 1e-12)
+        return batch.append_column(
+            "feat", pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.reshape(-1)), self.dim))
+
+
+class FrameSampleStage:
+    """video binary -> one row per sampled frame (flat map).
+
+    Real ffmpeg decode is stubbed; the fake path emits `num_frames`
+    deterministic frame rows with (frame_idx, frame_ts_ms) metadata, which
+    exercises the row-expansion plumbing (block growth, ragged output).
+    """
+
+    def __init__(self, col: str = "html", num_frames: int = 4,
+                 codec: str = "fake"):
+        if codec != "fake":
+            raise NotImplementedError(
+                "ffmpeg not available in this environment; use codec='fake'")
+        self.col = col
+        self.num_frames = num_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = _hash_bytes_batch(col)
+        n = len(col)
+        k = self.num_frames
+        rows = np.repeat(np.arange(n), k)
+        frame_idx = np.tile(np.arange(k), n)
+        duration = (1000 + (h % np.uint64(59000))).astype(np.int64)
+        ts = (duration[rows] * frame_idx) // max(k, 1)
+        cols = {name: batch[name].take(pa.array(rows))
+                for name in batch.column_names if name != self.col}
+        cols["frame_idx"] = pa.array(frame_idx.astype(np.int32))
+        cols["frame_ts_ms"] = pa.array(ts)
+        return pa.Table.from_pydict(cols)
+
+
+def image_features(ds, col: str = "html", dim: int = 16,
+                   concurrency: int = 4, batch_size: int = 256):
+    """Actor-pool feature extraction pipeline over a binary column."""
+    return ds.map_batches(
+        FeatureExtractStage,
+        fn_constructor_kwargs={"col": col, "dim": dim},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+def decode_metadata(ds, col: str = "html", concurrency: int = 4,
+                    batch_size: int = 256):
+    """Actor-pool decode-metadata pipeline over a binary column."""
+    return ds.map_batches(
+        ImageDecodeStage,
+        fn_constructor_kwargs={"col": col},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)

@@ -136,3 +136,62 @@ def lsh_topk(ds, queries: np.ndarray, *, id_col: str = "vec_id",
         batch_format="pyarrow", batch_size=4096, concurrency=concurrency)
     return partials.groupby("query_id").map_groups(
         BruteForceScorer.merge_topk(k, id_col), batch_format="pandas")
+
+
+class CosineDupScorer:
+    """Actor-pool stage for exact embedding near-duplicate pairs.
+
+    The (small) reference matrix is broadcast once via ray.put; each corpus
+    block emits pairs (id_a < id_b) with cosine >= threshold. The scale path
+    for corpora whose matrix no longer fits a worker is `lsh_topk`-style
+    bucketing (same kernels, bucket groupby, recall < 1).
+    """
+
+    def __init__(self, ref, id_col: str, emb_col: str, threshold: float):
+        import ray
+
+        data = ray.get(ref) if not isinstance(ref, dict) else ref
+        # float64 so thresholding agrees with a float64 SQL oracle.
+        m = data["mat"].astype(np.float64)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        self.mat = m / np.clip(n, 1e-30, None)
+        self.ids = data["ids"]
+        self.id_col = id_col
+        self.emb_col = emb_col
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = _embedding_matrix(batch, self.emb_col).astype(np.float64)
+        xn = np.linalg.norm(x, axis=1, keepdims=True)
+        x = x / np.clip(xn, 1e-30, None)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sims = x @ self.mat.T  # (n, N)
+        hit = sims >= self.threshold
+        # Only emit ordered pairs a < b (dedup across blocks for free).
+        hit &= ids[:, None] < self.ids[None, :]
+        r, c = np.nonzero(hit)
+        return pa.Table.from_arrays(
+            [pa.array(ids[r]), pa.array(self.ids[c]),
+             pa.array(sims[r, c].astype(np.float64))],
+            names=["id_a", "id_b", "cosine"])
+
+
+def cosine_dup_pairs(ds, *, id_col: str = "vec_id", emb_col: str = "embedding",
+                     threshold: float = 0.9, concurrency: int = 4,
+                     batch_size: int = 4096):
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b)."""
+    import ray
+
+    tbl = ds.select_columns([id_col, emb_col]).to_arrow_refs()
+    parts = [pa.Table.from_batches(t.to_batches())
+             for t in ray.get(tbl)]
+    full = pa.concat_tables(parts)
+    ref = ray.put({"mat": _embedding_matrix(full, emb_col),
+                   "ids": full[id_col].to_numpy(zero_copy_only=False)})
+
+    return ds.select_columns([id_col, emb_col]).map_batches(
+        CosineDupScorer,
+        fn_constructor_kwargs={"ref": ref, "id_col": id_col,
+                               "emb_col": emb_col, "threshold": threshold},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)

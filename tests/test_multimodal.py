@@ -1,0 +1,51 @@
+"""Multimodal actor-pool stages: plumbing is real, codecs stubbed."""
+
+import numpy as np
+import pytest
+
+from h3ray import multimodal
+from h3ray.io import pages as pages_io
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_decode_metadata_actor_pool(ray_session):
+    ds = pages_io.pages_from_documents(SF).limit(500)
+    out = multimodal.decode_metadata(ds, col="html", concurrency=2)
+    df = out.to_pandas()
+    assert {"img_w", "img_h", "img_c", "decode_ok"} <= set(df.columns)
+    assert df.decode_ok.all()
+    assert (df.img_w >= 64).all() and (df.img_h >= 64).all()
+
+
+def test_feature_extract_deterministic(ray_session):
+    ds = pages_io.pages_from_documents(SF).limit(300)
+    df1 = multimodal.image_features(ds, dim=16, concurrency=2) \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    ds2 = pages_io.pages_from_documents(SF).limit(300)
+    df2 = multimodal.image_features(ds2, dim=16, concurrency=2) \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    f1 = np.stack(df1["feat"].to_numpy())
+    f2 = np.stack(df2["feat"].to_numpy())
+    assert np.array_equal(f1, f2)  # deterministic across runs/actors
+    assert np.allclose(np.linalg.norm(f1, axis=1), 1.0, atol=1e-5)
+
+
+def test_frame_sample_expansion(ray_session):
+    ds = pages_io.pages_from_documents(SF).limit(100)
+    out = ds.map_batches(
+        multimodal.FrameSampleStage,
+        fn_constructor_kwargs={"num_frames": 3},
+        batch_format="pyarrow", batch_size=64, concurrency=2)
+    df = out.to_pandas()
+    assert len(df) == 300
+    assert set(df.frame_idx.unique()) == {0, 1, 2}
+    assert (df.groupby("url").size() == 3).all()
+    assert (df.frame_ts_ms >= 0).all()
+
+
+def test_real_codecs_raise_not_implemented():
+    with pytest.raises(NotImplementedError):
+        multimodal.ImageDecodeStage(codec="pil")
+    with pytest.raises(NotImplementedError):
+        multimodal.FrameSampleStage(codec="ffmpeg")
