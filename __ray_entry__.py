@@ -127,6 +127,68 @@ def _ann_topk(sf_dir: str):
     return out.select_columns(["query_id", "vec_id"])
 
 
+def _h3_grid_paths(sf_dir: str):
+    """Trajectory rasterization: grid paths between consecutive city cells."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.io import pages as pio
+    from h3ray.kernels import latlng
+    from h3ray.ops import stages
+
+    # Paths from each city center to a point ~100km away (local IJ space is
+    # only defined within neighboring base cells, localij.rs:8-17).
+    qlat, qlng = pio.CITY_LAT, pio.CITY_LNG
+    origins = latlng.latlng_to_cell(qlat, qlng, 6)
+    dests = latlng.latlng_to_cell(qlat + 0.7, qlng + 0.7, 6)
+    tbl = pa.Table.from_arrays(
+        [pa.array(np.arange(len(origins))),
+         pa.array(origins.view(np.uint64)),
+         pa.array(dests.view(np.uint64))],
+        names=["pair_id", "origin", "dest"])
+    ds = rd.from_arrow(tbl)
+    out = ds.map_batches(
+        stages.path_expand_stage("origin", "dest", ["pair_id"]),
+        batch_format="pyarrow", batch_size=16)
+    return out.select_columns(["pair_id", "path_cell"])
+
+
+def _h3_cell_areas(sf_dir: str):
+    """Coverage cells of the city polygons with exact spherical areas."""
+    import ray.data as rd
+
+    from h3ray.ops import stages
+    from h3ray.pipelines import pip
+
+    cov = pip.coverage_table(pip.city_polygons(8), res=6)
+    out = rd.from_arrow(cov).map_batches(
+        stages.area_stage("cell", unit="km2"), batch_format="pyarrow")
+    return out.select_columns(["polygon_id", "cell"])
+
+
+def _docs_bpe_tokens(sf_dir: str):
+    import ray.data as rd
+
+    from h3ray.text.analysis import bpe_token_count_stage
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(bpe_token_count_stage(), batch_format="pyarrow") \
+        .select_columns(["doc_id", "n_bpe_tokens"])
+
+
+def _docs_fingerprints(sf_dir: str):
+    import ray.data as rd
+
+    from h3ray.text.analysis import fingerprint_stage
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint_stage(), batch_format="pyarrow") \
+        .select_columns(["doc_id", "fingerprint"])
+
+
 def _emb_cosine_dups(sf_dir: str):
     import ray.data as rd
 
@@ -213,6 +275,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "h3_pip_join": _h3_pip_join,
         "h3_polygon_coverage": _h3_polygon_coverage,
         "h3_dissolve_coverage": _h3_dissolve_coverage,
+        "h3_grid_paths": _h3_grid_paths,
+        "h3_cell_areas": _h3_cell_areas,
+        "docs_bpe_tokens": _docs_bpe_tokens,
+        "docs_fingerprints": _docs_fingerprints,
         "h3_tile_assign": _h3_tile_assign,
         "h3_compact_tiles": _h3_compact_tiles,
         "minhash_dup_pairs": _minhash_pairs,
@@ -271,6 +337,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_exact_dedup": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "docs_bpe_tokens": r"""
+            SELECT doc_id,
+                   CAST(LEN(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                        AS BIGINT) AS n_bpe_tokens
+            FROM documents
         """,
         "docs_quality_len": """
             SELECT doc_id, CAST(LENGTH(text) AS DOUBLE) AS q_len

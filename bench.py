@@ -121,12 +121,22 @@ def run_benchmarks() -> dict:
 
 
 def run_scaling():
-    """Same job at 8 and 32 CPUs in fresh processes; report efficiency."""
-    ensure_pages_parquet_subproc()
+    """Same job at 8 and 32 CPUs in fresh processes; report efficiency.
+
+    Uses a 4x-larger input than the plain bench (override with
+    GRAFT_SCALING_PAGES) so per-query wall times at 32 CPUs are dominated by
+    compute, not by fixed per-stage scheduling overhead — the sandbox
+    stand-in for the N vs 4N cluster-size criterion.
+    """
+    n_pages = int(os.environ.get("GRAFT_SCALING_PAGES", str(4 * N_PAGES)))
+    pages_dir = os.environ.get("GRAFT_PAGES_DIR",
+                               f"/tmp/h3ray_bench_pages_{n_pages}")
+    ensure_pages_parquet_subproc(n_pages, pages_dir)
     results = {}
     for ncpu in (8, 32):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_PAGES_DIR=PAGES_DIR)
+                   GRAFT_PAGES_DIR=pages_dir,
+                   GRAFT_BENCH_PAGES=str(n_pages))
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True).stdout
         results[ncpu] = json.loads(out.strip().splitlines()[-1])
@@ -144,8 +154,10 @@ def run_scaling():
     }))
 
 
-def ensure_pages_parquet_subproc():
-    env = dict(os.environ, RAY_GRAFT_CPUS="32", GRAFT_PAGES_DIR=PAGES_DIR)
+def ensure_pages_parquet_subproc(n_pages=None, pages_dir=None):
+    env = dict(os.environ, RAY_GRAFT_CPUS="32",
+               GRAFT_PAGES_DIR=pages_dir or PAGES_DIR,
+               GRAFT_BENCH_PAGES=str(n_pages or N_PAGES))
     subprocess.run(
         [sys.executable, "-c",
          f"import sys; sys.path.insert(0, '{Path(__file__).parent}'); "

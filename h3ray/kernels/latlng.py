@@ -198,27 +198,27 @@ def _geo_to_hex2d(lat_rad, lng_rad, res):
     vy = np.sin(lng_rad) * cos_lat
     vz = np.sin(lat_rad)
 
-    # Closest face: argmin over squared distances to the 20 face centers.
+    # Closest face. For unit vectors |v - c|^2 = 2 - 2 v.c, so the argmin
+    # over squared distances is the argmax over dot products — one (n, 20)
+    # GEMM instead of an (n, 20, 3) difference tensor.
     v = np.stack([vx, vy, vz], axis=1)  # (n, 3)
-    d = v[:, None, :] - FACE_CENTER[None, :, :]  # (n, 20, 3)
-    sqd_all = np.einsum("nfc,nfc->nf", d, d)
-    face = np.argmin(sqd_all, axis=1)
-    sqd = np.take_along_axis(sqd_all, face[:, None], axis=1)[:, 0]
+    dots = v @ FACE_CENTER.T  # (n, 20)
+    face = np.argmax(dots, axis=1)
+    best = np.take_along_axis(dots, face[:, None], axis=1)[:, 0]
+    # Clamp: rounding can push the dot a ulp past 1 (arccos domain).
+    sqd = np.maximum(2.0 - 2.0 * best, 0.0)
 
     # Gnomonic radius scaled for the resolution (vec2d.rs:65-104).
     r = np.arccos(1.0 - sqd * 0.5)
     small = r < EPSILON
     r_scaled = np.tan(r) * INV_RES0_U_GNOMONIC * SQRT7_POWERS[res]
 
-    # Azimuth from face center to the point (vec3d.rs:123-133).
-    c = FACE_CENTER[face]
-    vdotc = np.einsum("nc,nc->n", v, c)
-    proj = v - vdotc[:, None] * c
-    norm = np.linalg.norm(proj, axis=1)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        proj = np.where(norm[:, None] > 0, proj / norm[:, None], 0.0)
-    az = np.arctan2(np.einsum("nc,nc->n", proj, FACE_EAST[face]),
-                    np.einsum("nc,nc->n", proj, FACE_NORTH[face]))
+    # Azimuth from face center to the point (vec3d.rs:123-133): atan2 of the
+    # tangent-plane projection against the face basis. atan2 is
+    # scale-invariant, so the projection needs no normalization, and
+    # proj.east == v.east / proj.north == v.north (basis _|_ center).
+    az = np.arctan2(np.einsum("nc,nc->n", v, FACE_EAST[face]),
+                    np.einsum("nc,nc->n", v, FACE_NORTH[face]))
 
     theta = FACE_AXES_AZ_RADS_CII[face] - az
     if isinstance(res, np.ndarray):

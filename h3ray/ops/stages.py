@@ -166,3 +166,51 @@ def salt_stage(key_col: str, salt_mod: int, out_col: str = "salt"):
             out_col, pa.array((h % np.uint64(salt_mod)).astype(np.int32)))
 
     return fn
+
+
+def path_expand_stage(origin_col: str, dest_col: str, keep_cols: list[str],
+                      out_col: str = "path_cell"):
+    """gridPathCells flat-map: one row per cell along each origin->dest line
+    (trajectory rasterization, cell.rs:1320-1363)."""
+    from ..kernels import localij
+
+    def fn(batch: pa.Table) -> pa.Table:
+        origins = _col(batch, origin_col)
+        dests = _col(batch, dest_col)
+        rows, cells, _ok = localij.grid_path_cells(origins, dests)
+        arrays = [batch[c].take(pa.array(rows)) for c in keep_cols]
+        arrays.append(pa.array(bits.as_u64(origins[rows])))
+        arrays.append(pa.array(bits.as_u64(cells)))
+        return pa.Table.from_arrays(
+            arrays, names=list(keep_cols) + [origin_col, out_col])
+
+    return fn
+
+
+def area_stage(cell_col: str, unit: str = "km2", out_col: str | None = None):
+    """cellArea per row (Cagnoli+Kahan, math/area.rs)."""
+    from ..kernels import measures
+
+    out = out_col or f"area_{unit}"
+    fns = {"rads2": measures.cell_area_rads2, "km2": measures.cell_area_km2,
+           "m2": measures.cell_area_m2}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            out, pa.array(fns[unit](_col(batch, cell_col))))
+
+    return fn
+
+
+def grid_distance_stage(origin_col: str, cell_col: str,
+                        out_col: str = "grid_dist"):
+    """Pairwise hex-grid distance; -1 where undefined (pentagon/unfold)."""
+    from ..kernels import localij
+
+    def fn(batch: pa.Table) -> pa.Table:
+        d, ok = localij.grid_distance(_col(batch, origin_col),
+                                      _col(batch, cell_col))
+        return batch.append_column(out_col,
+                                   pa.array(np.where(ok, d, -1)))
+
+    return fn

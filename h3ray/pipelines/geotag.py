@@ -33,10 +33,30 @@ def geotag_cells(pages_ds, res: int = 9, parent_res: int = 3,
     return ds
 
 
-def cell_counts(pages_ds, res: int = 9, parent_res: int = 3):
-    """Count pages per parent cell, combiner-style (partial then merge)."""
-    from ray.data.aggregate import Sum
+def merge_count_partials(col: str, out_col: str = "num_pages"):
+    """Merge (key, count) partial blocks with a sort-free numpy reduce."""
 
+    def fn(batch: pa.Table) -> pa.Table:
+        cells = batch[col].to_numpy(zero_copy_only=False)
+        counts = batch[batch.column_names[1]].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(cells, return_inverse=True)
+        summed = np.zeros(uniq.shape[0], dtype=np.int64)
+        np.add.at(summed, inv, counts)
+        return pa.Table.from_arrays([pa.array(uniq), pa.array(summed)],
+                                    names=[col, out_col])
+
+    return fn
+
+
+def cell_counts(pages_ds, res: int = 9, parent_res: int = 3):
+    """Count pages per parent cell, combiner-style (partial then merge).
+
+    Each batch pre-reduces to unique (parent, count) rows; the partials are
+    tree-merged with map_batches + repartition instead of a sort-based
+    groupby — the key space (cells at parent_res <= 5) is bounded, so the
+    final merge block holds at most ~2M tiny rows. For finer key spaces use
+    a hash-partitioned groupby instead.
+    """
     ds = geotag_cells(pages_ds, res=res, parent_res=parent_res,
                       keep_cols=("url",))
     col = f"parent_r{parent_res}"
@@ -50,8 +70,11 @@ def cell_counts(pages_ds, res: int = 9, parent_res: int = 3):
 
     partials = ds.map_batches(partial_counts, batch_format="pyarrow",
                               batch_size=131072)
-    return partials.groupby(col).aggregate(
-        Sum("partial_count", alias_name="num_pages"))
+    merge = merge_count_partials(col)
+    # One tiny final merge; batch_size=None keeps block-sized batches so the
+    # upstream fused chain keeps its own batch sizing (and parallelism).
+    return partials.repartition(1).map_batches(merge, batch_format="pyarrow",
+                                               batch_size=None)
 
 
 def write_geotagged(pages_ds, out_dir: str, res: int = 9, parent_res: int = 3):

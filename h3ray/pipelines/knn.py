@@ -20,7 +20,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..io import pages as pages_io
-from ..kernels import grid, latlng, localij
+from ..kernels import bits, grid, latlng, localij
 from ..kernels.constants import EARTH_RADIUS_KM
 
 
@@ -90,28 +90,25 @@ def knn_candidates(batch: pa.Table, index, res: int) -> pa.Table:
         if rows.size == 0:
             return pa.Table.from_arrays(
                 [pa.array([], pa.int64()), pa.array([], pa.string()),
-                 pa.array([], pa.float64()), pa.array([], pa.int64())],
-                names=["query_id", "url", "distance_km", "grid_dist"])
+                 pa.array([], pa.float64()), pa.array([], pa.uint64())],
+                names=["query_id", "url", "distance_km", "cell"])
         counts = idx["counts"][pos[rows]]
         starts = idx["starts"][pos[rows]]
-        # Expand each hit row to its per-query matches.
+        # Expand each hit row to its per-query matches (vectorized ragged
+        # gather: start[i] + 0..count[i]).
         out_rows = np.repeat(rows, counts)
-        take = np.concatenate([np.arange(s, s + c)
-                               for s, c in zip(starts, counts)]) \
-            if rows.size else np.empty(0, np.int64)
+        total = int(counts.sum())
+        bounds = np.cumsum(counts) - counts
+        take = np.repeat(starts, counts) + (
+            np.arange(total) - np.repeat(bounds, counts))
         qids = idx["qid"][take]
         d = haversine_km(np.deg2rad(lat[out_rows]), np.deg2rad(lng[out_rows]),
                          np.deg2rad(idx["qlat"][qids]),
                          np.deg2rad(idx["qlng"][qids]))
-        # Hex-grid distance rank key (cell.rs:1294-1299); -1 where undefined
-        # (pentagon distortion). Candidates come from gridDisk(k_ring), so
-        # defined distances are always <= k_ring.
-        gd, gok = localij.grid_distance(idx["qcells"][qids], cells[out_rows])
-        gd = np.where(gok, gd, -1)
         return pa.Table.from_arrays(
             [pa.array(qids), urls.take(pa.array(out_rows)), pa.array(d),
-             pa.array(gd)],
-            names=["query_id", "url", "distance_km", "grid_dist"])
+             pa.array(bits.as_u64(cells[out_rows]))],
+            names=["query_id", "url", "distance_km", "cell"])
 
 
 def knn_join(pages_ds, query_lat, query_lng, *, res: int = 7, k_ring: int = 2,
@@ -133,8 +130,46 @@ def knn_join(pages_ds, query_lat, query_lng, *, res: int = 7, k_ring: int = 2,
     candidates = pages_ds.select_columns(["url"]).map_batches(
         fn, batch_format="pyarrow", batch_size=32768)
 
-    def top_k(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(["distance_km", "url"]).head(k_nearest)
+    # Partial top-k per batch, then one tiny final merge — avoids the
+    # sort-based groupby shuffle (each partial emits <= n_queries * k rows).
+    # Sort keys are all numeric (np.lexsort): distance, then the url hash as
+    # a deterministic tiebreak (string sorts are ~10x slower).
+    def top_k(batch: pa.Table) -> pa.Table:
+        qid = batch["query_id"].to_numpy(zero_copy_only=False)
+        if qid.shape[0] == 0:
+            return batch
+        dist = batch["distance_km"].to_numpy(zero_copy_only=False)
+        urls = batch["url"]
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        uh = pages_io.url_hash64(urls)
+        order = np.lexsort((uh, dist, qid))
+        q_sorted = qid[order]
+        # Rank within each query run; keep rank < k.
+        new_q = np.empty(q_sorted.shape[0], dtype=bool)
+        new_q[0] = True
+        np.not_equal(q_sorted[1:], q_sorted[:-1], out=new_q[1:])
+        run_start = np.maximum.accumulate(
+            np.where(new_q, np.arange(q_sorted.shape[0]), 0))
+        rank = np.arange(q_sorted.shape[0]) - run_start
+        keep = order[rank < k_nearest]
+        keep.sort()  # preserve input order within the batch
+        return batch.take(pa.array(keep))
 
-    return candidates.groupby("query_id").map_groups(
-        top_k, batch_format="pandas")
+    # Hex-grid distance rank key (cell.rs:1294-1299) only decorates the
+    # winners — compute it on the <= n_queries * k final rows, not on every
+    # candidate. -1 where undefined (pentagon distortion); defined values
+    # are always <= k_ring since candidates come from gridDisk(k_ring).
+    def add_grid_dist(batch: pa.Table) -> pa.Table:
+        cells = bits.as_i64(batch["cell"].to_numpy(zero_copy_only=False))
+        qids = batch["query_id"].to_numpy(zero_copy_only=False)
+        gd, gok = localij.grid_distance(index["qcells"][qids], cells)
+        gd = np.where(gok, gd, -1)
+        return batch.drop_columns(["cell"]).append_column(
+            "grid_dist", pa.array(gd))
+
+    partial = candidates.map_batches(top_k, batch_format="pyarrow",
+                                     batch_size=None)
+    return partial.repartition(1).map_batches(top_k, batch_format="pyarrow",
+                                              batch_size=None) \
+        .map_batches(add_grid_dist, batch_format="pyarrow", batch_size=None)

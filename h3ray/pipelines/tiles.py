@@ -36,14 +36,37 @@ def tiles_to_cells(tiles_ds, tile_col: str, child_res: int,
 
 
 def compact_cells_dataset(cells_ds, cell_col: str = "cell",
-                          group_res: int = 2):
-    """Distributed compactCells over a Dataset of unique same-res cells.
+                          group_res: int = 2, shuffle: bool = False):
+    """Distributed compactCells over a Dataset of same-res cells.
 
-    Round 1: hash-group by parent at `group_res`; local numpy compact per
-    group. Round 2 (tiny): cells at res <= group_res regroup by base cell and
-    compact again — exact because sibling runs at res <= group_res share a
-    base cell.
+    Default path: batch-local distinct (the big reduction — duplicates never
+    leave their block), then ONE final task compacts the merged distinct set
+    with vectorized numpy (compact of N distinct cells is ~N log N; 10M cells
+    ~ a second). Valid while the distinct-cell set fits one block (~100M
+    rows); past that pass shuffle=True.
+
+    shuffle=True path: hash-group by parent at `group_res`; local compact per
+    group (exact — compaction never crosses a res-0 subtree); tiny second
+    pass for cells that compacted up to the group key (SURVEY.md §3.3
+    two-round shuffle).
     """
+    if not shuffle:
+        def batch_distinct(batch: pa.Table) -> pa.Table:
+            cells = np.unique(batch[cell_col].to_numpy(zero_copy_only=False))
+            return pa.Table.from_arrays([pa.array(cells)], names=[cell_col])
+
+        def final_compact(batch: pa.Table) -> pa.Table:
+            cells = bits.as_i64(batch[cell_col].to_numpy(
+                zero_copy_only=False))
+            out = hierarchy.compact_mixed(np.unique(cells))
+            return pa.Table.from_arrays([pa.array(bits.as_u64(out))],
+                                        names=[cell_col])
+
+        distinct = cells_ds.map_batches(batch_distinct,
+                                        batch_format="pyarrow",
+                                        batch_size=131072)
+        return distinct.repartition(1).map_batches(
+            final_compact, batch_format="pyarrow", batch_size=None)
 
     def local_compact(group: pa.Table) -> pa.Table:
         cells = bits.as_i64(group[cell_col].to_numpy(zero_copy_only=False))
@@ -57,9 +80,9 @@ def compact_cells_dataset(cells_ds, cell_col: str = "cell",
 
     # Batch-local distinct first so the shuffle moves unique cells only.
     keyed = cells_ds.map_batches(batch_distinct, batch_format="pyarrow",
-                                 batch_size=262144).map_batches(
+                                 batch_size=65536).map_batches(
         stages.parent_stage(group_res, cell_col=cell_col, out_col="_gkey"),
-        batch_format="pyarrow", batch_size=131072)
+        batch_format="pyarrow", batch_size=65536)
     round1 = keyed.groupby("_gkey").map_groups(
         local_compact, batch_format="pyarrow").select_columns([cell_col])
 

@@ -1,0 +1,42 @@
+"""kNN join pipeline vs brute-force oracle."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from h3ray.io import pages as pages_io
+from h3ray.kernels import grid, latlng
+from h3ray.pipelines import knn
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_knn_join_matches_brute_force(ray_session):
+    n_q, k_ring, k, res = 8, 2, 5, 5
+    qlat = pages_io.CITY_LAT[:n_q]
+    qlng = pages_io.CITY_LNG[:n_q]
+    ds = pages_io.pages_from_documents(SF)
+    out = knn.knn_join(ds, qlat, qlng, res=res, k_ring=k_ring,
+                       k_nearest=k).to_pandas()
+
+    # Brute force: pages whose cell is within gridDisk(k_ring) of the query
+    # cell, ranked by haversine, top k.
+    urls = pages_io.pages_from_documents(SF).to_pandas()["url"].to_numpy()
+    lat, lng = pages_io.geotag(pa.array(urls.tolist()))
+    cells = latlng.latlng_to_cell(lat, lng, res)
+    qcells = latlng.latlng_to_cell(qlat, qlng, res)
+    qrow, disk, _ = grid.grid_disk_distances(qcells, k_ring)
+    for q in range(n_q):
+        dcells = set(disk[qrow == q].tolist())
+        mask = np.array([int(c) in dcells for c in cells])
+        d = knn.haversine_km(np.deg2rad(lat[mask]), np.deg2rad(lng[mask]),
+                             np.deg2rad(qlat[q]), np.deg2rad(qlng[q]))
+        order = np.argsort(d, kind="stable")[:k]
+        exp_urls = set(urls[mask][order])
+        got = out[out.query_id == q]
+        assert set(got.url) == exp_urls, f"query {q}"
+        # Haversine values must match to float precision.
+        assert np.allclose(np.sort(got.distance_km.to_numpy()),
+                           np.sort(d[order]), atol=1e-9)
+        assert (got.grid_dist <= k_ring).all()
+        assert (got.grid_dist >= -1).all()
