@@ -67,18 +67,28 @@ def run_benchmarks() -> dict:
     # timed runs measure steady-state throughput, not cold-start.
     geotag.cell_counts(read_pages(), res=9, parent_res=3).count()
 
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
+
     # 1. Headline: geotag + encode res 9 + per-parent-cell counts.
-    t0 = time.time()
-    n_cells = geotag.cell_counts(read_pages(), res=9, parent_res=3).count()
-    timings["encode_cell_counts"] = time.time() - t0
+    # Headline queries take min-of-reps: the sandbox shares tenancy and
+    # single runs swing 2-3x.
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        n_cells = geotag.cell_counts(read_pages(), res=9,
+                                     parent_res=3).count()
+        best = min(best, time.time() - t0)
+    timings["encode_cell_counts"] = best
 
     # 2. kNN join against 100 query points.
-    t0 = time.time()
-    out = knn.knn_join(read_pages(), pio.CITY_LAT[:50], pio.CITY_LNG[:50],
-                       res=7, k_ring=2, k_nearest=10,
-                       concurrency=max(2, NUM_CPUS // 2))
-    n_knn = out.count()
-    timings["knn_join"] = time.time() - t0
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        out = knn.knn_join(read_pages(), pio.CITY_LAT[:50],
+                           pio.CITY_LNG[:50], res=7, k_ring=2, k_nearest=10)
+        n_knn = out.count()
+        best = min(best, time.time() - t0)
+    timings["knn_join"] = best
 
     # 3. Tile assignment (encode + parent) streamed to parquet sink.
     t0 = time.time()
@@ -131,26 +141,30 @@ def run_scaling():
     n_pages = int(os.environ.get("GRAFT_SCALING_PAGES", str(4 * N_PAGES)))
     pages_dir = os.environ.get("GRAFT_PAGES_DIR",
                                f"/tmp/h3ray_bench_pages_{n_pages}")
+    cpus = tuple(int(v) for v in os.environ.get(
+        "GRAFT_SCALING_CPUS", "8,32").split(","))
     ensure_pages_parquet_subproc(n_pages, pages_dir)
     results = {}
-    for ncpu in (8, 32):
+    for ncpu in cpus:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_PAGES_DIR=pages_dir,
                    GRAFT_BENCH_PAGES=str(n_pages))
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True).stdout
         results[ncpu] = json.loads(out.strip().splitlines()[-1])
-    thr8 = results[8]["n_pages"] / results[8]["value"]
-    thr32 = results[32]["n_pages"] / results[32]["value"]
-    eff = thr32 / (4 * thr8)
+    lo, hi = cpus
+    thr_lo = results[lo]["n_pages"] / results[lo]["value"]
+    thr_hi = results[hi]["n_pages"] / results[hi]["value"]
+    eff = thr_hi / ((hi / lo) * thr_lo)
     print(json.dumps({
-        "headline_sec_8cpu": results[8]["value"],
-        "headline_sec_32cpu": results[32]["value"],
-        "rows_per_sec_8cpu": round(thr8),
-        "rows_per_sec_32cpu": round(thr32),
-        "scaling_efficiency_8_to_32": round(eff, 3),
-        "queries_8": results[8]["queries"],
-        "queries_32": results[32]["queries"],
+        f"headline_sec_{lo}cpu": results[lo]["value"],
+        f"headline_sec_{hi}cpu": results[hi]["value"],
+        f"rows_per_sec_{lo}cpu": round(thr_lo),
+        f"rows_per_sec_{hi}cpu": round(thr_hi),
+        f"scaling_efficiency_{lo}_to_{hi}": round(eff, 3),
+        "n_pages": n_pages,
+        f"queries_{lo}": results[lo]["queries"],
+        f"queries_{hi}": results[hi]["queries"],
     }))
 
 

@@ -1,0 +1,33 @@
+"""Small-result reduction helpers.
+
+Ray Data's `repartition(1)` is an all-to-all operator: at low parallelism it
+stalls the streaming executor far beyond the data volume involved (measured
+3x wall on combiner-sized partials). For partial-aggregate outputs that are
+small BY CONSTRUCTION (combiner pattern: <= #blocks x #keys rows), the right
+tree-reduce root is the driver: stream the partial blocks with
+`iter_batches` (backpressured, no materialization of anything big) and merge
+with one vectorized numpy/arrow pass. The result re-enters Ray Data via
+`from_arrow` when a Dataset is needed downstream.
+
+For genuinely unbounded key spaces, use the groupby/shuffle paths instead
+(e.g. compact_cells_dataset(shuffle=True)).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def driver_merge(ds, merge_fn, schema: pa.Schema | None = None) -> pa.Table:
+    """Stream a small partial-aggregate Dataset to the driver and merge."""
+    tables = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
+              else b
+              for b in ds.iter_batches(batch_format="pyarrow",
+                                       batch_size=None)]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        empty = pa.Table.from_arrays(
+            [pa.array([], f.type) for f in schema] if schema else [],
+            schema=schema)
+        return merge_fn(empty) if schema else empty
+    return merge_fn(pa.concat_tables(tables).combine_chunks())

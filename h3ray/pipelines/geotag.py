@@ -70,11 +70,14 @@ def cell_counts(pages_ds, res: int = 9, parent_res: int = 3):
 
     partials = ds.map_batches(partial_counts, batch_format="pyarrow",
                               batch_size=131072)
-    merge = merge_count_partials(col)
-    # One tiny final merge; batch_size=None keeps block-sized batches so the
-    # upstream fused chain keeps its own batch sizing (and parallelism).
-    return partials.repartition(1).map_batches(merge, batch_format="pyarrow",
-                                               batch_size=None)
+    # Tree-reduce root on the driver: partials stream in (backpressured) and
+    # merge in one numpy pass — repartition(1) is an all-to-all that stalls
+    # the streaming executor at low parallelism (see ops/reduce.py).
+    import ray.data as rd
+
+    from ..ops.reduce import driver_merge
+
+    return rd.from_arrow(driver_merge(partials, merge_count_partials(col)))
 
 
 def write_geotagged(pages_ds, out_dir: str, res: int = 9, parent_res: int = 3):

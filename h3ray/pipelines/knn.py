@@ -170,6 +170,10 @@ def knn_join(pages_ds, query_lat, query_lng, *, res: int = 7, k_ring: int = 2,
 
     partial = candidates.map_batches(top_k, batch_format="pyarrow",
                                      batch_size=None)
-    return partial.repartition(1).map_batches(top_k, batch_format="pyarrow",
-                                              batch_size=None) \
-        .map_batches(add_grid_dist, batch_format="pyarrow", batch_size=None)
+    # Final merge on the driver (<= #blocks * n_queries * k partial rows).
+    import ray.data as rd
+
+    from ..ops.reduce import driver_merge
+
+    final = driver_merge(partial, lambda t: add_grid_dist(top_k(t)))
+    return rd.from_arrow(final)

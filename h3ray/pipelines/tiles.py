@@ -65,8 +65,11 @@ def compact_cells_dataset(cells_ds, cell_col: str = "cell",
         distinct = cells_ds.map_batches(batch_distinct,
                                         batch_format="pyarrow",
                                         batch_size=131072)
-        return distinct.repartition(1).map_batches(
-            final_compact, batch_format="pyarrow", batch_size=None)
+        import ray.data as rd
+
+        from ..ops.reduce import driver_merge
+
+        return rd.from_arrow(driver_merge(distinct, final_compact))
 
     def local_compact(group: pa.Table) -> pa.Table:
         cells = bits.as_i64(group[cell_col].to_numpy(zero_copy_only=False))

@@ -46,7 +46,8 @@ def minhash_signature_batch(texts: list[str], k: int = 5) -> np.ndarray:
     return out
 
 
-def minhash_bands_stage(key_col: str, text_col: str = "text", k: int = 5):
+def minhash_bands_stage(key_col: str, text_col: str = "text", k: int = 5,
+                        keep_text: bool = False):
     """Explode each doc into N_BANDS (band, band_hash, key) rows."""
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -60,11 +61,18 @@ def minhash_bands_stage(key_col: str, text_col: str = "text", k: int = 5):
             ^ (_mix64(bands[..., 2]) >> np.uint64(1))
             ^ (_mix64(bands[..., 3]) << np.uint64(1)))
         n = len(texts)
-        return pa.Table.from_arrays(
-            [pa.array(np.repeat(keys, N_BANDS)),
-             pa.array(np.tile(np.arange(N_BANDS, dtype=np.int32), n)),
-             pa.array(band_hash.reshape(-1))],
-            names=[key_col, "band", "band_hash"])
+        rows = np.repeat(np.arange(n), N_BANDS)
+        arrays = [pa.array(keys[rows]),
+                  pa.array(np.tile(np.arange(N_BANDS, dtype=np.int32), n)),
+                  pa.array(band_hash.reshape(-1))]
+        names = [key_col, "band", "band_hash"]
+        if keep_text:
+            col = batch[text_col]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            arrays.append(col.take(pa.array(rows)))
+            names.append("text")
+        return pa.Table.from_arrays(arrays, names=names)
 
     return fn
 
@@ -149,3 +157,114 @@ def minhash_duplicate_pairs(ds, key_col: str, text_col: str = "text",
     cand = bands.groupby(["band", "band_hash"]).map_groups(
         pairs, batch_format="pandas")
     return cand
+
+
+def simhash_duplicate_pairs(ds, key_col: str, text_col: str = "text",
+                            max_hamming: int = 3):
+    """Near-dup pairs via SimHash banding + exact Hamming verification.
+
+    64-bit simhash split into 4 x 16-bit bands: any pair within Hamming
+    distance <= 3 shares at least one identical band (pigeonhole), so
+    banding loses no true pair. Groups shuffle only (band, value, key,
+    simhash) rows; verification is in-group popcount.
+    """
+    def band_stage(batch: pa.Table) -> pa.Table:
+        sh = simhash_batch(batch[text_col].to_pylist())
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        n = sh.shape[0]
+        rows = np.repeat(np.arange(n), 4)
+        band = np.tile(np.arange(4), n)
+        value = (sh[rows] >> (band.astype(np.uint64) * np.uint64(16))) \
+            & np.uint64(0xFFFF)
+        return pa.Table.from_arrays(
+            [pa.array(band.astype(np.int8)), pa.array(value),
+             pa.array(keys[rows]), pa.array(sh[rows])],
+            names=["band", "band_value", key_col, "simhash"])
+
+    bands = ds.map_batches(band_stage, batch_format="pyarrow",
+                           batch_size=8192)
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ks = group[key_col].to_numpy()
+        sh = group["simhash"].to_numpy().astype(np.uint64)
+        if ks.shape[0] < 2:
+            return pd.DataFrame({"key_a": [], "key_b": []})
+        order = np.argsort(ks)
+        ks, sh = ks[order], sh[order]
+        ia, ib = np.triu_indices(ks.shape[0], 1)
+        x = sh[ia] ^ sh[ib]
+        ham = np.zeros(x.shape[0], dtype=np.int64)
+        for s in range(0, 64, 8):
+            ham += POPCOUNT8[(x >> np.uint64(s)) & np.uint64(0xFF)]
+        keep = ham <= max_hamming
+        return pd.DataFrame({"key_a": ks[ia[keep]], "key_b": ks[ib[keep]]})
+
+    cand = bands.groupby(["band", "band_value"]).map_groups(
+        pairs, batch_format="pandas")
+
+    # A pair can collide in several bands: tiny final distinct.
+    def distinct(batch: pa.Table) -> pa.Table:
+        a = batch["key_a"].to_numpy(zero_copy_only=False)
+        b = batch["key_b"].to_numpy(zero_copy_only=False)
+        u = np.unique(np.stack([a, b], axis=1), axis=0)
+        return pa.Table.from_arrays([pa.array(u[:, 0]), pa.array(u[:, 1])],
+                                    names=["key_a", "key_b"])
+
+    import ray.data as rd
+
+    from ..ops.reduce import driver_merge
+
+    return rd.from_arrow(driver_merge(cand, distinct))
+
+
+POPCOUNT8 = np.array([bin(v).count("1") for v in range(256)], dtype=np.int64)
+
+
+def ngram_jaccard_pairs(ds, key_col: str, text_col: str = "text",
+                        threshold: float = 0.5, k: int = 5):
+    """Exact-verified near-dup pairs: MinHash-LSH candidates re-checked with
+    true character-k-gram Jaccard >= threshold.
+
+    Texts for verification ride along inside the candidate groups (suitable
+    while candidate groups are small; join texts back by key otherwise).
+    """
+    bands = ds.map_batches(minhash_bands_stage(key_col, text_col,
+                                               keep_text=True),
+                           batch_format="pyarrow", batch_size=8192)
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ks = group[key_col].to_numpy()
+        if ks.shape[0] < 2:
+            return pd.DataFrame({"key_a": [], "key_b": [], "jaccard": []})
+        order = np.argsort(ks)
+        ks = ks[order]
+        texts = group["text"].to_numpy()[order]
+        out_a, out_b, out_j = [], [], []
+        for i in range(ks.shape[0]):
+            for j in range(i + 1, ks.shape[0]):
+                sim = ngram_jaccard(texts[i], texts[j], k)
+                if sim >= threshold:
+                    out_a.append(ks[i])
+                    out_b.append(ks[j])
+                    out_j.append(sim)
+        return pd.DataFrame({"key_a": out_a, "key_b": out_b,
+                             "jaccard": out_j})
+
+    cand = bands.groupby(["band", "band_hash"]).map_groups(
+        pairs, batch_format="pandas")
+
+    def distinct(batch: pa.Table) -> pa.Table:
+        a = batch["key_a"].to_numpy(zero_copy_only=False)
+        b = batch["key_b"].to_numpy(zero_copy_only=False)
+        pairs_ab = np.stack([a, b], axis=1)
+        u, idx = np.unique(pairs_ab, axis=0, return_index=True)
+        j = batch["jaccard"].to_numpy(zero_copy_only=False)[idx]
+        return pa.Table.from_arrays(
+            [pa.array(u[:, 0]), pa.array(u[:, 1]), pa.array(j)],
+            names=["key_a", "key_b", "jaccard"])
+
+    import ray.data as rd
+
+    from ..ops.reduce import driver_merge
+
+    return rd.from_arrow(driver_merge(cand, distinct))
