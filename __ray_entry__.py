@@ -219,6 +219,45 @@ def _minhash_pairs(sf_dir: str):
     return minhash_duplicate_pairs(ds, key_col="doc_id")
 
 
+def _simhash_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from h3ray.text.dedup import simhash_duplicate_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return simhash_duplicate_pairs(ds, key_col="doc_id", max_hamming=3)
+
+
+def _ngram_jaccard_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from h3ray.text.dedup import ngram_jaccard_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, key_col="doc_id",
+                               threshold=0.5).select_columns(
+        ["key_a", "key_b"])
+
+
+def _ann_topk_lsh(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from h3ray.pipelines import ann
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    mask = tbl["vec_id"].to_numpy() < 5
+    queries = np.stack(tbl.filter(mask)["embedding"].to_numpy(
+        zero_copy_only=False))
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = ann.lsh_topk(ds, queries, k=10, concurrency=2)
+    return out.select_columns(["query_id", "vec_id"])
+
+
 def _simhash(sf_dir: str):
     import ray.data as rd
 
@@ -283,6 +322,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "h3_compact_tiles": _h3_compact_tiles,
         "minhash_dup_pairs": _minhash_pairs,
         "simhash_fingerprints": _simhash,
+        "simhash_dup_pairs": _simhash_pairs,
+        "ngram_jaccard_pairs": _ngram_jaccard_pairs,
+        "ann_topk_lsh": _ann_topk_lsh,
         "langid_predictions": _langid,
     }
 
