@@ -419,3 +419,20 @@ def is_valid_vertex(values) -> np.ndarray:
     safe_owner = np.where(ok, owner, 0x0800_1FFF_FFFF_FFFF)
     canonical, cok = cell_to_vertex(safe_owner, vnum)
     return ok & cok & (canonical == v)
+
+
+def is_valid_index(values) -> np.ndarray:
+    """Tri-mode validity (lib.rs:341-354): cell, directed edge, or vertex."""
+    v = bits.as_i64(np.asarray(values))
+    mode = bits.get_mode(v)
+    out = np.zeros(v.shape[0], dtype=bool)
+    m_cell = mode == MODE_CELL
+    if m_cell.any():
+        out |= m_cell & bits.is_valid_cell(v)
+    m_edge = mode == MODE_EDGE
+    if m_edge.any():
+        out |= m_edge & is_valid_directed_edge(v)
+    m_vert = mode == MODE_VERTEX
+    if m_vert.any():
+        out |= m_vert & is_valid_vertex(v)
+    return out

@@ -196,3 +196,118 @@ def dissolve(cells, resolution: int | None = None):
 
     polygons.sort(key=lambda p: -ext_area(p))
     return polygons
+
+
+def linear_ring_area_signed(lng: np.ndarray, lat: np.ndarray) -> float:
+    """Raw signed Cagnoli sum (CCW positive), no [0, 4pi] normalization."""
+    if lng.shape[0] == 0:
+        return 0.0
+    lat_t = lat * 0.5 + math.pi * 0.25
+    sin_t = np.sin(lat_t)
+    cos_t = np.cos(lat_t)
+    sa = sin_t * np.roll(sin_t, -1)
+    ca = cos_t * np.roll(cos_t, -1)
+    delta = np.roll(lng, -1) - lng
+    terms = -2.0 * np.arctan2(sa * np.sin(delta), sa * np.cos(delta) + ca)
+    return math.fsum(terms)
+
+
+def dissolve_boundary_edges(edges):
+    """Stitch a globally-cancelled boundary-edge set into polygons.
+
+    Input: directed edges whose reverse is NOT in the set (true cell-set
+    boundary). Ring successor of edge e: walk the origin cell's CCW edge
+    cycle from e; a cancelled slot hops to its twin's cell and continues —
+    the transitive closure of the reference's linked-arc stitching
+    (arc_set.rs:281-318) computed on demand, needing only the edge set.
+
+    Returns the same polygon structure as `dissolve`. Holes (negative signed
+    area) attach to the smallest enclosing outer ring by point-in-ring test
+    — equivalent to the union-find components for valid cell sets.
+    """
+    edges = bits.as_i64(np.asarray(edges))
+    if edges.size == 0:
+        return []
+    alive = set(edges.tolist())
+
+    # Precompute boundary vertices for every alive edge.
+    off, blat, blng = ev.edge_boundary_rads(edges)
+    pos = {int(e): i for i, e in enumerate(edges)}
+
+    order_hex = ev.HEXAGON_EDGE_ORDER.tolist()
+    order_pent = ev.PENTAGON_EDGE_ORDER.tolist()
+    next_hex = {order_hex[i]: order_hex[(i + 1) % 6] for i in range(6)}
+    next_pent = {order_pent[i]: order_pent[(i + 1) % 5] for i in range(5)}
+
+    edge_mask = np.int64(0x7) << np.int64(56)
+
+    def make_edge(cell_bits: int, k: int) -> int:
+        return (cell_bits & ~edge_mask) | (k << 56)
+
+    def next_in_ring(e: int) -> int:
+        c = int(ev.edge_origin(np.array([e], dtype=np.int64))[0])
+        k = (e >> 56) & 0x7
+        while True:
+            nxt = next_pent if bits.is_pentagon(
+                np.array([c], dtype=np.int64))[0] else next_hex
+            k = nxt[k]
+            cand = make_edge(int(ev._set_mode(
+                np.array([c], dtype=np.int64), 2)[0]), k)
+            if cand in alive:
+                return cand
+            # Cancelled slot: hop through the twin cell.
+            t = int(ev.edge_reverse(np.array([cand], dtype=np.int64))[0])
+            c = int(ev.edge_origin(np.array([t], dtype=np.int64))[0])
+            k = (t >> 56) & 0x7
+
+    visited = set()
+    rings = []
+    for start in edges.tolist():
+        if start in visited:
+            continue
+        lats, lngs = [], []
+        cur = start
+        while True:
+            visited.add(cur)
+            p = pos[cur]
+            s, e2 = off[p], off[p + 1]
+            lats.append(blat[s:e2 - 1])
+            lngs.append(blng[s:e2 - 1])
+            cur = next_in_ring(cur)
+            if cur == start:
+                break
+        rlat = np.concatenate(lats)
+        rlng = np.concatenate(lngs)
+        rings.append((linear_ring_area_signed(rlng, rlat), rlng, rlat))
+
+    # Split outer rings (signed area >= 0, CCW) from holes.
+    outers = []
+    holes = []
+    for area, rlng, rlat in rings:
+        ring = np.stack([np.rad2deg(np.append(rlng, rlng[0])),
+                         np.rad2deg(np.append(rlat, rlat[0]))], axis=1)
+        if area >= 0:
+            outers.append((area, ring, np.deg2rad(ring)))
+        else:
+            holes.append((area + 4.0 * math.pi, ring, rlng[0], rlat[0]))
+
+    outers.sort(key=lambda o: -o[0])
+    from . import region as _region
+
+    polys = [[ring] for _, ring, _ in outers]
+    for _harea, hring, hx, hy in sorted(holes, key=lambda h: h[0]):
+        # Smallest enclosing outer ring (scan ascending area).
+        target = None
+        for idx in range(len(outers) - 1, -1, -1):
+            oring = outers[idx][2]
+            bbox = (oring[:, 0].min(), oring[:, 1].min(),
+                    oring[:, 0].max(), oring[:, 1].max())
+            inside = _region._ring_contains(
+                np.array([hx]), np.array([hy]), oring, bbox)
+            if inside[0]:
+                target = idx
+                break
+        if target is None:
+            target = 0
+        polys[target].append(hring)
+    return polys
