@@ -143,11 +143,24 @@ def events_hourly_windows(sf_dir: str):
             total_value_micro=("value_micro", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
-    return ds.map_batches(partial, batch_format="pyarrow",
-                          batch_size=131072) \
-        .groupby(["user_id", "hour_bucket"]).aggregate(
-            Sum("num_events", alias_name="num_events"),
-            Sum("total_value_micro", alias_name="total_value_micro"))
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=131072)
+
+    # Combiner partials merge on the driver (bounded: users x hours keys),
+    # avoiding the sort-based groupby shuffle (see ops/reduce.py).
+    def merge(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        g = df.groupby(["user_id", "hour_bucket"], as_index=False).agg(
+            num_events=("num_events", "sum"),
+            total_value_micro=("total_value_micro", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    import ray.data as rd
+
+    from ..ops.reduce import driver_merge
+
+    return rd.from_arrow(driver_merge(partials, merge))
 
 
 def docs_by_lang(sf_dir: str):

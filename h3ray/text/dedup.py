@@ -24,6 +24,8 @@ ROWS_PER_BAND = N_PERM // N_BANDS
 
 _SALTS = _mix64(np.arange(1, N_PERM + 1, dtype=np.uint64) *
                 np.uint64(0x9E3779B97F4A7C15))
+_PERM_A = _SALTS | np.uint64(1)  # odd -> bijective multiplier mod 2^64
+_PERM_B = _mix64(_SALTS + np.uint64(0xD1B54A32D192ED03))
 
 
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
@@ -37,12 +39,25 @@ def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
 
 
 def minhash_signature_batch(texts: list[str], k: int = 5) -> np.ndarray:
-    """(n, N_PERM) uint64 minhash signatures."""
-    out = np.empty((len(texts), N_PERM), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        sh = _shingle_hashes(t, k)
-        # One permutation per salt: min over xor-mixed shingle hashes.
-        out[i] = np.min(_mix64(sh[None, :] ^ _SALTS[:, None]), axis=1)
+    """(n, N_PERM) uint64 minhash signatures.
+
+    Vectorized across the whole batch: all docs' shingle hashes concatenate
+    into one array, each salt permutation mixes it in one pass, and
+    np.minimum.reduceat takes the per-doc minima — no per-doc Python loop
+    in the hash/mix hot path.
+    """
+    n = len(texts)
+    shingles = [_shingle_hashes(t, k) for t in texts]
+    lengths = np.array([s.shape[0] for s in shingles], dtype=np.int64)
+    flat = np.concatenate(shingles) if n else np.empty(0, np.uint64)
+    bounds = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    out = np.empty((n, N_PERM), dtype=np.uint64)
+    for p in range(N_PERM):
+        # Affine permutation of the already-mixed shingle hashes
+        # (odd multiplier => bijective mod 2^64): 2 ops per element vs a
+        # full avalanche, the standard minwise-hashing construction.
+        mixed = flat * _PERM_A[p] + _PERM_B[p]
+        out[:, p] = np.minimum.reduceat(mixed, bounds)
     return out
 
 
@@ -135,28 +150,71 @@ def exact_dedup(ds, key_col: str, text_col: str = "text"):
         Min(key_col, alias_name=key_col)).select_columns([key_col])
 
 
-def minhash_duplicate_pairs(ds, key_col: str, text_col: str = "text",
-                            jaccard_threshold: float = 0.8):
-    """Candidate near-dup pairs via LSH banding, verified by shingle Jaccard.
+def _bucketize(bands_ds, hash_col: str, num_buckets: int):
+    """Add a shuffle bucket (hash % num_buckets): identical band hashes land
+    in the same bucket, so run detection inside each bucket is exact while
+    the groupby handles only `num_buckets` groups — not one Python callback
+    per band value (the naive map_groups-per-band is ~100x slower)."""
 
-    Returns a Dataset of (key_a, key_b) pairs with key_a < key_b. The
-    verification re-reads texts via a broadcast map for the candidate keys —
-    suitable when candidates << corpus (the normal case); for adversarial
-    corpora, join texts back by key instead.
+    def fn(batch: pa.Table) -> pa.Table:
+        h = batch[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(num_buckets)).astype(
+                np.int32)))
+
+    return bands_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _collision_runs(sort_keys: tuple[np.ndarray, ...]):
+    """Vectorized run detection: lexsort by (band keys..., tiebreak), return
+    (order, run_starts, run_ends) for runs of identical *band keys* (all but
+    the last sort key) with length >= 2. The last key only orders members
+    within a run."""
+    order = np.lexsort(sort_keys[::-1])
+    n = order.shape[0]
+    if n == 0:
+        return order, np.empty(0, np.int64), np.empty(0, np.int64)
+    same = np.ones(n, dtype=bool)
+    same[0] = False
+    for k in sort_keys[:-1]:
+        ks = k[order]
+        same[1:] &= ks[1:] == ks[:-1]
+    starts = np.flatnonzero(~same)
+    ends = np.append(starts[1:], n)
+    keep = (ends - starts) >= 2
+    return order, starts[keep], ends[keep]
+
+
+def minhash_duplicate_pairs(ds, key_col: str, text_col: str = "text",
+                            num_buckets: int = 32):
+    """Candidate near-dup pairs via MinHash-LSH banding.
+
+    Returns a Dataset of (key_a, key_b) star pairs (min key per colliding
+    band vs the rest) with key_a < key_b. Shuffle granularity is
+    `num_buckets` hash buckets (size it ~4x cluster cores at scale).
     """
     bands = ds.map_batches(minhash_bands_stage(key_col, text_col),
                            batch_format="pyarrow", batch_size=8192)
+    bucketed = _bucketize(bands, "band_hash", num_buckets)
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ks = np.sort(group[key_col].to_numpy())
-        if ks.shape[0] < 2:
-            return pd.DataFrame({"key_a": [], "key_b": []})
-        # Emit star pairs against the min key (enough for clustering).
-        return pd.DataFrame({"key_a": ks[0], "key_b": ks[1:]})
+    def pairs(group: pa.Table) -> pa.Table:
+        ks = group[key_col].to_numpy(zero_copy_only=False)
+        band = group["band"].to_numpy(zero_copy_only=False)
+        bh = group["band_hash"].to_numpy(zero_copy_only=False)
+        order, starts, ends = _collision_runs((band, bh, ks))
+        out_a = []
+        out_b = []
+        for s, e in zip(starts, ends):
+            run = ks[order[s:e]]
+            out_a.append(np.full(e - s - 1, run[0]))
+            out_b.append(run[1:])
+        a = np.concatenate(out_a) if out_a else np.empty(0, ks.dtype)
+        b = np.concatenate(out_b) if out_b else np.empty(0, ks.dtype)
+        return pa.Table.from_arrays([pa.array(a), pa.array(b)],
+                                    names=["key_a", "key_b"])
 
-    cand = bands.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pandas")
-    return cand
+    return bucketed.groupby("_bucket").map_groups(pairs,
+                                                  batch_format="pyarrow")
 
 
 def simhash_duplicate_pairs(ds, key_col: str, text_col: str = "text",
@@ -183,24 +241,34 @@ def simhash_duplicate_pairs(ds, key_col: str, text_col: str = "text",
 
     bands = ds.map_batches(band_stage, batch_format="pyarrow",
                            batch_size=8192)
+    bucketed = _bucketize(bands, "band_value", 32)
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ks = group[key_col].to_numpy()
-        sh = group["simhash"].to_numpy().astype(np.uint64)
-        if ks.shape[0] < 2:
-            return pd.DataFrame({"key_a": [], "key_b": []})
-        order = np.argsort(ks)
-        ks, sh = ks[order], sh[order]
-        ia, ib = np.triu_indices(ks.shape[0], 1)
-        x = sh[ia] ^ sh[ib]
-        ham = np.zeros(x.shape[0], dtype=np.int64)
-        for s in range(0, 64, 8):
-            ham += POPCOUNT8[(x >> np.uint64(s)) & np.uint64(0xFF)]
-        keep = ham <= max_hamming
-        return pd.DataFrame({"key_a": ks[ia[keep]], "key_b": ks[ib[keep]]})
+    def pairs(group: pa.Table) -> pa.Table:
+        ks = group[key_col].to_numpy(zero_copy_only=False)
+        sh = group["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        band = group["band"].to_numpy(zero_copy_only=False)
+        bv = group["band_value"].to_numpy(zero_copy_only=False)
+        order, starts, ends = _collision_runs((band, bv, ks))
+        out_a = []
+        out_b = []
+        for s, e in zip(starts, ends):
+            idx = order[s:e]
+            rk, rs = ks[idx], sh[idx]
+            ia, ib = np.triu_indices(rk.shape[0], 1)
+            x = rs[ia] ^ rs[ib]
+            ham = np.zeros(x.shape[0], dtype=np.int64)
+            for shft in range(0, 64, 8):
+                ham += POPCOUNT8[(x >> np.uint64(shft)) & np.uint64(0xFF)]
+            keep = ham <= max_hamming
+            out_a.append(rk[ia[keep]])
+            out_b.append(rk[ib[keep]])
+        a = np.concatenate(out_a) if out_a else np.empty(0, ks.dtype)
+        b = np.concatenate(out_b) if out_b else np.empty(0, ks.dtype)
+        return pa.Table.from_arrays([pa.array(a), pa.array(b)],
+                                    names=["key_a", "key_b"])
 
-    cand = bands.groupby(["band", "band_value"]).map_groups(
-        pairs, batch_format="pandas")
+    cand = bucketed.groupby("_bucket").map_groups(pairs,
+                                                  batch_format="pyarrow")
 
     # A pair can collide in several bands: tiny final distinct.
     def distinct(batch: pa.Table) -> pa.Table:
@@ -231,27 +299,48 @@ def ngram_jaccard_pairs(ds, key_col: str, text_col: str = "text",
     bands = ds.map_batches(minhash_bands_stage(key_col, text_col,
                                                keep_text=True),
                            batch_format="pyarrow", batch_size=8192)
+    bucketed = _bucketize(bands, "band_hash", 32)
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ks = group[key_col].to_numpy()
-        if ks.shape[0] < 2:
-            return pd.DataFrame({"key_a": [], "key_b": [], "jaccard": []})
-        order = np.argsort(ks)
-        ks = ks[order]
-        texts = group["text"].to_numpy()[order]
+    def pairs(group: pa.Table) -> pa.Table:
+        ks = group[key_col].to_numpy(zero_copy_only=False)
+        band = group["band"].to_numpy(zero_copy_only=False)
+        bh = group["band_hash"].to_numpy(zero_copy_only=False)
+        order, starts, ends = _collision_runs((band, bh, ks))
+        texts = group["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        # Shingle each doc at most once per group (cache by key).
+        cache: dict = {}
+
+        def shingles(pos):
+            key = ks[pos]
+            if key not in cache:
+                cache[key] = np.unique(
+                    _shingle_hashes(texts[pos].as_py(), k))
+            return cache[key]
+
         out_a, out_b, out_j = [], [], []
-        for i in range(ks.shape[0]):
-            for j in range(i + 1, ks.shape[0]):
-                sim = ngram_jaccard(texts[i], texts[j], k)
-                if sim >= threshold:
-                    out_a.append(ks[i])
-                    out_b.append(ks[j])
-                    out_j.append(sim)
-        return pd.DataFrame({"key_a": out_a, "key_b": out_b,
-                             "jaccard": out_j})
+        for s, e in zip(starts, ends):
+            idx = order[s:e]
+            for i in range(idx.shape[0]):
+                for j in range(i + 1, idx.shape[0]):
+                    sa, sb = shingles(idx[i]), shingles(idx[j])
+                    inter = np.intersect1d(sa, sb,
+                                           assume_unique=True).shape[0]
+                    union = sa.shape[0] + sb.shape[0] - inter
+                    sim = inter / union if union else 1.0
+                    if sim >= threshold:
+                        out_a.append(ks[idx[i]])
+                        out_b.append(ks[idx[j]])
+                        out_j.append(sim)
+        return pa.Table.from_arrays(
+            [pa.array(np.array(out_a, dtype=ks.dtype)),
+             pa.array(np.array(out_b, dtype=ks.dtype)),
+             pa.array(np.array(out_j, dtype=np.float64))],
+            names=["key_a", "key_b", "jaccard"])
 
-    cand = bands.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pandas")
+    cand = bucketed.groupby("_bucket").map_groups(pairs,
+                                                  batch_format="pyarrow")
 
     def distinct(batch: pa.Table) -> pa.Table:
         a = batch["key_a"].to_numpy(zero_copy_only=False)
