@@ -182,6 +182,14 @@ def _ijk_to_hex2d(i, j, k):
     return ii - 0.5 * jj, jj * SQRT3_2
 
 
+# 2D axial (a, b) = (i-k, j-k) unit diff -> direction digit:
+# center(0,0) K(-1,-1) J(0,1) JK(-1,0) I(1,0) IK(0,-1) IJ(1,1).
+_DIGIT_2D = np.zeros((3, 3), dtype=np.int64)
+for _d in range(7):
+    _di, _dj, _dk = (_d >> 2) & 1, (_d >> 1) & 1, _d & 1
+    _DIGIT_2D[_di - _dk + 1, _dj - _dk + 1] = _d
+
+
 def _to_positive_angle(a):
     a = np.where(a < 0.0, a + TWO_PI, a)
     return np.where(a >= TWO_PI, a - TWO_PI, a)
@@ -245,15 +253,33 @@ def latlng_rads_to_cell(lat_rad, lng_rad, res: int) -> np.ndarray:
     i, j, k = _hex2d_to_ijk(x, y)
     n = i.shape[0]
 
-    # Digit extraction, finest -> coarsest (faceijk.rs:558-582).
+    # Digit extraction, finest -> coarsest (faceijk.rs:558-582), carried in
+    # 2D axial coords (a, b) = (i - k, j - k): every IJK op is linear so the
+    # aperture-7 up/down and the unit-diff digit are exact integer 2D ops —
+    # half the array passes of the 3D form, bit-identical results.
     digits = np.full((n, 15), 7, dtype=np.int64)
+    a = i - k
+    b = j - k
     for r in range(res, 0, -1):
         ccw = (r % 2) == 1  # class III -> CCW
-        li, lj, lk = i, j, k
-        i, j, k = _up_aperture7(i, j, k, ccw)
-        ci, cj, ck = _down_aperture7(i, j, k, ccw)
-        di, dj, dk = _normalize_ijk(li - ci, lj - cj, lk - ck)
-        digits[:, r - 1] = (di << 2) | (dj << 1) | dk
+        la, lb = a, b
+        if ccw:
+            ua = _round_half_away((3 * a - b) * ONE_SEVENTH)
+            ub = _round_half_away((a + 2 * b) * ONE_SEVENTH)
+        else:
+            ua = _round_half_away((2 * a + b) * ONE_SEVENTH)
+            ub = _round_half_away((3 * b - a) * ONE_SEVENTH)
+        a = ua.astype(np.int64)
+        b = ub.astype(np.int64)
+        # Center child in 2D: CCW (2a+b, 3b-a); CW (3a-b, a+2b).
+        if ccw:
+            ca = 2 * a + b
+            cb = 3 * b - a
+        else:
+            ca = 3 * a - b
+            cb = a + 2 * b
+        digits[:, r - 1] = _DIGIT_2D[la - ca + 1, lb - cb + 1]
+    i, j, k = _normalize_ijk(a, b, np.zeros_like(a))
 
     # Base cell lookup at res-0 coordinates (faceijk.rs:60-79).
     ii = np.clip(i, 0, 2)
