@@ -90,6 +90,14 @@ def run_benchmarks() -> dict:
         best = min(best, time.time() - t0)
     timings["knn_join"] = best
 
+    # 2b. Point-in-polygon join: 32 city polygons, exact per-point recheck.
+    from h3ray.pipelines import pip
+
+    t0 = time.time()
+    geoms = pip.city_polygons(32)
+    n_pip = pip.pip_join(read_pages(), geoms, res=8, exact=True).count()
+    timings["pip_join"] = time.time() - t0
+
     # 3. Tile assignment (encode + parent) streamed to parquet sink.
     t0 = time.time()
     sink = f"/tmp/h3ray_bench_tiles_{NUM_CPUS}"

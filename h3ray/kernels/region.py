@@ -489,3 +489,27 @@ def coverage_size_hint(geom: dict, res: int) -> int:
         verts = sum(r.shape[0] - 1 for r in rings)
         total += max(est, verts) + 12
     return total
+
+
+def candidate_cells(geom: dict, res: int) -> np.ndarray:
+    """Superset of all cells whose area intersects the geometry, without the
+    expensive prepared-relate predicate.
+
+    Union of (a) the traced+1-ring-buffered ring outline cells — every cell
+    the ring lines pass through or touch (sampling step = pentagon diameter,
+    tiler.rs:597-636) — and (b) the centroid-mode coverage — every interior
+    cell (a fully-interior cell contains its own centroid). Used as the
+    candidate set for exact point-in-polygon joins: any point inside the
+    geometry lies in one of these cells.
+    """
+    res = int(res)
+    sampled = []
+    for rings in geom["polys"]:
+        for ring in rings:
+            sampled.append(_sample_ring_cells(ring, res))
+    parts = [polygon_to_cells(geom, res, "centroid")]
+    if sampled:
+        outline = np.unique(np.concatenate(sampled))
+        _, buffered = _disk1(outline)
+        parts.append(buffered)
+    return np.unique(np.concatenate(parts))

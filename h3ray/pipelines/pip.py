@@ -61,13 +61,33 @@ def build_probe(geoms: list[dict], res: int, mode: str = "centroid",
     Per resolution present in the compacted set: sorted unique cells with
     CSR offsets into the polygon-id array. A page cell matches polygon P if
     any ancestor (or itself) is in P's compacted coverage.
+
+    mode="candidates" builds the exact-join candidate superset (centroid
+    coverage + buffered outline, region.candidate_cells) — much cheaper
+    than the prepared-relate "covers" coverage and sufficient when every
+    match is re-verified per point.
     """
-    pairs_cell = []
-    pairs_pid = []
-    for pid, geom in enumerate(geoms):
-        c = np.unique(region.polygon_to_cells(geom, res, mode))
+    def one(geom):
+        if mode == "candidates":
+            c = region.candidate_cells(geom, res)
+        else:
+            c = np.unique(region.polygon_to_cells(geom, res, mode))
         if compact and c.size:
             c = hierarchy.compact(c)
+        return c
+
+    # Polygon tiling is per-polygon independent: fan out as Ray tasks when a
+    # cluster is up (driver loop otherwise).
+    import ray
+
+    if ray.is_initialized() and len(geoms) > 4:
+        remote_one = ray.remote(num_cpus=1)(one)
+        covers = ray.get([remote_one.remote(g) for g in geoms])
+    else:
+        covers = [one(g) for g in geoms]
+    pairs_cell = []
+    pairs_pid = []
+    for pid, c in enumerate(covers):
         pairs_cell.append(c)
         pairs_pid.append(np.full(c.shape[0], pid, dtype=np.int64))
     cell = np.concatenate(pairs_cell) if pairs_cell else np.empty(0, np.int64)
@@ -125,7 +145,7 @@ def pip_join(pages_ds, geoms: list[dict], *, res: int = 9,
     """
     import ray
 
-    probe = build_probe(geoms, res, "covers" if exact else mode)
+    probe = build_probe(geoms, res, "candidates" if exact else mode)
     payload = {"probe": probe, "geoms": geoms if exact else None}
     ref = ray.put(payload)
 
