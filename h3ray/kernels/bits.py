@@ -125,7 +125,10 @@ def is_pentagon(cells):
     dirs = bits & DIRECTIONS_MASK
     # All digits above the unused tail must be 0 (center).
     tail = set_unused(np.zeros_like(bits), res) & DIRECTIONS_MASK
-    return BC_IS_PENTAGON[get_base_cell(bits)] & (dirs == tail)
+    # Clip so unvalidated inputs (validators call this pre-check) don't
+    # index out of the 122-entry table; garbage stays non-pentagon=false-y.
+    return BC_IS_PENTAGON[np.clip(get_base_cell(bits), 0, 121)] & \
+        (dirs == tail)
 
 
 def first_axe(cells):

@@ -293,6 +293,8 @@ def local_ijk_to_cell(origins, i, j, k):
     j = np.asarray(j, dtype=np.int64).copy()
     k = np.asarray(k, dtype=np.int64).copy()
     n = origins.shape[0]
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, bool)
     res = bits.get_resolution(origins)
     obase = bits.get_base_cell(origins)
     origin_on_pent = BC_IS_PENTAGON[obase]
