@@ -177,3 +177,82 @@ def knn_join(pages_ds, query_lat, query_lng, *, res: int = 7, k_ring: int = 2,
 
     final = driver_merge(partial, lambda t: add_grid_dist(top_k(t)))
     return rd.from_arrow(final)
+
+
+def knn_join_shuffle(pages_ds, query_lat, query_lng, *, res: int = 7,
+                     k_ring: int = 2, k_nearest: int = 5,
+                     num_partitions: int = 32):
+    """Hash-join kNN variant for query sets too large to broadcast.
+
+    Queries expand to their gridDisk(k_ring) cells as a Dataset; pages
+    encode to cells; Ray Data's hash join co-partitions both sides on the
+    cell key. Ranking reuses the same partial-top-k + driver merge as the
+    broadcast path. Prefer `knn_join` while the expanded query index fits
+    the object store.
+    """
+    import ray.data as rd
+
+    query_lat = np.asarray(query_lat, dtype=np.float64)
+    query_lng = np.asarray(query_lng, dtype=np.float64)
+    qcells = latlng.latlng_to_cell(query_lat, query_lng, res)
+    qid, disk_cells, _ = grid.grid_disk_distances(qcells, k_ring)
+    qtable = pa.Table.from_arrays(
+        [pa.array(disk_cells.view(np.uint64)), pa.array(qid),
+         pa.array(query_lat[qid]), pa.array(query_lng[qid])],
+        names=["cell", "query_id", "qlat", "qlng"])
+    queries = rd.from_arrow(qtable)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        urls = batch["url"]
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        lat, lng = pages_io.geotag(urls)
+        cells = latlng.latlng_to_cell(lat, lng, res)
+        return pa.Table.from_arrays(
+            [urls, pa.array(cells.view(np.uint64)), pa.array(lat),
+             pa.array(lng)], names=["url", "cell", "lat", "lng"])
+
+    keyed = pages_ds.select_columns(["url"]).map_batches(
+        encode, batch_format="pyarrow", batch_size=65536)
+    joined = keyed.join(queries, join_type="inner",
+                        num_partitions=num_partitions, on=("cell",))
+
+    def score(batch: pa.Table) -> pa.Table:
+        d = haversine_km(
+            np.deg2rad(batch["lat"].to_numpy(zero_copy_only=False)),
+            np.deg2rad(batch["lng"].to_numpy(zero_copy_only=False)),
+            np.deg2rad(batch["qlat"].to_numpy(zero_copy_only=False)),
+            np.deg2rad(batch["qlng"].to_numpy(zero_copy_only=False)))
+        return pa.Table.from_arrays(
+            [batch["query_id"], batch["url"], pa.array(d), batch["cell"]],
+            names=["query_id", "url", "distance_km", "cell"])
+
+    def top_k(batch: pa.Table) -> pa.Table:
+        qid = batch["query_id"].to_numpy(zero_copy_only=False)
+        if qid.shape[0] == 0:
+            return batch
+        dist = batch["distance_km"].to_numpy(zero_copy_only=False)
+        urls = batch["url"]
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        uh = pages_io.url_hash64(urls)
+        order = np.lexsort((uh, dist, qid))
+        q_sorted = qid[order]
+        new_q = np.empty(q_sorted.shape[0], dtype=bool)
+        new_q[0] = True
+        np.not_equal(q_sorted[1:], q_sorted[:-1], out=new_q[1:])
+        run_start = np.maximum.accumulate(
+            np.where(new_q, np.arange(q_sorted.shape[0]), 0))
+        rank = np.arange(q_sorted.shape[0]) - run_start
+        keep = order[rank < k_nearest]
+        keep.sort()
+        return batch.take(pa.array(keep))
+
+    import ray.data as rd2
+
+    from ..ops.reduce import driver_merge
+
+    partial = joined.map_batches(score, batch_format="pyarrow") \
+        .map_batches(top_k, batch_format="pyarrow", batch_size=None)
+    final = driver_merge(partial, top_k)
+    return rd2.from_arrow(final.drop_columns(["cell"]))

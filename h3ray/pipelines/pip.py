@@ -174,3 +174,34 @@ def pip_join(pages_ds, geoms: list[dict], *, res: int = 9,
 
     return pages_ds.select_columns(["url"]).map_batches(
         fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def pip_join_shuffle(pages_ds, geoms: list[dict], *, res: int = 9,
+                     mode: str = "centroid", num_partitions: int = 32,
+                     batch_size: int = 65536):
+    """Hash-join variant of pip_join for coverage sets too large to
+    broadcast (continental polygons at fine res): pages encode to cells,
+    the coverage table builds in parallel Ray tasks, and Ray Data's hash
+    join co-partitions both sides on the cell key.
+
+    Same output schema as pip_join (url, polygon_id, cell). Prefer the
+    broadcast probe whenever the compacted coverage fits in the object
+    store — it avoids shuffling the page side entirely.
+    """
+    import ray.data as rd
+
+    cov = rd.from_arrow(coverage_table(geoms, res, mode))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        urls = batch["url"]
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        lat, lng = pages_io.geotag(urls)
+        cells = latlng.latlng_to_cell(lat, lng, res)
+        return pa.Table.from_arrays(
+            [urls, pa.array(cells.view(np.uint64))], names=["url", "cell"])
+
+    keyed = pages_ds.select_columns(["url"]).map_batches(
+        encode, batch_format="pyarrow", batch_size=batch_size)
+    return keyed.join(cov, join_type="inner",
+                      num_partitions=num_partitions, on=("cell",))

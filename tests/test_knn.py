@@ -40,3 +40,15 @@ def test_knn_join_matches_brute_force(ray_session):
                            np.sort(d[order]), atol=1e-9)
         assert (got.grid_dist <= k_ring).all()
         assert (got.grid_dist >= -1).all()
+
+
+def test_knn_join_shuffle_equals_broadcast(ray_session):
+    n_q, k_ring, k, res = 6, 2, 4, 5
+    qlat = pages_io.CITY_LAT[:n_q]
+    qlng = pages_io.CITY_LNG[:n_q]
+    a = knn.knn_join(pages_io.pages_from_documents(SF), qlat, qlng,
+                     res=res, k_ring=k_ring, k_nearest=k).to_pandas()
+    b = knn.knn_join_shuffle(pages_io.pages_from_documents(SF), qlat, qlng,
+                             res=res, k_ring=k_ring, k_nearest=k,
+                             num_partitions=4).to_pandas()
+    assert set(zip(a.query_id, a.url)) == set(zip(b.query_id, b.url))

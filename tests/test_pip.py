@@ -80,3 +80,13 @@ def test_compact_probe_equals_flat_probe():
     r2, p2 = pip.probe_cells(comp, cells)
     assert set(zip(r1, p1)) == set(zip(r2, p2))
     assert r1.size > 0
+
+
+def test_pip_join_shuffle_equals_broadcast(ray_session, page_points):
+    geoms = pip.city_polygons(5)
+    ds = pages_io.pages_from_documents(SF)
+    a = pip.pip_join(ds, geoms, res=7, mode="centroid").to_pandas()
+    ds2 = pages_io.pages_from_documents(SF)
+    b = pip.pip_join_shuffle(ds2, geoms, res=7, mode="centroid",
+                             num_partitions=4).to_pandas()
+    assert set(zip(a.url, a.polygon_id)) == set(zip(b.url, b.polygon_id))
