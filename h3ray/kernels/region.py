@@ -513,3 +513,26 @@ def candidate_cells(geom: dict, res: int) -> np.ndarray:
         _, buffered = _disk1(outline)
         parts.append(buffered)
     return np.unique(np.concatenate(parts))
+
+
+def plot_linestring(coords, res: int, degrees: bool = True):
+    """Plotter (src/geom/plotter.rs:26-98): H3 cells along each segment of a
+    linestring via latLngToCell on the endpoints + gridPathCells.
+
+    Args:
+        coords: (k, 2) array-like of [lng, lat] points (the line's vertices).
+
+    Returns (segment_row, cell, ok_rows): flat expansion; segments whose
+    grid path is undefined (endpoints too far apart / across a pentagon)
+    emit nothing and are flagged False in ok_rows.
+    """
+    from . import localij
+
+    pts = np.asarray(coords, dtype=np.float64)
+    if degrees:
+        pts = np.deg2rad(pts)
+    if not np.isfinite(pts).all():
+        raise ValueError("every coordinate of the line must be valid")
+    starts = latlng.latlng_rads_to_cell(pts[:-1, 1], pts[:-1, 0], res)
+    ends = latlng.latlng_rads_to_cell(pts[1:, 1], pts[1:, 0], res)
+    return localij.grid_path_cells(starts, ends)

@@ -311,3 +311,9 @@ def dissolve_boundary_edges(edges):
             target = 0
         polys[target].append(hring)
     return polys
+
+
+def cell_to_multipolygon(cell: int):
+    """MultiPolygon::from(CellIndex) (cell.rs:2026-2034): the cell's own
+    outline as a one-polygon geometry (degrees, closed ring)."""
+    return dissolve(np.array([cell], dtype=np.int64))

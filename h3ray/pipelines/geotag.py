@@ -93,5 +93,9 @@ def write_geotagged(pages_ds, out_dir: str, res: int = 9, parent_res: int = 3):
     ds = ds.map_batches(
         stages.parent_stage(parent_res, cell_col=f"cell_r{res}"),
         batch_format="pyarrow", batch_size=16384)
-    ds.write_parquet(out_dir, partition_cols=[f"parent_r{parent_res}"])
-    return out_dir
+    from ..io import sink
+
+    job = sink.write_partitioned(
+        ds, out_dir, f"parent_r{parent_res}",
+        input_signature=f"geotag:res={res}:parent={parent_res}")
+    return job
