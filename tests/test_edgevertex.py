@@ -125,3 +125,26 @@ def test_base_rotation_table_spot_values():
     from h3ray.kernels._tables import BC_HOME_FACE
     for bc in range(122):
         assert ev.BASE_ROT_BY_FACE[bc, BC_HOME_FACE[bc]] == 0
+
+
+@pytest.mark.parametrize("res", [1, 2, 5, 9])
+def test_shared_edge_vertices_coincide(res):
+    """An edge and its reverse describe the same physical segment: their
+    boundary endpoint vertices must coincide (reversed) to 1e-9 rad —
+    a global cross-cell consistency check of the boundary math."""
+    rng = np.random.default_rng(res)
+    from h3ray.kernels import latlng
+
+    lat = rng.uniform(-80, 80, 40)
+    lng = rng.uniform(-180, 180, 40)
+    cells = latlng.latlng_to_cell(lat, lng, res)
+    _, edges = ev.origin_to_directed_edges(cells)
+    rev = ev.edge_reverse(edges)
+    off_a, lat_a, lng_a = ev.edge_boundary_rads(edges)
+    off_b, lat_b, lng_b = ev.edge_boundary_rads(rev)
+    for i in range(edges.shape[0]):
+        a = np.stack([lat_a[off_a[i]:off_a[i + 1]],
+                      lng_a[off_a[i]:off_a[i + 1]]], axis=1)
+        b = np.stack([lat_b[off_b[i]:off_b[i + 1]],
+                      lng_b[off_b[i]:off_b[i + 1]]], axis=1)
+        assert np.allclose(a, b[::-1], atol=1e-9), i
