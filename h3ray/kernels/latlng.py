@@ -60,6 +60,9 @@ FACE_NORTH = _north
 FACE_EAST = _east
 
 
+_COS_EPSILON = np.cos(EPSILON)
+
+
 def _round_half_away(x):
     """Rust f64::round semantics (half away from zero)."""
     return np.trunc(x + np.copysign(0.5, x))
@@ -214,12 +217,15 @@ def _geo_to_hex2d(lat_rad, lng_rad, res):
     face = np.argmax(dots, axis=1)
     best = np.take_along_axis(dots, face[:, None], axis=1)[:, 0]
     # Clamp: rounding can push the dot a ulp past 1 (arccos domain).
-    sqd = np.maximum(2.0 - 2.0 * best, 0.0)
+    best = np.minimum(best, 1.0)
 
-    # Gnomonic radius scaled for the resolution (vec2d.rs:65-104).
-    r = np.arccos(1.0 - sqd * 0.5)
-    small = r < EPSILON
-    r_scaled = np.tan(r) * INV_RES0_U_GNOMONIC * SQRT7_POWERS[res]
+    # Gnomonic radius scaled for the resolution (vec2d.rs:65-104):
+    # tan(acos(v)) == sqrt(1 - v^2) / v for v in (0, 1] (closest-face dot is
+    # always > 0.9), eliminating both transcendentals; the small-radius cut
+    # r < EPSILON becomes v > cos(EPSILON).
+    small = best > _COS_EPSILON
+    r_scaled = (np.sqrt(np.maximum(1.0 - best * best, 0.0)) / best) \
+        * (INV_RES0_U_GNOMONIC * SQRT7_POWERS[res])
 
     # Azimuth from face center to the point (vec3d.rs:123-133): atan2 of the
     # tangent-plane projection against the face basis. atan2 is
