@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_mktsegment": rel.orders_by_segment,
         "events_by_type": rel.events_by_type,
         "events_hourly_windows": rel.events_hourly_windows,
+        "events_user_sessions": rel.user_sessions,
         "docs_by_lang": rel.docs_by_lang,
         "docs_token_counts": rel.docs_token_counts,
         "docs_exact_dedup": rel.docs_exact_dedup,
@@ -364,6 +365,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
                         AS BIGINT) AS total_value_micro
             FROM events GROUP BY user_id, hour_bucket
+        """,
+        "events_user_sessions": """
+            WITH d AS (
+              SELECT user_id, ts,
+                     CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (
+                              PARTITION BY user_id ORDER BY ts)) > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events),
+            s AS (
+              SELECT user_id, ts,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM d)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   COUNT(*) AS num_events,
+                   CAST(FLOOR(MIN(epoch(ts))) AS BIGINT) AS start_epoch,
+                   CAST(FLOOR(MAX(epoch(ts))) AS BIGINT) AS end_epoch
+            FROM s GROUP BY user_id, session_id
         """,
         "docs_by_lang": """
             SELECT lang, COUNT(*) AS num_docs,

@@ -196,3 +196,58 @@ def docs_exact_dedup(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return exact_dedup(ds, key_col="doc_id")
+
+
+def user_sessions(sf_dir: str, gap_s: int = 1800):
+    """Sessionization: split each user's event stream at inactivity gaps.
+
+    The stream-shaped stateful window op: bucket users by hash (bounded
+    group count, ops/skew pattern), sort each bucket by (user, ts), start a
+    new session when the gap to the previous event exceeds `gap_s`.
+    Session ids are per-user cumulative gap counts — identical to the SQL
+    LAG/SUM-over-window formulation.
+    """
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_bucket", pa.array((uid % 32).astype(np.int32)))
+
+    def sessionize(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        # Microsecond epochs: gap comparisons match the oracle's fractional
+        # epoch() exactly; reported epochs floor to whole seconds.
+        ts_us = group["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts_us, uid))
+        u = uid[order]
+        t_us = ts_us[order]
+        t = t_us // 1_000_000
+        new_user = np.ones(u.shape[0], dtype=bool)
+        new_user[1:] = u[1:] != u[:-1]
+        gap = np.zeros(u.shape[0], dtype=np.int64)
+        gap[1:] = (t_us[1:] - t_us[:-1] > gap_s * 1_000_000) & ~new_user[1:]
+        # Per-user cumulative gap count = session id (starts at 0).
+        cum = np.cumsum(gap)
+        base = np.zeros(u.shape[0], dtype=np.int64)
+        start_idx = np.flatnonzero(new_user)
+        base[start_idx] = cum[start_idx]
+        sess = cum - np.maximum.accumulate(base)
+        # Aggregate (user, session): count + span.
+        key_change = new_user | (gap == 1)
+        seg = np.cumsum(key_change) - 1
+        n_seg = seg[-1] + 1
+        counts = np.bincount(seg, minlength=n_seg)
+        first = np.flatnonzero(key_change)
+        return pa.Table.from_arrays(
+            [pa.array(u[first]), pa.array(sess[first]),
+             pa.array(counts.astype(np.int64)),
+             pa.array(t[first]),
+             pa.array(t[np.append(first[1:] - 1, u.shape[0] - 1)])],
+            names=["user_id", "session_id", "num_events",
+                   "start_epoch", "end_epoch"])
+
+    return ds.map_batches(bucket, batch_format="pyarrow",
+                          batch_size=131072) \
+        .groupby("_bucket").map_groups(sessionize, batch_format="pyarrow")
