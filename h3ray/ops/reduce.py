@@ -24,10 +24,17 @@ def driver_merge(ds, merge_fn, schema: pa.Schema | None = None) -> pa.Table:
               else b
               for b in ds.iter_batches(batch_format="pyarrow",
                                        batch_size=None)]
-    tables = [t for t in tables if t.num_rows]
-    if not tables:
+    non_empty = [t for t in tables if t.num_rows]
+    if not non_empty:
+        # Preserve schema stability for empty results: explicit schema, else
+        # an empty batch's schema, else the (already-executed) dataset's.
+        if schema is None and tables:
+            schema = tables[0].schema
+        if schema is None:
+            ds_schema = ds.schema(fetch_if_missing=True)
+            schema = getattr(ds_schema, "base_schema", None)
         empty = pa.Table.from_arrays(
-            [pa.array([], f.type) for f in schema] if schema else [],
-            schema=schema)
-        return merge_fn(empty) if schema else empty
-    return merge_fn(pa.concat_tables(tables).combine_chunks())
+            [pa.array([], f.type) for f in schema], schema=schema) \
+            if schema is not None else pa.table({})
+        return merge_fn(empty) if schema is not None else empty
+    return merge_fn(pa.concat_tables(non_empty).combine_chunks())

@@ -175,7 +175,11 @@ def knn_join(pages_ds, query_lat, query_lng, *, res: int = 7, k_ring: int = 2,
 
     from ..ops.reduce import driver_merge
 
-    final = driver_merge(partial, lambda t: add_grid_dist(top_k(t)))
+    cand_schema = pa.schema([("query_id", pa.int64()), ("url", pa.string()),
+                             ("distance_km", pa.float64()),
+                             ("cell", pa.uint64())])
+    final = driver_merge(partial, lambda t: add_grid_dist(top_k(t)),
+                         schema=cand_schema)
     return rd.from_arrow(final)
 
 
@@ -252,7 +256,10 @@ def knn_join_shuffle(pages_ds, query_lat, query_lng, *, res: int = 7,
 
     from ..ops.reduce import driver_merge
 
+    cand_schema = pa.schema([("query_id", pa.int64()), ("url", pa.string()),
+                             ("distance_km", pa.float64()),
+                             ("cell", pa.uint64())])
     partial = joined.map_batches(score, batch_format="pyarrow") \
         .map_batches(top_k, batch_format="pyarrow", batch_size=None)
-    final = driver_merge(partial, top_k)
+    final = driver_merge(partial, top_k, schema=cand_schema)
     return rd2.from_arrow(final.drop_columns(["cell"]))
