@@ -53,7 +53,8 @@ def url_hash64(urls) -> np.ndarray:
     """
     if isinstance(urls, pa.ChunkedArray):
         urls = urls.combine_chunks()
-    if not isinstance(urls, (pa.StringArray, pa.LargeStringArray)):
+    if not isinstance(urls, (pa.StringArray, pa.LargeStringArray,
+                             pa.BinaryArray, pa.LargeBinaryArray)):
         urls = pa.array([str(u) for u in urls], type=pa.string())
     buffers = urls.buffers()
     offsets = np.frombuffer(buffers[1], dtype=np.int32,

@@ -23,15 +23,11 @@ import pyarrow as pa
 
 
 def _hash_bytes_batch(bin_col: pa.Array) -> np.ndarray:
-    """Deterministic 64-bit hash per binary payload (vectorized-ish)."""
-    import hashlib
+    """Deterministic 64-bit hash per binary payload (vectorized over the
+    Arrow value buffer — same polynomial+avalanche as url_hash64)."""
+    from .io.pages import url_hash64
 
-    out = np.empty(len(bin_col), dtype=np.uint64)
-    for i, v in enumerate(bin_col):
-        b = v.as_py() or b""
-        out[i] = np.frombuffer(hashlib.blake2b(b, digest_size=8).digest(),
-                               dtype=np.uint64)[0]
-    return out
+    return url_hash64(bin_col)
 
 
 class ImageDecodeStage:
@@ -59,12 +55,13 @@ class ImageDecodeStage:
         col = batch[self.col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        import pyarrow.compute as pc
+
         h = _hash_bytes_batch(col)
         # Deterministic fake decode: dimensions derived from the payload hash.
         width = (64 + (h % np.uint64(193))).astype(np.int32)
         height = (64 + ((h >> np.uint64(8)) % np.uint64(129))).astype(np.int32)
-        lengths = np.array([len(v.as_py() or b"") for v in col],
-                           dtype=np.int64)
+        lengths = pc.binary_length(col).to_numpy(zero_copy_only=False)
         ok = lengths > 0
         return batch.append_column(
             "img_w", pa.array(width)).append_column(
