@@ -93,20 +93,39 @@ def minhash_bands_stage(key_col: str, text_col: str = "text", k: int = 5,
 
 
 def simhash_batch(texts: list[str]) -> np.ndarray:
-    """64-bit SimHash over whitespace tokens."""
-    out = np.empty(len(texts), dtype=np.uint64)
-    shifts = np.arange(64, dtype=np.uint64)
-    for i, t in enumerate(texts):
-        toks = t.split()
-        if not toks:
-            out[i] = 0
-            continue
-        hs = url_hash64(pa.array(toks, type=pa.string()))
-        bits01 = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-        vote = (2 * bits01 - 1).sum(axis=0)
-        out[i] = np.bitwise_or.reduce(
-            (vote > 0).astype(np.uint64) << shifts)
+    """64-bit SimHash over whitespace tokens.
+
+    Vectorized across the batch: all docs' tokens hash as one flat array,
+    per-bit votes accumulate with np.add.reduceat over doc boundaries.
+    """
+    n = len(texts)
+    toks_per_doc = [t.split() for t in texts]
+    lengths = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+    flat = [tok for toks in toks_per_doc for tok in toks]
+    out = np.zeros(n, dtype=np.uint64)
+    if not flat:
+        return out
+    hs = url_hash64(pa.array(flat, type=pa.string()))
+    nonempty = lengths > 0
+    bounds = (np.cumsum(lengths) - lengths)[nonempty]
+    ne_lengths = lengths[nonempty]
+    sh = np.zeros(int(nonempty.sum()), dtype=np.uint64)
+    # Byte-sliced bit counting: 8 passes of (tokens, 8) uint8 instead of one
+    # (tokens, 64) blow-up; bit b set iff ones > half the tokens.
+    for byte_i in range(8):
+        byte = ((hs >> np.uint64(8 * byte_i)) & np.uint64(0xFF)).astype(
+            np.uint8)
+        bits8 = _BYTE_BITS[byte]  # (tokens, 8) uint8
+        ones = np.add.reduceat(bits8.astype(np.int64), bounds, axis=0)
+        bitset = (2 * ones > ne_lengths[:, None]).astype(np.uint64)
+        shifts8 = np.arange(8 * byte_i, 8 * byte_i + 8, dtype=np.uint64)
+        sh |= np.bitwise_or.reduce(bitset << shifts8[None, :], axis=1)
+    out[nonempty] = sh
     return out
+
+
+_BYTE_BITS = np.array([[(v >> b) & 1 for b in range(8)]
+                       for v in range(256)], dtype=np.uint8)
 
 
 def simhash_stage(text_col: str = "text", out_col: str = "simhash"):
