@@ -317,3 +317,94 @@ def cell_to_multipolygon(cell: int):
     """MultiPolygon::from(CellIndex) (cell.rs:2026-2034): the cell's own
     outline as a one-polygon geometry (degrees, closed ring)."""
     return dissolve(np.array([cell], dtype=np.int64))
+
+
+def outline_edges(cell: int, res: int) -> np.ndarray:
+    """Directed boundary edges of `cell`'s children set at `res`, in
+    O(perimeter) — the complexity of the reference's Gosper-island outline
+    (src/geom/solvent/gosper.rs) without the fractal-curve tables.
+
+    Level-by-level expansion keeping only boundary children: by aperture-7
+    locality a child's neighbors are children of its parent's 1-disk, so a
+    cell whose entire 1-disk lies inside the ancestor can never produce
+    boundary descendants and is pruned with its whole subtree. At the final
+    level, emit edges whose destination has a different res-r ancestor.
+    """
+    from . import grid
+
+    c = np.array([cell], dtype=np.int64)
+    r = int(bits.get_resolution(c)[0])
+    if res < r:
+        raise ValueError("target resolution coarser than the cell")
+    frontier = c
+    for level in range(r, res):
+        _, kids = hierarchy.cell_to_children(frontier, level + 1)
+        row, nbrs, _ = grid.grid_disk_distances(kids, 1)
+        anc = bits.cell_to_parent(nbrs, r)
+        outside = anc != cell
+        has_outside = np.zeros(kids.shape[0], dtype=bool)
+        np.logical_or.at(has_outside, row, outside)
+        frontier = kids[has_outside]
+        if frontier.size == 0:
+            # Fully interior at this level (single cell at res==r edge case
+            # cannot happen: its own children always touch the boundary).
+            break
+    if res == r:
+        frontier = c
+    # Emit boundary-crossing directed edges from the final boundary cells.
+    _, edges = ev.origin_to_directed_edges(frontier)
+    dest = ev.edge_destination(edges)
+    outside = bits.cell_to_parent(dest, r) != cell
+    return edges[outside]
+
+
+def dissolve_compact(cells, resolution: int):
+    """Dissolve a compacted (multi-res, non-overlapping) cell set at
+    `resolution` in O(total perimeter) — no uncompact blow-up.
+
+    Per input cell: boundary edges of its children set via `outline_edges`;
+    edges between adjacent input cells then cancel as opposite pairs and
+    the survivors stitch via dissolve_boundary_edges. Matches
+    dissolve(cells, resolution=...) exactly (same boundary, same rings).
+    """
+    from . import grid
+
+    cells = bits.as_i64(np.asarray(cells))
+    u = np.unique(cells)
+    if u.shape[0] != cells.shape[0]:
+        raise ValueError("duplicate input cells")
+    if cells.size == 0:
+        return []
+    res_in = bits.get_resolution(u)
+    if (res_in > resolution).any():
+        raise ValueError("cell finer than target resolution")
+
+    # Batched per-res outline expansion: frontiers of every input cell of a
+    # given res advance together; `src` tracks each frontier cell's input
+    # ancestor for the inside/outside test.
+    parts = []
+    for r in np.unique(res_in):
+        roots = u[res_in == r]
+        frontier = roots
+        src = roots
+        for level in range(int(r), resolution):
+            krow, kids = hierarchy.cell_to_children(frontier, level + 1)
+            ksrc = src[krow]
+            nrow, nbrs, _ = grid.grid_disk_distances(kids, 1)
+            outside = bits.cell_to_parent(nbrs, int(r)) != ksrc[nrow]
+            has_outside = np.zeros(kids.shape[0], dtype=bool)
+            np.logical_or.at(has_outside, nrow, outside)
+            frontier = kids[has_outside]
+            src = ksrc[has_outside]
+        erow, edges_r = ev.origin_to_directed_edges(frontier)
+        dest = ev.edge_destination(edges_r)
+        keep = bits.cell_to_parent(dest, int(r)) != src[erow]
+        parts.append(edges_r[keep])
+    edges = np.concatenate(parts) if parts else np.empty(0, np.int64)
+    if edges.size == 0:
+        return []
+    rev = ev.edge_reverse(edges)
+    alive = edges[~np.isin(rev, edges)]
+    if alive.size == 0:
+        return _world_polygon()
+    return dissolve_boundary_edges(alive)

@@ -233,3 +233,26 @@ def test_distributed_dissolve_hole(ray_session):
     assert len(polys) == 1 and len(polys[0]) == 2
     assert polys[0][0].shape[0] - 1 == 18
     assert polys[0][1].shape[0] - 1 == 6
+
+
+def test_dissolve_compact_equals_uncompact():
+    """O(perimeter) compact-set dissolve == uncompact + dissolve."""
+    c = latlng.latlng_to_cell(np.array([48.0]), np.array([2.0]), 5)
+    _, kids = hierarchy.cell_to_children(c, 8)
+    # Mixed-res compacted input: drop some children then compact.
+    subset = np.sort(kids[kids % 7 != 3])
+    comp = hierarchy.compact_mixed(np.unique(subset))
+    a = solvent.dissolve(subset)
+    b = solvent.dissolve_compact(comp, 8)
+    assert ring_vertex_set(a) == ring_vertex_set(b)
+    assert poly_structure(a) == poly_structure(b)
+
+
+def test_outline_edges_single_cell():
+    """outline_edges of a cell at its own res = its boundary edges."""
+    from h3ray.kernels import edgevertex as ev
+
+    c = int(latlng.latlng_to_cell(np.array([10.0]), np.array([10.0]), 6)[0])
+    edges = solvent.outline_edges(c, 6)
+    _, exp = ev.origin_to_directed_edges(np.array([c], dtype=np.int64))
+    assert set(edges.tolist()) == set(exp.tolist())
