@@ -82,6 +82,11 @@ def dissolve(cells, resolution: int | None = None):
     if resolution is not None:
         if (res > resolution).any():
             raise ValueError("cell finer than target resolution")
+        # Large expansions take the O(perimeter) compacted path instead of
+        # uncompacting 7^dres children (equality tested both ways).
+        est = int(bits.children_count(u, resolution).sum())
+        if est > 100_000 and est > 20 * u.shape[0]:
+            return dissolve_compact(np.sort(u), resolution)
         row, cells = hierarchy.cell_to_children(np.sort(u), resolution)
         cell_ids = row  # component seed: one id per input cell
     else:
