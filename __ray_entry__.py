@@ -301,6 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": rel.events_by_type,
         "events_hourly_windows": rel.events_hourly_windows,
         "events_user_sessions": rel.user_sessions,
+        "events_asof_join": rel.events_asof_join,
         "docs_by_lang": rel.docs_by_lang,
         "docs_token_counts": rel.docs_token_counts,
         "docs_exact_dedup": rel.docs_exact_dedup,
@@ -365,6 +366,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
                         AS BIGINT) AS total_value_micro
             FROM events GROUP BY user_id, hour_bucket
+        """,
+        "events_asof_join": """
+            SELECT l.event_id AS left_event_id, l.user_id,
+                   CAST(FLOOR(epoch(l.ts)) AS BIGINT) AS left_epoch,
+                   COALESCE(r.event_id, -1) AS right_event_id
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN (SELECT * FROM events
+                            WHERE event_type = 'view') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "events_user_sessions": """
             WITH d AS (

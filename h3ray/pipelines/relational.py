@@ -251,3 +251,59 @@ def user_sessions(sf_dir: str, gap_s: int = 1800):
     return ds.map_batches(bucket, batch_format="pyarrow",
                           batch_size=131072) \
         .groupby("_bucket").map_groups(sessionize, batch_format="pyarrow")
+
+
+def events_asof_join(sf_dir: str, left_type: str = "purchase",
+                     right_type: str = "view"):
+    """As-of join: each `left_type` event matched to the latest prior-or-equal
+    `right_type` event of the same user — the temporal join Ray Data lacks
+    natively. Bucket users by hash (bounded groups), sort each bucket by
+    (user, ts), then a vectorized backward-looking merge.
+    """
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_bucket", pa.array((uid % 32).astype(np.int32)))
+
+    def asof(group: pa.Table) -> pa.Table:
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == left_type) | (et == right_type)
+        uid = group["user_id"].to_numpy(zero_copy_only=False)[keep]
+        eid = group["event_id"].to_numpy(zero_copy_only=False)[keep]
+        ts = group["ts"].to_numpy(zero_copy_only=False)[keep].astype(
+            "datetime64[us]").astype(np.int64)
+        et = et[keep]
+        order = np.lexsort((ts, uid))
+        uid, eid, ts, et = uid[order], eid[order], ts[order], et[order]
+        is_right = et == right_type
+        new_user = np.ones(uid.shape[0], dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        # Latest right event id at or before each position, per user.
+        idx = np.arange(uid.shape[0])
+        last_right = np.where(is_right, idx, -1)
+        user_seg = np.cumsum(new_user) - 1
+        # Per-segment prefix max: subtract segment base from running max.
+        run = np.maximum.accumulate(np.where(new_user & ~is_right, -1,
+                                             last_right))
+        # Reset at user boundaries: positions before the user's first right
+        # event must not see previous users' rights.
+        seg_start = np.maximum.accumulate(np.where(new_user, idx, 0))
+        run = np.where(run >= seg_start, run, -1)
+        lefts = et == left_type
+        match = run[lefts]
+        out_left = eid[lefts]
+        out_user = uid[lefts]
+        out_ts = ts[lefts] // 1_000_000
+        right_id = np.where(match >= 0, eid[np.maximum(match, 0)], -1)
+        return pa.Table.from_arrays(
+            [pa.array(out_left), pa.array(out_user),
+             pa.array(out_ts), pa.array(right_id)],
+            names=["left_event_id", "user_id", "left_epoch",
+                   "right_event_id"])
+
+    return ds.map_batches(bucket, batch_format="pyarrow",
+                          batch_size=131072) \
+        .groupby("_bucket").map_groups(asof, batch_format="pyarrow")
