@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ..io import pages as pages_io
 from ..kernels import bits, grid, hierarchy, latlng

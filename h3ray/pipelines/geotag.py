@@ -13,7 +13,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..kernels import bits
 from ..ops import stages
 
 

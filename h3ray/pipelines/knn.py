@@ -16,7 +16,6 @@ cell instead (same kernels, shuffle join); see SURVEY.md §2.7.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ..io import pages as pages_io
@@ -60,19 +59,6 @@ def _resolve_index(index_ref):
     import ray
 
     return ray.get(index_ref)
-
-
-class KnnCandidateStage:
-    """Candidate stage; usable as actor (__init__ once) or via tasks
-    (module-level `knn_candidates_fn`, broadcast resolved per batch —
-    a zero-copy local object-store read)."""
-
-    def __init__(self, index_ref, res: int):
-        self.index = _resolve_index(index_ref)
-        self.res = res
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        return knn_candidates(batch, self.index, self.res)
 
 
 def knn_candidates(batch: pa.Table, index, res: int) -> pa.Table:

@@ -9,7 +9,6 @@ rows (pre-reduce per batch, then a tiny groupby).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -22,7 +21,7 @@ def _read(sf_dir: str, table: str, columns=None):
 
 def lineitem_agg(sf_dir: str):
     """TPC-H Q1-style pricing summary (no date filter; full table)."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "lineitem",
                columns=["l_returnflag", "l_linestatus", "l_quantity",

@@ -13,7 +13,6 @@ Scale shapes (100 TB thinking):
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ..io.pages import _mix64, url_hash64
