@@ -154,14 +154,21 @@ def run_scaling():
     cpus = tuple(int(v) for v in os.environ.get(
         "GRAFT_SCALING_CPUS", "8,32").split(","))
     ensure_pages_parquet_subproc(n_pages, pages_dir)
+    passes = int(os.environ.get("GRAFT_SCALING_PASSES", "2"))
     results = {}
-    for ncpu in cpus:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_PAGES_DIR=pages_dir,
-                   GRAFT_BENCH_PAGES=str(n_pages))
-        out = subprocess.run([sys.executable, __file__], env=env,
-                             capture_output=True, text=True, check=True).stdout
-        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    # Interleaved passes, per-level min: a single bad window (shared-tenancy
+    # noise) at one CPU level would otherwise skew the ratio by 2x.
+    for _ in range(passes):
+        for ncpu in cpus:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       GRAFT_PAGES_DIR=pages_dir,
+                       GRAFT_BENCH_PAGES=str(n_pages))
+            out = subprocess.run(
+                [sys.executable, __file__], env=env,
+                capture_output=True, text=True, check=True).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if ncpu not in results or r["value"] < results[ncpu]["value"]:
+                results[ncpu] = r
     lo, hi = cpus
     thr_lo = results[lo]["n_pages"] / results[lo]["value"]
     thr_hi = results[hi]["n_pages"] / results[hi]["value"]
