@@ -11,7 +11,7 @@ from h3ray.kernels.constants import DEFAULT_CELL_INDEX, HEX_EDGE_RADS
 def corpus_cells(reference_dataset):
     with open(reference_dataset / "cellToBoundary.txt") as f:
         return np.array([int(l, 16) for l in f.read().split()],
-                        dtype=np.int64)[:30000]
+                        dtype=np.int64)  # all 118,853 corpus cells
 
 
 def test_vertex_counts(corpus_cells):
