@@ -136,18 +136,29 @@ def probe_cells(probe: dict, cells: np.ndarray):
 
 def pip_join(pages_ds, geoms: list[dict], *, res: int = 9,
              mode: str = "centroid", exact: bool = False,
-             batch_size: int = 65536):
+             batch_size: int = 65536, use_actors: bool = False,
+             concurrency: int = 4):
     """Join pages to polygons via H3 coverage.
 
     Returns Dataset(url, polygon_id, cell). With exact=True the match is the
     exact point-in-polygon predicate (coverage = covers mode candidates +
     per-point PIP recheck); otherwise cell-level containment per `mode`.
+    use_actors=True runs the probe as a stateful actor pool
+    (PolygonProbeStage) instead of stateless tasks.
     """
     import ray
 
     probe = build_probe(geoms, res, "candidates" if exact else mode)
     payload = {"probe": probe, "geoms": geoms if exact else None}
     ref = ray.put(payload)
+
+    if use_actors:
+        return pages_ds.select_columns(["url"]).map_batches(
+            PolygonProbeStage,
+            fn_constructor_kwargs={"payload_ref": ref, "res": res,
+                                   "exact": exact},
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency)
 
     def fn(batch: pa.Table) -> pa.Table:
         data = ray.get(ref) if not isinstance(ref, dict) else ref
@@ -205,3 +216,47 @@ def pip_join_shuffle(pages_ds, geoms: list[dict], *, res: int = 9,
         encode, batch_format="pyarrow", batch_size=batch_size)
     return keyed.join(cov, join_type="inner",
                       num_partitions=num_partitions, on=("cell",))
+
+
+class PolygonProbeStage:
+    """Stateful actor-pool stage for the PIP join (north-star architecture:
+    'actor pools for stateful polygon-index stages').
+
+    __init__ runs once per actor: fetches the broadcast probe + geometries
+    from the object store and keeps them resident; __call__ streams batches.
+    Use via pip_join(use_actors=True) when the probe is expensive enough to
+    amortize (very large coverage) or when per-batch object-store fetches
+    contend; the stateless-task path is equivalent for small probes.
+    """
+
+    def __init__(self, payload_ref, res: int, exact: bool):
+        import ray
+
+        data = ray.get(payload_ref) if not isinstance(payload_ref, dict) \
+            else payload_ref
+        self.probe = data["probe"]
+        self.geoms = data["geoms"]
+        self.res = res
+        self.exact = exact
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"]
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        lat, lng = pages_io.geotag(urls)
+        cells = latlng.latlng_to_cell(lat, lng, self.res)
+        row, pid = probe_cells(self.probe, cells)
+        if self.exact and row.size:
+            keep = np.zeros(row.shape[0], dtype=bool)
+            lat_r = np.deg2rad(lat)
+            lng_r = np.deg2rad(lng)
+            for p in np.unique(pid):
+                m = pid == p
+                keep[m] = region.contains_points(
+                    self.geoms[p], lat_r[row[m]], lng_r[row[m]])
+            row = row[keep]
+            pid = pid[keep]
+        return pa.Table.from_arrays(
+            [urls.take(pa.array(row)), pa.array(pid),
+             pa.array(cells[row].view(np.uint64))],
+            names=["url", "polygon_id", "cell"])

@@ -90,3 +90,13 @@ def test_pip_join_shuffle_equals_broadcast(ray_session, page_points):
     b = pip.pip_join_shuffle(ds2, geoms, res=7, mode="centroid",
                              num_partitions=4).to_pandas()
     assert set(zip(a.url, a.polygon_id)) == set(zip(b.url, b.polygon_id))
+
+
+def test_actor_pool_pip_equals_tasks(ray_session, page_points):
+    geoms = pip.city_polygons(5)
+    ds = pages_io.pages_from_documents(SF)
+    a = pip.pip_join(ds, geoms, res=8, exact=True).to_pandas()
+    ds2 = pages_io.pages_from_documents(SF)
+    b = pip.pip_join(ds2, geoms, res=8, exact=True, use_actors=True,
+                     concurrency=2).to_pandas()
+    assert set(zip(a.url, a.polygon_id)) == set(zip(b.url, b.polygon_id))
