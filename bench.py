@@ -124,6 +124,13 @@ def run_benchmarks() -> dict:
         fn(SF_DIR).count()
         timings[name] = time.time() - t0
 
+    if os.environ.get("GRAFT_BENCH_STATS"):
+        # Per-stage execution stats for the headline pipeline (stderr only;
+        # stdout stays one JSON line for the driver).
+        m = geotag.cell_counts(read_pages(), res=9, parent_res=3) \
+            .materialize()
+        print(m.stats(), file=sys.stderr)
+
     headline = timings["encode_cell_counts"] + timings["knn_join"]
     result = {
         "metric": "h3ray geotag-encode + spatial-join wall time "
