@@ -65,3 +65,31 @@ def test_pentagon_decode():
         lat, lng = latlng.cell_to_latlng_rads(cells)
         back = latlng.latlng_rads_to_cell(lat, lng, r)
         assert (back == cells).all()
+
+
+def test_regression_coords_longitude_periodicity():
+    """Reference regression coordinates (tests/h3/latlng_to_cell.rs:44-52):
+    longitudes beyond 180 must encode identically to lng-360, and the
+    results must be valid cells that round-trip."""
+    cases = [(-79.704099298, 209.043753147, 11),
+             (-60.693672001, 187.742078304, 11)]
+    for lat, lng, res in cases:
+        a = latlng.latlng_to_cell(np.array([lat]), np.array([lng]), res)
+        b = latlng.latlng_to_cell(np.array([lat]), np.array([lng - 360.0]),
+                                  res)
+        assert a[0] == b[0]
+        assert bits.is_valid_cell(a).all()
+        clat, clng = latlng.cell_to_latlng(a)
+        back = latlng.latlng_to_cell(clat, clng, res)
+        assert back[0] == a[0]
+
+
+def test_paris_point_all_resolutions_nested():
+    """The reference's per-res macro point: cells at increasing res must
+    form a parent chain (each finer cell's parent is the coarser cell)."""
+    lat, lng = 48.854501508844095, 2.3729695423293613
+    cells = [latlng.latlng_to_cell(np.array([lat]), np.array([lng]), r)[0]
+             for r in range(16)]
+    for r in range(1, 16):
+        assert bits.cell_to_parent(
+            np.array([cells[r]], dtype=np.int64), r - 1)[0] == cells[r - 1]
