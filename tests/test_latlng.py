@@ -84,12 +84,23 @@ def test_regression_coords_longitude_periodicity():
         assert back[0] == a[0]
 
 
-def test_paris_point_all_resolutions_nested():
-    """The reference's per-res macro point: cells at increasing res must
-    form a parent chain (each finer cell's parent is the coarser cell)."""
+def test_paris_point_all_resolutions():
+    """The reference's per-res macro point: every res encodes to a valid
+    cell at that res; parent of the res-r encode is within one grid step of
+    the res-(r-1) encode (exact nesting does NOT hold in H3 — children
+    overhang their parents — but the drift is bounded to adjacency)."""
+    from h3ray.kernels import grid
+
     lat, lng = 48.854501508844095, 2.3729695423293613
     cells = [latlng.latlng_to_cell(np.array([lat]), np.array([lng]), r)[0]
              for r in range(16)]
+    for r in range(16):
+        arr = np.array([cells[r]], dtype=np.int64)
+        assert bits.is_valid_cell(arr).all()
+        assert bits.get_resolution(arr)[0] == r
     for r in range(1, 16):
-        assert bits.cell_to_parent(
-            np.array([cells[r]], dtype=np.int64), r - 1)[0] == cells[r - 1]
+        par = bits.cell_to_parent(np.array([cells[r]], dtype=np.int64), r - 1)
+        prev = np.array([cells[r - 1]], dtype=np.int64)
+        same = par[0] == prev[0]
+        adjacent = grid.are_neighbor_cells(par, prev)[0]
+        assert same or adjacent, r
