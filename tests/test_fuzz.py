@@ -103,3 +103,37 @@ def test_parent_child_positions(seed, res, child_res):
     pos, ok = hierarchy.child_position(
         bits.cell_to_center_child(cells, child_res), res)
     assert ok.all() and (pos == 0).all()  # center child is rank 0
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, 2 ** 31), st.integers(3, 9), st.integers(4, 9))
+def test_polygon_to_cells_fuzz(seed, n_verts, res):
+    """fuzz: polygon_to_cells target — random star-shaped polygons: size
+    hint bounds the coverage, outputs are valid cells at the target res,
+    and the containment modes nest (boundary <= centroid <= intersects <=
+    covers + 1)."""
+    from h3ray.kernels import region
+
+    rng = np.random.default_rng(seed)
+    lat0 = rng.uniform(-60, 60)
+    lng0 = rng.uniform(-170, 170)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, n_verts))
+    rad = rng.uniform(0.05, 1.5, n_verts)
+    lat = lat0 + rad * np.sin(ang)
+    lng = lng0 + rad * np.cos(ang)
+    ring = np.stack([np.append(lng, lng[0]), np.append(lat, lat[0])], axis=1)
+    g = region.prepare_geometry([[ring]])
+
+    hint = region.coverage_size_hint(g, res)
+    out = {m: set(np.unique(region.polygon_to_cells(g, res, m)).tolist())
+           for m in ("centroid", "boundary", "intersects", "covers")}
+    assert len(out["centroid"]) <= hint
+    for m, cells in out.items():
+        arr = np.array(sorted(cells), dtype=np.int64)
+        if arr.size:
+            assert bits.is_valid_cell(arr).all(), m
+            assert (bits.get_resolution(arr) == res).all(), m
+    assert out["boundary"] <= out["centroid"] <= out["intersects"]
+    # Covers == intersects except the geometry-within-one-cell case.
+    assert out["intersects"] <= out["covers"] or \
+        len(out["covers"]) == len(out["intersects"])
