@@ -160,6 +160,9 @@ def run_scaling():
                                f"/tmp/h3ray_bench_pages_{n_pages}")
     cpus = tuple(int(v) for v in os.environ.get(
         "GRAFT_SCALING_CPUS", "8,32").split(","))
+    if len(cpus) != 2 or cpus[0] >= cpus[1]:
+        raise SystemExit(
+            f"GRAFT_SCALING_CPUS must be 'lo,hi' with lo < hi, got {cpus!r}")
     ensure_pages_parquet_subproc(n_pages, pages_dir)
     passes = int(os.environ.get("GRAFT_SCALING_PASSES", "2"))
     results = {}

@@ -57,7 +57,10 @@ def url_hash64(urls) -> np.ndarray:
                              pa.BinaryArray, pa.LargeBinaryArray)):
         urls = pa.array([str(u) for u in urls], type=pa.string())
     buffers = urls.buffers()
-    offsets = np.frombuffer(buffers[1], dtype=np.int32,
+    # Large string/binary arrays carry int64 offsets; plain ones int32.
+    off_dtype = np.int64 if isinstance(
+        urls, (pa.LargeStringArray, pa.LargeBinaryArray)) else np.int32
+    offsets = np.frombuffer(buffers[1], dtype=off_dtype,
                             count=len(urls) + 1 + urls.offset)[urls.offset:]
     data = np.frombuffer(buffers[2], dtype=np.uint8)
     starts = offsets[:-1].astype(np.int64)

@@ -89,6 +89,18 @@ def write_partitioned(ds, out_dir: str, partition_col: str,
     """
     t0 = time.time()
     done = finished_partitions(out_dir, input_signature)
+    # Drop partition dirs that have data but no valid manifest (crash
+    # leftovers): write_parquet appends uniquely-named files, so redoing a
+    # partition on top of orphaned files would double-count its rows.
+    out_path = Path(out_dir)
+    prefix = f"{partition_col}="
+    if out_path.exists():
+        import shutil
+
+        for pdir in out_path.iterdir():
+            if pdir.is_dir() and pdir.name.startswith(prefix) \
+                    and pdir.name[len(prefix):] not in done:
+                shutil.rmtree(pdir)
     if done:
         done_list = sorted(done)
 

@@ -68,10 +68,13 @@ def cell_area_rads2(cells) -> np.ndarray:
     per-edge Cagnoli terms accumulated with a Kahan adder in edge order
     (area.rs:33-78, fp_adder.rs:12-33)."""
     cells = bits.as_i64(np.asarray(cells))
-    off, vlat, vlng = cell_to_boundary_rads(cells)
     n = cells.shape[0]
+    if n == 0:
+        # Empty blocks legitimately occur after filters/partitioning.
+        return np.zeros(0, dtype=np.float64)
+    off, vlat, vlng = cell_to_boundary_rads(cells)
     counts = np.diff(off)
-    kmax = int(counts.max()) if n else 0
+    kmax = int(counts.max())
     # Padded vertex planes: repeat the last real vertex (zero-length arcs
     # contribute exactly 0 through Cagnoli).
     idx = off[:-1, None] + np.minimum(np.arange(kmax), counts[:, None] - 1)

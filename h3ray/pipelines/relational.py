@@ -275,7 +275,10 @@ def events_asof_join(sf_dir: str, left_type: str = "purchase",
         ts = group["ts"].to_numpy(zero_copy_only=False)[keep].astype(
             "datetime64[us]").astype(np.int64)
         et = et[keep]
-        order = np.lexsort((ts, uid))
+        # Tie-break at equal (user, ts): rights sort before lefts so a right
+        # event sharing the left's timestamp matches (ASOF `l.ts >= r.ts`).
+        is_left_pre = (et == left_type).astype(np.int8)
+        order = np.lexsort((is_left_pre, ts, uid))
         uid, eid, ts, et = uid[order], eid[order], ts[order], et[order]
         is_right = et == right_type
         new_user = np.ones(uid.shape[0], dtype=bool)

@@ -1,0 +1,61 @@
+"""Regression tests for round-2 advice/verdict findings."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from h3ray.io.pages import url_hash64
+from h3ray.kernels import measures
+from h3ray.ops import stages
+
+
+def test_url_hash64_large_types_match_small():
+    """Large string/binary arrays use int64 offsets; hashes must agree with
+    the plain (int32-offset) types for identical payloads."""
+    payloads = ["", "a", "hello world", "x" * 200, "déjà vu ☃"]
+    small_s = url_hash64(pa.array(payloads, type=pa.string()))
+    large_s = url_hash64(pa.array(payloads, type=pa.large_string()))
+    assert (small_s == large_s).all()
+    raw = [p.encode() for p in payloads]
+    small_b = url_hash64(pa.array(raw, type=pa.binary()))
+    large_b = url_hash64(pa.array(raw, type=pa.large_binary()))
+    assert (small_b == large_b).all()
+    assert (small_s == small_b).all()
+
+
+def test_url_hash64_large_sliced_offset():
+    vals = [f"doc-{i}" for i in range(64)]
+    full = url_hash64(pa.array(vals, type=pa.large_string()))
+    sliced = pa.array(vals, type=pa.large_string()).slice(10, 20)
+    assert (url_hash64(sliced) == full[10:30]).all()
+
+
+def test_cell_area_empty_input():
+    assert measures.cell_area_rads2(np.empty(0, np.int64)).shape == (0,)
+    empty = pa.Table.from_arrays([pa.array(np.empty(0, np.uint64))],
+                                 names=["cell"])
+    out = stages.area_stage("cell", unit="km2")(empty)
+    assert out.num_rows == 0 and "area_km2" in out.column_names
+
+
+def test_asof_join_tie_at_equal_ts(ray_session, tmp_path):
+    """A right ('view') event sharing the left's timestamp must match even
+    when it follows the left in file order (ASOF `l.ts >= r.ts`)."""
+    from h3ray.pipelines.relational import events_asof_join
+
+    ts = pa.array(np.array([100, 100, 50, 200], dtype="datetime64[s]")
+                  .astype("datetime64[us]"), type=pa.timestamp("us"))
+    tbl = pa.Table.from_arrays(
+        [pa.array([10, 11, 12, 13], type=pa.int64()),
+         ts,
+         pa.array([1, 1, 2, 2], type=pa.int64()),
+         pa.array(["purchase", "view", "view", "purchase"])],
+        names=["event_id", "ts", "user_id", "event_type"])
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = events_asof_join(str(tmp_path)).to_pandas() \
+        .sort_values("left_event_id").reset_index(drop=True)
+    # user 1: purchase@100 matches view@100 (equal-ts tie, later in file).
+    assert out.loc[0, "left_event_id"] == 10
+    assert out.loc[0, "right_event_id"] == 11
+    # user 2: purchase@200 matches view@50.
+    assert out.loc[1, "right_event_id"] == 12

@@ -59,10 +59,21 @@ def test_crashed_partition_redone(ray_session, out_dir):
     victim.unlink()
     plan = sink.resume_plan([key, "definitely-done-no"], out_dir, "sig-a")
     assert key in plan
+    # Simulate a partially-written redo: an extra orphaned data file in the
+    # uncommitted partition dir must be cleaned up, not appended next to.
+    pdir = Path(out_dir) / f"parent_r1={key}"
+    orphan_src = next(pdir.rglob("*.parquet"))
+    shutil.copy(orphan_src, orphan_src.with_name("orphan-extra.parquet"))
     job2 = sink.write_partitioned(build_ds(), out_dir, "parent_r1", "sig-a")
     assert job2["skipped"] == job1["partitions"] - 1
     assert str(job2["partitions"]) and key in sink.finished_partitions(
         out_dir, "sig-a")
+    # Redone partition carries no duplicate rows (manifests and footers both).
+    counts = sink.partition_row_counts(out_dir, "parent_r1")
+    assert sum(counts.values()) == job1["rows"]
+    meta = json.loads((Path(out_dir) / "_manifests" / f"{key}.json")
+                      .read_text())
+    assert meta["num_rows"] == counts[key]
 
 
 def test_new_signature_invalidates(ray_session, out_dir):
