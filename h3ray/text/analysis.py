@@ -109,7 +109,10 @@ def fingerprint_stage(text_col: str = "text", out_col: str = "fingerprint"):
         col = batch[text_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        h = url_hash64(col)
+        # int64 view (same bits): full-range uint64 shuffle keys overflow
+        # Ray's sort-shuffle int conversion and silently degrade blocks to
+        # pickled Python objects instead of Arrow buffers.
+        h = url_hash64(col).view(np.int64)
         return batch.append_column(out_col, pa.array(h))
 
     return fn

@@ -76,9 +76,10 @@ def minhash_bands_stage(key_col: str, text_col: str = "text", k: int = 5,
             ^ (_mix64(bands[..., 3]) << np.uint64(1)))
         n = len(texts)
         rows = np.repeat(np.arange(n), N_BANDS)
+        # int64 view: uint64 > 2^63-1 degrades Ray shuffles to pickle.
         arrays = [pa.array(keys[rows]),
                   pa.array(np.tile(np.arange(N_BANDS, dtype=np.int32), n)),
-                  pa.array(band_hash.reshape(-1))]
+                  pa.array(band_hash.reshape(-1).view(np.int64))]
         names = [key_col, "band", "band_hash"]
         if keep_text:
             col = batch[text_col]
@@ -130,7 +131,8 @@ _BYTE_BITS = np.array([[(v >> b) & 1 for b in range(8)]
 def simhash_stage(text_col: str = "text", out_col: str = "simhash"):
     def fn(batch: pa.Table) -> pa.Table:
         sh = simhash_batch(batch[text_col].to_pylist())
-        return batch.append_column(out_col, pa.array(sh))
+        # int64 view: uint64 > 2^63-1 degrades Ray shuffles to pickle.
+        return batch.append_column(out_col, pa.array(sh.view(np.int64)))
 
     return fn
 
@@ -253,8 +255,9 @@ def simhash_duplicate_pairs(ds, key_col: str, text_col: str = "text",
         value = (sh[rows] >> (band.astype(np.uint64) * np.uint64(16))) \
             & np.uint64(0xFFFF)
         return pa.Table.from_arrays(
-            [pa.array(band.astype(np.int8)), pa.array(value),
-             pa.array(keys[rows]), pa.array(sh[rows])],
+            [pa.array(band.astype(np.int8)),
+             pa.array(value.astype(np.int32)),
+             pa.array(keys[rows]), pa.array(sh[rows].view(np.int64))],
             names=["band", "band_value", key_col, "simhash"])
 
     bands = ds.map_batches(band_stage, batch_format="pyarrow",

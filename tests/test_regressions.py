@@ -38,6 +38,27 @@ def test_cell_area_empty_input():
     assert out.num_rows == 0 and "area_km2" in out.column_names
 
 
+def test_shuffle_stage_outputs_are_int64_safe():
+    """Full-range uint64 columns overflow Ray's sort-shuffle int conversion
+    and silently degrade blocks to pickled Python objects — every stage that
+    feeds a groupby must emit int64 (bit-view) hashes instead."""
+    from h3ray.text.analysis import fingerprint_stage
+    from h3ray.text.dedup import minhash_bands_stage, simhash_stage
+
+    batch = pa.Table.from_arrays(
+        [pa.array(np.arange(4, dtype=np.int64)),
+         pa.array(["aa bb cc dd ee", "ff gg hh", "aa bb cc dd ee", "zz"])],
+        names=["doc_id", "text"])
+    for fn in (fingerprint_stage(), minhash_bands_stage("doc_id"),
+               simhash_stage()):
+        out = fn(batch)
+        bad = [f.name for f in out.schema if f.type == pa.uint64()]
+        assert not bad, f"uint64 shuffle-hazard columns: {bad}"
+    # Bit-view keeps dedup semantics: equal texts, equal fingerprints.
+    fp = fingerprint_stage()(batch)["fingerprint"].to_numpy()
+    assert fp[0] == fp[2] and fp[0] != fp[1]
+
+
 def test_asof_join_tie_at_equal_ts(ray_session, tmp_path):
     """A right ('view') event sharing the left's timestamp must match even
     when it follows the left in file order (ASOF `l.ts >= r.ts`)."""
