@@ -207,17 +207,27 @@ def pages_from_documents(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
 
+    import pyarrow.compute as pc
+
     def to_pages(batch: pa.Table) -> pa.Table:
         doc_id = batch["doc_id"].to_numpy()
         h = _mix64(doc_id.astype(np.uint64))
         site = (h % np.uint64(997)).astype(np.int64)
-        urls = pa.array([f"https://site{s:05d}.example/{d:07d}"
-                         for s, d in zip(site, doc_id)], type=pa.string())
+        # Vectorized url build (same form as make_pages_batch): zero-padded
+        # site/doc segments joined with Arrow kernels, no per-row Python.
+        site_s = pc.utf8_lpad(pc.cast(pa.array(site), pa.string()), 5, "0")
+        doc_s = pc.utf8_lpad(pc.cast(pa.array(doc_id), pa.string()), 7, "0")
+        urls = pc.binary_join_element_wise(
+            pa.scalar("https://site"), site_s, pa.scalar(".example/"),
+            doc_s, "")
         ts = pa.array(np.int64(1609459200_000000) + doc_id * 977,
                       type=pa.timestamp("us"))
         text = batch["text"]
-        html = pa.array([f"<html><body>{t}</body></html>".encode()
-                         for t in text.to_pylist()], type=pa.binary())
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        html = pc.binary_join_element_wise(
+            pa.scalar("<html><body>"), text,
+            pa.scalar("</body></html>"), "").cast(pa.binary())
         return pa.Table.from_arrays([urls, ts, html, text, batch["lang"]],
                                     names=["url", "warc_ts", "html", "text",
                                            "lang"])
