@@ -28,21 +28,28 @@ def lineitem_agg(sf_dir: str):
                         "l_extendedprice", "l_discount"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
         # Fixed-point cents so distributed sums are order-independent and
         # bit-identical to the DuckDB oracle (same FLOOR(x*100+0.5) formula).
-        df["base_cents"] = np.floor(
-            df.l_extendedprice * 100 + 0.5).astype(np.int64)
-        df["disc_cents"] = np.floor(
-            df.l_extendedprice * (1 - df.l_discount) * 100 + 0.5
-        ).astype(np.int64)
-        df["qty_int"] = np.floor(df.l_quantity + 0.5).astype(np.int64)
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("qty_int", "sum"),
-            sum_base_cents=("base_cents", "sum"),
-            sum_disc_cents=("disc_cents", "sum"),
-            count_order=("qty_int", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "sum_qty": np.floor(qty + 0.5).astype(np.int64),
+            "sum_base_cents": np.floor(ep * 100 + 0.5).astype(np.int64),
+            "sum_disc_cents": np.floor(
+                ep * (1 - disc) * 100 + 0.5).astype(np.int64)})
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("sum_qty", "sum"), ("sum_base_cents", "sum"),
+             ("sum_disc_cents", "sum"), ("sum_qty", "count")])
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "sum_qty": g["sum_qty_sum"],
+            "sum_base_cents": g["sum_base_cents_sum"],
+            "sum_disc_cents": g["sum_disc_cents_sum"],
+            "count_order": g["sum_qty_count"]})
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               batch_size=131072)
@@ -90,13 +97,17 @@ def orders_by_segment(sf_dir: str):
                                 concurrency=2)
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["price_cents"] = np.floor(
-            df.o_totalprice * 100 + 0.5).astype(np.int64)
-        g = df.groupby("c_mktsegment", as_index=False).agg(
-            num_orders=("price_cents", "size"),
-            total_price_cents=("price_cents", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "c_mktsegment": batch["c_mktsegment"],
+            "total_price_cents": np.floor(
+                price * 100 + 0.5).astype(np.int64)})
+        g = t.group_by("c_mktsegment").aggregate(
+            [("total_price_cents", "sum"), ("total_price_cents", "count")])
+        return pa.table({
+            "c_mktsegment": g["c_mktsegment"],
+            "num_orders": g["total_price_cents_count"],
+            "total_price_cents": g["total_price_cents_sum"]})
 
     return joined.map_batches(partial, batch_format="pyarrow",
                               batch_size=131072) \
@@ -111,13 +122,17 @@ def events_by_type(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["value_micro"] = np.floor(
-            df.value * 1_000_000 + 0.5).astype(np.int64)
-        g = df.groupby("event_type", as_index=False).agg(
-            num_events=("value_micro", "size"),
-            total_value_micro=("value_micro", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        value = batch["value"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "total_value_micro": np.floor(
+                value * 1_000_000 + 0.5).astype(np.int64)})
+        g = t.group_by("event_type").aggregate(
+            [("total_value_micro", "sum"), ("total_value_micro", "count")])
+        return pa.table({
+            "event_type": g["event_type"],
+            "num_events": g["total_value_micro_count"],
+            "total_value_micro": g["total_value_micro_sum"]})
 
     return ds.map_batches(partial, batch_format="pyarrow",
                           batch_size=131072).groupby("event_type").aggregate(
@@ -132,15 +147,21 @@ def events_hourly_windows(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        epoch = df.ts.astype("int64") // 1_000_000
-        df["hour_bucket"] = epoch // 3600
-        df["value_micro"] = np.floor(
-            df.value * 1_000_000 + 0.5).astype(np.int64)
-        g = df.groupby(["user_id", "hour_bucket"], as_index=False).agg(
-            num_events=("value_micro", "size"),
-            total_value_micro=("value_micro", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        value = batch["value"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "user_id": batch["user_id"],
+            "hour_bucket": ts // 1_000_000 // 3600,
+            "total_value_micro": np.floor(
+                value * 1_000_000 + 0.5).astype(np.int64)})
+        g = t.group_by(["user_id", "hour_bucket"]).aggregate(
+            [("total_value_micro", "sum"), ("total_value_micro", "count")])
+        return pa.table({
+            "user_id": g["user_id"],
+            "hour_bucket": g["hour_bucket"],
+            "num_events": g["total_value_micro_count"],
+            "total_value_micro": g["total_value_micro_sum"]})
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               batch_size=131072)
@@ -148,12 +169,13 @@ def events_hourly_windows(sf_dir: str):
     # Combiner partials merge on the driver (bounded: users x hours keys),
     # avoiding the sort-based groupby shuffle (see ops/reduce.py).
     def merge(tbl: pa.Table) -> pa.Table:
-        df = tbl.to_pandas()
-        g = df.groupby(["user_id", "hour_bucket"], as_index=False).agg(
-            num_events=("num_events", "sum"),
-            total_value_micro=("total_value_micro", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False) \
-            .replace_schema_metadata(None)
+        g = tbl.group_by(["user_id", "hour_bucket"]).aggregate(
+            [("num_events", "sum"), ("total_value_micro", "sum")])
+        return pa.table({
+            "user_id": g["user_id"],
+            "hour_bucket": g["hour_bucket"],
+            "num_events": g["num_events_sum"],
+            "total_value_micro": g["total_value_micro_sum"]})
 
     import ray.data as rd
 
@@ -168,10 +190,12 @@ def docs_by_lang(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = df.groupby("lang", as_index=False).agg(
-            num_docs=("n_chars", "size"), total_chars=("n_chars", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        g = batch.group_by("lang").aggregate(
+            [("n_chars", "sum"), ("n_chars", "count")])
+        return pa.table({
+            "lang": g["lang"],
+            "num_docs": g["n_chars_count"],
+            "total_chars": g["n_chars_sum"]})
 
     return ds.map_batches(partial, batch_format="pyarrow",
                           batch_size=131072).groupby("lang").aggregate(
@@ -197,7 +221,19 @@ def docs_exact_dedup(sf_dir: str):
     return exact_dedup(ds, key_col="doc_id")
 
 
-def user_sessions(sf_dir: str, gap_s: int = 1800):
+def _default_buckets() -> int:
+    """Reducer bucket count for user-keyed window ops: ~4x cluster cores so
+    no single map_groups block holds more than ~1/(4 cores) of the events
+    (a fixed small constant caps parallelism AND group size at scale)."""
+    import ray
+
+    if ray.is_initialized():
+        return max(32, int(4 * ray.cluster_resources().get("CPU", 8)))
+    return 128
+
+
+def user_sessions(sf_dir: str, gap_s: int = 1800,
+                  num_buckets: int | None = None):
     """Sessionization: split each user's event stream at inactivity gaps.
 
     The stream-shaped stateful window op: bucket users by hash (bounded
@@ -207,11 +243,12 @@ def user_sessions(sf_dir: str, gap_s: int = 1800):
     LAG/SUM-over-window formulation.
     """
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    nb = num_buckets or _default_buckets()
 
     def bucket(batch: pa.Table) -> pa.Table:
         uid = batch["user_id"].to_numpy(zero_copy_only=False)
         return batch.append_column(
-            "_bucket", pa.array((uid % 32).astype(np.int32)))
+            "_bucket", pa.array((uid % nb).astype(np.int32)))
 
     def sessionize(group: pa.Table) -> pa.Table:
         uid = group["user_id"].to_numpy(zero_copy_only=False)
@@ -253,7 +290,8 @@ def user_sessions(sf_dir: str, gap_s: int = 1800):
 
 
 def events_asof_join(sf_dir: str, left_type: str = "purchase",
-                     right_type: str = "view"):
+                     right_type: str = "view",
+                     num_buckets: int | None = None):
     """As-of join: each `left_type` event matched to the latest prior-or-equal
     `right_type` event of the same user — the temporal join Ray Data lacks
     natively. Bucket users by hash (bounded groups), sort each bucket by
@@ -261,11 +299,12 @@ def events_asof_join(sf_dir: str, left_type: str = "purchase",
     """
     ds = _read(sf_dir, "events",
                columns=["event_id", "ts", "user_id", "event_type"])
+    nb = num_buckets or _default_buckets()
 
     def bucket(batch: pa.Table) -> pa.Table:
         uid = batch["user_id"].to_numpy(zero_copy_only=False)
         return batch.append_column(
-            "_bucket", pa.array((uid % 32).astype(np.int32)))
+            "_bucket", pa.array((uid % nb).astype(np.int32)))
 
     def asof(group: pa.Table) -> pa.Table:
         et = group["event_type"].to_numpy(zero_copy_only=False)

@@ -80,3 +80,30 @@ def test_asof_join_tie_at_equal_ts(ray_session, tmp_path):
     assert out.loc[0, "right_event_id"] == 11
     # user 2: purchase@200 matches view@50.
     assert out.loc[1, "right_event_id"] == 12
+
+
+def test_bucket_count_invariance(ray_session, tmp_path):
+    """Sessionization / asof results are identical for any reducer bucket
+    count (the count only controls shuffle granularity)."""
+    from h3ray.pipelines.relational import events_asof_join, user_sessions
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    ts = pa.array(rng.integers(0, 100000, n).astype("datetime64[s]")
+                  .astype("datetime64[us]"), type=pa.timestamp("us"))
+    tbl = pa.Table.from_arrays(
+        [pa.array(np.arange(n, dtype=np.int64)), ts,
+         pa.array(rng.integers(0, 37, n), type=pa.int64()),
+         pa.array(rng.choice(["view", "purchase", "click"], n))],
+        names=["event_id", "ts", "user_id", "event_type"])
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    def canon(df):
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    s7 = canon(user_sessions(str(tmp_path), num_buckets=7).to_pandas())
+    s32 = canon(user_sessions(str(tmp_path), num_buckets=32).to_pandas())
+    assert s7.equals(s32) and len(s7) > 37
+    a7 = canon(events_asof_join(str(tmp_path), num_buckets=7).to_pandas())
+    a32 = canon(events_asof_join(str(tmp_path), num_buckets=32).to_pandas())
+    assert a7.equals(a32) and len(a7) > 0
