@@ -196,7 +196,26 @@ def _emb_cosine_dups(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    out = ann.cosine_dup_pairs(ds, threshold=0.4, concurrency=2)
+    out = ann.cosine_dup_pairs(ds, threshold=0.4)
+    return out.select_columns(["id_a", "id_b"])
+
+
+def _emb_cosine_dups_lsh(sf_dir: str):
+    """Scale path: hyperplane-LSH banding + exact in-bucket verify.
+
+    Recall < 1 in general; at threshold 0.4 with 2 bits x 32 bands the
+    per-pair miss probability is (1 - p^2)^32 ~ 1e-7 (p = 1 - acos(.4)/pi),
+    and on this deterministic data (seeded planes) recall is exactly 1, so
+    the exact-join SQL oracle applies.
+    """
+    import ray.data as rd
+
+    from h3ray.pipelines import ann
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = ann.cosine_dup_pairs_lsh(ds, threshold=0.4, n_bands=32,
+                                   bits_per_band=2)
     return out.select_columns(["id_a", "id_b"])
 
 
@@ -308,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_len": _quality,
         "ann_topk_cosine": _ann_topk,
         "emb_cosine_dup_pairs": _emb_cosine_dups,
+        "emb_cosine_dup_pairs_lsh": _emb_cosine_dups_lsh,
         "multimodal_decode_meta": _multimodal_features,
         # --- H3 spatial pipelines (conformance-tested; rows-only here) ---
         "h3_cell_counts": _h3_cell_counts,
@@ -421,6 +441,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "emb_cosine_dup_pairs": """
+            SELECT e1.vec_id AS id_a, e2.vec_id AS id_b
+            FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+            WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.4
+        """,
+        "emb_cosine_dup_pairs_lsh": """
             SELECT e1.vec_id AS id_a, e2.vec_id AS id_b
             FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
             WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.4

@@ -15,11 +15,22 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
+def _embedding_matrix(batch: pa.Table, col: str,
+                      dtype=np.float32) -> np.ndarray:
     arr = batch[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    return np.stack(arr.to_numpy(zero_copy_only=False)).astype(np.float32)
+    n = len(arr)
+    if n and arr.null_count == 0:
+        import pyarrow.compute as pc
+
+        widths = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+        if (widths == widths[0]).all():
+            # Constant-width lists: reshape the flat values buffer directly
+            # instead of a per-row np.stack object loop.
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            return flat.reshape(n, int(widths[0])).astype(dtype, copy=False)
+    return np.stack(arr.to_numpy(zero_copy_only=False)).astype(dtype)
 
 
 class BruteForceScorer:
@@ -138,60 +149,149 @@ def lsh_topk(ds, queries: np.ndarray, *, id_col: str = "vec_id",
         BruteForceScorer.merge_topk(k, id_col), batch_format="pandas")
 
 
-class CosineDupScorer:
-    """Actor-pool stage for exact embedding near-duplicate pairs.
+def _norm_block(tbl: pa.Table, id_col: str, emb_col: str):
+    """(ids, row-normalized float64 matrix) of one corpus block."""
+    if isinstance(tbl, pa.RecordBatch):
+        tbl = pa.Table.from_batches([tbl])
+    # float64 so thresholding agrees with a float64 SQL oracle.
+    m = _embedding_matrix(tbl, emb_col, dtype=np.float64)
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return (tbl[id_col].to_numpy(zero_copy_only=False),
+            m / np.clip(n, 1e-30, None))
 
-    The (small) reference matrix is broadcast once via ray.put; each corpus
-    block emits pairs (id_a < id_b) with cosine >= threshold. The scale path
-    for corpora whose matrix no longer fits a worker is `lsh_topk`-style
-    bucketing (same kernels, bucket groupby, recall < 1).
-    """
 
-    def __init__(self, ref, id_col: str, emb_col: str, threshold: float):
-        import ray
-
-        data = ray.get(ref) if not isinstance(ref, dict) else ref
-        # float64 so thresholding agrees with a float64 SQL oracle.
-        m = data["mat"].astype(np.float64)
-        n = np.linalg.norm(m, axis=1, keepdims=True)
-        self.mat = m / np.clip(n, 1e-30, None)
-        self.ids = data["ids"]
-        self.id_col = id_col
-        self.emb_col = emb_col
-        self.threshold = threshold
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        x = _embedding_matrix(batch, self.emb_col).astype(np.float64)
-        xn = np.linalg.norm(x, axis=1, keepdims=True)
-        x = x / np.clip(xn, 1e-30, None)
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        sims = x @ self.mat.T  # (n, N)
-        hit = sims >= self.threshold
-        # Only emit ordered pairs a < b (dedup across blocks for free).
-        hit &= ids[:, None] < self.ids[None, :]
-        r, c = np.nonzero(hit)
-        return pa.Table.from_arrays(
-            [pa.array(ids[r]), pa.array(self.ids[c]),
-             pa.array(sims[r, c].astype(np.float64))],
-            names=["id_a", "id_b", "cosine"])
+def _pair_schema() -> pa.Schema:
+    return pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                      ("cosine", pa.float64())])
 
 
 def cosine_dup_pairs(ds, *, id_col: str = "vec_id", emb_col: str = "embedding",
-                     threshold: float = 0.9, concurrency: int = 4,
-                     batch_size: int = 4096):
-    """Exact embedding-cosine near-duplicate pairs (id_a < id_b)."""
+                     threshold: float = 0.9, num_cpus: float = 1.0,
+                     target_block_rows: int = 16384):
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b).
+
+    Distributed block-pair join: the corpus is re-blocked to
+    `target_block_rows` rows, block refs STAY in the object store (no driver
+    concat, no full-matrix broadcast), and one Ray task per block pair
+    (i <= j) emits that pair's hits. Compute is the exact-join
+    O(N^2 d / cluster) — inherent to exact threshold semantics; memory per
+    task is two blocks. The raw-task fan-out is used because the Dataset API
+    has no cross join; results re-enter Ray Data via from_arrow_refs. For
+    recall<1 at corpus sizes where O(N^2) is off the table, use
+    `cosine_dup_pairs_lsh`.
+    """
     import ray
+    import ray.data as rd
 
-    tbl = ds.select_columns([id_col, emb_col]).to_arrow_refs()
-    parts = [pa.Table.from_batches(t.to_batches())
-             for t in ray.get(tbl)]
-    full = pa.concat_tables(parts)
-    ref = ray.put({"mat": _embedding_matrix(full, emb_col),
-                   "ids": full[id_col].to_numpy(zero_copy_only=False)})
+    blocks = ds.select_columns([id_col, emb_col]) \
+        .map_batches(lambda b: b, batch_format="pyarrow",
+                     batch_size=target_block_rows).to_arrow_refs()
 
-    return ds.select_columns([id_col, emb_col]).map_batches(
-        CosineDupScorer,
-        fn_constructor_kwargs={"ref": ref, "id_col": id_col,
-                               "emb_col": emb_col, "threshold": threshold},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency)
+    @ray.remote(num_cpus=num_cpus)
+    def score_pair(ta, tb, same: bool) -> pa.Table:
+        ids_a, mat_a = _norm_block(ta, id_col, emb_col)
+        ids_b, mat_b = _norm_block(tb, id_col, emb_col)
+        if ids_a.size == 0 or ids_b.size == 0:
+            return _pair_schema().empty_table()
+        sims = mat_a @ mat_b.T
+        hit = sims >= threshold
+        if same:
+            # Upper triangle only (each in-block pair once).
+            hit &= ids_a[:, None] < ids_b[None, :]
+        else:
+            hit &= ids_a[:, None] != ids_b[None, :]
+        r, c = np.nonzero(hit)
+        a, b = ids_a[r], ids_b[c]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.Table.from_arrays(
+            [pa.array(lo.astype(np.int64)), pa.array(hi.astype(np.int64)),
+             pa.array(sims[r, c].astype(np.float64))],
+            schema=_pair_schema())
+
+    refs = [score_pair.remote(blocks[i], blocks[j], i == j)
+            for i in range(len(blocks)) for j in range(i, len(blocks))]
+    return rd.from_arrow_refs(refs)
+
+
+def cosine_dup_pairs_lsh(ds, *, id_col: str = "vec_id",
+                         emb_col: str = "embedding", threshold: float = 0.9,
+                         n_bands: int = 16, bits_per_band: int = 8,
+                         num_buckets: int = 32, seed: int = 23):
+    """Near-dup pairs via hyperplane-LSH banding + exact in-bucket verify.
+
+    The 100-TB path: each row explodes into `n_bands` (band, signature)
+    rows, identical signatures co-locate via a bucketed groupby, and exact
+    float64 cosine runs only inside collision runs. Recall < 1 (a pair at
+    cosine c collides with prob 1-(1-p^bits)^bands, p = 1 - acos(c)/pi);
+    raise n_bands / lower bits_per_band for higher recall. Embeddings ride
+    the shuffle once per band — size bands x dim accordingly.
+    """
+    from ..ops.pairs import distinct_pairs
+    from ..io.pages import _mix64
+    from ..text.dedup import _bucketize, _collision_runs
+
+    # Planes are built lazily from the first batch's dim (seeded, so every
+    # task regenerates the identical matrix).
+    planes_by_band = None
+
+    def band_stage(batch: pa.Table) -> pa.Table:
+        nonlocal planes_by_band
+        x = _embedding_matrix(batch, emb_col, dtype=np.float32)
+        if planes_by_band is None:
+            r = np.random.default_rng(seed)
+            planes_by_band = r.standard_normal(
+                (n_bands * bits_per_band, x.shape[1])).astype(np.float32)
+        sig_bits = (x @ planes_by_band.T) > 0  # (n, bands*bits)
+        weights = (1 << np.arange(bits_per_band, dtype=np.int64))
+        sigs = sig_bits.reshape(-1, n_bands, bits_per_band).astype(np.int64)
+        sig_val = (sigs * weights[None, None, :]).sum(axis=2)  # (n, bands)
+        n = x.shape[0]
+        rows = np.repeat(np.arange(n), n_bands)
+        band = np.tile(np.arange(n_bands, dtype=np.int32), n)
+        sig_flat = sig_val.reshape(-1)
+        mixed = _mix64(sig_flat.astype(np.uint64)
+                       + band.astype(np.uint64)
+                       * np.uint64(0x9E3779B97F4A7C15)).view(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        emb = batch[emb_col]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        return pa.Table.from_arrays(
+            [pa.array(ids[rows]), pa.array(band), pa.array(mixed),
+             emb.take(pa.array(rows))],
+            names=[id_col, "band", "band_sig", emb_col])
+
+    bands = ds.select_columns([id_col, emb_col]).map_batches(
+        band_stage, batch_format="pyarrow", batch_size=8192)
+    bucketed = _bucketize(bands, "band_sig", num_buckets)
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ks = group[id_col].to_numpy(zero_copy_only=False)
+        band = group["band"].to_numpy(zero_copy_only=False)
+        sig = group["band_sig"].to_numpy(zero_copy_only=False)
+        order, starts, ends = _collision_runs((band, sig, ks))
+        mat = _embedding_matrix(group, emb_col, dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.clip(norms, 1e-30, None)
+        out_a, out_b, out_c = [], [], []
+        for s, e in zip(starts, ends):
+            idx = order[s:e]
+            sims = mat[idx] @ mat[idx].T
+            ia, ib = np.triu_indices(idx.shape[0], 1)
+            keep = (sims[ia, ib] >= threshold) & (ks[idx[ia]] != ks[idx[ib]])
+            a, b = ks[idx[ia[keep]]], ks[idx[ib[keep]]]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+            out_c.append(sims[ia[keep], ib[keep]])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        c = np.concatenate(out_c) if out_c else np.empty(0, np.float64)
+        return pa.Table.from_arrays(
+            [pa.array(a.astype(np.int64)), pa.array(b.astype(np.int64)),
+             pa.array(c.astype(np.float64))],
+            schema=_pair_schema())
+
+    cand = bucketed.groupby("_bucket").map_groups(pairs,
+                                                  batch_format="pyarrow")
+    # A pair collides in several bands: exact distinct via bucketed groupby.
+    return distinct_pairs(cand, "id_a", "id_b", keep=("cosine",))

@@ -291,19 +291,11 @@ def simhash_duplicate_pairs(ds, key_col: str, text_col: str = "text",
     cand = bucketed.groupby("_bucket").map_groups(pairs,
                                                   batch_format="pyarrow")
 
-    # A pair can collide in several bands: tiny final distinct.
-    def distinct(batch: pa.Table) -> pa.Table:
-        a = batch["key_a"].to_numpy(zero_copy_only=False)
-        b = batch["key_b"].to_numpy(zero_copy_only=False)
-        u = np.unique(np.stack([a, b], axis=1), axis=0)
-        return pa.Table.from_arrays([pa.array(u[:, 0]), pa.array(u[:, 1])],
-                                    names=["key_a", "key_b"])
+    # A pair can collide in several bands: exact distributed distinct
+    # (unbounded pair sets must not funnel through the driver).
+    from ..ops.pairs import distinct_pairs
 
-    import ray.data as rd
-
-    from ..ops.reduce import driver_merge
-
-    return rd.from_arrow(driver_merge(cand, distinct))
+    return distinct_pairs(cand, "key_a", "key_b")
 
 
 POPCOUNT8 = np.array([bin(v).count("1") for v in range(256)], dtype=np.int64)
