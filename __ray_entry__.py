@@ -351,6 +351,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _langid_oracle() -> str:
+    """SQL mirror of h3ray.text.analysis.langid_stage: per-language stopword
+    regex hit counts, first-max-wins argmax in dict order, 'und' on all-zero.
+    Patterns are built from the same _STOPWORDS source of truth."""
+    from h3ray.text.analysis import _STOPWORDS
+
+    langs = list(_STOPWORDS)  # dict order == np.argmax tie-break order
+    count_exprs = ", ".join(
+        "len(regexp_extract_all(text, '(?i)\\b(?:"
+        + "|".join(sorted(ws)) + ")\\b')) AS c_" + lang
+        for lang, ws in _STOPWORDS.items())
+    greatest = "greatest(" + ", ".join(f"c_{x}" for x in langs) + ")"
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"c_{lang} >= c_{other}"
+                             for other in langs[i + 1:])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    return f"""
+        SELECT doc_id,
+               CASE WHEN {greatest} = 0 THEN 'und'
+                    {' '.join(cases)}
+                    ELSE '{langs[-1]}' END AS lang_pred
+        FROM (SELECT doc_id, text, {count_exprs} FROM documents)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "lineitem_pricing_summary": """
@@ -449,6 +475,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT e1.vec_id AS id_a, e2.vec_id AS id_b
             FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
             WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.4
+        """,
+        "langid_predictions": _langid_oracle(),
+        "ngram_jaccard_pairs": """
+            WITH shingles AS (
+              SELECT doc_id,
+                     CASE WHEN length(text) < 5 THEN [rpad(text, 5, ' ')]
+                          ELSE list_distinct([substring(text, i, 5)
+                                  FOR i IN range(1, length(text) - 3)])
+                     END AS gs
+              FROM documents
+            )
+            SELECT a.doc_id AS key_a, b.doc_id AS key_b
+            FROM shingles a JOIN shingles b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                  / (len(a.gs) + len(b.gs)
+                     - len(list_intersect(a.gs, b.gs))) >= 0.5
         """,
         "ann_topk_cosine": """
             SELECT query_id, vec_id FROM (

@@ -301,72 +301,159 @@ def simhash_duplicate_pairs(ds, key_col: str, text_col: str = "text",
 POPCOUNT8 = np.array([bin(v).count("1") for v in range(256)], dtype=np.int64)
 
 
-def ngram_jaccard_pairs(ds, key_col: str, text_col: str = "text",
-                        threshold: float = 0.5, k: int = 5):
-    """Exact-verified near-dup pairs: MinHash-LSH candidates re-checked with
-    true character-k-gram Jaccard >= threshold.
+def minhash_candidate_pairs(ds, key_col: str, text_col: str = "text",
+                            k: int = 5, num_buckets: int = 32):
+    """All distinct (key_a < key_b) pairs colliding in >= 1 MinHash band.
 
-    Texts for verification ride along inside the candidate groups (suitable
-    while candidate groups are small; join texts back by key otherwise).
-    """
-    bands = ds.map_batches(minhash_bands_stage(key_col, text_col,
-                                               keep_text=True),
+    Shuffle moves (key, band, band_hash) rows ONLY — no text. Duplicate
+    collisions across bands are removed by a bucketed distinct."""
+    from ..ops.pairs import distinct_pairs
+
+    bands = ds.map_batches(minhash_bands_stage(key_col, text_col, k),
                            batch_format="pyarrow", batch_size=8192)
-    bucketed = _bucketize(bands, "band_hash", 32)
+    bucketed = _bucketize(bands, "band_hash", num_buckets)
 
     def pairs(group: pa.Table) -> pa.Table:
         ks = group[key_col].to_numpy(zero_copy_only=False)
         band = group["band"].to_numpy(zero_copy_only=False)
         bh = group["band_hash"].to_numpy(zero_copy_only=False)
         order, starts, ends = _collision_runs((band, bh, ks))
-        texts = group["text"]
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        # Shingle each doc at most once per group (cache by key).
-        cache: dict = {}
-
-        def shingles(pos):
-            key = ks[pos]
-            if key not in cache:
-                cache[key] = np.unique(
-                    _shingle_hashes(texts[pos].as_py(), k))
-            return cache[key]
-
-        out_a, out_b, out_j = [], [], []
+        out_a, out_b = [], []
         for s, e in zip(starts, ends):
             idx = order[s:e]
-            for i in range(idx.shape[0]):
-                for j in range(i + 1, idx.shape[0]):
-                    sa, sb = shingles(idx[i]), shingles(idx[j])
-                    inter = np.intersect1d(sa, sb,
-                                           assume_unique=True).shape[0]
-                    union = sa.shape[0] + sb.shape[0] - inter
-                    sim = inter / union if union else 1.0
-                    if sim >= threshold:
-                        out_a.append(ks[idx[i]])
-                        out_b.append(ks[idx[j]])
-                        out_j.append(sim)
-        return pa.Table.from_arrays(
-            [pa.array(np.array(out_a, dtype=ks.dtype)),
-             pa.array(np.array(out_b, dtype=ks.dtype)),
-             pa.array(np.array(out_j, dtype=np.float64))],
-            names=["key_a", "key_b", "jaccard"])
+            ia, ib = np.triu_indices(idx.shape[0], 1)
+            a, b = ks[idx[ia]], ks[idx[ib]]
+            keep = a != b
+            out_a.append(np.minimum(a[keep], b[keep]))
+            out_b.append(np.maximum(a[keep], b[keep]))
+        a = np.concatenate(out_a) if out_a else np.empty(0, ks.dtype)
+        b = np.concatenate(out_b) if out_b else np.empty(0, ks.dtype)
+        return pa.Table.from_arrays([pa.array(a), pa.array(b)],
+                                    names=["key_a", "key_b"])
 
     cand = bucketed.groupby("_bucket").map_groups(pairs,
                                                   batch_format="pyarrow")
+    return distinct_pairs(cand, "key_a", "key_b", num_buckets=num_buckets)
 
-    def distinct(batch: pa.Table) -> pa.Table:
-        a = batch["key_a"].to_numpy(zero_copy_only=False)
-        b = batch["key_b"].to_numpy(zero_copy_only=False)
-        pairs_ab = np.stack([a, b], axis=1)
-        u, idx = np.unique(pairs_ab, axis=0, return_index=True)
-        j = batch["jaccard"].to_numpy(zero_copy_only=False)[idx]
-        return pa.Table.from_arrays(
-            [pa.array(u[:, 0]), pa.array(u[:, 1]), pa.array(j)],
-            names=["key_a", "key_b", "jaccard"])
 
+def _ragged_gather(values: np.ndarray, starts: np.ndarray,
+                   lengths: np.ndarray) -> np.ndarray:
+    """Concatenate values[starts[i] : starts[i]+lengths[i]] vectorized."""
+    total = int(lengths.sum())
+    if total == 0:
+        return np.empty(0, values.dtype)
+    bounds = np.cumsum(lengths) - lengths
+    pos = np.arange(total, dtype=np.int64) - np.repeat(bounds, lengths)
+    return values[np.repeat(starts, lengths) + pos]
+
+
+def ngram_jaccard_pairs(ds, key_col: str, text_col: str = "text",
+                        threshold: float = 0.5, k: int = 5,
+                        num_buckets: int = 32):
+    """Exact-verified near-dup pairs: MinHash-LSH candidates re-checked with
+    true character-k-gram Jaccard >= threshold.
+
+    Scale shape: the candidate stage shuffles keys only (no text); the
+    candidate pair set — output-sized, the near-dup population — is pulled
+    to the driver once to build a broadcast routing table; then ONE
+    streaming pass over the corpus shingles only candidate docs and ships
+    each doc's (small) shingle-hash set to the verification bucket(s) of its
+    pairs; verification is a vectorized per-bucket set-intersection (tagged
+    concat + lexsort + adjacent-equal counting), no per-pair Python loop.
+    """
+    import ray
     import ray.data as rd
 
-    from ..ops.reduce import driver_merge
+    cand = minhash_candidate_pairs(ds, key_col, text_col, k, num_buckets) \
+        .to_pandas()
+    out_schema = pa.schema([("key_a", pa.int64()), ("key_b", pa.int64()),
+                            ("jaccard", pa.float64())])
+    if len(cand) == 0:
+        return rd.from_arrow(out_schema.empty_table())
 
-    return rd.from_arrow(driver_merge(cand, distinct))
+    pair_a = cand["key_a"].to_numpy().astype(np.int64)
+    pair_b = cand["key_b"].to_numpy().astype(np.int64)
+    nv = max(1, min(num_buckets, (len(cand) + 63) // 64))
+    pair_bucket = (_mix64(pair_a.view(np.uint64) * np.uint64(3)
+                          + _mix64(pair_b.view(np.uint64)))
+                   % np.uint64(nv)).astype(np.int32)
+    # key -> verification buckets routing (deduped), sorted for searchsorted.
+    keys_cat = np.concatenate([pair_a, pair_b])
+    buckets_cat = np.concatenate([pair_bucket, pair_bucket])
+    kb = np.unique(np.stack([keys_cat, buckets_cat.astype(np.int64)],
+                            axis=1), axis=0)
+    route_ref = ray.put({"keys": kb[:, 0], "buckets": kb[:, 1],
+                         "pa": pair_a, "pb": pair_b, "pbk": pair_bucket})
+
+    def shingle_stage(batch: pa.Table) -> pa.Table:
+        route = ray.get(route_ref)
+        sk, sb = route["keys"], route["buckets"]
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(sk, keys, side="left")
+        hi = np.searchsorted(sk, keys, side="right")
+        rows = np.flatnonzero(hi > lo)
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        out_keys, out_bkts, flat, counts = [], [], [], []
+        for r in rows:  # candidate docs only (output-sized, not corpus)
+            sh = np.unique(_shingle_hashes(texts[int(r)].as_py(), k)) \
+                .view(np.int64)
+            for bkt in sb[lo[r]:hi[r]]:
+                out_keys.append(keys[r])
+                out_bkts.append(bkt)
+                flat.append(sh)
+                counts.append(sh.shape[0])
+        values = np.concatenate(flat) if flat else np.empty(0, np.int64)
+        offsets = np.zeros(len(flat) + 1, dtype=np.int32)
+        np.cumsum(counts, out=offsets[1:]) if counts else None
+        return pa.Table.from_arrays(
+            [pa.array(np.array(out_keys, dtype=np.int64)),
+             pa.array(np.array(out_bkts, dtype=np.int32)),
+             pa.ListArray.from_arrays(offsets, pa.array(values))],
+            names=[key_col, "_vbucket", "shingles"])
+
+    shingled = ds.map_batches(shingle_stage, batch_format="pyarrow",
+                              batch_size=8192)
+
+    def verify(group: pa.Table) -> pa.Table:
+        route = ray.get(route_ref)
+        bkt = group["_vbucket"][0].as_py()
+        mask = route["pbk"] == bkt
+        a_ids, b_ids = route["pa"][mask], route["pb"][mask]
+        gk = group[key_col].to_numpy(zero_copy_only=False)
+        lists = group["shingles"]
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        values = lists.flatten().to_numpy(zero_copy_only=False)
+        import pyarrow.compute as pc
+
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        starts = np.cumsum(lens) - lens
+        order = np.argsort(gk, kind="stable")
+        gk_s = gk[order]
+        ia = order[np.searchsorted(gk_s, a_ids)]
+        ib = order[np.searchsorted(gk_s, b_ids)]
+        # Vectorized multi-pair intersection: tag each shingle with its pair
+        # id, sort (pair, value), count adjacent equal values within a pair.
+        la, lb = lens[ia], lens[ib]
+        vals = np.concatenate([_ragged_gather(values, starts[ia], la),
+                               _ragged_gather(values, starts[ib], lb)])
+        npairs = a_ids.shape[0]
+        tags = np.concatenate([np.repeat(np.arange(npairs), la),
+                               np.repeat(np.arange(npairs), lb)])
+        so = np.lexsort((vals, tags))
+        tv, vv = tags[so], vals[so]
+        eq = (tv[1:] == tv[:-1]) & (vv[1:] == vv[:-1])
+        inter = np.bincount(tv[1:][eq], minlength=npairs)
+        union = la + lb - inter
+        jacc = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        keep = jacc >= threshold
+        return pa.Table.from_arrays(
+            [pa.array(a_ids[keep]), pa.array(b_ids[keep]),
+             pa.array(jacc[keep].astype(np.float64))],
+            schema=out_schema)
+
+    return shingled.groupby("_vbucket").map_groups(verify,
+                                                   batch_format="pyarrow")
