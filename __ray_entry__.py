@@ -76,7 +76,11 @@ def _h3_compact_tiles(sf_dir: str):
     ds = geotag.geotag_cells(pio.pages_from_documents(sf_dir), res=6,
                              parent_res=2, keep_cols=("url",))
     cells = ds.select_columns(["cell_r6"])
-    return tiles.compact_cells_dataset(cells, cell_col="cell_r6", group_res=2)
+    # shuffle=True keeps the exact two-round shuffle path continuously
+    # exercised by the driver (the auto default would pick the driver-merge
+    # path at this scale).
+    return tiles.compact_cells_dataset(cells, cell_col="cell_r6",
+                                       group_res=2, shuffle=True)
 
 
 def _h3_pip_join(sf_dir: str):
@@ -155,7 +159,12 @@ def _h3_grid_paths(sf_dir: str):
 
 
 def _h3_cell_areas(sf_dir: str):
-    """Coverage cells of the city polygons with exact spherical areas."""
+    """Coverage cells of the city polygons with exact spherical areas.
+
+    Areas ride as integer m^2 (floor(area_m2 + 0.5)) so the driver's row
+    check pins the computed values, not just the cell ids."""
+    import numpy as np
+    import pyarrow as pa
     import ray.data as rd
 
     from h3ray.ops import stages
@@ -163,8 +172,45 @@ def _h3_cell_areas(sf_dir: str):
 
     cov = pip.coverage_table(pip.city_polygons(8), res=6)
     out = rd.from_arrow(cov).map_batches(
-        stages.area_stage("cell", unit="km2"), batch_format="pyarrow")
-    return out.select_columns(["polygon_id", "cell"])
+        stages.area_stage("cell", unit="m2"), batch_format="pyarrow")
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        a = batch["area_m2"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "area_m2_int", pa.array(np.floor(a + 0.5).astype(np.int64)))
+
+    return out.map_batches(quantize, batch_format="pyarrow") \
+        .select_columns(["polygon_id", "cell", "area_m2_int"])
+
+
+def _h3_local_ij(sf_dir: str):
+    """cellToLocalIj of each page's cell against its city anchor cell."""
+    from h3ray.io import pages as pio
+    from h3ray.kernels import bits, latlng
+    from h3ray.ops import stages
+    from h3ray.pipelines import geotag
+    import numpy as np
+    import pyarrow as pa
+
+    anchors = latlng.latlng_to_cell(pio.CITY_LAT, pio.CITY_LNG, 5)
+
+    def add_anchor(batch: pa.Table) -> pa.Table:
+        from h3ray.io.pages import url_hash64
+
+        urls = batch["url"]
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        h = url_hash64(urls)
+        city = (pio._mix64(h + np.uint64(2))
+                % np.uint64(pio.N_CITIES)).astype(np.int64)
+        return batch.append_column(
+            "anchor", pa.array(bits.as_u64(anchors[city])))
+
+    ds = geotag.geotag_cells(pio.pages_from_documents(sf_dir), res=5,
+                             parent_res=2, keep_cols=("url",))
+    out = ds.map_batches(add_anchor, batch_format="pyarrow").map_batches(
+        stages.local_ij_stage("anchor", "cell_r5"), batch_format="pyarrow")
+    return out.select_columns(["url", "local_i", "local_j", "local_ok"])
 
 
 def _docs_bpe_tokens(sf_dir: str):
@@ -338,6 +384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "h3_dissolve_coverage": _h3_dissolve_coverage,
         "h3_grid_paths": _h3_grid_paths,
         "h3_cell_areas": _h3_cell_areas,
+        "h3_local_ij": _h3_local_ij,
         "docs_bpe_tokens": _docs_bpe_tokens,
         "docs_fingerprints": _docs_fingerprints,
         "h3_tile_assign": _h3_tile_assign,

@@ -113,8 +113,8 @@ def run_benchmarks() -> dict:
     t0 = time.time()
     cells = geotag.geotag_cells(read_pages(), res=7, parent_res=2,
                                 keep_cols=("url",)).select_columns(["cell_r7"])
-    n_compact = tiles.compact_cells_dataset(cells, "cell_r7",
-                                            group_res=2).count()
+    n_compact = tiles.compact_cells_dataset(cells, "cell_r7", group_res=2,
+                                            shuffle=True).count()
     timings["compact_cells"] = time.time() - t0
 
     # 5. Relational oracle queries over $GRAFT_SF_DIR.

@@ -313,3 +313,9 @@ def to_strings(cells) -> np.ndarray:
 
 def from_strings(strs) -> np.ndarray:
     return np.array([int(s, 16) for s in strs], dtype=np.int64)
+
+
+def is_res_class3(res) -> np.ndarray:
+    """isResClassIII (resolution.rs:63-65): odd resolutions have their unit
+    vectors rotated ~19.1 deg (Class III orientation)."""
+    return (np.asarray(res, dtype=np.int64) % 2) == 1

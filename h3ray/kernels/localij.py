@@ -491,3 +491,11 @@ def grid_path_cells(origins, destinations):
     # argsort(stable) keeps per-row step order because we appended step-major;
     # re-sort by (row, step) via stable sort on row only.
     return row[order], cell[order], ok
+
+
+def grid_path_cells_size(origins, destinations):
+    """Vectorized gridPathCellsSize (cell.rs:1320-1363): number of cells in
+    the origin->destination line, i.e. gridDistance + 1. Returns (size, ok);
+    size is undefined (left as dist+1) where ok is False."""
+    dist, ok = grid_distance(origins, destinations)
+    return dist + 1, ok

@@ -205,3 +205,13 @@ def icosahedron_faces(cells) -> np.ndarray:
             mask |= 1 << int(f[0])
         out[row] = mask
     return out.astype(np.uint32)
+
+
+def pentagon_count() -> int:
+    """pentagonCount (resolution.rs:368-372): 12 at every resolution."""
+    return 12
+
+
+def res0_cell_count() -> int:
+    """res0CellCount (cell.rs:840-847): the 122 base cells."""
+    return 122

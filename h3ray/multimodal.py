@@ -57,6 +57,8 @@ class ImageDecodeStage:
             col = col.combine_chunks()
         import pyarrow.compute as pc
 
+        if self.codec == "pil":
+            return self._decode_pil(batch, col)
         h = _hash_bytes_batch(col)
         # Deterministic fake decode: dimensions derived from the payload hash.
         width = (64 + (h % np.uint64(193))).astype(np.int32)
@@ -68,6 +70,34 @@ class ImageDecodeStage:
             "img_h", pa.array(height)).append_column(
             "img_c", pa.array(np.full(len(col), 3, dtype=np.int32))
         ).append_column("decode_ok", pa.array(ok))
+
+    def _decode_pil(self, batch: pa.Table, col: pa.Array) -> pa.Table:
+        """Real decode: per-payload PIL open (decode is inherently per-item;
+        the vectorization win lives in batch sizing + the actor pool)."""
+        import io as _io
+
+        n = len(col)
+        width = np.zeros(n, dtype=np.int32)
+        height = np.zeros(n, dtype=np.int32)
+        chans = np.zeros(n, dtype=np.int32)
+        ok = np.zeros(n, dtype=bool)
+        for idx in range(n):
+            payload = col[idx].as_py()
+            if not payload:
+                continue
+            try:
+                with self._pil.open(_io.BytesIO(payload)) as im:
+                    width[idx] = im.width
+                    height[idx] = im.height
+                    chans[idx] = len(im.getbands())
+                    ok[idx] = True
+            except Exception:  # undecodable payload -> decode_ok=False row
+                pass
+        return batch.append_column(
+            "img_w", pa.array(width)).append_column(
+            "img_h", pa.array(height)).append_column(
+            "img_c", pa.array(chans)).append_column(
+            "decode_ok", pa.array(ok))
 
 
 class FeatureExtractStage:

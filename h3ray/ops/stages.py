@@ -201,6 +201,23 @@ def area_stage(cell_col: str, unit: str = "km2", out_col: str | None = None):
     return fn
 
 
+def local_ij_stage(origin_col: str, cell_col: str, i_col: str = "local_i",
+                   j_col: str = "local_j", ok_col: str = "local_ok"):
+    """cellToLocalIj per row (cell.rs:1482-1486): anchor-relative (i, j)
+    axial coordinates; ok=False where the local frame is undefined
+    (different base-cell neighborhoods / pentagon distortion)."""
+    from ..kernels import localij
+
+    def fn(batch: pa.Table) -> pa.Table:
+        i, j, ok = localij.cell_to_local_ij(_col(batch, origin_col),
+                                            _col(batch, cell_col))
+        batch = batch.append_column(i_col, pa.array(np.where(ok, i, 0)))
+        batch = batch.append_column(j_col, pa.array(np.where(ok, j, 0)))
+        return batch.append_column(ok_col, pa.array(ok))
+
+    return fn
+
+
 def grid_distance_stage(origin_col: str, cell_col: str,
                         out_col: str = "grid_dist"):
     """Pairwise hex-grid distance; -1 where undefined (pentagon/unfold)."""

@@ -35,21 +35,32 @@ def tiles_to_cells(tiles_ds, tile_col: str, child_res: int,
         batch_format="pyarrow", batch_size=4096)
 
 
+SHUFFLE_COMPACT_THRESHOLD = 50_000_000
+
+
 def compact_cells_dataset(cells_ds, cell_col: str = "cell",
-                          group_res: int = 2, shuffle: bool = False):
+                          group_res: int = 2,
+                          shuffle: bool | None = None,
+                          distinct_estimate: int | None = None):
     """Distributed compactCells over a Dataset of same-res cells.
 
-    Default path: batch-local distinct (the big reduction — duplicates never
-    leave their block), then ONE final task compacts the merged distinct set
-    with vectorized numpy (compact of N distinct cells is ~N log N; 10M cells
-    ~ a second). Valid while the distinct-cell set fits one block (~100M
-    rows); past that pass shuffle=True.
+    Driver path (shuffle=False): batch-local distinct (the big reduction —
+    duplicates never leave their block), then ONE final task compacts the
+    merged distinct set with vectorized numpy (compact of N distinct cells
+    is ~N log N; 10M cells ~ a second). Valid while the distinct-cell set
+    fits one block (~100M rows).
 
-    shuffle=True path: hash-group by parent at `group_res`; local compact per
-    group (exact — compaction never crosses a res-0 subtree); tiny second
-    pass for cells that compacted up to the group key (SURVEY.md §3.3
-    two-round shuffle).
+    Shuffle path (shuffle=True): hash-group by parent at `group_res`; local
+    compact per group (exact — compaction never crosses a res-0 subtree);
+    tiny second pass for cells that compacted up to the group key
+    (SURVEY.md §3.3 two-round shuffle).
+
+    shuffle=None auto-selects: the shuffle path when `distinct_estimate`
+    (upper bound on distinct cells, e.g. rows of the input) exceeds
+    SHUFFLE_COMPACT_THRESHOLD, else the driver path.
     """
+    if shuffle is None:
+        shuffle = (distinct_estimate or 0) > SHUFFLE_COMPACT_THRESHOLD
     if not shuffle:
         def batch_distinct(batch: pa.Table) -> pa.Table:
             cells = np.unique(batch[cell_col].to_numpy(zero_copy_only=False))

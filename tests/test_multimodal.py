@@ -45,7 +45,37 @@ def test_frame_sample_expansion(ray_session):
 
 
 def test_real_codecs_raise_not_implemented():
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL present; covered by test_pil_decode_real")
+    except ImportError:
+        pass
     with pytest.raises(NotImplementedError):
         multimodal.ImageDecodeStage(codec="pil")
     with pytest.raises(NotImplementedError):
         multimodal.FrameSampleStage(codec="ffmpeg")
+
+
+def test_pil_decode_real():
+    """Real-codec seam: runs wherever PIL is available (skipped here —
+    codecs are not baked into this container)."""
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+    import pyarrow as pa
+
+    bufs = []
+    for w, h in ((10, 7), (3, 3)):
+        img = Image.new("RGB", (w, h), (120, 10, 10))
+        b = io.BytesIO()
+        img.save(b, format="PNG")
+        bufs.append(b.getvalue())
+    bufs.append(b"not-an-image")
+    batch = pa.Table.from_arrays(
+        [pa.array(bufs, type=pa.binary())], names=["html"])
+    out = multimodal.ImageDecodeStage(col="html", codec="pil")(batch)
+    assert out["img_w"].to_pylist() == [10, 3, 0]
+    assert out["img_h"].to_pylist() == [7, 3, 0]
+    assert out["img_c"].to_pylist() == [3, 3, 0]
+    assert out["decode_ok"].to_pylist() == [True, True, False]

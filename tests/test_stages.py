@@ -84,6 +84,42 @@ def test_path_expand_stage_endpoints():
             assert first[u] == cells[i]
 
 
+def test_local_ij_stage_self_origin():
+    batch, cells = make_batch()
+    b = batch.append_column("origin", batch["cell"])
+    out = stages.local_ij_stage("origin", "cell")(b)
+    ok = out["local_ok"].to_numpy(zero_copy_only=False)
+    assert ok.all()
+    # Anchor-relative coordinates of the anchor itself round-trip to (i, j)
+    # of the origin's own local frame -> reconstructing gives the origin.
+    from h3ray.kernels import localij
+
+    i = out["local_i"].to_numpy()
+    j = out["local_j"].to_numpy()
+    back, back_ok = localij.local_ij_to_cell(cells, i, j)
+    assert back_ok.all() and (back == cells).all()
+
+
+def test_trivia_kernels():
+    from h3ray.kernels import localij, measures
+
+    assert measures.pentagon_count() == 12
+    assert measures.res0_cell_count() == 122
+    assert measures.res0_cells().shape[0] == measures.res0_cell_count()
+    assert measures.pentagons(9).shape[0] == measures.pentagon_count()
+    assert (bits.is_res_class3(np.arange(16))
+            == (np.arange(16) % 2 == 1)).all()
+    # gridPathCellsSize == number of cells gridPathCells emits.
+    batch, cells = make_batch(n=40, res=7)
+    near = latlng.latlng_to_cell(
+        batch["lat"].to_numpy() + 0.3, batch["lng"].to_numpy() + 0.3, 7)
+    size, ok = localij.grid_path_cells_size(cells, near)
+    rows, _, ok_rows = localij.grid_path_cells(cells, near)
+    emitted = np.bincount(rows, minlength=cells.shape[0])
+    assert (size[ok & ok_rows] == emitted[ok & ok_rows]).all()
+    assert (size >= 1).all()
+
+
 def test_salt_stage_deterministic():
     batch, _ = make_batch()
     a = stages.salt_stage("cell", 8)(batch)["salt"].to_numpy()
