@@ -109,13 +109,17 @@ def run_benchmarks() -> dict:
     tiles.tile_assign(read_pages(), res=9, tile_res=4).write_parquet(sink)
     timings["tile_assign_sink"] = time.time() - t0
 
-    # 4. Distributed compact of the res-7 cell set (dedup inside).
-    t0 = time.time()
-    cells = geotag.geotag_cells(read_pages(), res=7, parent_res=2,
-                                keep_cols=("url",)).select_columns(["cell_r7"])
-    n_compact = tiles.compact_cells_dataset(cells, "cell_r7", group_res=2,
-                                            shuffle=True).count()
-    timings["compact_cells"] = time.time() - t0
+    # 4. Distributed compact of the res-7 cell set (dedup inside): both the
+    # small-set driver-merge path and the 100-TB two-round shuffle path.
+    for name, shuffle in (("compact_cells", False),
+                          ("compact_cells_shuffle", True)):
+        t0 = time.time()
+        cells = geotag.geotag_cells(
+            read_pages(), res=7, parent_res=2,
+            keep_cols=("url",)).select_columns(["cell_r7"])
+        n_compact = tiles.compact_cells_dataset(
+            cells, "cell_r7", group_res=2, shuffle=shuffle).count()
+        timings[name] = time.time() - t0
 
     # 5. Relational oracle queries over $GRAFT_SF_DIR.
     for name, fn in (("lineitem_agg", relational.lineitem_agg),

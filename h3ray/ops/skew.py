@@ -23,6 +23,17 @@ import pyarrow as pa
 from ..io.pages import _mix64
 
 
+def default_num_buckets() -> int:
+    """Reducer bucket count for hash-bucketed groupbys: ~4x cluster cores so
+    no reducer holds more than ~1/(4 cores) of the data and parallelism is
+    never capped by a fixed constant."""
+    import ray
+
+    if ray.is_initialized():
+        return max(32, int(4 * ray.cluster_resources().get("CPU", 8)))
+    return 128
+
+
 def add_salt(batch: pa.Table, key_col: str, salt_mod: int,
              out_col: str = "_salt") -> pa.Table:
     """Deterministic per-row salt derived from a secondary hash of the key

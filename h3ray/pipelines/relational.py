@@ -222,14 +222,9 @@ def docs_exact_dedup(sf_dir: str):
 
 
 def _default_buckets() -> int:
-    """Reducer bucket count for user-keyed window ops: ~4x cluster cores so
-    no single map_groups block holds more than ~1/(4 cores) of the events
-    (a fixed small constant caps parallelism AND group size at scale)."""
-    import ray
+    from ..ops.skew import default_num_buckets
 
-    if ray.is_initialized():
-        return max(32, int(4 * ray.cluster_resources().get("CPU", 8)))
-    return 128
+    return default_num_buckets()
 
 
 def user_sessions(sf_dir: str, gap_s: int = 1800,

@@ -93,11 +93,28 @@ def compact_cells_dataset(cells_ds, cell_col: str = "cell",
         return pa.Table.from_arrays([pa.array(cells)], names=[cell_col])
 
     # Batch-local distinct first so the shuffle moves unique cells only.
+    # Reducers group by HASH BUCKET of the parent key, not by parent value:
+    # every cell of a given res-`group_res` subtree still lands in one
+    # group (exactness preserved), but the groupby handles ~num_buckets
+    # groups instead of one tiny Python callback per distinct parent
+    # (measured 2x on the bench compact query).
+    from ..io.pages import _mix64
+    from ..ops.skew import default_num_buckets
+
+    nb = default_num_buckets()
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        gkey = batch["_gkey"].to_numpy(zero_copy_only=False)
+        h = _mix64(gkey.astype(np.uint64))
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(nb)).astype(np.int32)))
+
     keyed = cells_ds.map_batches(batch_distinct, batch_format="pyarrow",
                                  batch_size=65536).map_batches(
         stages.parent_stage(group_res, cell_col=cell_col, out_col="_gkey"),
-        batch_format="pyarrow", batch_size=65536)
-    round1 = keyed.groupby("_gkey").map_groups(
+        batch_format="pyarrow", batch_size=65536).map_batches(
+        add_bucket, batch_format="pyarrow")
+    round1 = keyed.groupby("_bucket").map_groups(
         local_compact, batch_format="pyarrow").select_columns([cell_col])
 
     # Split: anything still finer than group_res is final.
