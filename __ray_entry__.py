@@ -356,6 +356,20 @@ def _quality(sf_dir: str):
         .select_columns(["doc_id", "q_len"])
 
 
+def _events_topk_by_type(sf_dir: str):
+    """Top-10 events by value per event_type via the salted two-phase top-k
+    (bounded reducers under hot-key skew; ties broken by event_id)."""
+    import ray.data as rd
+
+    from h3ray.ops.skew import salted_top_k
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    out = salted_top_k(ds, key_col="event_type", value_col="value", k=10,
+                       tiebreak_col="event_id")
+    return out.select_columns(["event_type", "event_id", "value"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
@@ -367,6 +381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_windows": rel.events_hourly_windows,
         "events_user_sessions": rel.user_sessions,
         "events_asof_join": rel.events_asof_join,
+        "events_topk_by_type": _events_topk_by_type,
         "docs_by_lang": rel.docs_by_lang,
         "docs_token_counts": rel.docs_token_counts,
         "docs_exact_dedup": rel.docs_exact_dedup,
@@ -486,6 +501,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(MIN(epoch(ts))) AS BIGINT) AS start_epoch,
                    CAST(FLOOR(MAX(epoch(ts))) AS BIGINT) AS end_epoch
             FROM s GROUP BY user_id, session_id
+        """,
+        "events_topk_by_type": """
+            SELECT event_type, event_id, value FROM (
+                SELECT event_type, event_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY value DESC,
+                                                   event_id ASC) AS rnk
+                FROM events
+            ) WHERE rnk <= 10
         """,
         "docs_by_lang": """
             SELECT lang, COUNT(*) AS num_docs,

@@ -60,3 +60,74 @@ def salted_group_count(ds, key_col: str, salt_mod: int = 16,
         Count(alias_name="_partial"))
     return partial.groupby(key_col).aggregate(
         Sum("_partial", alias_name=out_col))
+
+
+def _key_hash(col) -> np.ndarray:
+    """uint64 hash of a key column (int -> mix64, string -> url_hash64)."""
+    from ..io.pages import url_hash64
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        return _mix64(col.to_numpy(zero_copy_only=False).astype(np.uint64))
+    return url_hash64(col)
+
+
+def _segmented_top_k(tbl: pa.Table, key_col: str, value_col: str, k: int,
+                     tiebreak_col: str | None) -> pa.Table:
+    """Vectorized per-key top-k by (value DESC, tiebreak ASC): one lexsort,
+    segment boundaries, rank-within-segment filter — no per-group callback."""
+    keys = tbl[key_col].to_numpy(zero_copy_only=False)
+    vals = tbl[value_col].to_numpy(zero_copy_only=False)
+    n = keys.shape[0]
+    if n == 0:
+        return tbl
+    tb = (tbl[tiebreak_col].to_numpy(zero_copy_only=False)
+          if tiebreak_col else np.zeros(n, np.int8))
+    order = np.lexsort((tb, -vals, keys))
+    ks = keys[order]
+    new = np.ones(n, dtype=bool)
+    new[1:] = ks[1:] != ks[:-1]
+    seg_start = np.flatnonzero(new)
+    rank = np.arange(n) - seg_start[np.cumsum(new) - 1]
+    return tbl.take(pa.array(order[rank < k]))
+
+
+def salted_top_k(ds, key_col: str, value_col: str, k: int,
+                 salt_mod: int = 16, num_buckets: int | None = None,
+                 tiebreak_col: str | None = None):
+    """Per-key top-k rows by value with bounded reducer fan-in.
+
+    Top-k is non-algebraic (needs the rows, not a running scalar), so a hot
+    key cannot be pre-reduced by a combiner — this is exactly where salting
+    earns its keep: round 1 spreads each key's rows over `salt_mod` salted
+    hash buckets and takes per-(key,salt) partial top-k (a hot key
+    contributes at most ~rows/salt_mod to any one reducer); round 2 merges
+    the <= salt_mod*k surviving rows per key. Both rounds use the bucketed
+    segmented-top-k reducer, never a per-key Python callback. Determinism:
+    ties broken by `tiebreak_col` ascending.
+    """
+    nb = num_buckets or default_num_buckets()
+
+    def bucket1(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch[key_col])
+        pos = np.arange(h.shape[0], dtype=np.uint64)
+        salt = _mix64(h ^ _mix64(pos)) % np.uint64(salt_mod)
+        b = (h + salt * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(nb)
+        return batch.append_column("_bucket",
+                                   pa.array(b.astype(np.int32)))
+
+    def topk1(group: pa.Table) -> pa.Table:
+        out = _segmented_top_k(group, key_col, value_col, k, tiebreak_col)
+        return out.drop_columns(["_bucket"])
+
+    partial = ds.map_batches(bucket1, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(topk1, batch_format="pyarrow")
+
+    def bucket2(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch[key_col])
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(nb)).astype(np.int32)))
+
+    return partial.map_batches(bucket2, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(topk1, batch_format="pyarrow")

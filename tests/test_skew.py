@@ -23,6 +23,29 @@ def test_salted_count_equals_direct(ray_session):
         assert direct[int(k)] == int(c)
 
 
+def test_salted_top_k_equals_direct(ray_session):
+    rng = np.random.default_rng(7)
+    n = 30000
+    # Hot key 'a' holds ~80% of rows.
+    keys = np.where(rng.random(n) < 0.8, 0, rng.integers(1, 20, n))
+    key_names = np.array([f"k{v}" for v in range(20)])
+    vals = rng.random(n)
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.Table.from_arrays(
+        [pa.array(key_names[keys]), pa.array(vals), pa.array(ids)],
+        names=["key", "value", "row_id"])
+    out = skew.salted_top_k(rd.from_arrow(t), "key", "value", k=5,
+                            salt_mod=8, tiebreak_col="row_id").to_pandas()
+    got = set(zip(out.key, out.row_id))
+    exp = set()
+    for kv in np.unique(keys):
+        mask = keys == kv
+        order = np.lexsort((ids[mask], -vals[mask]))[:5]
+        exp |= {(key_names[kv], i) for i in ids[mask][order]}
+    assert got == exp
+    assert (out.groupby("key").size() == 5).all()
+
+
 def test_add_salt_splits_hot_key(ray_session):
     keys = np.full(8000, 42, dtype=np.int64)
     t = pa.Table.from_arrays([pa.array(keys)], names=["k"])
