@@ -356,6 +356,43 @@ def _quality(sf_dir: str):
         .select_columns(["doc_id", "q_len"])
 
 
+def _orders_by_nation_shuffle_join(sf_dir: str):
+    """Large x large shuffle hash join (orders x customer co-partitioned by
+    key-hash bucket), then per-nation rollup — the non-broadcast join path."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.join import hash_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    joined = hash_join(orders, cust, "o_custkey", "c_custkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "c_nationkey": batch["c_nationkey"],
+            "total_price_cents": np.floor(
+                price * 100 + 0.5).astype(np.int64)})
+        g = t.group_by("c_nationkey").aggregate(
+            [("total_price_cents", "sum"), ("total_price_cents", "count")])
+        return pa.table({
+            "c_nationkey": g["c_nationkey"],
+            "num_orders": g["total_price_cents_count"],
+            "total_price_cents": g["total_price_cents_sum"]})
+
+    from ray.data.aggregate import Sum
+
+    return joined.map_batches(partial, batch_format="pyarrow",
+                              batch_size=131072) \
+        .groupby("c_nationkey").aggregate(
+            Sum("num_orders", alias_name="num_orders"),
+            Sum("total_price_cents", alias_name="total_price_cents"))
+
+
 def _events_topk_by_type(sf_dir: str):
     """Top-10 events by value per event_type via the salted two-phase top-k
     (bounded reducers under hot-key skew; ties broken by event_id)."""
@@ -377,6 +414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- relational / training-data ops (DuckDB-oracled) ---
         "lineitem_pricing_summary": rel.lineitem_agg,
         "orders_by_mktsegment": rel.orders_by_segment,
+        "orders_by_nation_shuffle_join": _orders_by_nation_shuffle_join,
         "events_by_type": rel.events_by_type,
         "events_hourly_windows": rel.events_hourly_windows,
         "events_user_sessions": rel.user_sessions,
@@ -460,6 +498,14 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS total_price_cents
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "orders_by_nation_shuffle_join": """
+            SELECT c_nationkey,
+                   COUNT(*) AS num_orders,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS total_price_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey
         """,
         "events_by_type": """
             SELECT event_type, COUNT(*) AS num_events,

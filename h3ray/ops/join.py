@@ -1,0 +1,147 @@
+"""Distributed shuffle hash join (the large x large equi-join Ray Data's
+Dataset API lacks natively).
+
+Shape: both sides are bucketed by key hash (co-partitioning), null-padded to
+a common schema, tagged with a side flag and unioned; one groupby(bucket)
+shuffle co-locates matching keys; inside each bucket a vectorized sorted
+merge join (lexsort + searchsorted + ragged expansion) emits the join rows.
+No driver materialization; reducer count = num_buckets (~4x cluster cores).
+For small-side joins prefer a broadcast lookup stage (see
+pipelines/relational.orders_by_segment) — it skips the shuffle entirely.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..io.pages import _mix64
+from .skew import default_num_buckets
+
+
+def _ragged_take(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Flat index array [starts[i] .. starts[i]+lengths[i]) per i."""
+    total = int(lengths.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    bounds = np.cumsum(lengths) - lengths
+    pos = np.arange(total, dtype=np.int64) - np.repeat(bounds, lengths)
+    return np.repeat(starts, lengths) + pos
+
+
+def hash_join(left_ds, right_ds, left_key: str, right_key: str,
+              num_buckets: int | None = None, how: str = "inner"):
+    """Equi-join two Datasets on int64 keys.
+
+    Output columns: `left_key` plus every non-key column of both sides
+    (names must not collide — project/rename upstream). how: "inner" or
+    "left" (unmatched left rows carry nulls in right columns).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r}")
+    nb = num_buckets or default_num_buckets()
+
+    def _one_type(t) -> pa.DataType:
+        if isinstance(t, pa.DataType):
+            return t
+        t = np.dtype(t)
+        return pa.string() if t == np.dtype("O") else pa.from_numpy_dtype(t)
+
+    def _arrow_types(schema) -> dict[str, pa.DataType]:
+        # Ray Schema.types yields numpy dtypes (object for strings) for
+        # pandas-backed blocks.
+        return {n: _one_type(t)
+                for n, t in zip(schema.names, schema.types)}
+
+    lschema = left_ds.schema()
+    rschema = right_ds.schema()
+    lcols = [c for c in lschema.names if c != left_key]
+    rcols = [c for c in rschema.names if c != right_key]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"column name collision: {sorted(overlap)}")
+    ltypes = _arrow_types(lschema)
+    rtypes = _arrow_types(rschema)
+    fields = ([pa.field("_key", pa.int64()), pa.field("_side", pa.int8())]
+              + [pa.field(c, ltypes[c]) for c in lcols]
+              + [pa.field(c, rtypes[c]) for c in rcols])
+    union_schema = pa.schema(fields + [pa.field("_bucket", pa.int32())])
+
+    def pad(key_col: str, side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            keys = batch[key_col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            arrays = [pa.array(keys),
+                      pa.array(np.full(n, side, dtype=np.int8))]
+            for f in fields[2:]:
+                if f.name in batch.column_names:
+                    col = batch[f.name]
+                    if isinstance(col, pa.ChunkedArray):
+                        col = col.combine_chunks()
+                    arrays.append(col)
+                else:
+                    arrays.append(pa.nulls(n, f.type))
+            bucket = (_mix64(keys.view(np.uint64))
+                      % np.uint64(nb)).astype(np.int32)
+            arrays.append(pa.array(bucket))
+            return pa.Table.from_arrays(arrays, schema=union_schema)
+
+        return fn
+
+    tagged = left_ds.map_batches(pad(left_key, 0), batch_format="pyarrow") \
+        .union(right_ds.map_batches(pad(right_key, 1),
+                                    batch_format="pyarrow"))
+
+    out_schema = pa.schema([pa.field(left_key, pa.int64())]
+                           + [pa.field(c, ltypes[c]) for c in lcols]
+                           + [pa.field(c, rtypes[c]) for c in rcols])
+
+    def merge(group: pa.Table) -> pa.Table:
+        side = group["_side"].to_numpy(zero_copy_only=False)
+        keys = group["_key"].to_numpy(zero_copy_only=False)
+        lrows = np.flatnonzero(side == 0)
+        rrows = np.flatnonzero(side == 1)
+        rk = keys[rrows]
+        rorder = np.argsort(rk, kind="stable")
+        rk_sorted = rk[rorder]
+        lk = keys[lrows]
+        lo = np.searchsorted(rk_sorted, lk, side="left")
+        hi = np.searchsorted(rk_sorted, lk, side="right")
+        counts = hi - lo
+        if how == "left":
+            # Unmatched lefts emit one row with null right columns.
+            take_l = np.repeat(np.arange(lk.shape[0]),
+                               np.maximum(counts, 1))
+            take_r = np.full(take_l.shape[0], -1, dtype=np.int64)
+            fill = _ragged_take(lo, counts)
+            has = np.repeat(counts > 0, np.maximum(counts, 1))
+            take_r[has] = fill
+        else:
+            take_l = np.repeat(np.arange(lk.shape[0]), counts)
+            take_r = _ragged_take(lo, counts)
+        l_idx = pa.array(lrows[take_l])
+        r_idx_np = np.where(take_r >= 0, rrows[rorder[take_r]], -1)
+        r_valid = take_r >= 0
+        arrays = [group["_key"].combine_chunks().take(l_idx)
+                  if isinstance(group["_key"], pa.ChunkedArray)
+                  else group["_key"].take(l_idx)]
+        for c in lcols:
+            col = group[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            arrays.append(col.take(l_idx))
+        r_take = pa.array(np.where(r_valid, r_idx_np, 0))
+        for c in rcols:
+            col = group[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            taken = col.take(r_take)
+            if not r_valid.all():
+                taken = pa.compute.if_else(pa.array(r_valid), taken,
+                                           pa.nulls(1, col.type)[0])
+            arrays.append(taken)
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
+    return tagged.groupby("_bucket").map_groups(merge,
+                                                batch_format="pyarrow")

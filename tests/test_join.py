@@ -1,0 +1,59 @@
+"""Shuffle hash join vs pandas merge (inner/left, many-to-many, skew)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from h3ray.ops.join import hash_join
+
+
+def make_sides(seed=13, n_left=5000, n_right=800):
+    rng = np.random.default_rng(seed)
+    # Skewed keys with many-to-many multiplicity and unmatched rows on both
+    # sides (right keys 0..99, left keys 0..119).
+    left = pd.DataFrame({
+        "k": np.where(rng.random(n_left) < 0.5, 7,
+                      rng.integers(0, 120, n_left)).astype(np.int64),
+        "lv": rng.integers(0, 1_000_000, n_left)})
+    right = pd.DataFrame({
+        "rk": rng.integers(0, 100, n_right).astype(np.int64),
+        "rv": rng.integers(0, 1_000_000, n_right),
+        "rname": [f"r{i}" for i in range(n_right)]})
+    return left, right
+
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_hash_join_inner(ray_session):
+    left, right = make_sides()
+    out = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                    "k", "rk", num_buckets=8).to_pandas()
+    exp = left.merge(right, left_on="k", right_on="rk").drop(columns=["rk"])
+    assert canon(out).equals(canon(exp))
+    assert len(out) > len(left)  # many-to-many expansion happened
+
+
+def test_hash_join_left(ray_session):
+    left, right = make_sides()
+    out = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                    "k", "rk", num_buckets=8, how="left").to_pandas()
+    exp = left.merge(right, left_on="k", right_on="rk", how="left") \
+        .drop(columns=["rk"])
+    got, want = canon(out), canon(exp)
+    # pandas upcasts int columns with NaN to float; compare on that footing.
+    for c in ("rv",):
+        got[c] = got[c].astype("float64")
+    assert got.equals(want)
+    assert out["rv"].isna().sum() > 0  # unmatched lefts survive with nulls
+
+
+def test_hash_join_rejects_collisions(ray_session):
+    left = pd.DataFrame({"k": [1], "v": [2]})
+    right = pd.DataFrame({"rk": [1], "v": [3]})
+    with pytest.raises(ValueError, match="collision"):
+        hash_join(rd.from_pandas(left), rd.from_pandas(right), "k", "rk")
