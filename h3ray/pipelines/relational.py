@@ -166,22 +166,12 @@ def events_hourly_windows(sf_dir: str):
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               batch_size=131072)
 
-    # Combiner partials merge on the driver (bounded: users x hours keys),
-    # avoiding the sort-based groupby shuffle (see ops/reduce.py).
-    def merge(tbl: pa.Table) -> pa.Table:
-        g = tbl.group_by(["user_id", "hour_bucket"]).aggregate(
-            [("num_events", "sum"), ("total_value_micro", "sum")])
-        return pa.table({
-            "user_id": g["user_id"],
-            "hour_bucket": g["hour_bucket"],
-            "num_events": g["num_events_sum"],
-            "total_value_micro": g["total_value_micro_sum"]})
-
-    import ray.data as rd
-
-    from ..ops.reduce import driver_merge
-
-    return rd.from_arrow(driver_merge(partials, merge))
+    # Distributed final merge: the (user, hour) keyspace grows with the data
+    # (unlike e.g. cell counts at a fixed resolution), so the combiner
+    # partials go through a proper groupby shuffle, not a driver merge.
+    return partials.groupby(["user_id", "hour_bucket"]).aggregate(
+        Sum("num_events", alias_name="num_events"),
+        Sum("total_value_micro", alias_name="total_value_micro"))
 
 
 def docs_by_lang(sf_dir: str):
