@@ -37,18 +37,89 @@ def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     return _mix64(win @ pw)
 
 
-def minhash_signature_batch(texts: list[str], k: int = 5) -> np.ndarray:
+def _string_buffer(arr: pa.Array):
+    """(bytes, starts, ends) views of a string/binary array's payload."""
+    off_dtype = np.int64 if isinstance(
+        arr, (pa.LargeStringArray, pa.LargeBinaryArray)) else np.int32
+    buffers = arr.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=off_dtype,
+                            count=len(arr) + 1 + arr.offset)[arr.offset:]
+    data = np.frombuffer(buffers[2], dtype=np.uint8)
+    return data, offsets[:-1].astype(np.int64), offsets[1:].astype(np.int64)
+
+
+def _shingle_hashes_batch(texts: pa.Array, k: int = 5):
+    """(flat_hashes, doc_lengths): rolling k-gram hashes of EVERY doc in one
+    pass over the Arrow string buffer — bit-identical to per-doc
+    `_shingle_hashes`, no per-doc Python loop.
+
+    The k-1 windows that straddle a doc boundary are computed then dropped
+    by a mask; docs shorter than k fall back to the (padded) per-doc path —
+    they are rare in web text and need byte padding.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    data, starts, ends = _string_buffer(texts)
+    n = len(texts)
+    lengths = ends - starts
+    if n == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    seg = data[starts[0]:ends[-1]].astype(np.uint64)
+    total = seg.shape[0]
+    # Rolling polynomial over the whole buffer: k shifted adds.
+    pw = np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)
+    n_win = max(total - k + 1, 0)
+    h = np.zeros(n_win, dtype=np.uint64)
+    for t in range(k):
+        h += seg[t:t + n_win] * pw[t]
+    h = _mix64(h)
+    # Window j belongs to the doc covering buffer position j..j+k-1; keep
+    # only windows fully inside one doc.
+    rel_start = starts - starts[0]
+    rel_end = ends - starts[0]
+    n_shingles = np.maximum(lengths - k + 1, 0)
+    valid_starts = rel_start[n_shingles > 0]
+    take = np.repeat(valid_starts, n_shingles[n_shingles > 0]) + (
+        np.arange(int(n_shingles.sum()), dtype=np.int64)
+        - np.repeat(np.cumsum(n_shingles[n_shingles > 0])
+                    - n_shingles[n_shingles > 0],
+                    n_shingles[n_shingles > 0]))
+    flat = h[take]
+    out_lengths = n_shingles.copy()
+    short = np.flatnonzero(lengths < k)
+    if short.size:
+        # Splice each space-padded single-shingle doc back in doc order
+        # (cumsum[s] == shingles strictly before doc s, since its own is 0).
+        pad_h = np.empty(short.size, dtype=np.uint64)
+        for i, s in enumerate(short):
+            b = data[starts[s]:ends[s]]
+            padded = np.pad(b, (0, k - b.shape[0]),
+                            constant_values=32).astype(np.uint64)
+            pad_h[i] = _mix64(np.array([padded @ pw]))[0]
+        flat = np.insert(flat, np.cumsum(n_shingles)[short], pad_h)
+        out_lengths[short] = 1
+    return flat, out_lengths
+
+
+def minhash_signature_batch(texts, k: int = 5) -> np.ndarray:
     """(n, N_PERM) uint64 minhash signatures.
 
-    Vectorized across the whole batch: all docs' shingle hashes concatenate
-    into one array, each salt permutation mixes it in one pass, and
-    np.minimum.reduceat takes the per-doc minima — no per-doc Python loop
-    in the hash/mix hot path.
+    Fully vectorized: a pyarrow string array shingles in ONE pass over the
+    Arrow payload buffer (`_shingle_hashes_batch`); each salt permutation
+    mixes the flat hash array in one pass and np.minimum.reduceat takes the
+    per-doc minima. A list[str] input falls back to per-doc shingling
+    (bit-identical output either way).
     """
-    n = len(texts)
-    shingles = [_shingle_hashes(t, k) for t in texts]
-    lengths = np.array([s.shape[0] for s in shingles], dtype=np.int64)
-    flat = np.concatenate(shingles) if n else np.empty(0, np.uint64)
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n = len(texts)
+        flat, lengths = _shingle_hashes_batch(texts, k)
+    else:
+        n = len(texts)
+        shingles = [_shingle_hashes(t, k) for t in texts]
+        lengths = np.array([s.shape[0] for s in shingles], dtype=np.int64)
+        flat = np.concatenate(shingles) if n else np.empty(0, np.uint64)
     bounds = np.concatenate([[0], np.cumsum(lengths)[:-1]])
     out = np.empty((n, N_PERM), dtype=np.uint64)
     for p in range(N_PERM):
@@ -65,7 +136,9 @@ def minhash_bands_stage(key_col: str, text_col: str = "text", k: int = 5,
     """Explode each doc into N_BANDS (band, band_hash, key) rows."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
         keys = batch[key_col].to_numpy(zero_copy_only=False)
         sig = minhash_signature_batch(texts, k)
         bands = sig.reshape(len(texts), N_BANDS, ROWS_PER_BAND)
@@ -92,20 +165,39 @@ def minhash_bands_stage(key_col: str, text_col: str = "text", k: int = 5,
     return fn
 
 
-def simhash_batch(texts: list[str]) -> np.ndarray:
+def simhash_batch(texts) -> np.ndarray:
     """64-bit SimHash over whitespace tokens.
 
-    Vectorized across the batch: all docs' tokens hash as one flat array,
-    per-bit votes accumulate with np.add.reduceat over doc boundaries.
+    Vectorized across the batch: Arrow utf8_split_whitespace tokenizes the
+    whole column (empty boundary tokens filtered), the flat token array
+    hashes in one pass, per-bit votes accumulate with np.add.reduceat over
+    doc boundaries. Accepts a pyarrow string array or list[str].
     """
+    import pyarrow.compute as pc
+
+    if isinstance(texts, list):
+        texts = pa.array(texts, type=pa.string())
+    elif isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
     n = len(texts)
-    toks_per_doc = [t.split() for t in texts]
-    lengths = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
-    flat = [tok for toks in toks_per_doc for tok in toks]
     out = np.zeros(n, dtype=np.uint64)
-    if not flat:
+    if n == 0:
         return out
-    hs = url_hash64(pa.array(flat, type=pa.string()))
+    toks = pc.utf8_split_whitespace(texts)
+    raw_lens = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = toks.flatten()
+    tok_len = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+    keep = tok_len > 0
+    # Arrow emits empty tokens at leading/trailing whitespace (Python's
+    # str.split drops them); every doc has >= 1 raw token, so reduceat over
+    # the raw bounds is segment-safe.
+    raw_bounds = np.cumsum(raw_lens) - raw_lens
+    lengths = np.add.reduceat(keep.astype(np.int64), raw_bounds) \
+        if keep.shape[0] else np.zeros(n, np.int64)
+    if not keep.any():
+        return out
+    hs = url_hash64(flat.filter(pa.array(keep)))
     nonempty = lengths > 0
     bounds = (np.cumsum(lengths) - lengths)[nonempty]
     ne_lengths = lengths[nonempty]
@@ -130,7 +222,7 @@ _BYTE_BITS = np.array([[(v >> b) & 1 for b in range(8)]
 
 def simhash_stage(text_col: str = "text", out_col: str = "simhash"):
     def fn(batch: pa.Table) -> pa.Table:
-        sh = simhash_batch(batch[text_col].to_pylist())
+        sh = simhash_batch(batch[text_col])
         # int64 view: uint64 > 2^63-1 degrades Ray shuffles to pickle.
         return batch.append_column(out_col, pa.array(sh.view(np.int64)))
 
@@ -247,7 +339,7 @@ def simhash_duplicate_pairs(ds, key_col: str, text_col: str = "text",
     simhash) rows; verification is in-group popcount.
     """
     def band_stage(batch: pa.Table) -> pa.Table:
-        sh = simhash_batch(batch[text_col].to_pylist())
+        sh = simhash_batch(batch[text_col])
         keys = batch[key_col].to_numpy(zero_copy_only=False)
         n = sh.shape[0]
         rows = np.repeat(np.arange(n), 4)

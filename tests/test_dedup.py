@@ -28,6 +28,43 @@ def corpus():
         [pa.array(ids), pa.array(docs)], names=["doc_id", "text"])
 
 
+def test_batch_kernels_match_per_doc(corpus):
+    """Arrow-buffer batch shingling / tokenizing is bit-identical to the
+    per-doc reference paths, including short (<k) and whitespace edge docs."""
+    texts = corpus["text"].to_pylist() + ["", "ab", "  x  y ", "a b", "    "]
+    arr = pa.array(texts, type=pa.string())
+    flat, lens = dedup._shingle_hashes_batch(arr, 5)
+    bounds = np.cumsum(lens) - lens
+    for i, t in enumerate(texts):
+        exp = dedup._shingle_hashes(t, 5)
+        got = flat[bounds[i]:bounds[i] + lens[i]]
+        assert (got == exp).all(), f"doc {i}"
+    # Sliced arrays (non-zero offset) hash identically too.
+    flat2, lens2 = dedup._shingle_hashes_batch(arr.slice(3, 10), 5)
+    assert (lens2 == lens[3:13]).all()
+    assert (flat2 == flat[bounds[3]:bounds[3] + lens[3:13].sum()]).all()
+
+    sig_list = dedup.minhash_signature_batch(texts)
+    sig_arr = dedup.minhash_signature_batch(arr)
+    assert (sig_list == sig_arr).all()
+
+    sh_arr = dedup.simhash_batch(arr)
+    # Reference: per-doc python split + token hashing.
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if not toks:
+            assert sh_arr[i] == 0
+            continue
+        hs = dedup.url_hash64(pa.array(toks, type=pa.string()))
+        bitsv = np.zeros(64, dtype=np.int64)
+        for h in hs:
+            for b in range(64):
+                bitsv[b] += (int(h) >> b) & 1
+        exp = sum(1 << b for b in range(64)
+                  if 2 * bitsv[b] > len(toks))
+        assert int(sh_arr[i]) == exp, f"doc {i}"
+
+
 def test_simhash_pairs_vs_bruteforce(ray_session, corpus):
     ds = rd.from_arrow(corpus)
     out = dedup.simhash_duplicate_pairs(ds, key_col="doc_id",
