@@ -323,6 +323,29 @@ def _ann_topk_lsh(sf_dir: str):
     return out.select_columns(["query_id", "vec_id"])
 
 
+def _ann_topk_ivf(sf_dir: str):
+    """IVF ANN with nprobe == n_centroids (full probe): exercises the whole
+    IVF machinery (sampled k-means, list assignment, pruning filter) while
+    staying exactly equal to the brute-force scan, so the exact-top-k SQL
+    oracle applies. Smaller nprobe is the recall/scan-fraction scale knob
+    (pytest covers pruned recall)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from h3ray.pipelines import ann
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    mask = tbl["vec_id"].to_numpy() < 5
+    queries = np.stack(tbl.filter(mask)["embedding"].to_numpy(
+        zero_copy_only=False))
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = ann.ivf_topk(ds, queries, k=10, n_centroids=8, nprobe=8,
+                       concurrency=2)
+    return out.select_columns(["query_id", "vec_id"])
+
+
 def _simhash(sf_dir: str):
     import ray.data as rd
 
@@ -447,6 +470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": _simhash_pairs,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         "ann_topk_lsh": _ann_topk_lsh,
+        "ann_topk_ivf": _ann_topk_ivf,
         "langid_predictions": _langid,
     }
 
@@ -608,6 +632,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
                   / (len(a.gs) + len(b.gs)
                      - len(list_intersect(a.gs, b.gs))) >= 0.5
+        """,
+        "ann_topk_ivf": """
+            SELECT query_id, vec_id FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(e.embedding,
+                                                           q.embedding) DESC,
+                                    e.vec_id ASC) AS rnk
+                FROM embeddings e
+                CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                            WHERE vec_id < 5) q
+            ) WHERE rnk <= 10
         """,
         "ann_topk_cosine": """
             SELECT query_id, vec_id FROM (

@@ -88,7 +88,7 @@ def brute_force_topk(ds, queries: np.ndarray, *, id_col: str = "vec_id",
     partials = ds.select_columns([id_col, emb_col]).map_batches(
         BruteForceScorer,
         fn_constructor_args=(qref, id_col, emb_col, k),
-        batch_format="pyarrow", batch_size=4096, concurrency=concurrency)
+        batch_format="pyarrow", batch_size=4096, concurrency=_pool(concurrency))
     return partials.groupby("query_id").map_groups(
         BruteForceScorer.merge_topk(k, id_col), batch_format="pandas")
 
@@ -144,7 +144,80 @@ def lsh_topk(ds, queries: np.ndarray, *, id_col: str = "vec_id",
     pruned = bucketed.map_batches(keep, batch_format="pyarrow")
     partials = pruned.map_batches(
         BruteForceScorer, fn_constructor_args=(qref, id_col, emb_col, k),
-        batch_format="pyarrow", batch_size=4096, concurrency=concurrency)
+        batch_format="pyarrow", batch_size=4096, concurrency=_pool(concurrency))
+    return partials.groupby("query_id").map_groups(
+        BruteForceScorer.merge_topk(k, id_col), batch_format="pandas")
+
+
+
+def _pool(concurrency):
+    """Actor-pool concurrency spec: an int becomes an autoscaling (1, n)
+    pool so the pool never pre-reserves every CPU against the shuffle
+    operators sharing the DAG (a fixed-size pool deadlocks the streaming
+    executor on small cpu counts when AllToAll ops need slots too)."""
+    return (1, concurrency) if isinstance(concurrency, int) else concurrency
+
+
+def _kmeans(sample: np.ndarray, n_centroids: int, n_iter: int = 10,
+            seed: int = 11) -> np.ndarray:
+    """Small deterministic spherical k-means on a driver-side sample."""
+    rng = np.random.default_rng(seed)
+    sample = sample / np.clip(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-30, None)
+    cent = sample[rng.choice(sample.shape[0],
+                             size=min(n_centroids, sample.shape[0]),
+                             replace=False)].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(cent.shape[0]):
+            members = sample[assign == c]
+            if members.shape[0]:
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-30)
+    return cent.astype(np.float32)
+
+
+def ivf_topk(ds, queries: np.ndarray, *, id_col: str = "vec_id",
+             emb_col: str = "embedding", k: int = 10, n_centroids: int = 16,
+             nprobe: int = 4, sample_rows: int = 4096,
+             concurrency: int = 4):
+    """IVF ANN: coarse-quantize the corpus against k-means centroids fitted
+    on a driver-side sample (small by construction), scan only rows whose
+    centroid is among each query's `nprobe` nearest lists.
+
+    nprobe == n_centroids degenerates to the exact brute-force scan (every
+    row probed), which is how the oracle checks it; smaller nprobe trades
+    recall for a ~nprobe/n_centroids scan fraction — the IVF scale knob.
+    """
+    import ray
+
+    queries = np.asarray(queries, dtype=np.float32)
+    if queries.ndim == 1:
+        queries = queries[None, :]
+    sample_tbl = pa.concat_tables(
+        [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+         for b in ds.select_columns([emb_col]).limit(sample_rows)
+         .iter_batches(batch_format="pyarrow", batch_size=None)])
+    cent = _kmeans(_embedding_matrix(sample_tbl, emb_col), n_centroids)
+    qn = queries / np.clip(
+        np.linalg.norm(queries, axis=1, keepdims=True), 1e-30, None)
+    q_lists = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (m, nprobe)
+    probed = np.unique(q_lists)
+    qref = ray.put(queries)
+
+    def assign_and_prune(batch: pa.Table) -> pa.Table:
+        x = _embedding_matrix(batch, emb_col)
+        xn = x / np.clip(np.linalg.norm(x, axis=1, keepdims=True),
+                         1e-30, None)
+        lists = np.argmax(xn @ cent.T, axis=1)
+        keep = np.isin(lists, probed)
+        return batch.filter(pa.array(keep))
+
+    pruned = ds.select_columns([id_col, emb_col]).map_batches(
+        assign_and_prune, batch_format="pyarrow", batch_size=4096)
+    partials = pruned.map_batches(
+        BruteForceScorer, fn_constructor_args=(qref, id_col, emb_col, k),
+        batch_format="pyarrow", batch_size=4096, concurrency=_pool(concurrency))
     return partials.groupby("query_id").map_groups(
         BruteForceScorer.merge_topk(k, id_col), batch_format="pandas")
 

@@ -64,6 +64,39 @@ def test_cosine_dup_pairs_lsh_recall_on_near_dups(ray_session):
     assert len(out) == len(got)
 
 
+def test_ivf_topk_full_probe_exact_and_pruned_recall(ray_session):
+    """nprobe == n_centroids must equal brute force exactly; pruned nprobe
+    keeps high recall on clustered data while scanning a fraction."""
+    rng = np.random.default_rng(3)
+    n, dim, n_clusters = 600, 16, 8
+    centers = rng.standard_normal((n_clusters, dim)) * 4
+    mat = (centers[rng.integers(0, n_clusters, n)]
+           + 0.3 * rng.standard_normal((n, dim)))
+    tbl = pa.Table.from_arrays(
+        [pa.array(np.arange(n, dtype=np.int64)),
+         pa.array(list(map(list, mat.astype(np.float32))),
+                  type=pa.list_(pa.float32()))],
+        names=["vec_id", "embedding"])
+    queries = mat[:5].astype(np.float32)
+
+    def run(nprobe):
+        ds = rd.from_arrow(tbl).repartition(4)
+        out = ann.ivf_topk(ds, queries, k=10, n_centroids=8, nprobe=nprobe,
+                           sample_rows=600).to_pandas()
+        return {q: set(g.vec_id) for q, g in out.groupby("query_id")}
+
+    brute = rd.from_arrow(tbl).repartition(4)
+    exact = ann.brute_force_topk(brute, queries, k=10).to_pandas()
+    exact_sets = {q: set(g.vec_id) for q, g in exact.groupby("query_id")}
+
+    full = run(nprobe=8)
+    assert full == exact_sets  # full probe == exhaustive scan
+    pruned = run(nprobe=2)
+    recall = np.mean([len(pruned.get(q, set()) & exact_sets[q]) / 10
+                      for q in exact_sets])
+    assert recall >= 0.9  # clustered queries live in few lists
+
+
 def test_distinct_pairs_keeps_extra_column(ray_session):
     from h3ray.ops.pairs import distinct_pairs
 
