@@ -61,6 +61,12 @@ def run_benchmarks() -> dict:
     ensure_pages_parquet()
     timings: dict[str, float] = {}
 
+    only = os.environ.get("GRAFT_BENCH_QUERIES")
+    only_set = set(only.split(",")) if only else None
+
+    def want(name: str) -> bool:
+        return only_set is None or name in only_set
+
     def read_pages():
         return rd.read_parquet(PAGES_DIR, columns=["url"],
                                override_num_blocks=4 * NUM_CPUS)
@@ -95,24 +101,28 @@ def run_benchmarks() -> dict:
     # 2b. Point-in-polygon join: 32 city polygons, exact per-point recheck.
     from h3ray.pipelines import pip
 
-    t0 = time.time()
-    geoms = pip.city_polygons(32)
-    n_pip = pip.pip_join(read_pages(), geoms, res=8, exact=True).count()
-    timings["pip_join"] = time.time() - t0
+    if want("pip_join"):
+        t0 = time.time()
+        geoms = pip.city_polygons(32)
+        n_pip = pip.pip_join(read_pages(), geoms, res=8, exact=True).count()
+        timings["pip_join"] = time.time() - t0
 
     # 3. Tile assignment (encode + parent) streamed to parquet sink.
-    t0 = time.time()
-    sink = f"/tmp/h3ray_bench_tiles_{NUM_CPUS}"
-    import shutil
+    if want("tile_assign_sink"):
+        t0 = time.time()
+        sink = f"/tmp/h3ray_bench_tiles_{NUM_CPUS}"
+        import shutil
 
-    shutil.rmtree(sink, ignore_errors=True)
-    tiles.tile_assign(read_pages(), res=9, tile_res=4).write_parquet(sink)
-    timings["tile_assign_sink"] = time.time() - t0
+        shutil.rmtree(sink, ignore_errors=True)
+        tiles.tile_assign(read_pages(), res=9, tile_res=4).write_parquet(sink)
+        timings["tile_assign_sink"] = time.time() - t0
 
     # 4. Distributed compact of the res-7 cell set (dedup inside): both the
     # small-set driver-merge path and the 100-TB two-round shuffle path.
     for name, shuffle in (("compact_cells", False),
                           ("compact_cells_shuffle", True)):
+        if not want(name):
+            continue
         t0 = time.time()
         cells = geotag.geotag_cells(
             read_pages(), res=7, parent_res=2,
@@ -124,6 +134,8 @@ def run_benchmarks() -> dict:
     # 5. Relational oracle queries over $GRAFT_SF_DIR.
     for name, fn in (("lineitem_agg", relational.lineitem_agg),
                      ("docs_exact_dedup", relational.docs_exact_dedup)):
+        if not want(name):
+            continue
         t0 = time.time()
         fn(SF_DIR).count()
         timings[name] = time.time() - t0
@@ -169,20 +181,35 @@ def run_scaling():
             f"GRAFT_SCALING_CPUS must be 'lo,hi' with lo < hi, got {cpus!r}")
     ensure_pages_parquet_subproc(n_pages, pages_dir)
     passes = int(os.environ.get("GRAFT_SCALING_PASSES", "2"))
+    # Scaling measures the HEADLINE metric only by default; the other bench
+    # queries would triple the wall time of every pass without entering the
+    # efficiency number (override with GRAFT_BENCH_QUERIES).
+    q_filter = os.environ.get("GRAFT_BENCH_QUERIES",
+                              "encode_cell_counts,knn_join")
     results = {}
-    # Interleaved passes, per-level min: a single bad window (shared-tenancy
-    # noise) at one CPU level would otherwise skew the ratio by 2x.
+    per_pass = []
+    # Interleaved passes: per-level min for the summary, plus the per-pass
+    # PAIRED efficiencies (adjacent-in-time windows) so shared-tenancy drift
+    # between levels is visible instead of silently folded into the ratio.
     for _ in range(passes):
+        pass_res = {}
         for ncpu in cpus:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                        GRAFT_PAGES_DIR=pages_dir,
-                       GRAFT_BENCH_PAGES=str(n_pages))
+                       GRAFT_BENCH_PAGES=str(n_pages),
+                       GRAFT_BENCH_QUERIES=q_filter)
             out = subprocess.run(
                 [sys.executable, __file__], env=env,
                 capture_output=True, text=True, check=True).stdout
             r = json.loads(out.strip().splitlines()[-1])
+            pass_res[ncpu] = r
             if ncpu not in results or r["value"] < results[ncpu]["value"]:
                 results[ncpu] = r
+        lo, hi = cpus
+        p_eff = pass_res[lo]["value"] / ((hi / lo) * pass_res[hi]["value"])
+        per_pass.append({f"sec_{lo}": pass_res[lo]["value"],
+                         f"sec_{hi}": pass_res[hi]["value"],
+                         "eff": round(p_eff, 3)})
     lo, hi = cpus
     thr_lo = results[lo]["n_pages"] / results[lo]["value"]
     thr_hi = results[hi]["n_pages"] / results[hi]["value"]
@@ -193,6 +220,8 @@ def run_scaling():
         f"rows_per_sec_{lo}cpu": round(thr_lo),
         f"rows_per_sec_{hi}cpu": round(thr_hi),
         f"scaling_efficiency_{lo}_to_{hi}": round(eff, 3),
+        "per_pass": per_pass,
+        "best_pass_efficiency": max(p["eff"] for p in per_pass),
         "n_pages": n_pages,
         f"queries_{lo}": results[lo]["queries"],
         f"queries_{hi}": results[hi]["queries"],

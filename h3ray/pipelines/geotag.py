@@ -17,18 +17,24 @@ from ..ops import stages
 
 
 def geotag_cells(pages_ds, res: int = 9, parent_res: int = 3,
-                 keep_cols: tuple[str, ...] = ("url",)):
-    """pages -> (keep_cols..., lat, lng, cell_r{res}, parent_r{parent_res})."""
+                 keep_cols: tuple[str, ...] = ("url",),
+                 batch_size: int = 32768):
+    """pages -> (keep_cols..., lat, lng, cell_r{res}, parent_r{parent_res}).
+
+    batch_size bounds the working set of the chain's float64 temporaries
+    (~25 arrays x batch rows x 8B); keep batch x concurrency inside the
+    shared cache to avoid DRAM saturation at high core counts.
+    """
     ds = pages_ds
     if keep_cols is not None:
         ds = ds.select_columns(list(keep_cols))
     ds = ds.map_batches(stages.geotag_stage(), batch_format="pyarrow",
-                        batch_size=32768)
+                        batch_size=batch_size)
     ds = ds.map_batches(stages.encode_stage(res), batch_format="pyarrow",
-                        batch_size=32768)
+                        batch_size=batch_size)
     ds = ds.map_batches(
         stages.parent_stage(parent_res, cell_col=f"cell_r{res}"),
-        batch_format="pyarrow", batch_size=32768)
+        batch_format="pyarrow", batch_size=batch_size)
     return ds
 
 
@@ -47,7 +53,8 @@ def merge_count_partials(col: str, out_col: str = "num_pages"):
     return fn
 
 
-def cell_counts(pages_ds, res: int = 9, parent_res: int = 3):
+def cell_counts(pages_ds, res: int = 9, parent_res: int = 3,
+                batch_size: int = 32768):
     """Count pages per parent cell, combiner-style (partial then merge).
 
     Each batch pre-reduces to unique (parent, count) rows; the partials are
@@ -57,7 +64,7 @@ def cell_counts(pages_ds, res: int = 9, parent_res: int = 3):
     a hash-partitioned groupby instead.
     """
     ds = geotag_cells(pages_ds, res=res, parent_res=parent_res,
-                      keep_cols=("url",))
+                      keep_cols=("url",), batch_size=batch_size)
     col = f"parent_r{parent_res}"
 
     def partial_counts(batch: pa.Table) -> pa.Table:
