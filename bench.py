@@ -67,9 +67,15 @@ def run_benchmarks() -> dict:
     def want(name: str) -> bool:
         return only_set is None or name in only_set
 
+    # Block count tracks parallelism by default; scaling runs pin it
+    # (GRAFT_BENCH_BLOCKS) so every CPU level processes IDENTICAL block
+    # sizes — otherwise the low-cpu level gets bigger blocks (bigger
+    # lexsorts, more spill) and the efficiency ratio is confounded.
+    n_blocks = int(os.environ.get("GRAFT_BENCH_BLOCKS", 4 * NUM_CPUS))
+
     def read_pages():
         return rd.read_parquet(PAGES_DIR, columns=["url"],
-                               override_num_blocks=4 * NUM_CPUS)
+                               override_num_blocks=n_blocks)
 
     # Warm-up (untimed): page cache + worker processes + imports, so the
     # timed runs measure steady-state throughput, not cold-start.
@@ -197,7 +203,9 @@ def run_scaling():
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                        GRAFT_PAGES_DIR=pages_dir,
                        GRAFT_BENCH_PAGES=str(n_pages),
-                       GRAFT_BENCH_QUERIES=q_filter)
+                       GRAFT_BENCH_QUERIES=q_filter,
+                       GRAFT_BENCH_BLOCKS=os.environ.get(
+                           "GRAFT_BENCH_BLOCKS", "128"))
             out = subprocess.run(
                 [sys.executable, __file__], env=env,
                 capture_output=True, text=True, check=True).stdout
