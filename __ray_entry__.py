@@ -213,6 +213,47 @@ def _h3_local_ij(sf_dir: str):
     return out.select_columns(["url", "local_i", "local_j", "local_ok"])
 
 
+def _h3_tile_cells(sf_dir: str):
+    """tile -> cells: uncompact the compacted corpus tiles back to res 6
+    (children expansion flat-map); the compact/uncompact round-trip at
+    Dataset level."""
+    from h3ray.io import pages as pio
+    from h3ray.pipelines import geotag, tiles
+
+    ds = geotag.geotag_cells(pio.pages_from_documents(sf_dir), res=6,
+                             parent_res=2, keep_cols=("url",))
+    cells = ds.select_columns(["cell_r6"])
+    compacted = tiles.compact_cells_dataset(cells, cell_col="cell_r6",
+                                            group_res=2, shuffle=True)
+    out = tiles.tiles_to_cells(compacted, "cell_r6", child_res=6)
+    return out.select_columns(["cell_r6", "child_cell"])
+
+
+def _h3_cell_edges(sf_dir: str):
+    """Directed edges (+ exact lengths, quantized mm) of the polygon
+    coverage cells — the edge/vertex kernel family driven end-to-end."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops import stages
+    from h3ray.pipelines import pip
+
+    cov = pip.coverage_table(pip.city_polygons(8), res=6)
+    out = rd.from_arrow(cov).map_batches(
+        stages.edges_expand_stage("cell", ["polygon_id"]),
+        batch_format="pyarrow", batch_size=8192)
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        ln = batch["edge_len_m"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "edge_len_mm", pa.array(np.floor(ln * 1000 + 0.5)
+                                    .astype(np.int64)))
+
+    return out.map_batches(quantize, batch_format="pyarrow") \
+        .select_columns(["polygon_id", "cell", "edge", "edge_len_mm"])
+
+
 def _docs_bpe_tokens(sf_dir: str):
     import ray.data as rd
 
@@ -465,6 +506,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprints": _docs_fingerprints,
         "h3_tile_assign": _h3_tile_assign,
         "h3_compact_tiles": _h3_compact_tiles,
+        "h3_tile_cells": _h3_tile_cells,
+        "h3_cell_edges": _h3_cell_edges,
         "minhash_dup_pairs": _minhash_pairs,
         "simhash_fingerprints": _simhash,
         "simhash_dup_pairs": _simhash_pairs,

@@ -201,6 +201,31 @@ def area_stage(cell_col: str, unit: str = "km2", out_col: str | None = None):
     return fn
 
 
+def edges_expand_stage(cell_col: str, keep_cols: list[str],
+                       out_col: str = "edge",
+                       length_col: str | None = "edge_len_m"):
+    """originToDirectedEdges flat-map (edge.rs:14-42): 6 rows per hexagon,
+    5 per pentagon, each carrying the directed-edge index and (optionally)
+    its exact great-circle length in metres."""
+    from ..kernels import edgevertex as ev
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cells = _col(batch, cell_col)
+        rows, edges = ev.origin_to_directed_edges(bits.as_i64(cells))
+        arrays = [batch[c].take(pa.array(rows)) for c in keep_cols]
+        names = list(keep_cols)
+        arrays.append(pa.array(bits.as_u64(cells[rows])))
+        names.append(cell_col)
+        arrays.append(pa.array(bits.as_u64(edges)))
+        names.append(out_col)
+        if length_col:
+            arrays.append(pa.array(ev.edge_length_m(edges)))
+            names.append(length_col)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    return fn
+
+
 def local_ij_stage(origin_col: str, cell_col: str, i_col: str = "local_i",
                    j_col: str = "local_j", ok_col: str = "local_ok"):
     """cellToLocalIj per row (cell.rs:1482-1486): anchor-relative (i, j)

@@ -120,6 +120,23 @@ def test_trivia_kernels():
     assert (size >= 1).all()
 
 
+def test_edges_expand_stage():
+    from h3ray.kernels import edgevertex as ev
+
+    batch, cells = make_batch(n=60)
+    out = stages.edges_expand_stage("cell", ["url"])(batch)
+    pent = bits.is_pentagon(cells)
+    assert out.num_rows == int(np.where(pent, 5, 6).sum())
+    edges = out["edge"].to_numpy(zero_copy_only=False).view(np.int64)
+    assert ev.is_valid_directed_edge(edges).all()
+    assert (ev.edge_origin(edges)
+            == out["cell"].to_numpy(zero_copy_only=False)
+            .view(np.int64)).all()
+    assert np.allclose(out["edge_len_m"].to_numpy(),
+                       ev.edge_length_m(edges))
+    assert (out["edge_len_m"].to_numpy() > 0).all()
+
+
 def test_salt_stage_deterministic():
     batch, _ = make_batch()
     a = stages.salt_stage("cell", 8)(batch)["salt"].to_numpy()
