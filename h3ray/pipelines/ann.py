@@ -129,7 +129,7 @@ def lsh_topk(ds, queries: np.ndarray, *, id_col: str = "vec_id",
     weights = (1 << np.arange(n_bits, dtype=np.int64))
     q_buckets = (((queries @ planes.T) > 0).astype(np.int64)
                  * weights[None, :]).sum(axis=1)
-    wanted = set(q_buckets.tolist())
+    wanted = np.unique(q_buckets)  # sorted once, shared by every batch
     qref = ray.put(queries)
 
     bucketed = ds.select_columns([id_col, emb_col]).map_batches(
@@ -138,7 +138,7 @@ def lsh_topk(ds, queries: np.ndarray, *, id_col: str = "vec_id",
 
     def keep(batch: pa.Table) -> pa.Table:
         mask = np.isin(batch["lsh_bucket"].to_numpy(zero_copy_only=False),
-                       list(wanted))
+                       wanted)
         return batch.filter(pa.array(mask))
 
     pruned = bucketed.map_batches(keep, batch_format="pyarrow")

@@ -1,11 +1,51 @@
 """Property-based tests (hypothesis) mirroring the reference fuzz targets
 (fuzz/fuzz_targets/: cell_index, compact, uncompact, local_ij, grid,
-index_io, polygon_to_cells)."""
+index_io, polygon_to_cells) plus the vectorized distributed-op cores."""
 
 import numpy as np
 from hypothesis import given, settings, strategies as st
 
 from h3ray.kernels import bits, edgevertex as ev, hierarchy, latlng, localij
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2 ** 31), st.integers(1, 8), st.integers(1, 12))
+def test_segmented_top_k_matches_pandas(seed, k, n_keys):
+    """ops.skew segmented top-k == pandas groupby head under random ties."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from h3ray.ops.skew import _segmented_top_k
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(0, 200))
+    keys = rng.integers(0, n_keys, n)
+    vals = rng.integers(0, 5, n).astype(np.float64)  # many ties
+    tb = rng.permutation(n).astype(np.int64) if n else np.empty(0, np.int64)
+    t = pa.Table.from_arrays(
+        [pa.array(keys), pa.array(vals), pa.array(tb)],
+        names=["key", "value", "tiebreak"])
+    got = _segmented_top_k(t, "key", "value", k, "tiebreak").to_pandas()
+    df = pd.DataFrame({"key": keys, "value": vals, "tiebreak": tb})
+    exp = df.sort_values(["key", "value", "tiebreak"],
+                         ascending=[True, False, True]) \
+        .groupby("key").head(k)
+    assert sorted(map(tuple, got.to_numpy().tolist())) == \
+        sorted(map(tuple, exp.to_numpy().tolist()))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2 ** 31))
+def test_ragged_take_matches_loop(seed):
+    from h3ray.ops.join import _ragged_take
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(0, 50))
+    starts = rng.integers(0, 100, n)
+    lengths = rng.integers(0, 6, n)
+    got = _ragged_take(starts, lengths)
+    exp = [s + j for s, ln in zip(starts, lengths) for j in range(ln)]
+    assert got.tolist() == exp
 
 
 valid_res = st.integers(min_value=0, max_value=15)
