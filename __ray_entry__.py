@@ -544,6 +544,98 @@ def _langid_oracle() -> str:
     """
 
 
+def _sql_mulmod(x: str, c: int) -> str:
+    """(x * c) mod 2^64 for UBIGINT x via hi/lo split through HUGEINT."""
+    return (f"CAST(((CAST({x} >> 32 AS HUGEINT) * {c}::HUGEINT)"
+            f" % 4294967296 * 4294967296"
+            f" + CAST({x} & 4294967295 AS HUGEINT) * {c}::HUGEINT)"
+            f" % 18446744073709551616 AS UBIGINT)")
+
+
+def _sql_poly_hash_ctes(text_expr: str, src: str) -> str:
+    """CTE chain computing url_hash64(text_expr) bit-exactly into column x
+    (UBIGINT), carrying every column of `src` through. ASCII-only input."""
+    from h3ray.io.pages import _MAX_URL, _POLY_P
+
+    pw = [pow(_POLY_P, min(i, _MAX_URL - 1), 1 << 64)
+          for i in range(_MAX_URL)]
+    pw_sql = "[" + ",".join(f"{v}::HUGEINT" for v in pw) + "]"
+    return f"""
+        _raw AS (
+          SELECT *, {text_expr} AS _ht, length({text_expr}) AS _hn FROM {src}
+        ), _summed AS (
+          SELECT *,
+            CASE WHEN _hn = 0 THEN 11400714819323198485::UBIGINT
+            ELSE CAST(list_sum([CAST(ord(substring(_ht, i, 1)) AS HUGEINT)
+                                * ({pw_sql})[least(i, {_MAX_URL})]
+                                FOR i IN range(1, _hn + 1)])
+                      % 18446744073709551616 AS UBIGINT) END AS _x0
+          FROM _raw
+        ), _m1 AS (
+          SELECT *,
+                 {_sql_mulmod('xor(_x0, _x0 >> 30)', 13787848793156543929)}
+                 AS _x1
+          FROM _summed
+        ), _m2 AS (
+          SELECT *,
+                 {_sql_mulmod('xor(_x1, _x1 >> 27)', 10723151780598845931)}
+                 AS _x2
+          FROM _m1
+        ), _m3 AS (
+          SELECT *, xor(_x2, _x2 >> 31) AS x FROM _m2
+        )
+    """
+
+
+def _fingerprint_oracle() -> str:
+    """SQL mirror of h3ray.io.pages.url_hash64 (polynomial over UTF-8 bytes
+    + splitmix64 finalizer), bit-exact: mod-2^64 multiplication is split
+    hi/lo through HUGEINT, the power table is generated from the same
+    module constants, and the result is bit-viewed to BIGINT exactly like
+    fingerprint_stage. Valid for ASCII text (ord == byte), which the
+    documents table is."""
+    return f"""
+        WITH {_sql_poly_hash_ctes("text", "documents")}
+        SELECT doc_id,
+          CAST(CAST(x AS HUGEINT)
+               - CASE WHEN x >= 9223372036854775808::UBIGINT
+                      THEN 18446744073709551616::HUGEINT
+                      ELSE 0::HUGEINT END AS BIGINT) AS fingerprint
+        FROM _m3
+    """
+
+
+def _multimodal_oracle() -> str:
+    """SQL mirror of the fake-codec ImageDecodeStage over
+    pages_from_documents: url from mix64(doc_id), html =
+    '<html><body>'||text||'</body></html>', dims from url_hash64(html)."""
+    mix_did = _sql_mulmod("xor(_d0, _d0 >> 30)", 13787848793156543929)
+    return f"""
+        WITH _d AS (
+          SELECT CAST(doc_id AS UBIGINT) AS _d0, doc_id, text FROM documents
+        ), _dm1 AS (
+          SELECT *, {mix_did} AS _d1 FROM _d
+        ), _dm2 AS (
+          SELECT *,
+                 {_sql_mulmod('xor(_d1, _d1 >> 27)', 10723151780598845931)}
+                 AS _d2
+          FROM _dm1
+        ), pages AS (
+          SELECT 'https://site'
+                 || lpad(CAST(xor(_d2, _d2 >> 31) % 997 AS VARCHAR), 5, '0')
+                 || '.example/' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+                 AS url,
+                 '<html><body>' || text || '</body></html>' AS html
+          FROM _dm2
+        ), {_sql_poly_hash_ctes("html", "pages")}
+        SELECT url,
+               CAST(64 + x % 193 AS INTEGER) AS img_w,
+               CAST(64 + (x >> 8) % 129 AS INTEGER) AS img_h,
+               length(html) > 0 AS decode_ok
+        FROM _m3
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "lineitem_pricing_summary": """
@@ -661,6 +753,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.4
         """,
         "langid_predictions": _langid_oracle(),
+        "docs_fingerprints": _fingerprint_oracle(),
+        "multimodal_decode_meta": _multimodal_oracle(),
         "ngram_jaccard_pairs": """
             WITH shingles AS (
               SELECT doc_id,
