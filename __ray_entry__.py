@@ -587,6 +587,60 @@ def _sql_poly_hash_ctes(text_expr: str, src: str) -> str:
     """
 
 
+def _simhash_oracle() -> str:
+    """SQL mirror of h3ray.text.dedup.simhash_batch: whitespace tokens
+    (empties dropped, matching str.split), per-token url_hash64 via the
+    mod-2^64 machinery, then a 64-bit majority vote over the token-hash
+    list. Bit-exact for ASCII text."""
+    from h3ray.io.pages import _MAX_URL, _POLY_P
+
+    pw = [pow(_POLY_P, min(i, _MAX_URL - 1), 1 << 64)
+          for i in range(_MAX_URL)]
+    pw_sql = "[" + ",".join(f"{v}::HUGEINT" for v in pw) + "]"
+    votes = " + ".join(
+        f"(CASE WHEN 2 * list_sum([CAST((h >> {b}) & 1 AS HUGEINT)"
+        f" FOR h IN ths]) > len(ths)"
+        f" THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END)"
+        for b in range(64))
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'),
+                             t -> t <> '') AS tokens
+          FROM documents
+        ), h0 AS (
+          SELECT doc_id,
+            [CAST(list_sum([CAST(ord(substring(t, i, 1)) AS HUGEINT)
+                            * ({pw_sql})[least(i, {_MAX_URL})]
+                            FOR i IN range(1, length(t) + 1)])
+                  % 18446744073709551616 AS UBIGINT)
+             FOR t IN tokens] AS hs
+          FROM toks
+        ), h1 AS (
+          SELECT doc_id,
+                 [{_sql_mulmod('xor(h, h >> 30)', 13787848793156543929)}
+                  FOR h IN hs] AS hs
+          FROM h0
+        ), h2 AS (
+          SELECT doc_id,
+                 [{_sql_mulmod('xor(h, h >> 27)', 10723151780598845931)}
+                  FOR h IN hs] AS hs
+          FROM h1
+        ), h3 AS (
+          SELECT doc_id, [xor(h, h >> 31) FOR h IN hs] AS ths FROM h2
+        ), voted AS (
+          SELECT doc_id,
+            CASE WHEN len(ths) = 0 THEN 0::HUGEINT ELSE {votes} END AS sh
+          FROM h3
+        )
+        SELECT doc_id,
+          CAST(sh - CASE WHEN sh >= 9223372036854775808::HUGEINT
+                    THEN 18446744073709551616::HUGEINT
+                    ELSE 0::HUGEINT END AS BIGINT) AS simhash
+        FROM voted
+    """
+
+
 def _fingerprint_oracle() -> str:
     """SQL mirror of h3ray.io.pages.url_hash64 (polynomial over UTF-8 bytes
     + splitmix64 finalizer), bit-exact: mod-2^64 multiplication is split
@@ -755,6 +809,15 @@ def oracle_sql() -> dict[str, str]:
         "langid_predictions": _langid_oracle(),
         "docs_fingerprints": _fingerprint_oracle(),
         "multimodal_decode_meta": _multimodal_oracle(),
+        "simhash_fingerprints": _simhash_oracle(),
+        # 4 x 16-bit banding is LOSSLESS for Hamming <= 3 (pigeonhole), so
+        # the banded pipeline equals the exact Hamming self-join.
+        "simhash_dup_pairs": f"""
+            WITH sims AS ({_simhash_oracle()})
+            SELECT a.doc_id AS key_a, b.doc_id AS key_b
+            FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
         "ngram_jaccard_pairs": """
             WITH shingles AS (
               SELECT doc_id,
