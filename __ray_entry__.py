@@ -587,6 +587,104 @@ def _sql_poly_hash_ctes(text_expr: str, src: str) -> str:
     """
 
 
+def _minhash_pairs_oracle() -> str:
+    """SQL mirror of the full MinHash-LSH candidate pipeline: k=5 shingle
+    hashes (rolling polynomial + splitmix64), 64 affine-permutation minima
+    (row-based MIN aggregates over the unnested shingle rows), 16 band
+    hashes with the same mixing formula, then distinct star pairs
+    (band-run min vs the rest). Every constant is generated from the
+    h3ray.text.dedup source of truth; bit-exact for ASCII text."""
+    from h3ray.io.pages import _MAX_URL, _POLY_P
+    from h3ray.text.dedup import _PERM_A, _PERM_B
+
+    pw = [pow(_POLY_P, min(i, _MAX_URL - 1), 1 << 64)
+          for i in range(_MAX_URL)]
+    pw_sql = "[" + ",".join(f"{v}::HUGEINT" for v in pw) + "]"
+    m64 = 18446744073709551616
+
+    min_aggs = ", ".join(
+        f"MIN(CAST((CAST({_sql_mulmod('h', int(_PERM_A[p]))} AS HUGEINT)"
+        f" + {int(_PERM_B[p])}) % {m64} AS UBIGINT)) AS m{p}"
+        for p in range(64))
+
+    # One row per (doc, band) carrying the band's 4 minima; the mix64
+    # chains then advance ONE step per CTE over plain columns — nesting the
+    # chains as expressions replicates subtrees exponentially and blows the
+    # planner up (measured ~90s vs <1s stepwise).
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {k} AS band, m{4 * k} AS b0, m{4 * k + 1} AS b1,"
+        f" m{4 * k + 2} AS b2, m{4 * k + 3} AS b3 FROM sigs"
+        for k in range(16))
+    c1, c2 = 13787848793156543929, 10723151780598845931
+    step1 = ", ".join(
+        f"{_sql_mulmod(f'xor({c}, {c} >> 30)', c1)} AS {c}"
+        for c in ("b1", "b2", "b3"))
+    step2 = ", ".join(
+        f"{_sql_mulmod(f'xor({c}, {c} >> 27)', c2)} AS {c}"
+        for c in ("b1", "b2", "b3"))
+    step3 = ", ".join(f"xor({c}, {c} >> 31) AS {c}"
+                      for c in ("b1", "b2", "b3"))
+    return f"""
+        WITH raw AS (
+          SELECT doc_id,
+                 CASE WHEN length(text) < 5 THEN rpad(text, 5, ' ')
+                      ELSE text END AS t
+          FROM documents
+        ), sh0 AS (
+          SELECT doc_id,
+            unnest([CAST(list_sum(
+                      [CAST(ord(substring(t, i + j, 1)) AS HUGEINT)
+                       * ({pw_sql})[j + 1] FOR j IN range(0, 5)])
+                    % {m64} AS UBIGINT)
+                    FOR i IN range(1, length(t) - 3)]) AS h0
+          FROM raw
+        ), sh1 AS (
+          SELECT doc_id,
+                 {_sql_mulmod('xor(h0, h0 >> 30)', 13787848793156543929)}
+                 AS h1 FROM sh0
+        ), sh2 AS (
+          SELECT doc_id,
+                 {_sql_mulmod('xor(h1, h1 >> 27)', 10723151780598845931)}
+                 AS h2 FROM sh1
+        ), sh3 AS (
+          -- DISTINCT is exact (min over a multiset == min over its set)
+          -- and cuts the 64 aggregate passes by the shingle repeat factor.
+          SELECT DISTINCT doc_id, xor(h2, h2 >> 31) AS h FROM sh2
+        ), sigs AS MATERIALIZED (
+          SELECT doc_id, {min_aggs} FROM sh3 GROUP BY doc_id
+        ), bands0 AS MATERIALIZED (
+          {unions}
+        ), mixa AS (
+          SELECT doc_id, band, b0, {step1} FROM bands0
+        ), mixb AS (
+          SELECT doc_id, band, b0, {step2} FROM mixa
+        ), mixc AS (
+          SELECT doc_id, band, b0, {step3} FROM mixb
+        ), inner0 AS (
+          SELECT doc_id, band,
+                 xor(xor(xor({_sql_mulmod('b0', 3)}, b1), b2 >> 1),
+                     {_sql_mulmod('b3', 2)}) AS v
+          FROM mixc
+        ), fin1 AS (
+          SELECT doc_id, band,
+                 {_sql_mulmod('xor(v, v >> 30)', 13787848793156543929)} AS v
+          FROM inner0
+        ), fin2 AS (
+          SELECT doc_id, band,
+                 {_sql_mulmod('xor(v, v >> 27)', 10723151780598845931)} AS v
+          FROM fin1
+        ), bands AS MATERIALIZED (
+          SELECT doc_id, band, xor(v, v >> 31) AS bh FROM fin2
+        )
+        SELECT DISTINCT m.a AS key_a, b.doc_id AS key_b
+        FROM bands b
+        JOIN (SELECT band, bh, MIN(doc_id) AS a
+              FROM bands GROUP BY band, bh) m
+        ON b.band = m.band AND b.bh = m.bh
+        WHERE b.doc_id > m.a
+    """
+
+
 def _simhash_oracle() -> str:
     """SQL mirror of h3ray.text.dedup.simhash_batch: whitespace tokens
     (empties dropped, matching str.split), per-token url_hash64 via the
@@ -810,6 +908,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_fingerprints": _fingerprint_oracle(),
         "multimodal_decode_meta": _multimodal_oracle(),
         "simhash_fingerprints": _simhash_oracle(),
+        "minhash_dup_pairs": _minhash_pairs_oracle(),
         # 4 x 16-bit banding is LOSSLESS for Hamming <= 3 (pigeonhole), so
         # the banded pipeline equals the exact Hamming self-join.
         "simhash_dup_pairs": f"""

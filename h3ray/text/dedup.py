@@ -301,10 +301,13 @@ def minhash_duplicate_pairs(ds, key_col: str, text_col: str = "text",
                             num_buckets: int = 32):
     """Candidate near-dup pairs via MinHash-LSH banding.
 
-    Returns a Dataset of (key_a, key_b) star pairs (min key per colliding
-    band vs the rest) with key_a < key_b. Shuffle granularity is
-    `num_buckets` hash buckets (size it ~4x cluster cores at scale).
+    Returns a Dataset of DISTINCT (key_a, key_b) star pairs (min key per
+    colliding band vs the rest) with key_a < key_b — a pair colliding in
+    several bands appears once. Shuffle granularity is `num_buckets` hash
+    buckets (size it ~4x cluster cores at scale).
     """
+    from ..ops.pairs import distinct_pairs
+
     bands = ds.map_batches(minhash_bands_stage(key_col, text_col),
                            batch_format="pyarrow", batch_size=8192)
     bucketed = _bucketize(bands, "band_hash", num_buckets)
@@ -325,8 +328,9 @@ def minhash_duplicate_pairs(ds, key_col: str, text_col: str = "text",
         return pa.Table.from_arrays([pa.array(a), pa.array(b)],
                                     names=["key_a", "key_b"])
 
-    return bucketed.groupby("_bucket").map_groups(pairs,
+    cand = bucketed.groupby("_bucket").map_groups(pairs,
                                                   batch_format="pyarrow")
+    return distinct_pairs(cand, "key_a", "key_b", num_buckets=num_buckets)
 
 
 def simhash_duplicate_pairs(ds, key_col: str, text_col: str = "text",
