@@ -364,6 +364,22 @@ def _ann_topk_lsh(sf_dir: str):
     return out.select_columns(["query_id", "vec_id"])
 
 
+def _docs_dup_clusters(sf_dir: str):
+    """Duplicate clusters: connected components (min-label propagation over
+    shuffle joins) of the exact-verified ngram-jaccard pair graph; every
+    doc gets cluster_id = min doc_id of its component (itself if unique)."""
+    import ray.data as rd
+
+    from h3ray.text.dedup import duplicate_clusters, ngram_jaccard_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, key_col="doc_id", threshold=0.5)
+    keys = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    return duplicate_clusters(keys, pairs, key_col="doc_id")
+
+
 def _ann_topk_ivf(sf_dir: str):
     """IVF ANN with nprobe == n_centroids (full probe): exercises the whole
     IVF machinery (sampled k-means, list assignment, pruning filter) while
@@ -512,6 +528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_fingerprints": _simhash,
         "simhash_dup_pairs": _simhash_pairs,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
+        "docs_dup_clusters": _docs_dup_clusters,
         "ann_topk_lsh": _ann_topk_lsh,
         "ann_topk_ivf": _ann_topk_ivf,
         "langid_predictions": _langid,
@@ -905,6 +922,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.4
         """,
         "langid_predictions": _langid_oracle(),
+        # Connected components of the ngram-jaccard pair graph via a
+        # recursive transitive closure (components are tiny dup clusters).
+        "docs_dup_clusters": """
+            WITH RECURSIVE pairs AS (
+              WITH shingles AS (
+                SELECT doc_id,
+                       CASE WHEN length(text) < 5 THEN [rpad(text, 5, ' ')]
+                            ELSE list_distinct([substring(text, i, 5)
+                                    FOR i IN range(1, length(text) - 3)])
+                       END AS gs
+                FROM documents
+              )
+              SELECT a.doc_id AS key_a, b.doc_id AS key_b
+              FROM shingles a JOIN shingles b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                    / (len(a.gs) + len(b.gs)
+                       - len(list_intersect(a.gs, b.gs))) >= 0.5
+            ), edge AS (
+              SELECT key_a AS u, key_b AS v FROM pairs
+              UNION ALL SELECT key_b, key_a FROM pairs
+            ), reach(u, v) AS (
+              SELECT u, v FROM edge
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edge e ON r.v = e.u
+            )
+            SELECT d.doc_id,
+                   LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id))
+                       AS cluster_id
+            FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+            GROUP BY d.doc_id
+        """,
         "docs_fingerprints": _fingerprint_oracle(),
         "multimodal_decode_meta": _multimodal_oracle(),
         "simhash_fingerprints": _simhash_oracle(),

@@ -121,8 +121,11 @@ def hash_join(left_ds, right_ds, left_key: str, right_key: str,
             take_l = np.repeat(np.arange(lk.shape[0]), counts)
             take_r = _ragged_take(lo, counts)
         l_idx = pa.array(lrows[take_l])
-        r_idx_np = np.where(take_r >= 0, rrows[rorder[take_r]], -1)
         r_valid = take_r >= 0
+        r_idx_np = np.zeros(take_r.shape[0], dtype=np.int64)
+        if r_valid.any():
+            # Guarded gather: -1 sentinels must not index (empty) rorder.
+            r_idx_np[r_valid] = rrows[rorder[take_r[r_valid]]]
         arrays = [group["_key"].combine_chunks().take(l_idx)
                   if isinstance(group["_key"], pa.ChunkedArray)
                   else group["_key"].take(l_idx)]

@@ -397,6 +397,86 @@ def simhash_duplicate_pairs(ds, key_col: str, text_col: str = "text",
 POPCOUNT8 = np.array([bin(v).count("1") for v in range(256)], dtype=np.int64)
 
 
+def duplicate_clusters(keys_ds, pairs_ds, key_col: str,
+                       pair_a: str = "key_a", pair_b: str = "key_b",
+                       max_iters: int = 30):
+    """Connected components of the dup-pair graph: (key, cluster_id) with
+    cluster_id = min key in the component; keys without a pair cluster to
+    themselves.
+
+    Distributed min-label propagation (the BSP connected-components loop):
+    every iteration ships each key's current label across the (static)
+    edge set with a shuffle hash join, takes the per-key min of neighbor
+    labels, and lowers labels that improved. Labels materialize each round
+    (iterative algorithms must break lineage); rounds needed = component
+    diameter (near-dup clusters are shallow — typically 2-4).
+    """
+    import pyarrow.compute as pc
+
+    from ..ops.join import hash_join
+
+    def project_keys(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(k), pa.array(k.copy())], names=[key_col, "cluster_id"])
+
+    labels = keys_ds.map_batches(project_keys,
+                                 batch_format="pyarrow").materialize()
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch[pair_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[pair_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate([a, b])),
+             pa.array(np.concatenate([b, a]))],
+            names=["_src", "_dst"])
+
+    edges = pairs_ds.map_batches(both_dirs,
+                                 batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return labels
+
+    from ray.data.aggregate import Min
+
+    for _ in range(max_iters):
+        # Neighbor labels: join edges' source side to current labels, then
+        # min per destination.
+        src_labels = labels.map_batches(
+            lambda b: b.rename_columns(["_src", "_label"]),
+            batch_format="pyarrow")
+        msgs = hash_join(edges, src_labels, "_src", "_src")
+        cand = msgs.groupby("_dst").aggregate(
+            Min("_label", alias_name="_min_nbr"))
+
+        def rename_cand(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns([key_col, "_min_nbr"])
+
+        merged = hash_join(labels,
+                           cand.map_batches(rename_cand,
+                                            batch_format="pyarrow"),
+                           key_col, key_col, how="left")
+
+        def lower(batch: pa.Table) -> pa.Table:
+            cur = batch["cluster_id"].to_numpy(zero_copy_only=False)
+            nbr = batch["_min_nbr"].to_numpy(zero_copy_only=False)
+            nbr = np.where(np.isnan(nbr.astype(np.float64)), cur,
+                           nbr).astype(np.int64) \
+                if nbr.dtype != np.int64 else nbr
+            new = np.minimum(cur, nbr)
+            return pa.Table.from_arrays(
+                [batch[key_col], pa.array(new),
+                 pa.array((new < cur).astype(np.int8))],
+                names=[key_col, "cluster_id", "_changed"])
+
+        stepped = merged.map_batches(lower,
+                                     batch_format="pyarrow").materialize()
+        n_changed = stepped.sum("_changed")
+        labels = stepped.drop_columns(["_changed"]).materialize()
+        if not n_changed:
+            break
+    return labels
+
+
 def minhash_candidate_pairs(ds, key_col: str, text_col: str = "text",
                             k: int = 5, num_buckets: int = 32):
     """All distinct (key_a < key_b) pairs colliding in >= 1 MinHash band.

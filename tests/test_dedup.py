@@ -99,6 +99,36 @@ def test_ngram_jaccard_pairs_verified(ray_session, corpus):
     assert (7, 63) in got  # exact dup
 
 
+def test_duplicate_clusters_label_propagation(ray_session):
+    """Min-label propagation finds multi-hop components (chain diameter 3
+    needs several BSP rounds), leaves singletons alone."""
+    keys = pa.Table.from_arrays(
+        [pa.array(np.arange(12, dtype=np.int64))], names=["doc_id"])
+    pairs = pa.Table.from_arrays(
+        [pa.array([1, 2, 3, 10], type=pa.int64()),
+         pa.array([2, 3, 4, 11], type=pa.int64())],
+        names=["key_a", "key_b"])
+    out = dedup.duplicate_clusters(rd.from_arrow(keys),
+                                   rd.from_arrow(pairs),
+                                   key_col="doc_id").to_pandas()
+    got = dict(zip(out.doc_id, out.cluster_id))
+    exp = {i: i for i in range(12)}
+    exp.update({2: 1, 3: 1, 4: 1, 11: 10})
+    assert got == exp
+
+
+def test_duplicate_clusters_no_pairs(ray_session):
+    keys = pa.Table.from_arrays(
+        [pa.array(np.arange(5, dtype=np.int64))], names=["doc_id"])
+    empty = pa.Table.from_arrays(
+        [pa.array([], type=pa.int64()), pa.array([], type=pa.int64())],
+        names=["key_a", "key_b"])
+    out = dedup.duplicate_clusters(rd.from_arrow(keys),
+                                   rd.from_arrow(empty),
+                                   key_col="doc_id").to_pandas()
+    assert (out.cluster_id == out.doc_id).all() and len(out) == 5
+
+
 def test_exact_dedup_counts(ray_session, corpus):
     ds = rd.from_arrow(corpus)
     out = dedup.exact_dedup(ds, key_col="doc_id").to_pandas()

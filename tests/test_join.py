@@ -52,6 +52,23 @@ def test_hash_join_left(ray_session):
     assert out["rv"].isna().sum() > 0  # unmatched lefts survive with nulls
 
 
+def test_hash_join_left_bucket_without_rights(ray_session):
+    """Buckets holding only left rows must emit null-padded rows, not crash
+    (regression: -1 sentinels indexed an empty right-order array)."""
+    left = pd.DataFrame({"k": np.arange(100, dtype=np.int64),
+                         "lv": np.arange(100)})
+    right = pd.DataFrame({"rk": np.array([5], dtype=np.int64),
+                          "rv": np.array([77])})
+    out = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                    "k", "rk", num_buckets=8, how="left").to_pandas()
+    assert len(out) == 100
+    assert out.loc[out.k == 5, "rv"].iloc[0] == 77
+    assert out["rv"].notna().sum() == 1
+    inner = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                      "k", "rk", num_buckets=8).to_pandas()
+    assert len(inner) == 1 and inner.iloc[0]["k"] == 5
+
+
 def test_hash_join_rejects_collisions(ray_session):
     left = pd.DataFrame({"k": [1], "v": [2]})
     right = pd.DataFrame({"rk": [1], "v": [3]})
