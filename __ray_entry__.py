@@ -364,6 +364,53 @@ def _ann_topk_lsh(sf_dir: str):
     return out.select_columns(["query_id", "vec_id"])
 
 
+def _docs_sample_10pct(sf_dir: str):
+    """Deterministic key-hash 10% sample (reproducible across runs and
+    partitionings — the curation-pipeline sampling primitive)."""
+    import ray.data as rd
+
+    from h3ray.ops.sample import hash_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+    return hash_sample(ds, "doc_id", rate_bp=1000)
+
+
+def _docs_train_test_split(sf_dir: str):
+    """Key-stable train/test assignment (5% test)."""
+    import ray.data as rd
+
+    from h3ray.ops.sample import train_test_split
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+    return train_test_split(ds, "doc_id", test_bp=500)
+
+
+def _sample_oracle(template: str) -> str:
+    """Shared mix64(mix64(doc_id)) % 10000 SQL (stepwise CTEs), formatted
+    into `template` which references column h."""
+    steps = []
+    cur = "x"
+    for _ in range(2):  # two mix64 rounds (outer salt = 0)
+        a = _sql_mulmod(f"xor({cur}, {cur} >> 30)", 13787848793156543929)
+        steps.append(f"SELECT doc_id, {a} AS x FROM __PREV__")
+        b = _sql_mulmod(f"xor({cur}, {cur} >> 27)", 10723151780598845931)
+        steps.append(f"SELECT doc_id, {b} AS x FROM __PREV__")
+        steps.append(f"SELECT doc_id, xor({cur}, {cur} >> 31) AS x "
+                     f"FROM __PREV__")
+    ctes = ["d0 AS (SELECT doc_id, CAST(doc_id AS UBIGINT) AS x "
+            "FROM documents)"]
+    prev = "d0"
+    for i, s in enumerate(steps):
+        name = f"d{i + 1}"
+        ctes.append(f"{name} AS ({s.replace('__PREV__', prev)})")
+        prev = name
+    return ("WITH " + ", ".join(ctes)
+            + template.replace("__LAST__", prev)
+                      .replace("__H__", "x % 10000"))
+
+
 def _docs_dup_clusters(sf_dir: str):
     """Duplicate clusters: connected components (min-label propagation over
     shuffle joins) of the exact-verified ngram-jaccard pair graph; every
@@ -529,6 +576,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": _simhash_pairs,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         "docs_dup_clusters": _docs_dup_clusters,
+        "docs_sample_10pct": _docs_sample_10pct,
+        "docs_train_test_split": _docs_train_test_split,
         "ann_topk_lsh": _ann_topk_lsh,
         "ann_topk_ivf": _ann_topk_ivf,
         "langid_predictions": _langid,
@@ -954,6 +1003,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY d.doc_id
         """,
         "docs_fingerprints": _fingerprint_oracle(),
+        "docs_sample_10pct": _sample_oracle(
+            " SELECT doc_id FROM __LAST__ WHERE __H__ < 1000"),
+        "docs_train_test_split": _sample_oracle(
+            " SELECT doc_id, CASE WHEN __H__ < 500 THEN 'test'"
+            " ELSE 'train' END AS split FROM __LAST__"),
         "multimodal_decode_meta": _multimodal_oracle(),
         "simhash_fingerprints": _simhash_oracle(),
         "minhash_dup_pairs": _minhash_pairs_oracle(),

@@ -1,0 +1,54 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Hash-based, not RNG-based: membership is a pure function of the key, so
+samples are reproducible across runs, machines, and re-partitioning, and a
+key never migrates between train and test when the corpus grows — the
+properties that matter for 100-TB dataset curation. Rates are expressed in
+basis points of the 64-bit hash space (exact integer thresholds, no float
+boundary ambiguity between engines).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..io.pages import _mix64, url_hash64
+
+SAMPLE_SPACE = 10_000  # basis points
+
+
+def _key_hash(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        return _mix64(col.to_numpy(zero_copy_only=False).astype(np.uint64))
+    return url_hash64(col)
+
+
+def hash_sample(ds, key_col: str, rate_bp: int, salt: int = 0):
+    """Keep rows whose key hashes into the first `rate_bp`/10000 of the
+    space. Deterministic, key-stable, composable (different salts give
+    independent samples)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        h = _mix64(_key_hash(batch[key_col]) + np.uint64(salt))
+        keep = (h % np.uint64(SAMPLE_SPACE)) < rate_bp
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def train_test_split(ds, key_col: str, test_bp: int, salt: int = 0,
+                     out_col: str = "split"):
+    """Label every row 'test' (first `test_bp`/10000 of hash space) or
+    'train'. Same hash stream as hash_sample, so hash_sample(rate_bp=x)
+    == the test side of train_test_split(test_bp=x)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        h = _mix64(_key_hash(batch[key_col]) + np.uint64(salt))
+        is_test = (h % np.uint64(SAMPLE_SPACE)) < test_bp
+        return batch.append_column(
+            out_col, pa.array(np.where(is_test, "test", "train")))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

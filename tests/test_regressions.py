@@ -107,3 +107,26 @@ def test_bucket_count_invariance(ray_session, tmp_path):
     a7 = canon(events_asof_join(str(tmp_path), num_buckets=7).to_pandas())
     a32 = canon(events_asof_join(str(tmp_path), num_buckets=32).to_pandas())
     assert a7.equals(a32) and len(a7) > 0
+
+
+def test_hash_sample_and_split_consistency(ray_session):
+    """Sampling is key-stable and hash_sample == test side of the split."""
+    import ray.data as rd
+
+    from h3ray.ops.sample import hash_sample, train_test_split
+
+    keys = pa.Table.from_arrays(
+        [pa.array(np.arange(5000, dtype=np.int64))], names=["doc_id"])
+    s1 = set(hash_sample(rd.from_arrow(keys), "doc_id", 1000)
+             .to_pandas().doc_id)
+    s2 = set(hash_sample(rd.from_arrow(keys).repartition(7), "doc_id", 1000)
+             .to_pandas().doc_id)
+    assert s1 == s2  # partitioning-independent
+    assert 0.06 < len(s1) / 5000 < 0.14  # ~10%
+    split = train_test_split(rd.from_arrow(keys), "doc_id", 1000).to_pandas()
+    test_side = set(split[split.split == "test"].doc_id)
+    assert test_side == s1
+    # Different salts give (near-)independent membership.
+    s3 = set(hash_sample(rd.from_arrow(keys), "doc_id", 1000, salt=9)
+             .to_pandas().doc_id)
+    assert s3 != s1
