@@ -1,13 +1,19 @@
-"""Distributed shuffle hash join (the large x large equi-join Ray Data's
-Dataset API lacks natively).
+"""Distributed shuffle hash join with explicit co-partitioning.
 
 Shape: both sides are bucketed by key hash (co-partitioning), null-padded to
 a common schema, tagged with a side flag and unioned; one groupby(bucket)
 shuffle co-locates matching keys; inside each bucket a vectorized sorted
 merge join (lexsort + searchsorted + ragged expansion) emits the join rows.
 No driver materialization; reducer count = num_buckets (~4x cluster cores).
-For small-side joins prefer a broadcast lookup stage (see
-pipelines/relational.orders_by_segment) — it skips the shuffle entirely.
+
+Relationship to the native `Dataset.join` (which Ray 2.49 does provide, and
+which knn_join_shuffle uses): this explicit variant measured 3.4x faster on
+the orders x customer bench (2.2 s vs 7.5 s at sf0.1, 32 cpus, min-of-2) —
+one sort shuffle + numpy merge instead of the aggregator-actor repartition —
+and its fixed, reusable bucketing is what the iterative label-propagation
+loop (text.dedup.duplicate_clusters) builds on. For small-side joins prefer
+a broadcast lookup stage (pipelines/relational.orders_by_segment) — it
+skips the shuffle entirely.
 """
 
 from __future__ import annotations
