@@ -226,6 +226,32 @@ def edges_expand_stage(cell_col: str, keep_cols: list[str],
     return fn
 
 
+def vertexes_expand_stage(cell_col: str, keep_cols: list[str],
+                          out_col: str = "vertex",
+                          coords: bool = True):
+    """cellToVertexes flat-map (cell.rs:1009-1027): one row per canonical
+    vertex (6 per hexagon, 5 per pentagon), optionally with the vertex
+    lat/lng (vertexToLatLng)."""
+    from ..kernels import edgevertex as ev
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cells = _col(batch, cell_col)
+        rows, verts = ev.cell_to_vertexes(bits.as_i64(cells))
+        arrays = [batch[c].take(pa.array(rows)) for c in keep_cols]
+        names = list(keep_cols)
+        arrays.append(pa.array(bits.as_u64(cells[rows])))
+        names.append(cell_col)
+        arrays.append(pa.array(bits.as_u64(verts)))
+        names.append(out_col)
+        if coords:
+            vlat, vlng = ev.vertex_to_latlng(verts)
+            arrays.extend([pa.array(vlat), pa.array(vlng)])
+            names.extend(["vertex_lat", "vertex_lng"])
+        return pa.Table.from_arrays(arrays, names=names)
+
+    return fn
+
+
 def local_ij_stage(origin_col: str, cell_col: str, i_col: str = "local_i",
                    j_col: str = "local_j", ok_col: str = "local_ok"):
     """cellToLocalIj per row (cell.rs:1482-1486): anchor-relative (i, j)

@@ -137,6 +137,21 @@ def test_edges_expand_stage():
     assert (out["edge_len_m"].to_numpy() > 0).all()
 
 
+def test_vertexes_expand_stage():
+    from h3ray.kernels import edgevertex as ev
+
+    batch, cells = make_batch(n=60)
+    out = stages.vertexes_expand_stage("cell", ["url"])(batch)
+    pent = bits.is_pentagon(cells)
+    assert out.num_rows == int(np.where(pent, 5, 6).sum())
+    verts = out["vertex"].to_numpy(zero_copy_only=False).view(np.int64)
+    assert ev.is_valid_vertex(verts).all()
+    vlat = out["vertex_lat"].to_numpy()
+    vlng = out["vertex_lng"].to_numpy()
+    elat, elng = ev.vertex_to_latlng(verts)
+    assert np.allclose(vlat, elat) and np.allclose(vlng, elng)
+
+
 def test_salt_stage_deterministic():
     batch, _ = make_batch()
     a = stages.salt_stage("cell", 8)(batch)["salt"].to_numpy()
