@@ -18,6 +18,7 @@ from .kernels.bits import (  # noqa: F401
     get_base_cell,
     get_resolution,
     is_pentagon,
+    is_res_class3,
     is_valid_cell,
     to_strings,
 )
@@ -62,6 +63,7 @@ from .kernels.localij import (  # noqa: F401
     cell_to_local_ij,
     grid_distance,
     grid_path_cells,
+    grid_path_cells_size,
     local_ij_to_cell,
 )
 from .kernels.measures import (  # noqa: F401
@@ -77,8 +79,10 @@ from .kernels.measures import (  # noqa: F401
     hexagon_edge_length_avg,
     icosahedron_faces,
     max_face_count,
+    pentagon_count,
     pentagons,
     rads_to_degs,
+    res0_cell_count,
     res0_cells,
 )
 from .kernels.region import (  # noqa: F401

@@ -129,6 +129,20 @@ def test_duplicate_clusters_no_pairs(ray_session):
     assert (out.cluster_id == out.doc_id).all() and len(out) == 5
 
 
+def test_dedup_pipelines_on_empty_input(ray_session):
+    """Every dedup pipeline must survive an empty corpus with its schema
+    intact (empty partitions are routine at 100-TB scale)."""
+    empty = pa.Table.from_arrays(
+        [pa.array([], type=pa.int64()), pa.array([], type=pa.string())],
+        names=["doc_id", "text"])
+    for fn in (lambda d: dedup.exact_dedup(d, key_col="doc_id"),
+               lambda d: dedup.minhash_duplicate_pairs(d, key_col="doc_id"),
+               lambda d: dedup.simhash_duplicate_pairs(d, key_col="doc_id"),
+               lambda d: dedup.ngram_jaccard_pairs(d, key_col="doc_id")):
+        out = fn(rd.from_arrow(empty)).to_pandas()
+        assert len(out) == 0
+
+
 def test_exact_dedup_counts(ray_session, corpus):
     ds = rd.from_arrow(corpus)
     out = dedup.exact_dedup(ds, key_col="doc_id").to_pandas()
