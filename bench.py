@@ -147,10 +147,13 @@ def run_benchmarks() -> dict:
         timings[name] = time.time() - t0
 
     if os.environ.get("GRAFT_BENCH_STATS"):
-        # Per-stage execution stats for the headline pipeline (stderr only;
-        # stdout stays one JSON line for the driver).
-        m = geotag.cell_counts(read_pages(), res=9, parent_res=3) \
-            .materialize()
+        # Per-stage execution stats for the headline ENCODE pipeline
+        # (stderr only; stdout stays one JSON line for the driver).
+        # cell_counts itself ends in a driver merge whose upstream lineage
+        # isn't visible from the returned from_arrow dataset, so
+        # materialize the geotag/encode chain directly.
+        m = geotag.geotag_cells(read_pages(), res=9, parent_res=3,
+                                keep_cols=("url",)).materialize()
         print(m.stats(), file=sys.stderr)
 
     headline = timings["encode_cell_counts"] + timings["knn_join"]
