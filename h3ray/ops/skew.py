@@ -93,9 +93,55 @@ def _segmented_top_k(tbl: pa.Table, key_col: str, value_col: str, k: int,
     return tbl.take(pa.array(order[rank < k]))
 
 
+def detect_hot_keys(ds, key_col: str, row_key_col: str, *,
+                    rate_bp: int = 100, hot_share: float = 0.01):
+    """Estimate hot keys from a deterministic row-sample histogram.
+
+    The §4 skew design: a cheap pre-pass samples ~rate_bp/10000 of the rows
+    (by hash of `row_key_col`, a per-row-unique column like url/event_id, so
+    the sample is uniform over ROWS and stable across partitionings),
+    counts per key with the combiner pattern, and returns the keys whose
+    sampled share exceeds `hot_share` — the only keys worth salting.
+    Returns (hot_keys sorted int64 array, their estimated row shares)."""
+    from .reduce import driver_merge
+    from .sample import hash_sample
+
+    sampled = hash_sample(ds.select_columns([row_key_col, key_col]),
+                          row_key_col, rate_bp)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(keys, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(uniq), pa.array(counts.astype(np.int64))],
+            names=[key_col, "_n"])
+
+    partials = sampled.map_batches(partial, batch_format="pyarrow",
+                                   batch_size=131072)
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        keys = tbl[key_col].to_numpy(zero_copy_only=False)
+        n = tbl["_n"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        summed = np.zeros(uniq.shape[0], dtype=np.int64)
+        np.add.at(summed, inv, n)
+        return pa.Table.from_arrays(
+            [pa.array(uniq), pa.array(summed)], names=[key_col, "_n"])
+
+    hist = driver_merge(partials, merge)
+    keys = hist[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = hist["_n"].to_numpy(zero_copy_only=False)
+    total = max(int(counts.sum()), 1)
+    shares = counts / total
+    hot = shares > hot_share
+    order = np.argsort(keys[hot])
+    return keys[hot][order], shares[hot][order]
+
+
 def salted_top_k(ds, key_col: str, value_col: str, k: int,
                  salt_mod: int = 16, num_buckets: int | None = None,
-                 tiebreak_col: str | None = None):
+                 tiebreak_col: str | None = None,
+                 hot_keys: np.ndarray | None = None):
     """Per-key top-k rows by value with bounded reducer fan-in.
 
     Top-k is non-algebraic (needs the rows, not a running scalar), so a hot
@@ -106,13 +152,29 @@ def salted_top_k(ds, key_col: str, value_col: str, k: int,
     the <= salt_mod*k surviving rows per key. Both rounds use the bucketed
     segmented-top-k reducer, never a per-key Python callback. Determinism:
     ties broken by `tiebreak_col` ascending.
+
+    With `hot_keys` (a sorted int64 array from `detect_hot_keys`), only
+    those keys are salted: cold keys keep salt 0, so their round-1 partial
+    output is k rows instead of up to salt_mod*k — the sampled-histogram
+    skew design (SURVEY §4) instead of blanket salting.
     """
     nb = num_buckets or default_num_buckets()
+    selective = hot_keys is not None
 
     def bucket1(batch: pa.Table) -> pa.Table:
         h = _key_hash(batch[key_col])
         pos = np.arange(h.shape[0], dtype=np.uint64)
         salt = _mix64(h ^ _mix64(pos)) % np.uint64(salt_mod)
+        if selective:
+            keys = batch[key_col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if hot_keys.shape[0]:
+                idx = np.minimum(np.searchsorted(hot_keys, keys),
+                                 hot_keys.shape[0] - 1)
+                is_hot = hot_keys[idx] == keys
+            else:
+                is_hot = np.zeros(keys.shape[0], dtype=bool)
+            salt = np.where(is_hot, salt, np.uint64(0))
         b = (h + salt * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(nb)
         return batch.append_column("_bucket",
                                    pa.array(b.astype(np.int32)))

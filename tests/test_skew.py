@@ -46,6 +46,35 @@ def test_salted_top_k_equals_direct(ray_session):
     assert (out.groupby("key").size() == 5).all()
 
 
+def test_detect_hot_keys_and_selective_salting(ray_session):
+    """The sampled histogram finds the planted hot key; selective salting
+    produces identical top-k results to blanket salting."""
+    rng = np.random.default_rng(17)
+    n = 40000
+    keys = np.where(rng.random(n) < 0.7, 7,
+                    rng.integers(0, 400, n)).astype(np.int64)
+    rows = np.arange(n, dtype=np.int64)
+    vals = rng.random(n)
+    t = pa.Table.from_arrays(
+        [pa.array(keys), pa.array(rows), pa.array(vals)],
+        names=["key", "row_id", "value"])
+    ds = rd.from_arrow(t)
+    hot, shares = skew.detect_hot_keys(ds, "key", "row_id",
+                                       rate_bp=500, hot_share=0.05)
+    assert 7 in hot.tolist()
+    assert shares[hot.tolist().index(7)] > 0.5
+    assert len(hot) <= 3  # only genuinely hot keys
+
+    blanket = skew.salted_top_k(rd.from_arrow(t), "key", "value", k=4,
+                                salt_mod=8, tiebreak_col="row_id") \
+        .to_pandas()
+    selective = skew.salted_top_k(rd.from_arrow(t), "key", "value", k=4,
+                                  salt_mod=8, tiebreak_col="row_id",
+                                  hot_keys=hot).to_pandas()
+    assert set(zip(blanket.key, blanket.row_id)) == \
+        set(zip(selective.key, selective.row_id))
+
+
 def test_add_salt_splits_hot_key(ray_session):
     keys = np.full(8000, 42, dtype=np.int64)
     t = pa.Table.from_arrays([pa.array(keys)], names=["k"])
