@@ -79,30 +79,34 @@ def run_benchmarks() -> dict:
 
     # Warm-up (untimed): page cache + worker processes + imports, so the
     # timed runs measure steady-state throughput, not cold-start.
-    geotag.cell_counts(read_pages(), res=9, parent_res=3).count()
+    if want("encode_cell_counts") or want("knn_join"):
+        geotag.cell_counts(read_pages(), res=9, parent_res=3).count()
 
     reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
 
     # 1. Headline: geotag + encode res 9 + per-parent-cell counts.
     # Headline queries take min-of-reps: the sandbox shares tenancy and
     # single runs swing 2-3x.
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.time()
-        n_cells = geotag.cell_counts(read_pages(), res=9,
-                                     parent_res=3).count()
-        best = min(best, time.time() - t0)
-    timings["encode_cell_counts"] = best
+    if want("encode_cell_counts"):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            n_cells = geotag.cell_counts(read_pages(), res=9,
+                                         parent_res=3).count()
+            best = min(best, time.time() - t0)
+        timings["encode_cell_counts"] = best
 
     # 2. kNN join against 100 query points.
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.time()
-        out = knn.knn_join(read_pages(), pio.CITY_LAT[:50],
-                           pio.CITY_LNG[:50], res=7, k_ring=2, k_nearest=10)
-        n_knn = out.count()
-        best = min(best, time.time() - t0)
-    timings["knn_join"] = best
+    if want("knn_join"):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            out = knn.knn_join(read_pages(), pio.CITY_LAT[:50],
+                               pio.CITY_LNG[:50], res=7, k_ring=2,
+                               k_nearest=10)
+            n_knn = out.count()
+            best = min(best, time.time() - t0)
+        timings["knn_join"] = best
 
     # 2b. Point-in-polygon join: 32 city polygons, exact per-point recheck.
     from h3ray.pipelines import pip
@@ -156,7 +160,8 @@ def run_benchmarks() -> dict:
                                 keep_cols=("url",)).materialize()
         print(m.stats(), file=sys.stderr)
 
-    headline = timings["encode_cell_counts"] + timings["knn_join"]
+    headline = sum(timings.get(q, 0.0)
+                   for q in ("encode_cell_counts", "knn_join"))
     result = {
         "metric": "h3ray geotag-encode + spatial-join wall time "
                   f"({N_PAGES} pages, res 9)",
@@ -166,7 +171,9 @@ def run_benchmarks() -> dict:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "n_pages": N_PAGES,
-        "rows_per_sec_encode": round(N_PAGES / timings["encode_cell_counts"]),
+        "rows_per_sec_encode": (
+            round(N_PAGES / timings["encode_cell_counts"])
+            if timings.get("encode_cell_counts") else None),
     }
     ray.shutdown()
     return result

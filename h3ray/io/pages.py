@@ -75,8 +75,15 @@ def url_hash64(urls) -> np.ndarray:
     bounds = np.concatenate([[0], np.cumsum(lengths)[:-1]])
     pos = np.arange(total, dtype=np.int64) - np.repeat(bounds, lengths)
     terms = seg * _P_POWERS[np.minimum(pos, _MAX_URL - 1)]
-    sums = np.add.reduceat(terms, bounds) if total else np.zeros(0, np.uint64)
-    sums = np.where(lengths > 0, sums, np.uint64(0x9E3779B97F4A7C15))
+    # reduceat bounds must cover NON-EMPTY strings only: an empty trailing
+    # string puts its bound at len(terms) (IndexError), and empty strings
+    # anywhere make duplicate bounds (reduceat returns a neighbor's term).
+    sums = np.full(lengths.shape[0], np.uint64(0x9E3779B97F4A7C15))
+    nonempty = lengths > 0
+    if total:
+        ne_lengths = lengths[nonempty]
+        ne_bounds = np.cumsum(ne_lengths) - ne_lengths
+        sums[nonempty] = np.add.reduceat(terms, ne_bounds)
     # Final avalanche (splitmix64 finalizer).
     return _mix64(sums)
 

@@ -63,14 +63,24 @@ def salted_group_count(ds, key_col: str, salt_mod: int = 16,
 
 
 def _key_hash(col) -> np.ndarray:
-    """uint64 hash of a key column (int -> mix64, string -> url_hash64)."""
-    from ..io.pages import url_hash64
+    """uint64 hash of a key column (shared with ops.sample)."""
+    from .sample import _key_hash as impl
 
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    if pa.types.is_integer(col.type):
-        return _mix64(col.to_numpy(zero_copy_only=False).astype(np.uint64))
-    return url_hash64(col)
+    return impl(col)
+
+
+def _desc_sort_key(vals: np.ndarray) -> np.ndarray:
+    """Ascending sort key that orders `vals` DESCENDING for any numeric
+    dtype. Plain negation is wrong for unsigned ints (0 wraps to 0 and
+    sorts as the maximum) and overflows at int64 min."""
+    kind = vals.dtype.kind
+    if kind == "u":
+        return np.iinfo(vals.dtype).max - vals
+    if kind == "i":
+        # Order-preserving signed->unsigned map, then reverse.
+        u = vals.astype(np.int64).view(np.uint64) ^ np.uint64(1 << 63)
+        return np.uint64(0xFFFFFFFFFFFFFFFF) - u
+    return -vals
 
 
 def _segmented_top_k(tbl: pa.Table, key_col: str, value_col: str, k: int,
@@ -84,7 +94,7 @@ def _segmented_top_k(tbl: pa.Table, key_col: str, value_col: str, k: int,
         return tbl
     tb = (tbl[tiebreak_col].to_numpy(zero_copy_only=False)
           if tiebreak_col else np.zeros(n, np.int8))
-    order = np.lexsort((tb, -vals, keys))
+    order = np.lexsort((tb, _desc_sort_key(vals), keys))
     ks = keys[order]
     new = np.ones(n, dtype=bool)
     new[1:] = ks[1:] != ks[:-1]
@@ -129,12 +139,12 @@ def detect_hot_keys(ds, key_col: str, row_key_col: str, *,
             [pa.array(uniq), pa.array(summed)], names=[key_col, "_n"])
 
     hist = driver_merge(partials, merge)
-    keys = hist[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    keys = hist[key_col].to_numpy(zero_copy_only=False)
     counts = hist["_n"].to_numpy(zero_copy_only=False)
     total = max(int(counts.sum()), 1)
     shares = counts / total
     hot = shares > hot_share
-    order = np.argsort(keys[hot])
+    order = np.argsort(keys[hot])  # native dtype (int or string) preserved
     return keys[hot][order], shares[hot][order]
 
 
@@ -159,21 +169,24 @@ def salted_top_k(ds, key_col: str, value_col: str, k: int,
     skew design (SURVEY §4) instead of blanket salting.
     """
     nb = num_buckets or default_num_buckets()
-    selective = hot_keys is not None
+    # Hot membership is tested in HASH space (dtype-agnostic: works for
+    # string keys too; a hash collision merely salts one extra key, which
+    # never affects correctness — salting is performance-only).
+    hot_hashes = None
+    if hot_keys is not None and len(hot_keys):
+        hot_hashes = np.sort(_key_hash(pa.array(list(hot_keys))))
 
     def bucket1(batch: pa.Table) -> pa.Table:
         h = _key_hash(batch[key_col])
         pos = np.arange(h.shape[0], dtype=np.uint64)
         salt = _mix64(h ^ _mix64(pos)) % np.uint64(salt_mod)
-        if selective:
-            keys = batch[key_col].to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            if hot_keys.shape[0]:
-                idx = np.minimum(np.searchsorted(hot_keys, keys),
-                                 hot_keys.shape[0] - 1)
-                is_hot = hot_keys[idx] == keys
+        if hot_keys is not None:
+            if hot_hashes is not None:
+                idx = np.minimum(np.searchsorted(hot_hashes, h),
+                                 hot_hashes.shape[0] - 1)
+                is_hot = hot_hashes[idx] == h
             else:
-                is_hot = np.zeros(keys.shape[0], dtype=bool)
+                is_hot = np.zeros(h.shape[0], dtype=bool)
             salt = np.where(is_hot, salt, np.uint64(0))
         b = (h + salt * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(nb)
         return batch.append_column("_bucket",

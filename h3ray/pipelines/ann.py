@@ -194,11 +194,20 @@ def ivf_topk(ds, queries: np.ndarray, *, id_col: str = "vec_id",
     queries = np.asarray(queries, dtype=np.float32)
     if queries.ndim == 1:
         queries = queries[None, :]
-    sample_tbl = pa.concat_tables(
-        [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
-         for b in ds.select_columns([emb_col]).limit(sample_rows)
-         .iter_batches(batch_format="pyarrow", batch_size=None)])
-    cent = _kmeans(_embedding_matrix(sample_tbl, emb_col), n_centroids)
+    import ray.data as rd
+
+    sample_parts = [
+        pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+        for b in ds.select_columns([emb_col]).limit(sample_rows)
+        .iter_batches(batch_format="pyarrow", batch_size=None)]
+    sample_parts = [t for t in sample_parts if t.num_rows]
+    if not sample_parts:
+        # Empty corpus: no lists to probe, schema-stable empty result.
+        return rd.from_arrow(pa.schema(
+            [("query_id", pa.int64()), (id_col, pa.int64()),
+             ("cosine", pa.float64())]).empty_table())
+    cent = _kmeans(_embedding_matrix(pa.concat_tables(sample_parts),
+                                     emb_col), n_centroids)
     qn = queries / np.clip(
         np.linalg.norm(queries, axis=1, keepdims=True), 1e-30, None)
     q_lists = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (m, nprobe)

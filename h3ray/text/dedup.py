@@ -474,6 +474,12 @@ def duplicate_clusters(keys_ds, pairs_ds, key_col: str,
         labels = stepped.drop_columns(["_changed"]).materialize()
         if not n_changed:
             break
+    else:
+        # Silent truncation would return wrong (non-converged) cluster ids
+        # for components whose diameter exceeds max_iters — fail loudly.
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iters} rounds "
+            f"(a component's diameter exceeds max_iters; raise it)")
     return labels
 
 
@@ -515,12 +521,9 @@ def minhash_candidate_pairs(ds, key_col: str, text_col: str = "text",
 def _ragged_gather(values: np.ndarray, starts: np.ndarray,
                    lengths: np.ndarray) -> np.ndarray:
     """Concatenate values[starts[i] : starts[i]+lengths[i]] vectorized."""
-    total = int(lengths.sum())
-    if total == 0:
-        return np.empty(0, values.dtype)
-    bounds = np.cumsum(lengths) - lengths
-    pos = np.arange(total, dtype=np.int64) - np.repeat(bounds, lengths)
-    return values[np.repeat(starts, lengths) + pos]
+    from ..ops.join import _ragged_take
+
+    return values[_ragged_take(starts, lengths)]
 
 
 def ngram_jaccard_pairs(ds, key_col: str, text_col: str = "text",

@@ -30,6 +30,44 @@ def test_url_hash64_large_sliced_offset():
     assert (url_hash64(sliced) == full[10:30]).all()
 
 
+def test_url_hash64_empty_string_positions():
+    """Empty strings anywhere (incl. trailing / all-empty) must hash to the
+    sentinel value without crashing reduceat or shrinking the output."""
+    sentinel = url_hash64(pa.array([""]))
+    assert sentinel.shape == (1,)
+    for payload in (["abc", ""], ["", "abc"], ["", "", ""],
+                    ["a", "", "b", ""], [""]):
+        h = url_hash64(pa.array(payload))
+        assert h.shape == (len(payload),)
+        for i, s in enumerate(payload):
+            if s == "":
+                assert h[i] == sentinel[0]
+            else:
+                assert h[i] == url_hash64(pa.array([s]))[0]
+
+
+def test_segmented_top_k_integer_dtypes():
+    """value=0 must not sort as the maximum for unsigned columns; int64
+    extremes must not overflow."""
+    from h3ray.ops.skew import _segmented_top_k
+
+    t = pa.Table.from_arrays(
+        [pa.array(np.zeros(4, np.int64)),
+         pa.array(np.array([0, 5, 3, 9], dtype=np.uint64)),
+         pa.array(np.arange(4, dtype=np.int64))],
+        names=["key", "value", "tb"])
+    out = _segmented_top_k(t, "key", "value", 2, "tb")
+    assert sorted(out["value"].to_pylist()) == [5, 9]
+    t2 = pa.Table.from_arrays(
+        [pa.array(np.zeros(3, np.int64)),
+         pa.array(np.array([np.iinfo(np.int64).min, -1, 7],
+                           dtype=np.int64)),
+         pa.array(np.arange(3, dtype=np.int64))],
+        names=["key", "value", "tb"])
+    out2 = _segmented_top_k(t2, "key", "value", 2, "tb")
+    assert sorted(out2["value"].to_pylist()) == [-1, 7]
+
+
 def test_cell_area_empty_input():
     assert measures.cell_area_rads2(np.empty(0, np.int64)).shape == (0,)
     empty = pa.Table.from_arrays([pa.array(np.empty(0, np.uint64))],

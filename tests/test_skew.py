@@ -75,6 +75,31 @@ def test_detect_hot_keys_and_selective_salting(ray_session):
         set(zip(selective.key, selective.row_id))
 
 
+def test_detect_hot_keys_string_keys(ray_session):
+    """String group keys (the canonical hot-key case) work end-to-end
+    through detection and selective salting."""
+    rng = np.random.default_rng(3)
+    n = 20000
+    kinds = np.where(rng.random(n) < 0.8, 0, rng.integers(1, 6, n))
+    names = np.array(["hot", "a", "b", "c", "d", "e"])
+    t = pa.Table.from_arrays(
+        [pa.array(names[kinds]),
+         pa.array(np.arange(n, dtype=np.int64)),
+         pa.array(rng.random(n))],
+        names=["key", "row_id", "value"])
+    hot, shares = skew.detect_hot_keys(rd.from_arrow(t), "key", "row_id",
+                                       rate_bp=500, hot_share=0.1)
+    assert hot.tolist() == ["hot"]
+    out = skew.salted_top_k(rd.from_arrow(t), "key", "value", k=3,
+                            salt_mod=8, tiebreak_col="row_id",
+                            hot_keys=hot).to_pandas()
+    assert (out.groupby("key").size() == 3).all()
+    direct = skew.salted_top_k(rd.from_arrow(t), "key", "value", k=3,
+                               salt_mod=8, tiebreak_col="row_id").to_pandas()
+    assert set(zip(out.key, out.row_id)) == set(zip(direct.key,
+                                                    direct.row_id))
+
+
 def test_add_salt_splits_hot_key(ray_session):
     keys = np.full(8000, 42, dtype=np.int64)
     t = pa.Table.from_arrays([pa.array(keys)], names=["k"])
