@@ -143,16 +143,58 @@ class FrameSampleStage:
 
     def __init__(self, col: str = "html", num_frames: int = 4,
                  codec: str = "fake"):
-        if codec != "fake":
-            raise NotImplementedError(
-                "ffmpeg not available in this environment; use codec='fake'")
+        if codec == "ffmpeg":
+            import shutil as _shutil
+
+            if not (_shutil.which("ffprobe") and _shutil.which("ffmpeg")):
+                raise NotImplementedError(
+                    "ffmpeg/ffprobe not available in this environment; "
+                    "use codec='fake'")
+        elif codec != "fake":
+            raise NotImplementedError(f"codec {codec!r} not supported")
         self.col = col
         self.num_frames = num_frames
+        self.codec = codec
+
+    def _probe_durations_ms(self, col: pa.Array) -> np.ndarray:
+        """Real path: per-payload ffprobe duration (container probe only —
+        no frame decode; per-item subprocess is inherent to the codec)."""
+        import json as _json
+        import subprocess as _sp
+
+        out = np.zeros(len(col), dtype=np.int64)
+        for idx in range(len(col)):
+            payload = col[idx].as_py()
+            if not payload:
+                continue
+            try:
+                r = _sp.run(
+                    ["ffprobe", "-v", "quiet", "-print_format", "json",
+                     "-show_format", "-i", "pipe:0"],
+                    input=payload, capture_output=True, timeout=30)
+                meta = _json.loads(r.stdout or b"{}")
+                out[idx] = int(
+                    float(meta.get("format", {}).get("duration", 0)) * 1000)
+            except Exception:  # unprobeable payload -> duration 0
+                pass
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch[self.col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        if self.codec == "ffmpeg":
+            duration_real = self._probe_durations_ms(col)
+            n = len(col)
+            k = self.num_frames
+            rows = np.repeat(np.arange(n), k)
+            frame_idx = np.tile(np.arange(k), n)
+            ts = (duration_real[rows] * frame_idx) // max(k, 1)
+            cols = {name: batch[name].take(pa.array(rows))
+                    for name in batch.column_names if name != self.col}
+            cols["frame_idx"] = pa.array(frame_idx.astype(np.int32))
+            cols["frame_ts_ms"] = pa.array(ts)
+            return pa.Table.from_pydict(cols)
         h = _hash_bytes_batch(col)
         n = len(col)
         k = self.num_frames
