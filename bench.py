@@ -44,7 +44,6 @@ def ensure_pages_parquet():
 def run_benchmarks() -> dict:
     import logging
 
-    import numpy as np
     import ray
     import ray.data as rd
     from ray.data import DataContext
@@ -56,7 +55,7 @@ def run_benchmarks() -> dict:
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     from h3ray.io import pages as pio
-    from h3ray.pipelines import ann, geotag, knn, relational, tiles
+    from h3ray.pipelines import geotag, knn, relational, tiles
 
     ensure_pages_parquet()
     timings: dict[str, float] = {}

@@ -171,7 +171,7 @@ def icosahedron_faces(cells) -> np.ndarray:
     pentagons recurse through their center child (all their vertices lie on
     icosahedron edges); class III pentagons use the pentagon vertex faces.
     """
-    from .boundary import _pentagon_boundary_single, hexagon_vertex_faces
+    from .boundary import hexagon_vertex_faces
     from .boundary import _substrate_center, _adjust_overage_substrate
     from .boundary import VERTS_CIII
 
