@@ -254,6 +254,34 @@ def _h3_cell_edges(sf_dir: str):
         .select_columns(["polygon_id", "cell", "edge", "edge_len_mm"])
 
 
+def _h3_cell_boundaries(sf_dir: str):
+    """cellToBoundary of the coverage cells (micro-degree-quantized vertex
+    rows) — the conformance-corpus kernel driven end-to-end."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops import stages
+    from h3ray.pipelines import pip
+
+    cov = pip.coverage_table(pip.city_polygons(8), res=6)
+    out = rd.from_arrow(cov).map_batches(
+        stages.boundary_expand_stage("cell", ["polygon_id"]),
+        batch_format="pyarrow", batch_size=8192)
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        vlat = batch["vert_lat"].to_numpy(zero_copy_only=False)
+        vlng = batch["vert_lng"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [batch["polygon_id"], batch["cell"], batch["vert_idx"],
+             pa.array(np.floor(vlat * 1e6 + 0.5).astype(np.int64)),
+             pa.array(np.floor(vlng * 1e6 + 0.5).astype(np.int64))],
+            names=["polygon_id", "cell", "vert_idx",
+                   "vlat_udeg", "vlng_udeg"])
+
+    return out.map_batches(quantize, batch_format="pyarrow")
+
+
 def _h3_cell_vertexes(sf_dir: str):
     """Canonical vertexes (+ micro-degree coordinates) of the coverage
     cells — the vertex kernel family driven end-to-end; shared vertexes of
@@ -602,6 +630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "h3_tile_cells": _h3_tile_cells,
         "h3_cell_edges": _h3_cell_edges,
         "h3_cell_vertexes": _h3_cell_vertexes,
+        "h3_cell_boundaries": _h3_cell_boundaries,
         "minhash_dup_pairs": _minhash_pairs,
         "simhash_fingerprints": _simhash,
         "simhash_dup_pairs": _simhash_pairs,

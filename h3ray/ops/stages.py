@@ -201,6 +201,31 @@ def area_stage(cell_col: str, unit: str = "km2", out_col: str | None = None):
     return fn
 
 
+def boundary_expand_stage(cell_col: str, keep_cols: list[str],
+                          vert_col: str = "vert_idx"):
+    """cellToBoundary flat-map (faceijk.rs:371-478): one row per boundary
+    vertex (5-10 per cell incl. class-III distortion vertices), columns
+    (keep..., cell, vert_idx, vert_lat, vert_lng)."""
+    from ..kernels.boundary import cell_to_boundary
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cells = _col(batch, cell_col)
+        off, vlat, vlng = cell_to_boundary(bits.as_i64(cells))
+        counts = np.diff(off)
+        rows = np.repeat(np.arange(cells.shape[0]), counts)
+        vidx = np.arange(off[-1], dtype=np.int64) - np.repeat(
+            off[:-1].astype(np.int64), counts)
+        arrays = [batch[c].take(pa.array(rows)) for c in keep_cols]
+        names = list(keep_cols)
+        arrays.extend([pa.array(bits.as_u64(cells[rows])),
+                       pa.array(vidx.astype(np.int32)),
+                       pa.array(vlat), pa.array(vlng)])
+        names.extend([cell_col, vert_col, "vert_lat", "vert_lng"])
+        return pa.Table.from_arrays(arrays, names=names)
+
+    return fn
+
+
 def edges_expand_stage(cell_col: str, keep_cols: list[str],
                        out_col: str = "edge",
                        length_col: str | None = "edge_len_m"):

@@ -137,6 +137,21 @@ def test_edges_expand_stage():
     assert (out["edge_len_m"].to_numpy() > 0).all()
 
 
+def test_boundary_expand_stage():
+    from h3ray.kernels.boundary import cell_to_boundary
+
+    batch, cells = make_batch(n=50)
+    out = stages.boundary_expand_stage("cell", ["url"])(batch)
+    off, elat, elng = cell_to_boundary(cells)
+    assert out.num_rows == int(off[-1])
+    assert np.allclose(out["vert_lat"].to_numpy(), elat)
+    assert np.allclose(out["vert_lng"].to_numpy(), elng)
+    # vert_idx restarts at 0 per cell and counts each cell's vertices.
+    vidx = out["vert_idx"].to_numpy()
+    counts = np.diff(off)
+    assert (vidx[np.cumsum(counts)[:-1]] == 0).all() and vidx[0] == 0
+
+
 def test_vertexes_expand_stage():
     from h3ray.kernels import edgevertex as ev
 
