@@ -605,6 +605,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_sessions": rel.user_sessions,
         "events_asof_join": rel.events_asof_join,
         "events_topk_by_type": _events_topk_by_type,
+        "events_median_by_type": rel.events_median_by_type,
+        "events_hopping_windows": rel.events_hopping_windows,
         "docs_by_lang": rel.docs_by_lang,
         "docs_token_counts": rel.docs_token_counts,
         "docs_exact_dedup": rel.docs_exact_dedup,
@@ -957,6 +959,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
                         AS BIGINT) AS total_value_micro
             FROM events GROUP BY user_id, hour_bucket
+        """,
+        "events_median_by_type": """
+            SELECT event_type,
+                   PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY value)
+                       AS median_value
+            FROM events GROUP BY event_type
+        """,
+        "events_hopping_windows": """
+            SELECT user_id,
+                   CAST((FLOOR(EPOCH(ts) / 3600) - j) * 3600 AS BIGINT)
+                       AS window_start,
+                   COUNT(*) AS num_events,
+                   CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS total_value_micro
+            FROM events CROSS JOIN (VALUES (0), (1)) offs(j)
+            WHERE (FLOOR(EPOCH(ts) / 3600) - j) * 3600
+                      > FLOOR(EPOCH(ts)) - 7200
+              AND (FLOOR(EPOCH(ts) / 3600) - j) * 3600 >= 0
+            GROUP BY user_id, window_start
         """,
         "events_asof_join": """
             SELECT l.event_id AS left_event_id, l.user_id,

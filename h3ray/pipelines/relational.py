@@ -274,6 +274,74 @@ def user_sessions(sf_dir: str, gap_s: int = 1800,
         .groupby("_bucket").map_groups(sessionize, batch_format="pyarrow")
 
 
+def events_median_by_type(sf_dir: str):
+    """Exact per-group median (PERCENTILE_DISC 0.5): a non-algebraic
+    aggregate — each group's rows co-locate via the groupby shuffle and the
+    per-group reducer picks the order statistic exactly. Bounded group
+    count (event types); for high-cardinality keys bucket first (the
+    salted_top_k pattern)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def median(group: pa.Table) -> pa.Table:
+        vals = np.sort(group["value"].to_numpy(zero_copy_only=False))
+        # PERCENTILE_DISC(0.5): smallest value with cume_dist >= 0.5.
+        idx = int(np.ceil(0.5 * vals.shape[0])) - 1
+        return pa.Table.from_arrays(
+            [pa.array([group["event_type"][0].as_py()]),
+             pa.array([float(vals[max(idx, 0)])])],
+            names=["event_type", "median_value"])
+
+    return ds.groupby("event_type").map_groups(median,
+                                               batch_format="pyarrow")
+
+
+def events_hopping_windows(sf_dir: str, size_s: int = 7200,
+                           hop_s: int = 3600):
+    """Hopping-window aggregate: each event lands in size_s/hop_s
+    overlapping windows (flat-map combiner emits one partial row per
+    covering window, so the shuffle moves per-(user, window) partials,
+    not events), then a distributed groupby merge."""
+    from ray.data.aggregate import Sum
+
+    assert size_s % hop_s == 0
+    k = size_s // hop_s
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64) // 1_000_000
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        micro = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                         * 1_000_000 + 0.5).astype(np.int64)
+        # Window starts covering t: hop-aligned starts in
+        # (t - size, t] -> the k starts floor(t/hop)*hop - j*hop, j<k,
+        # keeping only starts > t - size (exact for t >= 0).
+        base = (ts // hop_s) * hop_s
+        rows = np.repeat(np.arange(ts.shape[0]), k)
+        w = np.tile(np.arange(k, dtype=np.int64), ts.shape[0])
+        win_start = base[rows] - w * hop_s
+        keep = win_start > ts[rows] - size_s
+        keep &= win_start >= 0
+        t = pa.table({
+            "user_id": uid[rows][keep],
+            "window_start": win_start[keep],
+            "total_value_micro": micro[rows][keep]})
+        g = t.group_by(["user_id", "window_start"]).aggregate(
+            [("total_value_micro", "sum"), ("total_value_micro", "count")])
+        return pa.table({
+            "user_id": g["user_id"],
+            "window_start": g["window_start"],
+            "num_events": g["total_value_micro_count"],
+            "total_value_micro": g["total_value_micro_sum"]})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=131072)
+    return partials.groupby(["user_id", "window_start"]).aggregate(
+        Sum("num_events", alias_name="num_events"),
+        Sum("total_value_micro", alias_name="total_value_micro"))
+
+
 def events_asof_join(sf_dir: str, left_type: str = "purchase",
                      right_type: str = "view",
                      num_buckets: int | None = None):
