@@ -565,31 +565,42 @@ def ngram_jaccard_pairs(ds, key_col: str, text_col: str = "text",
                          "pa": pair_a, "pb": pair_b, "pbk": pair_bucket})
 
     def shingle_stage(batch: pa.Table) -> pa.Table:
+        from ..ops.join import _ragged_take
+
         route = ray.get(route_ref)
         sk, sb = route["keys"], route["buckets"]
         keys = batch[key_col].to_numpy(zero_copy_only=False)
         lo = np.searchsorted(sk, keys, side="left")
         hi = np.searchsorted(sk, keys, side="right")
-        rows = np.flatnonzero(hi > lo)
+        rows = np.flatnonzero(hi > lo)  # candidate docs only (output-sized)
         texts = batch[text_col]
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
-        out_keys, out_bkts, flat, counts = [], [], [], []
-        for r in rows:  # candidate docs only (output-sized, not corpus)
-            sh = np.unique(_shingle_hashes(texts[int(r)].as_py(), k)) \
-                .view(np.int64)
-            for bkt in sb[lo[r]:hi[r]]:
-                out_keys.append(keys[r])
-                out_bkts.append(bkt)
-                flat.append(sh)
-                counts.append(sh.shape[0])
-        values = np.concatenate(flat) if flat else np.empty(0, np.int64)
-        offsets = np.zeros(len(flat) + 1, dtype=np.int32)
-        np.cumsum(counts, out=offsets[1:]) if counts else None
+        # One Arrow-buffer pass shingles every candidate doc; per-doc
+        # uniqueness via a segmented sort — no per-doc Python loop.
+        flat_all, lens = _shingle_hashes_batch(texts.take(pa.array(rows)), k)
+        seg = np.repeat(np.arange(rows.size), lens)
+        order = np.lexsort((flat_all, seg))
+        fs, ss = flat_all[order], seg[order]
+        keep = np.ones(fs.shape[0], dtype=bool)
+        keep[1:] = (fs[1:] != fs[:-1]) | (ss[1:] != ss[:-1])
+        uflat = fs[keep].view(np.int64)
+        useg = ss[keep]
+        ulens = np.bincount(useg, minlength=rows.size).astype(np.int64)
+        ustarts = np.cumsum(ulens) - ulens
+        # Replicate each doc's shingle set once per verification bucket.
+        reps = (hi[rows] - lo[rows]).astype(np.int64)
+        out_doc = np.repeat(np.arange(rows.size), reps)
+        out_keys = keys[rows][out_doc].astype(np.int64)
+        out_bkts = sb[_ragged_take(lo[rows], reps)].astype(np.int32)
+        lens_rep = ulens[out_doc]
+        values = uflat[_ragged_take(ustarts[out_doc], lens_rep)]
+        offsets = np.zeros(out_doc.shape[0] + 1, dtype=np.int32)
+        offsets[1:] = np.cumsum(lens_rep).astype(np.int32)
         return pa.Table.from_arrays(
-            [pa.array(np.array(out_keys, dtype=np.int64)),
-             pa.array(np.array(out_bkts, dtype=np.int32)),
-             pa.ListArray.from_arrays(offsets, pa.array(values))],
+            [pa.array(out_keys), pa.array(out_bkts),
+             pa.ListArray.from_arrays(offsets,
+                                      pa.array(values, type=pa.int64()))],
             names=[key_col, "_vbucket", "shingles"])
 
     shingled = ds.map_batches(shingle_stage, batch_format="pyarrow",
