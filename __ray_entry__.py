@@ -102,6 +102,30 @@ def _h3_polygon_coverage(sf_dir: str):
     return rd.from_arrow(pip.coverage_table(pip.city_polygons(8), res=7))
 
 
+def _h3_coverage_modes(sf_dir: str):
+    """polygonToCells under every containment mode (tiler.rs:423-461):
+    per-(polygon, mode) coverage sizes pin the four predicates' relative
+    behavior (covers >= intersects >= centroid >= boundary)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.pipelines import pip
+
+    geoms = pip.city_polygons(8)
+    rows = {"polygon_id": [], "mode": [], "n_cells": []}
+    for mode in ("centroid", "boundary", "intersects", "covers"):
+        tbl = pip.coverage_table(geoms, res=7, mode=mode)
+        pid = tbl["polygon_id"].to_numpy(zero_copy_only=False)
+        import numpy as np
+
+        uniq, counts = np.unique(pid, return_counts=True)
+        for u, c in zip(uniq, counts):
+            rows["polygon_id"].append(int(u))
+            rows["mode"].append(mode)
+            rows["n_cells"].append(int(c))
+    return rd.from_arrow(pa.table(rows))
+
+
 def _h3_dissolve_coverage(sf_dir: str):
     """Dissolve each city polygon's res-6 coverage back into an outline."""
     import ray.data as rd
@@ -621,6 +645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "h3_knn_join": _h3_knn_join,
         "h3_pip_join": _h3_pip_join,
         "h3_polygon_coverage": _h3_polygon_coverage,
+        "h3_coverage_modes": _h3_coverage_modes,
         "h3_dissolve_coverage": _h3_dissolve_coverage,
         "h3_grid_paths": _h3_grid_paths,
         "h3_cell_areas": _h3_cell_areas,

@@ -393,7 +393,12 @@ def polygon_to_cells(geom: dict, res: int, mode: str = "centroid",
 
     Mirrors Tiler::into_annotated_coverage (tiler.rs:170-296). Returns an
     int64 cell array, or (cells, fully_contained) when annotated=True.
+    Modes (ContainmentMode, tiler.rs:423-461): "centroid", "boundary"
+    (cell fully inside), "intersects", "covers".
     """
+    if mode not in ("centroid", "boundary", "intersects", "covers"):
+        # An unknown string would silently take the intersects path.
+        raise ValueError(f"unknown containment mode {mode!r}")
     res = int(res)
 
     def predicate(cands: np.ndarray):

@@ -147,6 +147,24 @@ def test_bucket_count_invariance(ray_session, tmp_path):
     assert a7.equals(a32) and len(a7) > 0
 
 
+def test_polygon_mode_guard_and_monotonicity():
+    """Unknown containment modes must raise (they silently took the
+    intersects path), and the four real modes nest:
+    boundary <= centroid <= intersects <= covers."""
+    import pytest
+
+    from h3ray.kernels import region
+    from h3ray.pipelines import pip
+
+    geom = pip.city_polygons(1)[0]
+    with pytest.raises(ValueError, match="unknown containment mode"):
+        region.polygon_to_cells(geom, 6, mode="contains")
+    sizes = {m: np.unique(region.polygon_to_cells(geom, 6, mode=m)).size
+             for m in ("boundary", "centroid", "intersects", "covers")}
+    assert sizes["boundary"] <= sizes["centroid"] \
+        <= sizes["intersects"] <= sizes["covers"]
+
+
 def test_hash_sample_and_split_consistency(ray_session):
     """Sampling is key-stable and hash_sample == test side of the split."""
     import ray.data as rd
