@@ -446,6 +446,18 @@ def _ann_topk_lsh(sf_dir: str):
     return out.select_columns(["query_id", "vec_id"])
 
 
+def _docs_exact_canonical(sf_dir: str):
+    """Every doc mapped to its exact-dup canonical (min doc_id per distinct
+    text): fingerprint groupby + shuffle hash join back."""
+    import ray.data as rd
+
+    from h3ray.text.dedup import exact_canonical_mapping
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return exact_canonical_mapping(ds, key_col="doc_id")
+
+
 def _docs_sample_10pct(sf_dir: str):
     """Deterministic key-hash 10% sample (reproducible across runs and
     partitionings — the curation-pipeline sampling primitive)."""
@@ -634,6 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_by_lang": rel.docs_by_lang,
         "docs_token_counts": rel.docs_token_counts,
         "docs_exact_dedup": rel.docs_exact_dedup,
+        "docs_exact_canonical": _docs_exact_canonical,
         "docs_quality_len": _quality,
         "ann_topk_cosine": _ann_topk,
         "emb_cosine_dup_pairs": _emb_cosine_dups,
@@ -1054,6 +1067,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_exact_dedup": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "docs_exact_canonical": """
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY text) AS canonical_id
+            FROM documents
         """,
         "docs_bpe_tokens": r"""
             SELECT doc_id,

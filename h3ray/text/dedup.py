@@ -397,6 +397,30 @@ def simhash_duplicate_pairs(ds, key_col: str, text_col: str = "text",
 POPCOUNT8 = np.array([bin(v).count("1") for v in range(256)], dtype=np.int64)
 
 
+def exact_canonical_mapping(ds, key_col: str, text_col: str = "text"):
+    """(key, canonical_id) for EVERY row: canonical = min key among rows
+    with identical text. The keep-side complement of exact_dedup — training
+    pipelines need the mapping (to redirect references / count dup mass),
+    not just the survivor list. Shape: fingerprint combiner -> Min groupby
+    -> shuffle hash join back on the fingerprint (both sides keyed int64).
+    """
+    from ray.data.aggregate import Min
+
+    from ..ops.join import hash_join
+    from .analysis import fingerprint_stage
+
+    fp = ds.map_batches(fingerprint_stage(text_col), batch_format="pyarrow",
+                        batch_size=65536) \
+        .map_batches(lambda b: b.select([key_col, "fingerprint"]),
+                     batch_format="pyarrow")
+    canon = fp.groupby("fingerprint").aggregate(
+        Min(key_col, alias_name="canonical_id"))
+    joined = hash_join(fp, canon, "fingerprint", "fingerprint")
+    return joined.map_batches(
+        lambda b: b.select([key_col, "canonical_id"]),
+        batch_format="pyarrow")
+
+
 def duplicate_clusters(keys_ds, pairs_ds, key_col: str,
                        pair_a: str = "key_a", pair_b: str = "key_b",
                        max_iters: int = 30):
