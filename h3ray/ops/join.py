@@ -41,7 +41,10 @@ def hash_join(left_ds, right_ds, left_key: str, right_key: str,
 
     Output columns: `left_key` plus every non-key column of both sides
     (names must not collide — project/rename upstream). how: "inner" or
-    "left" (unmatched left rows carry nulls in right columns).
+    "left" (unmatched left rows carry nulls in right columns). Null join
+    keys are dropped on BOTH sides before bucketing (SQL equi-join
+    semantics: null never matches; note this also drops null-key left rows
+    in a left join — pre-split them upstream if they must be retained).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported how={how!r}")
@@ -75,6 +78,13 @@ def hash_join(left_ds, right_ds, left_key: str, right_key: str,
 
     def pad(key_col: str, side: int):
         def fn(batch: pa.Table) -> pa.Table:
+            kc = batch[key_col]
+            if kc.null_count:
+                # SQL equi-join semantics: null keys never match. Without
+                # this filter to_numpy() converts a nullable int column to
+                # float64 with NaN, and NaN->int64 yields garbage sentinels
+                # that silently join to each other.
+                batch = batch.filter(pa.compute.is_valid(kc))
             n = batch.num_rows
             keys = batch[key_col].to_numpy(zero_copy_only=False) \
                 .astype(np.int64)

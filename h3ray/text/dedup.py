@@ -423,17 +423,23 @@ def exact_canonical_mapping(ds, key_col: str, text_col: str = "text"):
 
 def duplicate_clusters(keys_ds, pairs_ds, key_col: str,
                        pair_a: str = "key_a", pair_b: str = "key_b",
-                       max_iters: int = 30):
+                       max_iters: int = 30, stats: dict | None = None):
     """Connected components of the dup-pair graph: (key, cluster_id) with
     cluster_id = min key in the component; keys without a pair cluster to
     themselves.
 
-    Distributed min-label propagation (the BSP connected-components loop):
-    every iteration ships each key's current label across the (static)
-    edge set with a shuffle hash join, takes the per-key min of neighbor
-    labels, and lowers labels that improved. Labels materialize each round
-    (iterative algorithms must break lineage); rounds needed = component
-    diameter (near-dup clusters are shallow — typically 2-4).
+    Distributed min-label propagation with POINTER DOUBLING (the
+    Shiloach-Vishkin shortcut, same round bound as large-star/small-star):
+    each round the static graph edges are augmented with one pointer edge
+    (src=label(v), dst=v) per key, so the min-of-neighbor-labels message
+    join also delivers label(label(v)) — label depth halves per round,
+    O(log diameter) rounds instead of O(diameter) on chain components, at
+    ZERO extra joins (the pointer edges ride the existing message join;
+    every label value is itself a key, so its label row always exists).
+    Labels materialize each round (iterative algorithms must break
+    lineage).
+
+    `stats`, when given, records {"rounds": n} for observability/tests.
     """
     import pyarrow.compute as pc
 
@@ -458,17 +464,27 @@ def duplicate_clusters(keys_ds, pairs_ds, key_col: str,
     edges = pairs_ds.map_batches(both_dirs,
                                  batch_format="pyarrow").materialize()
     if edges.count() == 0:
+        if stats is not None:
+            stats["rounds"] = 0
         return labels
 
     from ray.data.aggregate import Min
 
+    rounds = 0
     for _ in range(max_iters):
-        # Neighbor labels: join edges' source side to current labels, then
-        # min per destination.
+        rounds += 1
+        # Neighbor labels: join (static edges + this round's pointer edges)
+        # to current labels, then min per destination. The pointer edge
+        # (src=label(v), dst=v) delivers label(label(v)) through the same
+        # join — the pointer-doubling shortcut.
         src_labels = labels.map_batches(
             lambda b: b.rename_columns(["_src", "_label"]),
             batch_format="pyarrow")
-        msgs = hash_join(edges, src_labels, "_src", "_src")
+        ptr_edges = labels.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b["cluster_id"], b[key_col]], names=["_src", "_dst"]),
+            batch_format="pyarrow")
+        msgs = hash_join(edges.union(ptr_edges), src_labels, "_src", "_src")
         cand = msgs.groupby("_dst").aggregate(
             Min("_label", alias_name="_min_nbr"))
 
@@ -481,15 +497,14 @@ def duplicate_clusters(keys_ds, pairs_ds, key_col: str,
                            key_col, key_col, how="left")
 
         def lower(batch: pa.Table) -> pa.Table:
-            cur = batch["cluster_id"].to_numpy(zero_copy_only=False)
-            nbr = batch["_min_nbr"].to_numpy(zero_copy_only=False)
-            nbr = np.where(np.isnan(nbr.astype(np.float64)), cur,
-                           nbr).astype(np.int64) \
-                if nbr.dtype != np.int64 else nbr
-            new = np.minimum(cur, nbr)
+            cur = batch["cluster_id"]
+            # Coalesce in Arrow: keys above 2^53 must not round-trip
+            # through float64 (silent precision loss on the NaN path).
+            nbr = pc.coalesce(batch["_min_nbr"], cur)
+            new = pc.min_element_wise(cur, nbr)
+            changed = pc.cast(pc.less(new, cur), pa.int8())
             return pa.Table.from_arrays(
-                [batch[key_col], pa.array(new),
-                 pa.array((new < cur).astype(np.int8))],
+                [batch[key_col], new, changed],
                 names=[key_col, "cluster_id", "_changed"])
 
         stepped = merged.map_batches(lower,
@@ -504,6 +519,8 @@ def duplicate_clusters(keys_ds, pairs_ds, key_col: str,
         raise RuntimeError(
             f"duplicate_clusters did not converge in {max_iters} rounds "
             f"(a component's diameter exceeds max_iters; raise it)")
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels
 
 

@@ -150,3 +150,24 @@ def test_exact_dedup_counts(ray_session, corpus):
     assert len(out) == len(set(texts))
     # Survivor of the duplicated text is the min doc_id.
     assert 7 in set(out.doc_id) and 63 not in set(out.doc_id)
+
+
+def test_duplicate_clusters_chain_pointer_doubling(ray_session):
+    """A diameter-16 chain converges in O(log d) rounds via the pointer-
+    doubling shortcut (plain min-label propagation needs ~d rounds), and
+    still yields the exact component min."""
+    n = 17
+    keys = pa.Table.from_arrays(
+        [pa.array(np.arange(n, dtype=np.int64))], names=["doc_id"])
+    # Chain n-1 <-> n-2 <-> ... <-> 0, worst-case label depth.
+    pairs = pa.Table.from_arrays(
+        [pa.array(np.arange(1, n, dtype=np.int64)),
+         pa.array(np.arange(0, n - 1, dtype=np.int64))],
+        names=["key_a", "key_b"])
+    stats = {}
+    out = dedup.duplicate_clusters(rd.from_arrow(keys),
+                                   rd.from_arrow(pairs),
+                                   key_col="doc_id",
+                                   stats=stats).to_pandas()
+    assert (out.cluster_id == 0).all() and len(out) == n
+    assert stats["rounds"] <= 8, stats  # log2(16)+slack, not ~16

@@ -74,3 +74,16 @@ def test_hash_join_rejects_collisions(ray_session):
     right = pd.DataFrame({"rk": [1], "v": [3]})
     with pytest.raises(ValueError, match="collision"):
         hash_join(rd.from_pandas(left), rd.from_pandas(right), "k", "rk")
+
+
+def test_hash_join_null_keys_dropped(ray_session):
+    """Null join keys must never match (SQL semantics). Regression: nullable
+    int keys round-tripped through float64/NaN and joined to each other."""
+    left = pa.table({"k": pa.array([1, None, 3, None], type=pa.int64()),
+                     "lv": pa.array([10, 20, 30, 40])})
+    right = pa.table({"rk": pa.array([1, 3, None], type=pa.int64()),
+                      "rv": pa.array([100, 300, 999])})
+    out = hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                    "k", "rk", num_buckets=4).to_pandas()
+    assert sorted(out["k"].tolist()) == [1, 3]
+    assert sorted(out["rv"].tolist()) == [100, 300]
