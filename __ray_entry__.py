@@ -616,15 +616,24 @@ def _orders_by_nation_shuffle_join(sf_dir: str):
 
 def _events_topk_by_type(sf_dir: str):
     """Top-10 events by value per event_type via the salted two-phase top-k
-    (bounded reducers under hot-key skew; ties broken by event_id)."""
+    (bounded reducers under hot-key skew; ties broken by event_id).
+
+    Selective salting: a sampled-histogram pre-pass (detect_hot_keys)
+    estimates which types carry outsized row share, and only those are
+    salted — cold keys keep salt 0 so their round-1 partial output is k
+    rows instead of salt_mod*k (the SURVEY §4 skew design, continuously
+    exercised here). Salting choice never affects the result, only the
+    reducer fan-in."""
     import ray.data as rd
 
-    from h3ray.ops.skew import salted_top_k
+    from h3ray.ops.skew import detect_hot_keys, salted_top_k
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "event_type", "value"])
+    hot, _shares = detect_hot_keys(ds, "event_type", "event_id",
+                                   rate_bp=200, hot_share=0.05)
     out = salted_top_k(ds, key_col="event_type", value_col="value", k=10,
-                       tiebreak_col="event_id")
+                       tiebreak_col="event_id", hot_keys=hot)
     return out.select_columns(["event_type", "event_id", "value"])
 
 

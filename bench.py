@@ -108,13 +108,19 @@ def run_benchmarks() -> dict:
         timings["knn_join"] = best
 
     # 2b. Point-in-polygon join: 32 city polygons, exact per-point recheck.
+    # Min-of-reps: a single shot on this shared box swings 2-3x and reads
+    # as a phantom regression (BENCH_r02 vs r01 taught this the hard way).
     from h3ray.pipelines import pip
 
     if want("pip_join"):
-        t0 = time.time()
+        best = float("inf")
         geoms = pip.city_polygons(32)
-        n_pip = pip.pip_join(read_pages(), geoms, res=8, exact=True).count()
-        timings["pip_join"] = time.time() - t0
+        for _ in range(reps):
+            t0 = time.time()
+            n_pip = pip.pip_join(read_pages(), geoms, res=8,
+                                 exact=True).count()
+            best = min(best, time.time() - t0)
+        timings["pip_join"] = best
 
     # 3. Tile assignment (encode + parent) streamed to parquet sink.
     if want("tile_assign_sink"):
@@ -148,6 +154,36 @@ def run_benchmarks() -> dict:
         t0 = time.time()
         fn(SF_DIR).count()
         timings[name] = time.time() - t0
+
+    # 5b. Dedup family over $GRAFT_SF_DIR documents — the keys-only band
+    # shuffles, distributed pair-distinct, pairverify routing and the
+    # iterative connected-components loop. Min-of-reps like the headline.
+    from h3ray.text import dedup as text_dedup
+
+    def read_docs(columns=("doc_id", "text")):
+        return rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                               columns=list(columns))
+
+    if want("minhash_dup_pairs"):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            text_dedup.minhash_duplicate_pairs(
+                read_docs(), key_col="doc_id").count()
+            best = min(best, time.time() - t0)
+        timings["minhash_dup_pairs"] = best
+
+    if want("docs_dup_clusters"):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            pairs = text_dedup.ngram_jaccard_pairs(
+                read_docs(), key_col="doc_id", threshold=0.5)
+            text_dedup.duplicate_clusters(
+                read_docs(columns=("doc_id",)), pairs,
+                key_col="doc_id").count()
+            best = min(best, time.time() - t0)
+        timings["docs_dup_clusters"] = best
 
     if os.environ.get("GRAFT_BENCH_STATS"):
         # Per-stage execution stats for the headline ENCODE pipeline

@@ -35,6 +35,19 @@ def _ragged_take(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     return np.repeat(starts, lengths) + pos
 
 
+def _one_type(t) -> pa.DataType:
+    if isinstance(t, pa.DataType):
+        return t
+    t = np.dtype(t)
+    return pa.string() if t == np.dtype("O") else pa.from_numpy_dtype(t)
+
+
+def arrow_types(schema) -> dict[str, pa.DataType]:
+    """Column name -> Arrow type for a Ray Dataset schema (Ray yields numpy
+    dtypes — object for strings — when blocks are pandas-backed)."""
+    return {n: _one_type(t) for n, t in zip(schema.names, schema.types)}
+
+
 def hash_join(left_ds, right_ds, left_key: str, right_key: str,
               num_buckets: int | None = None, how: str = "inner"):
     """Equi-join two Datasets on int64 keys.
@@ -50,18 +63,6 @@ def hash_join(left_ds, right_ds, left_key: str, right_key: str,
         raise ValueError(f"unsupported how={how!r}")
     nb = num_buckets or default_num_buckets()
 
-    def _one_type(t) -> pa.DataType:
-        if isinstance(t, pa.DataType):
-            return t
-        t = np.dtype(t)
-        return pa.string() if t == np.dtype("O") else pa.from_numpy_dtype(t)
-
-    def _arrow_types(schema) -> dict[str, pa.DataType]:
-        # Ray Schema.types yields numpy dtypes (object for strings) for
-        # pandas-backed blocks.
-        return {n: _one_type(t)
-                for n, t in zip(schema.names, schema.types)}
-
     lschema = left_ds.schema()
     rschema = right_ds.schema()
     lcols = [c for c in lschema.names if c != left_key]
@@ -69,8 +70,8 @@ def hash_join(left_ds, right_ds, left_key: str, right_key: str,
     overlap = set(lcols) & set(rcols)
     if overlap:
         raise ValueError(f"column name collision: {sorted(overlap)}")
-    ltypes = _arrow_types(lschema)
-    rtypes = _arrow_types(rschema)
+    ltypes = arrow_types(lschema)
+    rtypes = arrow_types(rschema)
     fields = ([pa.field("_key", pa.int64()), pa.field("_side", pa.int8())]
               + [pa.field(c, ltypes[c]) for c in lcols]
               + [pa.field(c, rtypes[c]) for c in rcols])

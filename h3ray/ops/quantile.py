@@ -1,0 +1,101 @@
+"""Distributed exact per-group order statistics (two-pass selection).
+
+PERCENTILE_DISC-style quantiles are non-algebraic: a combiner can't reduce
+them, and the naive `groupby(key).map_groups(sort)` ships EVERY row of a
+group to one reducer — ~n/|groups| rows through one Python callback, which
+dies at web scale. Two-pass selection bounds every participant instead:
+
+1. Histogram pass: a per-batch combiner counts (key, bin) pairs, where bin
+   is the top 16 bits of an order-preserving float64 -> uint64 map. The
+   merged histogram is bounded by |keys| x 65536 rows REGARDLESS of data
+   size, so the driver tree-root (ops.reduce.driver_merge) can locate each
+   key's target bin and the exact residual rank within it.
+2. Selection pass: re-scan keeps only rows in each key's selected bin
+   (expected mass n_key/2^16) and a per-key reducer takes the order
+   statistic at the residual rank.
+
+The input Dataset is consumed twice (lineage re-executes); materialize
+upstream first if the input is itself an expensive pipeline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _float_order_key(v: np.ndarray) -> np.ndarray:
+    """Order-preserving float64 -> uint64 map (IEEE-754 total order over
+    finite values): ascending uint64 order == ascending float order."""
+    b = np.ascontiguousarray(v, dtype=np.float64).view(np.uint64)
+    neg = (b >> np.uint64(63)) != 0
+    return np.where(neg, ~b, b | np.uint64(1 << 63))
+
+
+def grouped_percentile_disc(ds, key_col: str, value_col: str,
+                            q: float = 0.5,
+                            out_col: str = "percentile_value"):
+    """(key_col, out_col) with out_col = PERCENTILE_DISC(q) of value_col
+    per key: the smallest value whose cumulative distribution >= q, i.e.
+    the ceil(q*n)-th smallest — exact, matching the SQL window function."""
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0, 1], got {q}")
+
+    def bin_of(batch: pa.Table):
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        v = np.where(v == 0.0, 0.0, v)  # collapse -0.0/+0.0 into one bin
+        return v, (_float_order_key(v) >> np.uint64(48)).astype(np.int32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, bins = bin_of(batch)
+        t = pa.table({key_col: batch[key_col], "_bin": bins})
+        g = t.group_by([key_col, "_bin"]).aggregate([("_bin", "count")])
+        return pa.table({key_col: g[key_col], "_bin": g["_bin"],
+                         "_n": g["_bin_count"]})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=131072)
+
+    from .reduce import driver_merge
+
+    hist = driver_merge(partials, lambda t: t).to_pandas()
+    if len(hist) == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.schema(
+            [(key_col, pa.string()), (out_col, pa.float64())]).empty_table())
+    hist = hist.groupby([key_col, "_bin"], as_index=False)["_n"].sum() \
+        .sort_values([key_col, "_bin"])
+    sel: dict = {}
+    for key, g in hist.groupby(key_col, sort=False):
+        n = int(g["_n"].sum())
+        k = max(int(np.ceil(q * n)), 1)
+        cum = g["_n"].cumsum().to_numpy()
+        i = int(np.searchsorted(cum, k))
+        before = int(cum[i - 1]) if i else 0
+        sel[key] = (int(g["_bin"].iloc[i]), k - before)
+    keys = sorted(sel)
+    key_arr = pa.array(keys)
+    sel_bins = np.array([sel[t][0] for t in keys], dtype=np.int32)
+    ranks = {t: sel[t][1] for t in keys}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v, bins = bin_of(batch)
+        idx = pc.index_in(batch[key_col], value_set=key_arr) \
+            .fill_null(-1).to_numpy(zero_copy_only=False)
+        hit = (idx >= 0) & (sel_bins[np.maximum(idx, 0)] == bins)
+        return pa.table({key_col: pc.filter(batch[key_col], pa.array(hit)),
+                         value_col: v[hit]})
+
+    def pick(group: pa.Table) -> pa.Table:
+        key = group[key_col][0].as_py()
+        vals = np.sort(group[value_col].to_numpy(zero_copy_only=False))
+        return pa.Table.from_arrays(
+            [pa.array([key], type=key_arr.type),
+             pa.array([float(vals[ranks[key] - 1])])],
+            names=[key_col, out_col])
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          batch_size=131072) \
+        .groupby(key_col).map_groups(pick, batch_format="pyarrow")

@@ -249,7 +249,7 @@ def _pair_schema() -> pa.Schema:
 
 def cosine_dup_pairs(ds, *, id_col: str = "vec_id", emb_col: str = "embedding",
                      threshold: float = 0.9, num_cpus: float = 1.0,
-                     target_block_rows: int = 16384):
+                     target_block_rows: int = 16384, max_blocks: int = 256):
     """Exact embedding-cosine near-duplicate pairs (id_a < id_b).
 
     Distributed block-pair join: the corpus is re-blocked to
@@ -261,6 +261,12 @@ def cosine_dup_pairs(ds, *, id_col: str = "vec_id", emb_col: str = "embedding",
     has no cross join; results re-enter Ray Data via from_arrow_refs. For
     recall<1 at corpus sizes where O(N^2) is off the table, use
     `cosine_dup_pairs_lsh`.
+
+    `max_blocks` guards the O(B^2) driver task fan-out: past it this path
+    is mis-deployed (256 blocks is already ~33k task submissions) and the
+    call refuses with a pointer to the LSH path instead of silently
+    submitting millions of tasks. Raise it only for a deliberate mid-size
+    exact join.
     """
     import ray
     import ray.data as rd
@@ -268,6 +274,13 @@ def cosine_dup_pairs(ds, *, id_col: str = "vec_id", emb_col: str = "embedding",
     blocks = ds.select_columns([id_col, emb_col]) \
         .map_batches(lambda b: b, batch_format="pyarrow",
                      batch_size=target_block_rows).to_arrow_refs()
+    if len(blocks) > max_blocks:
+        raise ValueError(
+            f"cosine_dup_pairs is the exact O(N^2) path: {len(blocks)} "
+            f"corpus blocks would submit ~{len(blocks) * (len(blocks) + 1) // 2}"
+            f" block-pair tasks (max_blocks={max_blocks}). Use "
+            "cosine_dup_pairs_lsh at this corpus size, or raise max_blocks "
+            "deliberately.")
 
     @ray.remote(num_cpus=num_cpus)
     def score_pair(ta, tb, same: bool) -> pa.Table:
@@ -299,17 +312,23 @@ def cosine_dup_pairs_lsh(ds, *, id_col: str = "vec_id",
                          emb_col: str = "embedding", threshold: float = 0.9,
                          n_bands: int = 16, bits_per_band: int = 8,
                          num_buckets: int = 32, seed: int = 23):
-    """Near-dup pairs via hyperplane-LSH banding + exact in-bucket verify.
+    """Near-dup pairs via hyperplane-LSH banding + exact join-back verify.
 
-    The 100-TB path: each row explodes into `n_bands` (band, signature)
-    rows, identical signatures co-locate via a bucketed groupby, and exact
-    float64 cosine runs only inside collision runs. Recall < 1 (a pair at
-    cosine c collides with prob 1-(1-p^bits)^bands, p = 1 - acos(c)/pi);
-    raise n_bands / lower bits_per_band for higher recall. Embeddings ride
-    the shuffle once per band — size bands x dim accordingly.
+    The 100-TB path, keys-only through the wide steps: each row explodes
+    into `n_bands` (id, band, signature) rows — NO embedding payload —
+    identical signatures co-locate via a bucketed groupby and emit distinct
+    candidate pairs; embeddings then hash-join back to the pairs'
+    verification buckets (`ops.pairverify`), so each embedding traverses an
+    all-to-all ~once (once per distinct bucket membership), not once per
+    band. Exact float64 cosine runs per candidate pair. Recall < 1 (a pair
+    at cosine c collides with prob 1-(1-p^bits)^bands, p = 1 - acos(c)/pi);
+    raise n_bands / lower bits_per_band for higher recall.
     """
-    from ..ops.pairs import distinct_pairs
+    import ray.data as rd
+
     from ..io.pages import _mix64
+    from ..ops.pairs import distinct_pairs
+    from ..ops.pairverify import route_pairs_and_payload, split_pair_group
     from ..text.dedup import _bucketize, _collision_runs
 
     # Planes are built lazily from the first batch's dim (seeded, so every
@@ -335,13 +354,9 @@ def cosine_dup_pairs_lsh(ds, *, id_col: str = "vec_id",
                        + band.astype(np.uint64)
                        * np.uint64(0x9E3779B97F4A7C15)).view(np.int64)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        emb = batch[emb_col]
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
         return pa.Table.from_arrays(
-            [pa.array(ids[rows]), pa.array(band), pa.array(mixed),
-             emb.take(pa.array(rows))],
-            names=[id_col, "band", "band_sig", emb_col])
+            [pa.array(ids[rows]), pa.array(band), pa.array(mixed)],
+            names=[id_col, "band", "band_sig"])
 
     bands = ds.select_columns([id_col, emb_col]).map_batches(
         band_stage, batch_format="pyarrow", batch_size=8192)
@@ -352,28 +367,49 @@ def cosine_dup_pairs_lsh(ds, *, id_col: str = "vec_id",
         band = group["band"].to_numpy(zero_copy_only=False)
         sig = group["band_sig"].to_numpy(zero_copy_only=False)
         order, starts, ends = _collision_runs((band, sig, ks))
-        mat = _embedding_matrix(group, emb_col, dtype=np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        mat = mat / np.clip(norms, 1e-30, None)
-        out_a, out_b, out_c = [], [], []
+        out_a, out_b = [], []
         for s, e in zip(starts, ends):
             idx = order[s:e]
-            sims = mat[idx] @ mat[idx].T
             ia, ib = np.triu_indices(idx.shape[0], 1)
-            keep = (sims[ia, ib] >= threshold) & (ks[idx[ia]] != ks[idx[ib]])
-            a, b = ks[idx[ia[keep]]], ks[idx[ib[keep]]]
-            out_a.append(np.minimum(a, b))
-            out_b.append(np.maximum(a, b))
-            out_c.append(sims[ia[keep], ib[keep]])
+            a, b = ks[idx[ia]], ks[idx[ib]]
+            keep = a != b
+            out_a.append(np.minimum(a[keep], b[keep]))
+            out_b.append(np.maximum(a[keep], b[keep]))
         a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
         b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
-        c = np.concatenate(out_c) if out_c else np.empty(0, np.float64)
         return pa.Table.from_arrays(
-            [pa.array(a.astype(np.int64)), pa.array(b.astype(np.int64)),
-             pa.array(c.astype(np.float64))],
-            schema=_pair_schema())
+            [pa.array(a.astype(np.int64)), pa.array(b.astype(np.int64))],
+            names=["id_a", "id_b"])
 
     cand = bucketed.groupby("_bucket").map_groups(pairs,
                                                   batch_format="pyarrow")
-    # A pair collides in several bands: exact distinct via bucketed groupby.
-    return distinct_pairs(cand, "id_a", "id_b", keep=("cosine",))
+    # A pair collides in several bands: exact distinct via bucketed groupby
+    # BEFORE the verify so each pair's cosine is computed once.
+    cand = distinct_pairs(cand, "id_a", "id_b", num_buckets=num_buckets)
+
+    routed, n_pairs = route_pairs_and_payload(
+        ds, cand, id_col, [emb_col], pair_a="id_a", pair_b="id_b",
+        num_buckets=num_buckets)
+    if n_pairs == 0:
+        return rd.from_arrow(_pair_schema().empty_table())
+
+    def verify(group: pa.Table) -> pa.Table:
+        _, payloads, a_ids, b_ids, ia, ib, _ = split_pair_group(
+            group, id_col, [emb_col], pair_a="id_a", pair_b="id_b")
+        if a_ids.size == 0:
+            return _pair_schema().empty_table()
+        # float64 so thresholding agrees with a float64 SQL oracle.
+        mat = _embedding_matrix(
+            pa.table({emb_col: payloads[emb_col]}), emb_col,
+            dtype=np.float64)
+        mat /= np.clip(np.linalg.norm(mat, axis=1, keepdims=True),
+                       1e-30, None)
+        cos = np.einsum("ij,ij->i", mat[ia], mat[ib])
+        keep = cos >= threshold
+        return pa.Table.from_arrays(
+            [pa.array(a_ids[keep]), pa.array(b_ids[keep]),
+             pa.array(cos[keep].astype(np.float64))],
+            schema=_pair_schema())
+
+    return routed.groupby("_vbucket").map_groups(verify,
+                                                 batch_format="pyarrow")

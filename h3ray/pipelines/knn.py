@@ -97,13 +97,61 @@ def knn_candidates(batch: pa.Table, index, res: int) -> pa.Table:
             names=["query_id", "url", "distance_km", "cell"])
 
 
+#: Above this many final rows per contributing block (n_queries * k), the
+#: driver tree-root merge (bounded by #blocks * n_queries * k rows) stops
+#: being "tiny" and the ranking routes through a distributed bucketed
+#: groupby instead.
+DRIVER_MERGE_MAX_ROWS = 65536
+
+
+def _resolve_merge(merge: str, n_queries: int, k: int) -> str:
+    if merge not in ("auto", "driver", "distributed"):
+        raise ValueError(f"merge must be auto|driver|distributed, "
+                         f"got {merge!r}")
+    if merge != "auto":
+        return merge
+    return ("distributed" if n_queries * k > DRIVER_MERGE_MAX_ROWS
+            else "driver")
+
+
+def _distributed_topk(partial, top_k_fn, num_buckets: int | None = None):
+    """Per-query top-k merge as a bucketed shuffle: partials hash-bucket by
+    query_id (every row of a query lands in one reducer; reducer count =
+    num_buckets, each holding <= #blocks * k rows per query), then the same
+    vectorized segmented top-k runs per bucket. The scale path when
+    #blocks * n_queries * k outgrows the driver tree-root."""
+    from ..io.pages import _mix64
+    from ..ops.skew import default_num_buckets
+
+    nb = num_buckets or default_num_buckets()
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        qid = batch["query_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        return batch.append_column(
+            "_bucket", pa.array((_mix64(qid) % np.uint64(nb))
+                                .astype(np.int32)))
+
+    def reduce(group: pa.Table) -> pa.Table:
+        return top_k_fn(group.drop_columns(["_bucket"]))
+
+    return partial.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(reduce, batch_format="pyarrow")
+
+
 def knn_join(pages_ds, query_lat, query_lng, *, res: int = 7, k_ring: int = 2,
-             k_nearest: int = 5, concurrency: int | None = None):
+             k_nearest: int = 5, concurrency: int | None = None,
+             merge: str = "auto"):
     """Top-k nearest pages per query point (broadcast ring-expansion join).
 
     Uses stateless tasks (not an actor pool): the per-batch broadcast fetch
     is a zero-copy local object-store read, and task workers stay warm
     across executions.
+
+    `merge`: final per-query ranking strategy — "driver" (tree-root merge
+    of the <= #blocks * n_queries * k partial rows; right while that bound
+    is tiny), "distributed" (bucketed groupby segmented top-k; the scale
+    path), or "auto" (switch at DRIVER_MERGE_MAX_ROWS).
     """
     import ray
 
@@ -149,16 +197,25 @@ def knn_join(pages_ds, query_lat, query_lng, *, res: int = 7, k_ring: int = 2,
     def add_grid_dist(batch: pa.Table) -> pa.Table:
         cells = bits.as_i64(batch["cell"].to_numpy(zero_copy_only=False))
         qids = batch["query_id"].to_numpy(zero_copy_only=False)
-        gd, gok = localij.grid_distance(index["qcells"][qids], cells)
+        # Fetch qcells via the broadcast ref (zero-copy plasma read): the
+        # distributed merge path runs this in tasks, and the closure must
+        # not ship the whole query index per serialization.
+        qcells = _resolve_index(index_ref)["qcells"]
+        gd, gok = localij.grid_distance(qcells[qids], cells)
         gd = np.where(gok, gd, -1)
         return batch.drop_columns(["cell"]).append_column(
             "grid_dist", pa.array(gd))
 
     partial = candidates.map_batches(top_k, batch_format="pyarrow",
                                      batch_size=None)
-    # Final merge on the driver (<= #blocks * n_queries * k partial rows).
     import ray.data as rd
 
+    if _resolve_merge(merge, len(index["qlat"]),
+                      k_nearest) == "distributed":
+        ranked = _distributed_topk(partial, top_k)
+        return ranked.map_batches(add_grid_dist, batch_format="pyarrow")
+
+    # Final merge on the driver (<= #blocks * n_queries * k partial rows).
     from ..ops.reduce import driver_merge
 
     cand_schema = pa.schema([("query_id", pa.int64()), ("url", pa.string()),
@@ -171,7 +228,7 @@ def knn_join(pages_ds, query_lat, query_lng, *, res: int = 7, k_ring: int = 2,
 
 def knn_join_shuffle(pages_ds, query_lat, query_lng, *, res: int = 7,
                      k_ring: int = 2, k_nearest: int = 5,
-                     num_partitions: int = 32):
+                     num_partitions: int = 32, merge: str = "auto"):
     """Hash-join kNN variant for query sets too large to broadcast.
 
     Queries expand to their gridDisk(k_ring) cells as a Dataset; pages
@@ -251,5 +308,8 @@ def knn_join_shuffle(pages_ds, query_lat, query_lng, *, res: int = 7,
                              ("cell", pa.uint64())])
     partial = joined.map_batches(score, batch_format="pyarrow") \
         .map_batches(top_k, batch_format="pyarrow", batch_size=None)
+    if _resolve_merge(merge, query_lat.shape[0],
+                      k_nearest) == "distributed":
+        return _distributed_topk(partial, top_k).drop_columns(["cell"])
     final = driver_merge(partial, top_k, schema=cand_schema)
     return rd2.from_arrow(final.drop_columns(["cell"]))

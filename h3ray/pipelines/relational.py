@@ -61,35 +61,43 @@ def lineitem_agg(sf_dir: str):
 
 
 def orders_by_segment(sf_dir: str):
-    """Broadcast hash join orders x customer, grouped by market segment."""
+    """Broadcast hash join orders x customer, grouped by market segment.
+
+    The small side stays Arrow end to end: sorted int64 key array + an
+    Arrow string values array (no pandas round-trip, no Python dict, no
+    object-dtype arrays), broadcast once via ray.put and probed with a
+    vectorized searchsorted + Arrow take per batch."""
     import ray
     from ray.data.aggregate import Sum
 
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]) \
-        .to_pandas()
-    lookup_ref = ray.put(
-        dict(zip(cust.c_custkey.to_numpy(), cust.c_mktsegment.to_numpy())))
+    from ..ops.reduce import driver_merge
+
+    cust = driver_merge(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]),
+        lambda t: t)
+    keys = cust["c_custkey"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    order = np.argsort(keys)
+    lookup_ref = ray.put({
+        "keys": keys[order],
+        "vals": cust["c_mktsegment"].combine_chunks().take(pa.array(order))})
 
     class JoinStage:
         def __init__(self, ref):
             import ray as _ray
 
             lookup = _ray.get(ref) if not isinstance(ref, dict) else ref
-            keys = np.fromiter(lookup.keys(), dtype=np.int64,
-                               count=len(lookup))
-            order = np.argsort(keys)
-            self.keys = keys[order]
-            self.vals = np.array(list(lookup.values()), dtype=object)[order]
+            self.keys = lookup["keys"]
+            self.vals = lookup["vals"]  # Arrow string array, sorted by key
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
             pos = np.searchsorted(self.keys, ck)
             pos = np.minimum(pos, self.keys.shape[0] - 1)
-            seg = self.vals[pos]
-            seg = np.where(self.keys[pos] == ck, seg, None)
-            out = batch.append_column("c_mktsegment",
-                                      pa.array(seg, type=pa.string()))
-            return out.filter(pc.is_valid(out["c_mktsegment"]))
+            hit = self.keys[pos] == ck
+            out = batch.filter(pa.array(hit))
+            seg = self.vals.take(pa.array(pos[hit]))
+            return out.append_column("c_mktsegment", seg)
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     joined = orders.map_batches(JoinStage, fn_constructor_args=(lookup_ref,),
@@ -275,24 +283,16 @@ def user_sessions(sf_dir: str, gap_s: int = 1800,
 
 
 def events_median_by_type(sf_dir: str):
-    """Exact per-group median (PERCENTILE_DISC 0.5): a non-algebraic
-    aggregate — each group's rows co-locate via the groupby shuffle and the
-    per-group reducer picks the order statistic exactly. Bounded group
-    count (event types); for high-cardinality keys bucket first (the
-    salted_top_k pattern)."""
+    """Exact per-group median (PERCENTILE_DISC 0.5) via distributed
+    two-pass selection (ops.quantile) — no reducer ever holds a full
+    per-type partition; the driver sees only a bounded |types| x 65536
+    histogram. The parquet read re-executes for the selection pass (cheap
+    projected scan; cheaper than materializing the column)."""
+    from ..ops.quantile import grouped_percentile_disc
+
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
-
-    def median(group: pa.Table) -> pa.Table:
-        vals = np.sort(group["value"].to_numpy(zero_copy_only=False))
-        # PERCENTILE_DISC(0.5): smallest value with cume_dist >= 0.5.
-        idx = int(np.ceil(0.5 * vals.shape[0])) - 1
-        return pa.Table.from_arrays(
-            [pa.array([group["event_type"][0].as_py()]),
-             pa.array([float(vals[max(idx, 0)])])],
-            names=["event_type", "median_value"])
-
-    return ds.groupby("event_type").map_groups(median,
-                                               batch_format="pyarrow")
+    return grouped_percentile_disc(ds, "event_type", "value", q=0.5,
+                                   out_col="median_value")
 
 
 def events_hopping_windows(sf_dir: str, size_s: int = 7200,

@@ -567,105 +567,57 @@ def _ragged_gather(values: np.ndarray, starts: np.ndarray,
     return values[_ragged_take(starts, lengths)]
 
 
+def _unique_shingle_sets(texts: pa.Array, k: int):
+    """(values, starts, lens): per-doc UNIQUE shingle-hash sets of a string
+    array, computed in one Arrow-buffer pass + one segmented sort — no
+    per-doc Python loop. `values[starts[i]:starts[i]+lens[i]]` is doc i's
+    set (sorted)."""
+    n = len(texts)
+    flat_all, lens = _shingle_hashes_batch(texts, k)
+    seg = np.repeat(np.arange(n), lens)
+    order = np.lexsort((flat_all, seg))
+    fs, ss = flat_all[order], seg[order]
+    keep = np.ones(fs.shape[0], dtype=bool)
+    keep[1:] = (fs[1:] != fs[:-1]) | (ss[1:] != ss[:-1])
+    uflat = fs[keep].view(np.int64)
+    useg = ss[keep]
+    ulens = np.bincount(useg, minlength=n).astype(np.int64)
+    return uflat, np.cumsum(ulens) - ulens, ulens
+
+
 def ngram_jaccard_pairs(ds, key_col: str, text_col: str = "text",
                         threshold: float = 0.5, k: int = 5,
                         num_buckets: int = 32):
     """Exact-verified near-dup pairs: MinHash-LSH candidates re-checked with
     true character-k-gram Jaccard >= threshold.
 
-    Scale shape: the candidate stage shuffles keys only (no text); the
-    candidate pair set — output-sized, the near-dup population — is pulled
-    to the driver once to build a broadcast routing table; then ONE
-    streaming pass over the corpus shingles only candidate docs and ships
-    each doc's (small) shingle-hash set to the verification bucket(s) of its
-    pairs; verification is a vectorized per-bucket set-intersection (tagged
-    concat + lexsort + adjacent-equal counting), no per-pair Python loop.
+    Scale shape — Dataset-native end to end: the candidate stage shuffles
+    keys only (no text); the candidate pair set (unbounded on dup-heavy
+    corpora) never touches the driver — pairs hash to verification buckets
+    and the texts of their endpoint docs are hash-joined to the same
+    buckets (`ops.pairverify`), each doc's text shipping once per distinct
+    bucket membership. Verification shingles each bucket's docs in one
+    Arrow-buffer pass and intersects all pairs with one tagged lexsort —
+    no per-pair Python loop, no broadcast routing table.
     """
-    import ray
     import ray.data as rd
 
-    cand = minhash_candidate_pairs(ds, key_col, text_col, k, num_buckets) \
-        .to_pandas()
+    from ..ops.pairverify import route_pairs_and_payload, split_pair_group
+
     out_schema = pa.schema([("key_a", pa.int64()), ("key_b", pa.int64()),
                             ("jaccard", pa.float64())])
-    if len(cand) == 0:
+    cand = minhash_candidate_pairs(ds, key_col, text_col, k, num_buckets)
+    routed, n_pairs = route_pairs_and_payload(
+        ds, cand, key_col, [text_col], num_buckets=num_buckets)
+    if n_pairs == 0:
         return rd.from_arrow(out_schema.empty_table())
 
-    pair_a = cand["key_a"].to_numpy().astype(np.int64)
-    pair_b = cand["key_b"].to_numpy().astype(np.int64)
-    nv = max(1, min(num_buckets, (len(cand) + 63) // 64))
-    pair_bucket = (_mix64(pair_a.view(np.uint64) * np.uint64(3)
-                          + _mix64(pair_b.view(np.uint64)))
-                   % np.uint64(nv)).astype(np.int32)
-    # key -> verification buckets routing (deduped), sorted for searchsorted.
-    keys_cat = np.concatenate([pair_a, pair_b])
-    buckets_cat = np.concatenate([pair_bucket, pair_bucket])
-    kb = np.unique(np.stack([keys_cat, buckets_cat.astype(np.int64)],
-                            axis=1), axis=0)
-    route_ref = ray.put({"keys": kb[:, 0], "buckets": kb[:, 1],
-                         "pa": pair_a, "pb": pair_b, "pbk": pair_bucket})
-
-    def shingle_stage(batch: pa.Table) -> pa.Table:
-        from ..ops.join import _ragged_take
-
-        route = ray.get(route_ref)
-        sk, sb = route["keys"], route["buckets"]
-        keys = batch[key_col].to_numpy(zero_copy_only=False)
-        lo = np.searchsorted(sk, keys, side="left")
-        hi = np.searchsorted(sk, keys, side="right")
-        rows = np.flatnonzero(hi > lo)  # candidate docs only (output-sized)
-        texts = batch[text_col]
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        # One Arrow-buffer pass shingles every candidate doc; per-doc
-        # uniqueness via a segmented sort — no per-doc Python loop.
-        flat_all, lens = _shingle_hashes_batch(texts.take(pa.array(rows)), k)
-        seg = np.repeat(np.arange(rows.size), lens)
-        order = np.lexsort((flat_all, seg))
-        fs, ss = flat_all[order], seg[order]
-        keep = np.ones(fs.shape[0], dtype=bool)
-        keep[1:] = (fs[1:] != fs[:-1]) | (ss[1:] != ss[:-1])
-        uflat = fs[keep].view(np.int64)
-        useg = ss[keep]
-        ulens = np.bincount(useg, minlength=rows.size).astype(np.int64)
-        ustarts = np.cumsum(ulens) - ulens
-        # Replicate each doc's shingle set once per verification bucket.
-        reps = (hi[rows] - lo[rows]).astype(np.int64)
-        out_doc = np.repeat(np.arange(rows.size), reps)
-        out_keys = keys[rows][out_doc].astype(np.int64)
-        out_bkts = sb[_ragged_take(lo[rows], reps)].astype(np.int32)
-        lens_rep = ulens[out_doc]
-        values = uflat[_ragged_take(ustarts[out_doc], lens_rep)]
-        offsets = np.zeros(out_doc.shape[0] + 1, dtype=np.int32)
-        offsets[1:] = np.cumsum(lens_rep).astype(np.int32)
-        return pa.Table.from_arrays(
-            [pa.array(out_keys), pa.array(out_bkts),
-             pa.ListArray.from_arrays(offsets,
-                                      pa.array(values, type=pa.int64()))],
-            names=[key_col, "_vbucket", "shingles"])
-
-    shingled = ds.map_batches(shingle_stage, batch_format="pyarrow",
-                              batch_size=8192)
-
     def verify(group: pa.Table) -> pa.Table:
-        route = ray.get(route_ref)
-        bkt = group["_vbucket"][0].as_py()
-        mask = route["pbk"] == bkt
-        a_ids, b_ids = route["pa"][mask], route["pb"][mask]
-        gk = group[key_col].to_numpy(zero_copy_only=False)
-        lists = group["shingles"]
-        if isinstance(lists, pa.ChunkedArray):
-            lists = lists.combine_chunks()
-        values = lists.flatten().to_numpy(zero_copy_only=False)
-        import pyarrow.compute as pc
-
-        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        starts = np.cumsum(lens) - lens
-        order = np.argsort(gk, kind="stable")
-        gk_s = gk[order]
-        ia = order[np.searchsorted(gk_s, a_ids)]
-        ib = order[np.searchsorted(gk_s, b_ids)]
+        gk, payloads, a_ids, b_ids, ia, ib, _ = split_pair_group(
+            group, key_col, [text_col])
+        if a_ids.size == 0:
+            return out_schema.empty_table()
+        values, starts, lens = _unique_shingle_sets(payloads[text_col], k)
         # Vectorized multi-pair intersection: tag each shingle with its pair
         # id, sort (pair, value), count adjacent equal values within a pair.
         la, lb = lens[ia], lens[ib]
@@ -686,5 +638,5 @@ def ngram_jaccard_pairs(ds, key_col: str, text_col: str = "text",
              pa.array(jacc[keep].astype(np.float64))],
             schema=out_schema)
 
-    return shingled.groupby("_vbucket").map_groups(verify,
-                                                   batch_format="pyarrow")
+    return routed.groupby("_vbucket").map_groups(verify,
+                                                 batch_format="pyarrow")

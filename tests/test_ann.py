@@ -97,6 +97,18 @@ def test_ivf_topk_full_probe_exact_and_pruned_recall(ray_session):
     assert recall >= 0.9  # clustered queries live in few lists
 
 
+def test_cosine_dup_pairs_refuses_block_blowup(ray_session):
+    """The exact O(N^2) path must refuse past max_blocks — the O(B^2)
+    driver task fan-out cannot be deployed at corpus scale by accident."""
+    import pytest
+
+    tbl, _ = make_embeddings(n=300)
+    ds = rd.from_arrow(tbl).repartition(16)
+    with pytest.raises(ValueError, match="cosine_dup_pairs_lsh"):
+        ann.cosine_dup_pairs(ds, threshold=0.8, target_block_rows=16,
+                             max_blocks=8)
+
+
 def test_distinct_pairs_keeps_extra_column(ray_session):
     from h3ray.ops.pairs import distinct_pairs
 
