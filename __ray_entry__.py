@@ -637,6 +637,21 @@ def _events_topk_by_type(sf_dir: str):
     return out.select_columns(["event_type", "event_id", "value"])
 
 
+def _events_p90_by_type(sf_dir: str):
+    """PERCENTILE_DISC(0.9) per event type via the distributed two-pass
+    selection operator (ops.quantile) — same machinery as the median query
+    at a different rank, pinning the general-q path against the SQL window
+    function."""
+    import ray.data as rd
+
+    from h3ray.ops.quantile import grouped_percentile_disc
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return grouped_percentile_disc(ds, "event_type", "value", q=0.9,
+                                   out_col="p90_value")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
@@ -651,6 +666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": rel.events_asof_join,
         "events_topk_by_type": _events_topk_by_type,
         "events_median_by_type": rel.events_median_by_type,
+        "events_p90_by_type": _events_p90_by_type,
         "events_hopping_windows": rel.events_hopping_windows,
         "docs_by_lang": rel.docs_by_lang,
         "docs_token_counts": rel.docs_token_counts,
@@ -1011,6 +1027,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY value)
                        AS median_value
+            FROM events GROUP BY event_type
+        """,
+        "events_p90_by_type": """
+            SELECT event_type,
+                   PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY value)
+                       AS p90_value
             FROM events GROUP BY event_type
         """,
         "events_hopping_windows": """
