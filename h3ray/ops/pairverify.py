@@ -67,14 +67,17 @@ def route_pairs_and_payload(payload_ds, pairs_ds, key_col: str,
 
     # DISTINCT (key, bucket) routing set — a duplicate would ship the same
     # payload row into the same group twice (harmless for lookup, wasteful
-    # for bytes). Bucketed exact distinct, same pattern as distinct_pairs.
+    # for bytes). Batch-local np.unique first (pairs sharing a key cluster
+    # within candidate blocks, so this strips most duplicates before the
+    # shuffle), then the bucketed exact distinct.
     def explode_routing(batch: pa.Table) -> pa.Table:
         a = batch[pair_a].to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch[pair_b].to_numpy(zero_copy_only=False).astype(np.int64)
         vb = batch["_vbucket"].to_numpy(zero_copy_only=False)
+        kb = np.unique(np.stack([np.concatenate([a, b]),
+                                 np.concatenate([vb, vb])], axis=1), axis=0)
         return pa.Table.from_arrays(
-            [pa.array(np.concatenate([a, b])),
-             pa.array(np.concatenate([vb, vb]))],
+            [pa.array(kb[:, 0]), pa.array(kb[:, 1])],
             names=[key_col, "_vbucket"])
 
     from .pairs import distinct_pairs
@@ -125,17 +128,24 @@ def route_pairs_and_payload(payload_ds, pairs_ds, key_col: str,
 def split_pair_group(group: pa.Table, key_col: str,
                      payload_cols: list[str],
                      pair_a: str = "key_a", pair_b: str = "key_b",
-                     keep_pair_cols: tuple[str, ...] = ()):
+                     keep_pair_cols: tuple[str, ...] = (),
+                     dedupe_pairs: bool = True):
     """Split one verification group into payload + pair views.
 
     Returns (keys, payloads, a_ids, b_ids, ia, ib, extras): `payloads` maps
     payload column -> Arrow array aligned with `keys`; `ia`/`ib` index each
     pair's endpoints into that alignment; `extras` maps keep_pair_cols ->
     Arrow arrays aligned with the pairs.
+
+    `dedupe_pairs` uniquifies (a, b) within the group — the bucket is a
+    pure function of the pair, so EVERY copy of a multi-band collision
+    lands in the same group and a pre-shuffle global distinct (one more
+    all-to-all) is unnecessary.
     """
     kind = group["_kind"].to_numpy(zero_copy_only=False)
     d = pa.array(np.flatnonzero(kind == 0))
-    p = pa.array(np.flatnonzero(kind == 1))
+    p_idx = np.flatnonzero(kind == 1)
+    p = pa.array(p_idx)
 
     def col(name):
         c = group[name]
@@ -148,6 +158,11 @@ def split_pair_group(group: pa.Table, key_col: str,
         .astype(np.int64)
     b_ids = col(pair_b).take(p).to_numpy(zero_copy_only=False) \
         .astype(np.int64)
+    if dedupe_pairs and a_ids.size:
+        _, first = np.unique(np.stack([a_ids, b_ids], axis=1), axis=0,
+                             return_index=True)
+        a_ids, b_ids = a_ids[first], b_ids[first]
+        p = pa.array(p_idx[first])
     order = np.argsort(gk, kind="stable")
     gs = gk[order]
     hi = max(gs.shape[0] - 1, 0)

@@ -327,7 +327,6 @@ def cosine_dup_pairs_lsh(ds, *, id_col: str = "vec_id",
     import ray.data as rd
 
     from ..io.pages import _mix64
-    from ..ops.pairs import distinct_pairs
     from ..ops.pairverify import route_pairs_and_payload, split_pair_group
     from ..text.dedup import _bucketize, _collision_runs
 
@@ -383,10 +382,8 @@ def cosine_dup_pairs_lsh(ds, *, id_col: str = "vec_id",
 
     cand = bucketed.groupby("_bucket").map_groups(pairs,
                                                   batch_format="pyarrow")
-    # A pair collides in several bands: exact distinct via bucketed groupby
-    # BEFORE the verify so each pair's cosine is computed once.
-    cand = distinct_pairs(cand, "id_a", "id_b", num_buckets=num_buckets)
-
+    # A pair colliding in several bands is deduped IN the verification
+    # group (all copies hash to the same bucket) — no extra all-to-all.
     routed, n_pairs = route_pairs_and_payload(
         ds, cand, id_col, [emb_col], pair_a="id_a", pair_b="id_b",
         num_buckets=num_buckets)

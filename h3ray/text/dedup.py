@@ -423,7 +423,8 @@ def exact_canonical_mapping(ds, key_col: str, text_col: str = "text"):
 
 def duplicate_clusters(keys_ds, pairs_ds, key_col: str,
                        pair_a: str = "key_a", pair_b: str = "key_b",
-                       max_iters: int = 30, stats: dict | None = None):
+                       max_iters: int = 30, stats: dict | None = None,
+                       num_buckets: int | None = None):
     """Connected components of the dup-pair graph: (key, cluster_id) with
     cluster_id = min key in the component; keys without a pair cluster to
     themselves.
@@ -463,12 +464,23 @@ def duplicate_clusters(keys_ds, pairs_ds, key_col: str,
 
     edges = pairs_ds.map_batches(both_dirs,
                                  batch_format="pyarrow").materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         if stats is not None:
             stats["rounds"] = 0
         return labels
 
     from ray.data.aggregate import Min
+
+    from ..ops.skew import default_num_buckets
+
+    # Reducer buckets sized to the GRAPH, not the cluster: the loop runs
+    # 2 shuffle joins per round over (keys + edges) rows, and hundreds of
+    # near-empty reducer groups per all-to-all dominate wall time on small
+    # graphs (measured ~2x round overhead at 128 buckets vs 16 on a
+    # 5k-node graph) while adding nothing at scale.
+    nb = num_buckets or min(default_num_buckets(),
+                            max(16, (labels.count() + n_edges) // 65536))
 
     rounds = 0
     for _ in range(max_iters):
@@ -476,15 +488,21 @@ def duplicate_clusters(keys_ds, pairs_ds, key_col: str,
         # Neighbor labels: join (static edges + this round's pointer edges)
         # to current labels, then min per destination. The pointer edge
         # (src=label(v), dst=v) delivers label(label(v)) through the same
-        # join — the pointer-doubling shortcut.
+        # join — the pointer-doubling shortcut. Round 1 skips the pointer
+        # edges: labels are the identity, so they are pure self-loops.
         src_labels = labels.map_batches(
             lambda b: b.rename_columns(["_src", "_label"]),
             batch_format="pyarrow")
-        ptr_edges = labels.map_batches(
-            lambda b: pa.Table.from_arrays(
-                [b["cluster_id"], b[key_col]], names=["_src", "_dst"]),
-            batch_format="pyarrow")
-        msgs = hash_join(edges.union(ptr_edges), src_labels, "_src", "_src")
+        if rounds == 1:
+            msg_edges = edges
+        else:
+            ptr_edges = labels.map_batches(
+                lambda b: pa.Table.from_arrays(
+                    [b["cluster_id"], b[key_col]], names=["_src", "_dst"]),
+                batch_format="pyarrow")
+            msg_edges = edges.union(ptr_edges)
+        msgs = hash_join(msg_edges, src_labels, "_src", "_src",
+                         num_buckets=nb)
         cand = msgs.groupby("_dst").aggregate(
             Min("_label", alias_name="_min_nbr"))
 
@@ -494,7 +512,7 @@ def duplicate_clusters(keys_ds, pairs_ds, key_col: str,
         merged = hash_join(labels,
                            cand.map_batches(rename_cand,
                                             batch_format="pyarrow"),
-                           key_col, key_col, how="left")
+                           key_col, key_col, how="left", num_buckets=nb)
 
         def lower(batch: pa.Table) -> pa.Table:
             cur = batch["cluster_id"]
@@ -525,11 +543,14 @@ def duplicate_clusters(keys_ds, pairs_ds, key_col: str,
 
 
 def minhash_candidate_pairs(ds, key_col: str, text_col: str = "text",
-                            k: int = 5, num_buckets: int = 32):
+                            k: int = 5, num_buckets: int = 32,
+                            distinct: bool = True):
     """All distinct (key_a < key_b) pairs colliding in >= 1 MinHash band.
 
     Shuffle moves (key, band, band_hash) rows ONLY — no text. Duplicate
-    collisions across bands are removed by a bucketed distinct."""
+    collisions across bands are removed by a bucketed distinct —
+    `distinct=False` skips that all-to-all for consumers that dedupe
+    downstream anyway (pairverify groups co-locate every copy of a pair)."""
     from ..ops.pairs import distinct_pairs
 
     bands = ds.map_batches(minhash_bands_stage(key_col, text_col, k),
@@ -556,6 +577,8 @@ def minhash_candidate_pairs(ds, key_col: str, text_col: str = "text",
 
     cand = bucketed.groupby("_bucket").map_groups(pairs,
                                                   batch_format="pyarrow")
+    if not distinct:
+        return cand
     return distinct_pairs(cand, "key_a", "key_b", num_buckets=num_buckets)
 
 
@@ -606,7 +629,11 @@ def ngram_jaccard_pairs(ds, key_col: str, text_col: str = "text",
 
     out_schema = pa.schema([("key_a", pa.int64()), ("key_b", pa.int64()),
                             ("jaccard", pa.float64())])
-    cand = minhash_candidate_pairs(ds, key_col, text_col, k, num_buckets)
+    # distinct=False: copies of a multi-band collision all hash to the same
+    # verification bucket, so split_pair_group dedupes them in-group — one
+    # fewer all-to-all than a pre-shuffle global distinct.
+    cand = minhash_candidate_pairs(ds, key_col, text_col, k, num_buckets,
+                                   distinct=False)
     routed, n_pairs = route_pairs_and_payload(
         ds, cand, key_col, [text_col], num_buckets=num_buckets)
     if n_pairs == 0:
@@ -618,6 +645,15 @@ def ngram_jaccard_pairs(ds, key_col: str, text_col: str = "text",
         if a_ids.size == 0:
             return out_schema.empty_table()
         values, starts, lens = _unique_shingle_sets(payloads[text_col], k)
+        # Exact size pruning: J(A,B) >= t forces |A∩B| <= min sizes and
+        # union >= max sizes, so min(|A|,|B|) >= t * max(|A|,|B|) is a
+        # NECESSARY condition — pairs failing it cannot pass the threshold
+        # and skip the intersection entirely.
+        ok = np.minimum(lens[ia], lens[ib]) \
+            >= threshold * np.maximum(lens[ia], lens[ib])
+        a_ids, b_ids, ia, ib = a_ids[ok], b_ids[ok], ia[ok], ib[ok]
+        if a_ids.size == 0:
+            return out_schema.empty_table()
         # Vectorized multi-pair intersection: tag each shingle with its pair
         # id, sort (pair, value), count adjacent equal values within a pair.
         la, lb = lens[ia], lens[ib]
