@@ -614,6 +614,66 @@ def _orders_by_nation_shuffle_join(sf_dir: str):
             Sum("total_price_cents", alias_name="total_price_cents"))
 
 
+def _customers_left_join_orders(sf_dir: str):
+    """LEFT shuffle hash join customer x orders + per-customer order count —
+    zero-order customers survive with count 0, continuously exercising the
+    how='left' null-padding merge path the inner-join queries never touch."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.join import hash_join
+    from ray.data.aggregate import Sum
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderkey"])
+    joined = hash_join(cust, orders, "c_custkey", "o_custkey", how="left")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = pa.table({
+            "c_custkey": batch["c_custkey"],
+            "num_orders": pc.cast(pc.is_valid(batch["o_orderkey"]),
+                                  pa.int64())})
+        g = t.group_by("c_custkey").aggregate([("num_orders", "sum")])
+        return pa.table({"c_custkey": g["c_custkey"],
+                         "num_orders": g["num_orders_sum"]})
+
+    return joined.map_batches(partial, batch_format="pyarrow",
+                              batch_size=131072) \
+        .groupby("c_custkey").aggregate(
+            Sum("num_orders", alias_name="num_orders"))
+
+
+def _events_distinct_users_by_type(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event type with a two-level
+    combiner: per-batch unique (type, user) pairs collapse the row stream
+    BEFORE the shuffle, a distinct groupby collapses residual cross-batch
+    duplicates, then a bounded per-type count — the exact-distinct
+    aggregation shape (no sketch, no full-row shuffle)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+
+    def batch_distinct(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["event_type", "user_id"]).aggregate([])
+
+    pairs = ds.map_batches(batch_distinct, batch_format="pyarrow",
+                           batch_size=131072)
+    distinct = pairs.groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="_dup"))
+    return distinct.groupby("event_type").aggregate(
+        Count(alias_name="num_users"))
+
+
 def _events_topk_by_type(sf_dir: str):
     """Top-10 events by value per event_type via the salted two-phase top-k
     (bounded reducers under hot-key skew; ties broken by event_id).
@@ -660,6 +720,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing_summary": rel.lineitem_agg,
         "orders_by_mktsegment": rel.orders_by_segment,
         "orders_by_nation_shuffle_join": _orders_by_nation_shuffle_join,
+        "customers_left_join_orders": _customers_left_join_orders,
+        "events_distinct_users_by_type": _events_distinct_users_by_type,
         "events_by_type": rel.events_by_type,
         "events_hourly_windows": rel.events_hourly_windows,
         "events_user_sessions": rel.user_sessions,
@@ -1033,6 +1095,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY value)
                        AS p90_value
+            FROM events GROUP BY event_type
+        """,
+        "customers_left_join_orders": """
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS num_orders
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey
+        """,
+        "events_distinct_users_by_type": """
+            SELECT event_type,
+                   COUNT(DISTINCT user_id) AS num_users
             FROM events GROUP BY event_type
         """,
         "events_hopping_windows": """

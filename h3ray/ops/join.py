@@ -106,9 +106,15 @@ def hash_join(left_ds, right_ds, left_key: str, right_key: str,
 
         return fn
 
-    tagged = left_ds.map_batches(pad(left_key, 0), batch_format="pyarrow") \
+    # batch_size coalesces tiny upstream blocks BEFORE the groupby exchange:
+    # the sort's per-partition overhead is driven by input block count, and
+    # a small table read as 64x ~100-row blocks measurably doubles the
+    # shuffle wall. 32K rows keeps payload batches bounded at scale.
+    tagged = left_ds.map_batches(pad(left_key, 0), batch_format="pyarrow",
+                                 batch_size=32768) \
         .union(right_ds.map_batches(pad(right_key, 1),
-                                    batch_format="pyarrow"))
+                                    batch_format="pyarrow",
+                                    batch_size=32768))
 
     out_schema = pa.schema([pa.field(left_key, pa.int64())]
                            + [pa.field(c, ltypes[c]) for c in lcols]

@@ -45,5 +45,8 @@ def distinct_pairs(pairs_ds, col_a: str, col_b: str,
             names.append(c)
         return pa.Table.from_arrays(arrays, names=names)
 
-    return pairs_ds.map_batches(bucket, batch_format="pyarrow") \
+    # batch_size coalesces tiny upstream blocks before the exchange (the
+    # sort pays per input block, not per row).
+    return pairs_ds.map_batches(bucket, batch_format="pyarrow",
+                                batch_size=65536) \
         .groupby("_bucket").map_groups(dedup, batch_format="pyarrow")

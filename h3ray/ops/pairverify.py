@@ -83,7 +83,8 @@ def route_pairs_and_payload(payload_ds, pairs_ds, key_col: str,
     from .pairs import distinct_pairs
 
     routing = distinct_pairs(cand.map_batches(explode_routing,
-                                              batch_format="pyarrow"),
+                                              batch_format="pyarrow",
+                                              batch_size=65536),
                              key_col, "_vbucket", num_buckets=num_buckets)
 
     payload = payload_ds
@@ -120,8 +121,11 @@ def route_pairs_and_payload(payload_ds, pairs_ds, key_col: str,
 
         return fn
 
-    routed = joined.map_batches(tag(0), batch_format="pyarrow") \
-        .union(cand.map_batches(tag(1), batch_format="pyarrow"))
+    # batch_size coalesces tiny blocks before the verification exchange.
+    routed = joined.map_batches(tag(0), batch_format="pyarrow",
+                                batch_size=32768) \
+        .union(cand.map_batches(tag(1), batch_format="pyarrow",
+                                batch_size=65536))
     return routed, n_pairs
 
 

@@ -451,8 +451,11 @@ def duplicate_clusters(keys_ds, pairs_ds, key_col: str,
         return pa.Table.from_arrays(
             [pa.array(k), pa.array(k.copy())], names=[key_col, "cluster_id"])
 
-    labels = keys_ds.map_batches(project_keys,
-                                 batch_format="pyarrow").materialize()
+    # batch_size=65536 on the loop's map stages coalesces tiny blocks
+    # before each exchange — per-round shuffle wall is dominated by input
+    # BLOCK count, not rows, and a 64x tiny-block keys read doubles it.
+    labels = keys_ds.map_batches(project_keys, batch_format="pyarrow",
+                                 batch_size=65536).materialize()
 
     def both_dirs(batch: pa.Table) -> pa.Table:
         a = batch[pair_a].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -462,8 +465,8 @@ def duplicate_clusters(keys_ds, pairs_ds, key_col: str,
              pa.array(np.concatenate([b, a]))],
             names=["_src", "_dst"])
 
-    edges = pairs_ds.map_batches(both_dirs,
-                                 batch_format="pyarrow").materialize()
+    edges = pairs_ds.map_batches(both_dirs, batch_format="pyarrow",
+                                 batch_size=65536).materialize()
     n_edges = edges.count()
     if n_edges == 0:
         if stats is not None:
@@ -492,14 +495,14 @@ def duplicate_clusters(keys_ds, pairs_ds, key_col: str,
         # edges: labels are the identity, so they are pure self-loops.
         src_labels = labels.map_batches(
             lambda b: b.rename_columns(["_src", "_label"]),
-            batch_format="pyarrow")
+            batch_format="pyarrow", batch_size=65536)
         if rounds == 1:
             msg_edges = edges
         else:
             ptr_edges = labels.map_batches(
                 lambda b: pa.Table.from_arrays(
                     [b["cluster_id"], b[key_col]], names=["_src", "_dst"]),
-                batch_format="pyarrow")
+                batch_format="pyarrow", batch_size=65536)
             msg_edges = edges.union(ptr_edges)
         msgs = hash_join(msg_edges, src_labels, "_src", "_src",
                          num_buckets=nb)
@@ -511,7 +514,8 @@ def duplicate_clusters(keys_ds, pairs_ds, key_col: str,
 
         merged = hash_join(labels,
                            cand.map_batches(rename_cand,
-                                            batch_format="pyarrow"),
+                                            batch_format="pyarrow",
+                                            batch_size=65536),
                            key_col, key_col, how="left", num_buckets=nb)
 
         def lower(batch: pa.Table) -> pa.Table:
@@ -525,10 +529,12 @@ def duplicate_clusters(keys_ds, pairs_ds, key_col: str,
                 [batch[key_col], new, changed],
                 names=[key_col, "cluster_id", "_changed"])
 
-        stepped = merged.map_batches(lower,
-                                     batch_format="pyarrow").materialize()
+        stepped = merged.map_batches(lower, batch_format="pyarrow",
+                                     batch_size=65536).materialize()
         n_changed = stepped.sum("_changed")
-        labels = stepped.drop_columns(["_changed"]).materialize()
+        # Lazy projection over the materialized blocks: lineage is already
+        # broken at `stepped`, a second materialize would be a wasted pass.
+        labels = stepped.drop_columns(["_changed"])
         if not n_changed:
             break
     else:
