@@ -648,6 +648,37 @@ def _customers_left_join_orders(sf_dir: str):
             Sum("num_orders", alias_name="num_orders"))
 
 
+def _customers_no_urgent_orders(sf_dir: str):
+    """Anti join (SQL NOT EXISTS): customers with no 1-URGENT order. The
+    predicate is pushed into the parquet scan (row-group pruning at the
+    read); the right side ships distinct keys only through the exchange."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.ops.join import anti_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    urgent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pc.field("o_orderpriority") == "1-URGENT")
+    return anti_join(cust, urgent, "c_custkey", "o_custkey")
+
+
+def _parts_in_lineitems(sf_dir: str):
+    """Semi join (SQL EXISTS): parts referenced by at least one lineitem —
+    no row duplication regardless of lineitem multiplicity."""
+    import ray.data as rd
+
+    from h3ray.ops.join import semi_join
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"])
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey"])
+    return semi_join(part, li, "p_partkey", "l_partkey")
+
+
 def _events_distinct_users_by_type(sf_dir: str):
     """Exact COUNT(DISTINCT user_id) per event type with a two-level
     combiner: per-batch unique (type, user) pairs collapse the row stream
@@ -721,6 +752,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_mktsegment": rel.orders_by_segment,
         "orders_by_nation_shuffle_join": _orders_by_nation_shuffle_join,
         "customers_left_join_orders": _customers_left_join_orders,
+        "customers_no_urgent_orders": _customers_no_urgent_orders,
+        "parts_in_lineitems": _parts_in_lineitems,
         "events_distinct_users_by_type": _events_distinct_users_by_type,
         "events_by_type": rel.events_by_type,
         "events_hourly_windows": rel.events_hourly_windows,
@@ -1106,6 +1139,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    COUNT(DISTINCT user_id) AS num_users
             FROM events GROUP BY event_type
+        """,
+        "customers_no_urgent_orders": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+        """,
+        "parts_in_lineitems": """
+            SELECT p_partkey, p_brand FROM part
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_partkey = p_partkey)
         """,
         "events_hopping_windows": """
             SELECT user_id,

@@ -171,3 +171,101 @@ def hash_join(left_ds, right_ds, left_key: str, right_key: str,
 
     return tagged.groupby("_bucket").map_groups(merge,
                                                 batch_format="pyarrow")
+
+
+def semi_join(left_ds, right_ds, left_key: str, right_key: str,
+              num_buckets: int | None = None, anti: bool = False):
+    """Distributed semi/anti equi-join on int64 keys.
+
+    Semi: left rows whose key appears on the right (SQL EXISTS). Anti: left
+    rows whose key does NOT appear (SQL NOT EXISTS). Output schema == left
+    schema; the right side never contributes columns, so it is projected to
+    its key column and batch-distincted BEFORE the shuffle — the exchange
+    moves left rows plus O(distinct right keys), not the right table.
+
+    Null keys follow EXISTS semantics: a null never matches, so null-key
+    left rows are dropped by semi and RETAINED by anti (unlike NOT IN).
+    """
+    nb = num_buckets or default_num_buckets()
+    lschema = left_ds.schema()
+    ltypes = arrow_types(lschema)
+    lcols = list(lschema.names)
+    fields = ([pa.field("_key", pa.int64()), pa.field("_side", pa.int8())]
+              + [pa.field(c, ltypes[c]) for c in lcols])
+    union_schema = pa.schema(fields + [pa.field("_bucket", pa.int32())])
+    out_schema = pa.schema([pa.field(c, ltypes[c]) for c in lcols])
+
+    def pad(key_col: str, side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            kc = batch[key_col]
+            if kc.null_count:
+                batch = batch.filter(pa.compute.is_valid(kc))
+            n = batch.num_rows
+            keys = batch[key_col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if side == 1:
+                keys = np.unique(keys)
+                n = keys.shape[0]
+            arrays = [pa.array(keys),
+                      pa.array(np.full(n, side, dtype=np.int8))]
+            for f in fields[2:]:
+                if side == 0 and f.name in batch.column_names:
+                    col = batch[f.name]
+                    if isinstance(col, pa.ChunkedArray):
+                        col = col.combine_chunks()
+                    arrays.append(col)
+                else:
+                    arrays.append(pa.nulls(n, f.type))
+            bucket = (_mix64(keys.view(np.uint64))
+                      % np.uint64(nb)).astype(np.int32)
+            arrays.append(pa.array(bucket))
+            return pa.Table.from_arrays(arrays, schema=union_schema)
+
+        return fn
+
+    tagged = left_ds.map_batches(pad(left_key, 0), batch_format="pyarrow",
+                                 batch_size=32768) \
+        .union(right_ds.select_columns([right_key])
+               .map_batches(pad(right_key, 1), batch_format="pyarrow",
+                            batch_size=65536))
+
+    def probe(group: pa.Table) -> pa.Table:
+        side = group["_side"].to_numpy(zero_copy_only=False)
+        keys = group["_key"].to_numpy(zero_copy_only=False)
+        lrows = np.flatnonzero(side == 0)
+        rk = np.unique(keys[side == 1])
+        lk = keys[lrows]
+        pos = np.searchsorted(rk, lk)
+        member = (pos < rk.shape[0]) & (rk[np.minimum(pos, max(
+            rk.shape[0] - 1, 0))] == lk) if rk.shape[0] else \
+            np.zeros(lk.shape[0], dtype=bool)
+        take = pa.array(lrows[member != anti])
+        arrays = []
+        for c in lcols:
+            col = group[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            arrays.append(col.take(take))
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
+    result = tagged.groupby("_bucket").map_groups(probe,
+                                                  batch_format="pyarrow")
+    if anti:
+        # NOT EXISTS keeps null-key left rows; they bypass the shuffle.
+        def nulls_only(batch: pa.Table) -> pa.Table:
+            kept = batch.filter(pa.compute.is_null(batch[left_key]))
+            return pa.Table.from_arrays(
+                [kept[c].combine_chunks() if isinstance(
+                    kept[c], pa.ChunkedArray) else kept[c] for c in lcols],
+                schema=out_schema)
+
+        result = result.union(left_ds.map_batches(
+            nulls_only, batch_format="pyarrow", batch_size=65536))
+    return result
+
+
+def anti_join(left_ds, right_ds, left_key: str, right_key: str,
+              num_buckets: int | None = None):
+    """Left rows with no key match on the right (SQL NOT EXISTS)."""
+    return semi_join(left_ds, right_ds, left_key, right_key,
+                     num_buckets=num_buckets, anti=True)

@@ -6,7 +6,7 @@ import pyarrow as pa
 import pytest
 import ray.data as rd
 
-from h3ray.ops.join import hash_join
+from h3ray.ops.join import anti_join, hash_join, semi_join
 
 
 def make_sides(seed=13, n_left=5000, n_right=800):
@@ -74,6 +74,46 @@ def test_hash_join_rejects_collisions(ray_session):
     right = pd.DataFrame({"rk": [1], "v": [3]})
     with pytest.raises(ValueError, match="collision"):
         hash_join(rd.from_pandas(left), rd.from_pandas(right), "k", "rk")
+
+
+def test_semi_anti_join(ray_session):
+    left, right = make_sides()
+    semi = semi_join(rd.from_pandas(left), rd.from_pandas(right),
+                     "k", "rk", num_buckets=8).to_pandas()
+    anti = anti_join(rd.from_pandas(left), rd.from_pandas(right),
+                     "k", "rk", num_buckets=8).to_pandas()
+    in_right = left["k"].isin(right["rk"])
+    assert canon(semi).equals(canon(left[in_right]))
+    assert canon(anti).equals(canon(left[~in_right]))
+    # Semi never duplicates left rows (unlike inner join many-to-many).
+    assert len(semi) + len(anti) == len(left)
+
+
+def test_semi_anti_join_null_keys(ray_session):
+    """EXISTS semantics: null-key left rows never match — semi drops them,
+    anti RETAINS them (NOT EXISTS over an empty match set is true)."""
+    left = pa.table({"k": pa.array([1, None, 3, None], type=pa.int64()),
+                     "lv": pa.array([10, 20, 30, 40])})
+    right = pa.table({"rk": pa.array([1, None], type=pa.int64()),
+                      "rv": pa.array([100, 999])})
+    semi = semi_join(rd.from_arrow(left), rd.from_arrow(right),
+                     "k", "rk", num_buckets=4).to_pandas()
+    anti = anti_join(rd.from_arrow(left), rd.from_arrow(right),
+                     "k", "rk", num_buckets=4).to_pandas()
+    assert semi["lv"].tolist() == [10]
+    assert sorted(anti["lv"].tolist()) == [20, 30, 40]
+
+
+def test_semi_join_empty_right(ray_session):
+    left = pd.DataFrame({"k": np.arange(10, dtype=np.int64),
+                         "lv": np.arange(10)})
+    right = pd.DataFrame({"rk": np.array([], dtype=np.int64)})
+    semi = semi_join(rd.from_pandas(left), rd.from_pandas(right),
+                     "k", "rk", num_buckets=4).to_pandas()
+    anti = anti_join(rd.from_pandas(left), rd.from_pandas(right),
+                     "k", "rk", num_buckets=4).to_pandas()
+    assert len(semi) == 0
+    assert canon(anti).equals(canon(left))
 
 
 def test_hash_join_null_keys_dropped(ray_session):
