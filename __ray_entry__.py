@@ -759,6 +759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_windows": rel.events_hourly_windows,
         "events_user_sessions": rel.user_sessions,
         "events_asof_join": rel.events_asof_join,
+        "events_rolling_by_user": rel.events_rolling_by_user,
         "events_topk_by_type": _events_topk_by_type,
         "events_median_by_type": rel.events_median_by_type,
         "events_p90_by_type": _events_p90_by_type,
@@ -1190,6 +1191,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(MIN(epoch(ts))) AS BIGINT) AS start_epoch,
                    CAST(FLOOR(MAX(epoch(ts))) AS BIGINT) AS end_epoch
             FROM s GROUP BY user_id, session_id
+        """,
+        "events_rolling_by_user": """
+            SELECT event_id, user_id,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS row_idx,
+                   CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+                        OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS roll_value_micro
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "events_topk_by_type": """
             SELECT event_type, event_id, value FROM (

@@ -282,6 +282,58 @@ def user_sessions(sf_dir: str, gap_s: int = 1800,
         .groupby("_bucket").map_groups(sessionize, batch_format="pyarrow")
 
 
+def events_rolling_by_user(sf_dir: str, window: int = 3,
+                           num_buckets: int | None = None):
+    """Per-user ordered window functions: ROW_NUMBER and a rolling sum over
+    the previous `window` rows (ROWS window-1 PRECEDING .. CURRENT ROW).
+
+    Distribution matches user_sessions: users bucket by hash (bounded group
+    count), one lexsort per bucket orders (user, ts, event_id), and the
+    rolling sum is a segmented prefix-sum difference — cs0[i+1] - cs0[lo]
+    with lo clipped to the user's segment start — so no per-user Python
+    callback and no full-stream sort anywhere. Values are micro-scaled
+    int64 (exact, summation-order-free) to hash-match the SQL window frame.
+    """
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+    nb = num_buckets or _default_buckets()
+    w = int(window)
+    if w < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_bucket", pa.array((uid % nb).astype(np.int32)))
+
+    def roll(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        ts_us = group["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        val = group["value"].to_numpy(zero_copy_only=False)
+        v = np.floor(val * 1_000_000 + 0.5).astype(np.int64)
+        order = np.lexsort((eid, ts_us, uid))
+        u = uid[order]
+        n = u.shape[0]
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = u[1:] != u[:-1]
+        seg_start = np.flatnonzero(new_user)
+        first = seg_start[np.cumsum(new_user) - 1]
+        idx = np.arange(n, dtype=np.int64)
+        row_idx = idx - first + 1
+        cs0 = np.concatenate([[0], np.cumsum(v[order])])
+        lo = np.maximum(idx - w + 1, first)
+        return pa.Table.from_arrays(
+            [pa.array(eid[order]), pa.array(u),
+             pa.array(row_idx), pa.array(cs0[idx + 1] - cs0[lo])],
+            names=["event_id", "user_id", "row_idx", "roll_value_micro"])
+
+    return ds.map_batches(bucket, batch_format="pyarrow",
+                          batch_size=131072) \
+        .groupby("_bucket").map_groups(roll, batch_format="pyarrow")
+
+
 def events_median_by_type(sf_dir: str):
     """Exact per-group median (PERCENTILE_DISC 0.5) via distributed
     two-pass selection (ops.quantile) — no reducer ever holds a full
