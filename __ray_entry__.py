@@ -743,6 +743,24 @@ def _events_p90_by_type(sf_dir: str):
                                    out_col="p90_value")
 
 
+def _events_quantiles_by_type(sf_dir: str):
+    """Five exact quantiles per event type from ONE shared two-pass
+    selection (the multi-q path of ops.quantile): the histogram pass is
+    quantile-independent, the selection pass keeps the union of selected
+    bins — p25..p99 costs the same two scans as a lone median."""
+    import ray.data as rd
+
+    from h3ray.ops.quantile import grouped_percentiles_disc
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return grouped_percentiles_disc(
+        ds, "event_type", "value",
+        qs=[0.25, 0.5, 0.75, 0.9, 0.99],
+        out_cols=["p25_value", "p50_value", "p75_value", "p90_value",
+                  "p99_value"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
@@ -763,6 +781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk_by_type": _events_topk_by_type,
         "events_median_by_type": rel.events_median_by_type,
         "events_p90_by_type": _events_p90_by_type,
+        "events_quantiles_by_type": _events_quantiles_by_type,
         "events_hopping_windows": rel.events_hopping_windows,
         "docs_by_lang": rel.docs_by_lang,
         "docs_token_counts": rel.docs_token_counts,
@@ -1129,6 +1148,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY value)
                        AS p90_value
+            FROM events GROUP BY event_type
+        """,
+        "events_quantiles_by_type": """
+            SELECT event_type,
+                   PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY value)
+                       AS p25_value,
+                   PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY value)
+                       AS p50_value,
+                   PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY value)
+                       AS p75_value,
+                   PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY value)
+                       AS p90_value,
+                   PERCENTILE_DISC(0.99) WITHIN GROUP (ORDER BY value)
+                       AS p99_value
             FROM events GROUP BY event_type
         """,
         "customers_left_join_orders": """

@@ -10,9 +10,14 @@ dies at web scale. Two-pass selection bounds every participant instead:
    merged histogram is bounded by |keys| x 65536 rows REGARDLESS of data
    size, so the driver tree-root (ops.reduce.driver_merge) can locate each
    key's target bin and the exact residual rank within it.
-2. Selection pass: re-scan keeps only rows in each key's selected bin
-   (expected mass n_key/2^16) and a per-key reducer takes the order
-   statistic at the residual rank.
+2. Selection pass: re-scan keeps only rows in each key's selected bin(s)
+   (expected mass n_key/2^16 per bin) and a per-key reducer takes the
+   order statistic at the residual rank.
+
+Any number of quantiles shares the SAME two passes — the histogram pass is
+quantile-independent and the selection pass keeps the union of selected
+bins (<= one bin per requested q), so p25..p99 in one call costs the same
+two scans as a lone median.
 
 The input Dataset is consumed twice (lineage re-executes); materialize
 upstream first if the input is itself an expensive pipeline.
@@ -33,14 +38,20 @@ def _float_order_key(v: np.ndarray) -> np.ndarray:
     return np.where(neg, ~b, b | np.uint64(1 << 63))
 
 
-def grouped_percentile_disc(ds, key_col: str, value_col: str,
-                            q: float = 0.5,
-                            out_col: str = "percentile_value"):
-    """(key_col, out_col) with out_col = PERCENTILE_DISC(q) of value_col
-    per key: the smallest value whose cumulative distribution >= q, i.e.
-    the ceil(q*n)-th smallest — exact, matching the SQL window function."""
-    if not 0.0 < q <= 1.0:
-        raise ValueError(f"q must be in (0, 1], got {q}")
+def grouped_percentiles_disc(ds, key_col: str, value_col: str,
+                             qs: list[float],
+                             out_cols: list[str]):
+    """(key_col, *out_cols) with out_cols[j] = PERCENTILE_DISC(qs[j]) of
+    value_col per key: the smallest value whose cumulative distribution
+    >= q, i.e. the ceil(q*n)-th smallest — exact, matching the SQL window
+    function. All quantiles share one histogram pass and one selection
+    pass."""
+    if len(qs) != len(out_cols) or not qs:
+        raise ValueError("qs and out_cols must be equal-length, non-empty")
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"q must be in (0, 1], got {q}")
+    n_q = len(qs)
 
     def bin_of(batch: pa.Table):
         v = batch[value_col].to_numpy(zero_copy_only=False)
@@ -64,38 +75,61 @@ def grouped_percentile_disc(ds, key_col: str, value_col: str,
         import ray.data as rd
 
         return rd.from_arrow(pa.schema(
-            [(key_col, pa.string()), (out_col, pa.float64())]).empty_table())
+            [(key_col, pa.string())]
+            + [(c, pa.float64()) for c in out_cols]).empty_table())
     hist = hist.groupby([key_col, "_bin"], as_index=False)["_n"].sum() \
         .sort_values([key_col, "_bin"])
+    # sel[key][j] = (bin, residual rank within bin) for quantile j.
     sel: dict = {}
     for key, g in hist.groupby(key_col, sort=False):
         n = int(g["_n"].sum())
-        k = max(int(np.ceil(q * n)), 1)
         cum = g["_n"].cumsum().to_numpy()
-        i = int(np.searchsorted(cum, k))
-        before = int(cum[i - 1]) if i else 0
-        sel[key] = (int(g["_bin"].iloc[i]), k - before)
+        bins_np = g["_bin"].to_numpy()
+        picks = []
+        for q in qs:
+            k = max(int(np.ceil(q * n)), 1)
+            i = int(np.searchsorted(cum, k))
+            before = int(cum[i - 1]) if i else 0
+            picks.append((int(bins_np[i]), k - before))
+        sel[key] = picks
     keys = sorted(sel)
     key_arr = pa.array(keys)
-    sel_bins = np.array([sel[t][0] for t in keys], dtype=np.int32)
-    ranks = {t: sel[t][1] for t in keys}
+    sel_bins = np.array([[sel[t][j][0] for t in keys] for j in range(n_q)],
+                        dtype=np.int32)
+    ranks = {t: [sel[t][j][1] for j in range(n_q)] for t in keys}
 
     def keep(batch: pa.Table) -> pa.Table:
         v, bins = bin_of(batch)
         idx = pc.index_in(batch[key_col], value_set=key_arr) \
             .fill_null(-1).to_numpy(zero_copy_only=False)
-        hit = (idx >= 0) & (sel_bins[np.maximum(idx, 0)] == bins)
+        safe = np.maximum(idx, 0)
+        hit = np.zeros(bins.shape[0], dtype=bool)
+        for j in range(n_q):
+            hit |= sel_bins[j][safe] == bins
+        hit &= idx >= 0
         return pa.table({key_col: pc.filter(batch[key_col], pa.array(hit)),
-                         value_col: v[hit]})
+                         value_col: v[hit], "_bin": bins[hit]})
 
     def pick(group: pa.Table) -> pa.Table:
         key = group[key_col][0].as_py()
-        vals = np.sort(group[value_col].to_numpy(zero_copy_only=False))
+        vals = group[value_col].to_numpy(zero_copy_only=False)
+        bins = group["_bin"].to_numpy(zero_copy_only=False)
+        out = []
+        for (b, _), rank in zip(sel[key], ranks[key]):
+            in_bin = np.sort(vals[bins == b])
+            out.append(float(in_bin[rank - 1]))
         return pa.Table.from_arrays(
-            [pa.array([key], type=key_arr.type),
-             pa.array([float(vals[ranks[key] - 1])])],
-            names=[key_col, out_col])
+            [pa.array([key], type=key_arr.type)]
+            + [pa.array([v]) for v in out],
+            names=[key_col] + list(out_cols))
 
     return ds.map_batches(keep, batch_format="pyarrow",
                           batch_size=131072) \
         .groupby(key_col).map_groups(pick, batch_format="pyarrow")
+
+
+def grouped_percentile_disc(ds, key_col: str, value_col: str,
+                            q: float = 0.5,
+                            out_col: str = "percentile_value"):
+    """Single-quantile convenience wrapper over grouped_percentiles_disc."""
+    return grouped_percentiles_disc(ds, key_col, value_col, [q], [out_col])

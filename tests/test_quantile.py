@@ -5,7 +5,8 @@ import pyarrow as pa
 import pytest
 import ray.data as rd
 
-from h3ray.ops.quantile import grouped_percentile_disc
+from h3ray.ops.quantile import (grouped_percentile_disc,
+                                grouped_percentiles_disc)
 
 
 def _disc(vals, q):
@@ -28,6 +29,31 @@ def test_grouped_percentile_matches_reference(ray_session, q):
     got = dict(zip(out.k, out.percentile_value))
     for k in range(4):
         assert got[f"g{k}"] == _disc(vals[keys == k], q), f"group {k} q={q}"
+
+
+def test_grouped_multi_percentile_shares_passes(ray_session):
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 3, 4000)
+    vals = np.round(rng.standard_normal(4000) * 50, 2)
+    tbl = pa.table({"k": pa.array([f"g{k}" for k in keys]),
+                    "value": pa.array(vals)})
+    qs = [0.1, 0.25, 0.5, 0.75, 0.99]
+    cols = [f"q{int(q * 100)}" for q in qs]
+    out = grouped_percentiles_disc(rd.from_arrow(tbl).repartition(8),
+                                   "k", "value", qs, cols).to_pandas()
+    assert len(out) == 3
+    for _, row in out.iterrows():
+        gv = vals[keys == int(row.k[1])]
+        for q, c in zip(qs, cols):
+            assert row[c] == _disc(gv, q), f"{row.k} {c}"
+
+
+def test_grouped_multi_percentile_validates(ray_session):
+    empty = pa.table({"k": pa.array([], type=pa.string()),
+                      "value": pa.array([], type=pa.float64())})
+    with pytest.raises(ValueError, match="equal-length"):
+        grouped_percentiles_disc(rd.from_arrow(empty), "k", "value",
+                                 [0.5], ["a", "b"])
 
 
 def test_grouped_percentile_empty_and_bad_q(ray_session):
