@@ -743,6 +743,22 @@ def _events_p90_by_type(sf_dir: str):
                                    out_col="p90_value")
 
 
+def _events_hll_users_by_type(sf_dir: str):
+    """Approximate distinct users per event type via the deterministic
+    HyperLogLog sketch (ops.sketch): per-batch register-max combiner ->
+    driver max-merge -> exact-integer estimator. The estimate itself is
+    value-hash-checked against a bit-exact DuckDB mirror of the whole
+    sketch (registers via integer bit ops, rational-alpha raw estimate,
+    linear-counting branch)."""
+    import ray.data as rd
+
+    from h3ray.ops.sketch import hll_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return hll_distinct(ds, "event_type", "user_id", out_col="hll_users")
+
+
 def _events_quantiles_by_type(sf_dir: str):
     """Five exact quantiles per event type from ONE shared two-pass
     selection (the multi-q path of ops.quantile): the histogram pass is
@@ -773,6 +789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_urgent_orders": _customers_no_urgent_orders,
         "parts_in_lineitems": _parts_in_lineitems,
         "events_distinct_users_by_type": _events_distinct_users_by_type,
+        "events_hll_users_by_type": _events_hll_users_by_type,
         "events_by_type": rel.events_by_type,
         "events_hourly_windows": rel.events_hourly_windows,
         "events_user_sessions": rel.user_sessions,
@@ -847,6 +864,75 @@ def _langid_oracle() -> str:
                     {' '.join(cases)}
                     ELSE '{langs[-1]}' END AS lang_pred
         FROM (SELECT doc_id, text, {count_exprs} FROM documents)
+    """
+
+
+def _hll_oracle() -> str:
+    """Bit-exact SQL mirror of ops.sketch.hll_distinct over events.user_id.
+
+    Stepwise mix64 CTEs (the _sample_oracle pattern), then registers via
+    pure integer bit ops — rho = bit_count((w & (~w+1)) - 1) + 1, the
+    trailing-zero variant chosen in ops.sketch precisely because SQL has no
+    exact leading-zero count — the exact-rational raw estimate in HUGEINT,
+    and the linear-counting branch (FLOOR(m*ln(m/V)+0.5); boundary margin
+    >= 1e-4, far above libm cross-implementation error)."""
+    from h3ray.ops.sketch import ALPHA_DEN, ALPHA_NUM, M, P, RHO_MAX
+
+    steps = []
+    cur = "x"
+    a = _sql_mulmod(f"xor({cur}, {cur} >> 30)", 0xBF58476D1CE4E5B9)
+    steps.append(f"SELECT event_type, {a} AS x FROM __PREV__")
+    b = _sql_mulmod(f"xor({cur}, {cur} >> 27)", 0x94D049BB133111EB)
+    steps.append(f"SELECT event_type, {b} AS x FROM __PREV__")
+    steps.append(f"SELECT event_type, xor({cur}, {cur} >> 31) AS x "
+                 f"FROM __PREV__")
+    ctes = ["h0 AS (SELECT event_type, CAST(user_id AS UBIGINT) AS x "
+            "FROM events)"]
+    prev = "h0"
+    for i, s in enumerate(steps):
+        name = f"h{i + 1}"
+        ctes.append(f"{name} AS ({s.replace('__PREV__', prev)})")
+        prev = name
+    two53 = 1 << RHO_MAX
+    return f"""
+        WITH {', '.join(ctes)},
+        ws AS (
+          -- DuckDB overflow-checks ALL vector lanes (even ones a CASE or
+          -- NULL mask discards), so w == 0 lanes must never reach the
+          -- (low - 1) subtraction: substitute 1 there and let the outer
+          -- CASE pick the rho_max branch for those rows.
+          SELECT event_type, x,
+                 CASE WHEN (x >> {P}) = 0 THEN CAST(1 AS UBIGINT)
+                      ELSE x >> {P} END AS w
+          FROM {prev}
+        ),
+        regs AS (
+          SELECT event_type, CAST(x % {M} AS BIGINT) AS idx,
+                 -- ((~w) + 1), parenthesized: DuckDB binds ~ LOOSER than
+                 -- binary +, so bare ~w + 1 parses as ~(w + 1).
+                 MAX(CASE WHEN (x >> {P}) = 0 THEN {RHO_MAX}
+                     ELSE CAST(bit_count((w & ((~w) + 1)) - 1)
+                          AS BIGINT) + 1
+                     END) AS rho
+          FROM ws GROUP BY event_type, idx
+        ),
+        stats AS (
+          SELECT event_type,
+                 SUM(CAST(1::BIGINT << ({RHO_MAX} - rho) AS HUGEINT))
+                     + CAST({M} - COUNT(*) AS HUGEINT)
+                       * {two53}::HUGEINT AS s53,
+                 {M} - COUNT(*) AS v
+          FROM regs GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(CASE WHEN v > 0 AND 2 * raw <= {5 * M}
+                         THEN CAST(FLOOR({M} * LN({M}.0 / v) + 0.5)
+                                   AS HUGEINT)
+                         ELSE raw END AS BIGINT) AS hll_users
+        FROM (SELECT event_type, v,
+                     {ALPHA_NUM * two53}::HUGEINT
+                         // ({ALPHA_DEN}::HUGEINT * s53) AS raw
+              FROM stats)
     """
 
 
@@ -1174,6 +1260,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT user_id) AS num_users
             FROM events GROUP BY event_type
         """,
+        "events_hll_users_by_type": _hll_oracle(),
         "customers_no_urgent_orders": """
             SELECT c_custkey, c_mktsegment FROM customer
             WHERE NOT EXISTS (SELECT 1 FROM orders

@@ -1,0 +1,111 @@
+"""HyperLogLog distinct-count sketch (deterministic, merge-friendly).
+
+COUNT(DISTINCT) at web scale either shuffles every distinct (key, value)
+pair (the exact path, ops in relational) or keeps a tiny mergeable sketch
+per key. This HLL is built for the combiner pattern: a per-batch pass emits
+(key, register, max_rho) rows — at most |keys| x 4096 rows per batch
+regardless of input size — register maxima merge associatively through any
+tree, and the final estimate is computed once per key from its 4096
+registers.
+
+Everything is DETERMINISTIC and integer-exact so the DuckDB SQL mirror in
+`__ray_entry__` can reproduce the estimate bit-for-bit:
+
+- hash = _mix64(value)  (splitmix64 finalizer, shared with io.pages)
+- register index = low P bits; rho = trailing-zero count of the remaining
+  64-P bits, + 1 (Flajolet-Martin least-significant-1 variant: computable
+  with pure integer ops in both numpy and SQL, unlike leading-zero rank)
+- raw estimate = alpha_m * m^2 / sum(2^-M_j), evaluated in EXACT integer
+  arithmetic: sum(2^-M_j) = S53 / 2^53 with S53 an integer, and
+  alpha_m = 7213000*m / (10000*(1000m + 1079)) as an exact rational
+  (the standard 0.7213/(1 + 1.079/m) with decimal literals made rational)
+- small-range correction: when empty registers exist and the raw estimate
+  is <= 2.5m, linear counting floor(m*ln(m/V) + 0.5). The rounding
+  boundary margin across all V in [1, m] is >= 1e-4 (verified), 7 orders
+  above libm's cross-implementation error, so numpy and DuckDB agree.
+
+Standard error ~1.04/sqrt(m) = 1.6% at P=12; each key's sketch is 4 KiB.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from ..io.pages import _mix64
+
+P = 12
+M = 1 << P           # 4096 registers
+RHO_MAX = 64 - P + 1  # 53: rho when the top 64-P hash bits are all zero
+# E_raw = ALPHA_NUM * 2^53 // (ALPHA_DEN * S53), exact rational alpha_m.
+ALPHA_NUM = 7213000 * M * M * M
+ALPHA_DEN = 10000 * (1000 * M + 1079)
+
+
+def _rho_of(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rho) per value — pure integer ops + exact frexp."""
+    h = _mix64(vals.astype(np.int64).view(np.uint64))
+    idx = (h & np.uint64(M - 1)).astype(np.int64)
+    w = h >> np.uint64(P)
+    low = w & (np.invert(w) + np.uint64(1))  # lowest set bit (0 if w == 0)
+    # low is a power of two <= 2^51: frexp's exponent is its exact log2 + 1.
+    _, e = np.frexp(low.astype(np.float64))
+    rho = np.where(w == np.uint64(0), RHO_MAX, e).astype(np.int8)
+    return idx, rho
+
+
+def estimate_from_registers(rhos: np.ndarray) -> int:
+    """HLL estimate from a dense length-M register array (0 = empty)."""
+    if rhos.shape[0] != M:
+        raise ValueError(f"expected {M} registers, got {rhos.shape[0]}")
+    s53 = int(sum(1 << (RHO_MAX - int(r)) for r in rhos))
+    v = int((rhos == 0).sum())
+    raw = (ALPHA_NUM << RHO_MAX) // (ALPHA_DEN * s53)
+    if v > 0 and 2 * raw <= 5 * M:
+        return int(math.floor(M * math.log(M / v) + 0.5))
+    return int(raw)
+
+
+def hll_distinct(ds, key_col: str, value_col: str,
+                 out_col: str = "hll_distinct") -> pa.Table:
+    """Approximate COUNT(DISTINCT value_col) per key_col.
+
+    Returns a pa.Table (key_col, out_col) sorted by key — bounded by the
+    key space, like the other driver_merge aggregates. The shuffle-free
+    path: per-batch register maxima -> driver tree-root max-merge ->
+    per-key estimate; bytes moved are O(|keys| x m) per batch, independent
+    of row count."""
+    from .reduce import driver_merge
+
+    def partial(batch: pa.Table) -> pa.Table:
+        idx, rho = _rho_of(
+            batch[value_col].to_numpy(zero_copy_only=False))
+        t = pa.table({key_col: batch[key_col], "_idx": idx, "_rho": rho})
+        g = t.group_by([key_col, "_idx"]).aggregate([("_rho", "max")])
+        return pa.table({key_col: g[key_col], "_idx": g["_idx"],
+                         "_rho": g["_rho_max"]})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=131072)
+    merged = driver_merge(
+        partials,
+        lambda t: t.group_by([key_col, "_idx"]).aggregate([("_rho", "max")])
+        if t.num_rows else t)
+    if merged.num_rows == 0:
+        return pa.table({key_col: pa.array([], type=pa.string()),
+                         out_col: pa.array([], type=pa.int64())})
+    key_np = merged.column(key_col).to_numpy(zero_copy_only=False)
+    idx_np = merged.column("_idx").to_numpy(zero_copy_only=False)
+    rho_col = [c for c in merged.column_names if c.startswith("_rho")][0]
+    rho_np = merged.column(rho_col).to_numpy(zero_copy_only=False)
+    keys, inv = np.unique(key_np, return_inverse=True)
+    ests = []
+    for i in range(keys.shape[0]):
+        regs = np.zeros(M, dtype=np.int8)
+        mask = inv == i
+        np.maximum.at(regs, idx_np[mask], rho_np[mask])
+        ests.append(estimate_from_registers(regs))
+    return pa.table({key_col: pa.array(keys),
+                     out_col: pa.array(np.array(ests, dtype=np.int64))})

@@ -1,0 +1,53 @@
+"""HyperLogLog sketch: accuracy, partition invariance, empty input."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from h3ray.ops.sketch import (M, RHO_MAX, estimate_from_registers,
+                              hll_distinct)
+
+
+def test_hll_accuracy_within_error_bound(ray_session):
+    rng = np.random.default_rng(7)
+    # Three keys with very different cardinalities (dups via small ranges).
+    vals = {"a": rng.integers(0, 120, 3000),
+            "b": rng.integers(0, 20000, 40000),
+            "c": np.arange(3)}
+    keys = np.concatenate([np.full(v.shape[0], k, dtype=object)
+                           for k, v in vals.items()])
+    values = np.concatenate([v for v in vals.values()]).astype(np.int64)
+    tbl = pa.table({"k": pa.array(list(keys)), "v": pa.array(values)})
+    out = hll_distinct(rd.from_arrow(tbl).repartition(8), "k", "v",
+                       out_col="est")
+    got = dict(zip(out["k"].to_pylist(), out["est"].to_pylist()))
+    for k, v in vals.items():
+        exact = np.unique(v).shape[0]
+        # 1.04/sqrt(4096) ~ 1.6% standard error; allow 5 sigma.
+        assert abs(got[k] - exact) <= max(0.09 * exact, 2), (k, got[k], exact)
+
+
+def test_hll_partition_invariance(ray_session):
+    rng = np.random.default_rng(3)
+    tbl = pa.table({"k": pa.array(["x"] * 5000),
+                    "v": pa.array(rng.integers(0, 2000, 5000),
+                                  type=pa.int64())})
+    a = hll_distinct(rd.from_arrow(tbl).repartition(2), "k", "v")
+    b = hll_distinct(rd.from_arrow(tbl).repartition(16), "k", "v")
+    assert a["hll_distinct"].to_pylist() == b["hll_distinct"].to_pylist()
+
+
+def test_hll_empty_and_register_validation(ray_session):
+    empty = pa.table({"k": pa.array([], type=pa.string()),
+                      "v": pa.array([], type=pa.int64())})
+    out = hll_distinct(rd.from_arrow(empty), "k", "v")
+    assert out.num_rows == 0
+    assert out.column_names == ["k", "hll_distinct"]
+    with pytest.raises(ValueError, match="registers"):
+        estimate_from_registers(np.zeros(7, dtype=np.int8))
+    # All-empty registers: linear-counting branch with V == M -> estimate 0.
+    assert estimate_from_registers(np.zeros(M, dtype=np.int8)) == 0
+    # Saturated registers: raw branch, enormous but finite.
+    assert estimate_from_registers(
+        np.full(M, RHO_MAX, dtype=np.int8)) > 10 ** 9
