@@ -785,6 +785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing_summary": rel.lineitem_agg,
         "orders_by_mktsegment": rel.orders_by_segment,
         "orders_by_nation_shuffle_join": _orders_by_nation_shuffle_join,
+        "orders_revenue_topk": rel.orders_revenue_topk,
         "customers_left_join_orders": _customers_left_join_orders,
         "customers_no_urgent_orders": _customers_no_urgent_orders,
         "parts_in_lineitems": _parts_in_lineitems,
@@ -1209,6 +1210,23 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS total_price_cents
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey
+        """,
+        "orders_revenue_topk": """
+            SELECT o_orderkey, revenue_cents, o_epoch FROM (
+                SELECT l_orderkey AS o_orderkey,
+                       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                           * 100 + 0.5) AS BIGINT))
+                            AS BIGINT) AS revenue_cents,
+                       CAST(FLOOR(EPOCH(MIN(o_orderdate))) AS BIGINT)
+                           AS o_epoch
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON c_custkey = o_custkey
+                WHERE c_mktsegment = 'BUILDING'
+                  AND o_orderdate < TIMESTAMP '1998-06-01'
+                  AND l_shipdate > TIMESTAMP '1998-06-01'
+                GROUP BY l_orderkey
+            ) ORDER BY revenue_cents DESC, o_orderkey LIMIT 10
         """,
         "events_by_type": """
             SELECT event_type, COUNT(*) AS num_events,

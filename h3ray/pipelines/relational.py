@@ -282,6 +282,97 @@ def user_sessions(sf_dir: str, gap_s: int = 1800,
         .groupby("_bucket").map_groups(sessionize, batch_format="pyarrow")
 
 
+def orders_revenue_topk(sf_dir: str, segment: str = "BUILDING",
+                        cutoff: str = "1998-06-01", k: int = 10):
+    """TPC-H Q3 shape: top-k unshipped-order revenue for one market segment.
+
+    Composition under one plan: predicate + column pruning at both big
+    scans (row-group skipping), a broadcast membership probe for the small
+    side (segment customers -> sorted int64 array via ray.put, searchsorted
+    per batch — no shuffle for the customer join), a combiner that
+    pre-aggregates lineitem revenue by order WITHIN batches before the one
+    real shuffle (hash_join orders x lineitem partials), a distributed
+    re-aggregate, and a global top-k as per-block partials -> driver-merge
+    root (k rows per block, never the full order list)."""
+    import datetime as _dt
+
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    from ..ops.join import hash_join
+    from ..ops.reduce import driver_merge
+
+    cut = _dt.datetime.fromisoformat(cutoff)
+    cust = driver_merge(
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey"],
+                        filter=pc.field("c_mktsegment") == segment),
+        lambda t: t)
+    member_ref = ray.put(np.sort(
+        cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"],
+                             filter=pc.field("o_orderdate") < cut)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        member = ray.get(member_ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.searchsorted(member, ck)
+        hit = (pos < member.shape[0]) & (
+            member[np.minimum(pos, max(member.shape[0] - 1, 0))] == ck) \
+            if member.shape[0] else np.zeros(ck.shape[0], dtype=bool)
+        kept = batch.filter(pa.array(hit))
+        epoch = kept["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // 1_000_000
+        return pa.table({"o_orderkey": kept["o_orderkey"],
+                         "o_epoch": epoch})
+
+    orders_f = orders.map_batches(probe, batch_format="pyarrow",
+                                  batch_size=131072)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"],
+                         filter=pc.field("l_shipdate") > cut)
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64)
+        t = pa.table({"l_orderkey": batch["l_orderkey"],
+                      "revenue_cents": cents})
+        g = t.group_by("l_orderkey").aggregate([("revenue_cents", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "revenue_cents": g["revenue_cents_sum"]})
+
+    li_p = li.map_batches(li_partial, batch_format="pyarrow",
+                          batch_size=131072)
+    joined = hash_join(li_p, orders_f, "l_orderkey", "o_orderkey")
+    per_order = joined.groupby("l_orderkey").aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents"),
+        Min("o_epoch", alias_name="o_epoch"))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        key = "l_orderkey" if "l_orderkey" in batch.column_names \
+            else "o_orderkey"
+        rev = batch["revenue_cents"].to_numpy(zero_copy_only=False)
+        okey = batch[key].to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, -rev))[:k]
+        kept = batch.take(pa.array(order))
+        return pa.table({"o_orderkey": kept[key],
+                         "revenue_cents": kept["revenue_cents"],
+                         "o_epoch": kept["o_epoch"]})
+
+    return driver_merge(per_order.map_batches(block_topk,
+                                              batch_format="pyarrow"),
+                        block_topk)
+
+
 def events_rolling_by_user(sf_dir: str, window: int = 3,
                            num_buckets: int | None = None):
     """Per-user ordered window functions: ROW_NUMBER and a rolling sum over
