@@ -743,6 +743,29 @@ def _events_p90_by_type(sf_dir: str):
                                    out_col="p90_value")
 
 
+def _emb_centroids_by_label(sf_dir: str):
+    """Per-label centroid sums over the embedding table (exact micro-int
+    element sums; |labels| x dim partial rows per batch, driver-merged)."""
+    import ray.data as rd
+
+    from h3ray.pipelines.ann import centroids_by_label
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+    return centroids_by_label(ds, label_col="label", emb_col="embedding")
+
+
+def _docs_top_terms(sf_dir: str):
+    """Global top-100 corpus terms: per-batch distinct-count combiner ->
+    vocabulary groupby -> per-block top-k -> driver-merge root."""
+    import ray.data as rd
+
+    from h3ray.text.analysis import top_terms
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return top_terms(ds, "text", k=100)
+
+
 def _events_hll_users_by_type(sf_dir: str):
     """Approximate distinct users per event type via the deterministic
     HyperLogLog sketch (ops.sketch): per-batch register-max combiner ->
@@ -803,10 +826,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_windows": rel.events_hopping_windows,
         "docs_by_lang": rel.docs_by_lang,
         "docs_token_counts": rel.docs_token_counts,
+        "docs_top_terms": _docs_top_terms,
         "docs_exact_dedup": rel.docs_exact_dedup,
         "docs_exact_canonical": _docs_exact_canonical,
         "docs_quality_len": _quality,
         "ann_topk_cosine": _ann_topk,
+        "emb_centroids_by_label": _emb_centroids_by_label,
         "emb_cosine_dup_pairs": _emb_cosine_dups,
         "emb_cosine_dup_pairs_lsh": _emb_cosine_dups_lsh,
         "multimodal_decode_meta": _multimodal_features,
@@ -1360,6 +1385,16 @@ def oracle_sql() -> dict[str, str]:
                    END AS n_tokens
             FROM documents
         """,
+        "docs_top_terms": r"""
+            SELECT term, term_count FROM (
+                SELECT term, CAST(COUNT(*) AS BIGINT) AS term_count
+                FROM (SELECT unnest(regexp_split_to_array(lower(text),
+                                                          '\s+')) AS term
+                      FROM documents)
+                WHERE term <> ''
+                GROUP BY term
+            ) ORDER BY term_count DESC, term LIMIT 100
+        """,
         "docs_exact_dedup": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
         """,
@@ -1378,6 +1413,16 @@ def oracle_sql() -> dict[str, str]:
         "docs_quality_len": """
             SELECT doc_id, CAST(LENGTH(text) AS DOUBLE) AS q_len
             FROM documents
+        """,
+        "emb_centroids_by_label": """
+            SELECT label, i AS dim,
+                   CAST(SUM(CAST(FLOOR(CAST(e AS DOUBLE) * 1000000 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sum_micro,
+                   CAST(COUNT(*) AS BIGINT) AS n_vecs
+            FROM (SELECT label, unnest(embedding) AS e,
+                         unnest(range(1, len(embedding) + 1)) AS i
+                  FROM embeddings)
+            GROUP BY label, i
         """,
         "emb_cosine_dup_pairs": """
             SELECT e1.vec_id AS id_a, e2.vec_id AS id_b

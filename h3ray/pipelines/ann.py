@@ -410,3 +410,50 @@ def cosine_dup_pairs_lsh(ds, *, id_col: str = "vec_id",
 
     return routed.groupby("_vbucket").map_groups(verify,
                                                  batch_format="pyarrow")
+
+
+def centroids_by_label(ds, *, label_col: str = "label",
+                       emb_col: str = "embedding") -> pa.Table:
+    """Per-label embedding centroid sums: (label, dim, sum_micro, n_vecs).
+
+    The training-data shape for per-cluster statistics: each batch quantizes
+    elements to micro-int64 (exact, summation-order-free) and segment-sums
+    per label with one np.add.at over a (labels x dim) accumulator, so a
+    batch of B vectors collapses to |labels| x dim partial rows before any
+    exchange; partials merge at the driver tree root (bounded by the label
+    space). Consumers divide sum_micro / n_vecs themselves — emitting the
+    division here would pin a floor-vs-truncate convention the caller may
+    not want (and SQL dialects disagree on).
+    """
+    from ..ops.reduce import driver_merge
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _embedding_matrix(batch, emb_col, dtype=np.float64)
+        micro = np.floor(x * 1_000_000 + 0.5).astype(np.int64)
+        lab = batch[label_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        labs, inv = np.unique(lab, return_inverse=True)
+        acc = np.zeros((labs.shape[0], micro.shape[1]), dtype=np.int64)
+        np.add.at(acc, inv, micro)
+        counts = np.bincount(inv, minlength=labs.shape[0]).astype(np.int64)
+        d = micro.shape[1]
+        return pa.table({
+            "label": np.repeat(labs, d),
+            "dim": np.tile(np.arange(1, d + 1, dtype=np.int64),
+                           labs.shape[0]),
+            "sum_micro": acc.reshape(-1),
+            "n_vecs": np.repeat(counts, d)})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        g = t.group_by(["label", "dim"]).aggregate(
+            [("sum_micro", "sum"), ("n_vecs", "sum")])
+        return pa.table({"label": g["label"], "dim": g["dim"],
+                         "sum_micro": g["sum_micro_sum"],
+                         "n_vecs": g["n_vecs_sum"]})
+
+    return driver_merge(partials, merge)

@@ -116,3 +116,45 @@ def fingerprint_stage(text_col: str = "text", out_col: str = "fingerprint"):
         return batch.append_column(out_col, pa.array(h))
 
     return fn
+
+
+def top_terms(ds, text_col: str = "text", k: int = 100):
+    """Global top-k terms by frequency (whitespace tokens, lowercased).
+
+    The corpus-vocabulary shape: an Arrow regex split + per-batch
+    `np.unique` combiner collapses each batch to its distinct (term, count)
+    rows BEFORE the one vocabulary shuffle (groupby term); the global top-k
+    then moves only k rows per block into the driver-merge tree root. Terms
+    are the shuffle key (strings, bounded by vocabulary not corpus size);
+    ties break lexicographically so the result is fully deterministic.
+    Returns a pa.Table (term, term_count) of <= k rows.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..ops.reduce import driver_merge
+    from ..ops.skew import _desc_sort_key
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col]), r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        terms, counts = np.unique(
+            toks.to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"term": pa.array(terms, type=pa.string()),
+                         "term_count": counts.astype(np.int64)})
+
+    summed = ds.map_batches(explode, batch_format="pyarrow",
+                            batch_size=32768) \
+        .groupby("term").aggregate(Sum("term_count",
+                                       alias_name="term_count"))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        cnt = batch["term_count"].to_numpy(zero_copy_only=False)
+        terms = batch["term"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((terms, _desc_sort_key(cnt)))[:k]
+        return batch.take(pa.array(order))
+
+    return driver_merge(summed.map_batches(block_topk,
+                                           batch_format="pyarrow"),
+                        block_topk)

@@ -1,0 +1,42 @@
+"""top_terms and centroids_by_label vs direct computation."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from h3ray.pipelines.ann import centroids_by_label
+from h3ray.text.analysis import top_terms
+
+
+def test_top_terms_counts_and_ties(ray_session):
+    docs = ["b b a", "A  c\tb", "", "c a", "d"] * 3
+    out = top_terms(rd.from_arrow(pa.table({"text": docs})), "text", k=3)
+    got = list(zip(out["term"].to_pylist(), out["term_count"].to_pylist()))
+    # a: 9, b: 9, c: 6 — a before b on the lexicographic tie-break.
+    assert got == [("a", 9), ("b", 9), ("c", 6)]
+
+
+def test_top_terms_k_larger_than_vocab(ray_session):
+    out = top_terms(rd.from_arrow(pa.table({"text": ["x y", "y"]})),
+                    "text", k=50)
+    assert out.num_rows == 2
+
+
+def test_centroids_by_label_exact_sums(ray_session):
+    rng = np.random.default_rng(2)
+    n, d = 500, 8
+    emb = rng.normal(0, 1, (n, d)).astype(np.float32)
+    lab = rng.integers(0, 3, n).astype(np.int32)
+    tbl = pa.table({
+        "label": pa.array(lab),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(emb.reshape(-1)), d).cast(pa.list_(pa.float32()))})
+    out = centroids_by_label(rd.from_arrow(tbl).repartition(4)).to_pandas()
+    assert len(out) == 3 * d
+    micro = np.floor(emb.astype(np.float64) * 1_000_000 + 0.5) \
+        .astype(np.int64)
+    for lb in range(3):
+        exp = micro[lab == lb].sum(axis=0)
+        sub = out[out.label == lb].sort_values("dim")
+        assert (sub["sum_micro"].to_numpy() == exp).all()
+        assert (sub["n_vecs"] == (lab == lb).sum()).all()
