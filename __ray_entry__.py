@@ -766,6 +766,63 @@ def _docs_top_terms(sf_dir: str):
     return top_terms(ds, "text", k=100)
 
 
+#: (band, lo, hi) — deliberately OVERLAPPING half-open intervals so the
+#: range join's many-match path is continuously exercised; shared between
+#: the Ray query and the generated SQL oracle.
+_VALUE_BANDS = [("low", 0.0, 100.0), ("mid", 50.0, 300.0),
+                ("high", 250.0, 1000.0)]
+
+
+def _events_value_bands(sf_dir: str):
+    """Broadcast range join (events.value against overlapping [lo, hi)
+    bands) + per-band rollup — the interval-join shape where the small side
+    rides the task closure and the big side never shuffles pre-aggregation."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from h3ray.ops.join import range_join_stage
+
+    bands = pa.table({
+        "band": pa.array([b for b, _, _ in _VALUE_BANDS]),
+        "lo": pa.array([lo for _, lo, _ in _VALUE_BANDS]),
+        "hi": pa.array([hi for _, _, hi in _VALUE_BANDS])})
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    joined = ds.map_batches(range_join_stage(bands, "value"),
+                            batch_format="pyarrow", batch_size=131072)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        micro = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 1_000_000
+            + 0.5).astype(np.int64)
+        t = pa.table({"band": batch["band"], "value_micro": micro,
+                      "num_events": np.ones(batch.num_rows, np.int64)})
+        g = t.group_by("band").aggregate(
+            [("value_micro", "sum"), ("num_events", "sum")])
+        return pa.table({"band": g["band"],
+                         "num_events": g["num_events_sum"],
+                         "total_value_micro": g["value_micro_sum"]})
+
+    return joined.map_batches(partial, batch_format="pyarrow",
+                              batch_size=131072) \
+        .groupby("band").aggregate(
+            Sum("num_events", alias_name="num_events"),
+            Sum("total_value_micro", alias_name="total_value_micro"))
+
+
+def _value_bands_oracle() -> str:
+    vals = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _VALUE_BANDS)
+    return f"""
+        SELECT band, COUNT(*) AS num_events,
+               CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_value_micro
+        FROM events JOIN (VALUES {vals}) bands(band, lo, hi)
+          ON value >= lo AND value < hi
+        GROUP BY band
+    """
+
+
 def _events_hll_users_by_type(sf_dir: str):
     """Approximate distinct users per event type via the deterministic
     HyperLogLog sketch (ops.sketch): per-batch register-max combiner ->
@@ -814,6 +871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_in_lineitems": _parts_in_lineitems,
         "events_distinct_users_by_type": _events_distinct_users_by_type,
         "events_hll_users_by_type": _events_hll_users_by_type,
+        "events_value_bands": _events_value_bands,
         "events_by_type": rel.events_by_type,
         "events_hourly_windows": rel.events_hourly_windows,
         "events_user_sessions": rel.user_sessions,
@@ -1304,6 +1362,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "events_hll_users_by_type": _hll_oracle(),
+        "events_value_bands": _value_bands_oracle(),
         "customers_no_urgent_orders": """
             SELECT c_custkey, c_mktsegment FROM customer
             WHERE NOT EXISTS (SELECT 1 FROM orders

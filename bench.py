@@ -155,6 +155,25 @@ def run_benchmarks() -> dict:
         fn(SF_DIR).count()
         timings[name] = time.time() - t0
 
+    # 5a. Round-3 relational shapes: the Q3-style 3-way join (scan pruning +
+    # broadcast probe + combiner-first + global top-k) and the per-user
+    # rolling window (bucketed lexsort + segmented prefix sums).
+    if want("orders_revenue_topk"):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            relational.orders_revenue_topk(SF_DIR)
+            best = min(best, time.time() - t0)
+        timings["orders_revenue_topk"] = best
+
+    if want("events_rolling"):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            relational.events_rolling_by_user(SF_DIR).count()
+            best = min(best, time.time() - t0)
+        timings["events_rolling"] = best
+
     # 5b. Dedup family over $GRAFT_SF_DIR documents — the keys-only band
     # shuffles, distributed pair-distinct, pairverify routing and the
     # iterative connected-components loop. Min-of-reps like the headline.

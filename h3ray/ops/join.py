@@ -269,3 +269,44 @@ def anti_join(left_ds, right_ds, left_key: str, right_key: str,
     """Left rows with no key match on the right (SQL NOT EXISTS)."""
     return semi_join(left_ds, right_ds, left_key, right_key,
                      num_buckets=num_buckets, anti=True)
+
+
+def range_join_stage(intervals: pa.Table, val_col: str,
+                     lo_col: str = "lo", hi_col: str = "hi"):
+    """Broadcast range (interval) join as a map_batches stage.
+
+    `intervals` is the SMALL side: rows of [lo, hi) plus any payload
+    columns. The stage replicates each left row once per interval
+    containing its `val_col` (inner semantics: non-matching rows drop) and
+    appends the interval's payload columns. Intervals may OVERLAP — the
+    match matrix is a vectorized (batch x intervals) comparison, so keep
+    the interval table small (hundreds, not millions; that is what
+    "broadcast side" means — a big interval side needs a sort-based
+    partitioned approach instead).
+
+    The table is captured in the closure: Ray serializes it once per task
+    graph and every actor/task reuses it — same broadcast economics as an
+    explicit ray.put for small sides, with no get() plumbing.
+    """
+    lo = intervals[lo_col].to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    hi = intervals[hi_col].to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    payload_cols = [c for c in intervals.column_names
+                    if c not in (lo_col, hi_col)]
+    payload = {c: intervals[c].combine_chunks()
+               if isinstance(intervals[c], pa.ChunkedArray)
+               else intervals[c] for c in payload_cols}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        v = batch[val_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        hits = (v[:, None] >= lo[None, :]) & (v[:, None] < hi[None, :])
+        row_idx, int_idx = np.nonzero(hits)
+        out = batch.take(pa.array(row_idx))
+        ii = pa.array(int_idx)
+        for c in payload_cols:
+            out = out.append_column(c, payload[c].take(ii))
+        return out
+
+    return fn

@@ -116,6 +116,21 @@ def test_semi_join_empty_right(ray_session):
     assert canon(anti).equals(canon(left))
 
 
+def test_range_join_stage_overlapping_intervals():
+    from h3ray.ops.join import range_join_stage
+
+    intervals = pa.table({"band": ["a", "b", "c"],
+                          "lo": [0.0, 5.0, 100.0],
+                          "hi": [10.0, 20.0, 200.0]})
+    batch = pa.table({"id": [1, 2, 3, 4],
+                      "value": [7.0, 15.0, 50.0, 100.0]})
+    out = range_join_stage(intervals, "value")(batch)
+    got = sorted(zip(out["id"].to_pylist(), out["band"].to_pylist()))
+    # 7 hits a AND b (overlap); 50 hits nothing (inner: dropped);
+    # 100 is half-open: in [100, 200) but not in [5, 20).
+    assert got == [(1, "a"), (1, "b"), (2, "b"), (4, "c")]
+
+
 def test_hash_join_null_keys_dropped(ray_session):
     """Null join keys must never match (SQL semantics). Regression: nullable
     int keys round-tripped through float64/NaN and joined to each other."""
