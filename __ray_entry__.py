@@ -823,6 +823,57 @@ def _value_bands_oracle() -> str:
     """
 
 
+def _events_heavy_users(sf_dir: str):
+    """Top-20 users by count-min-estimated event count (ops.sketch.cm_topk):
+    the heavy-hitters shape — a 64 KiB sketch replaces the exact per-user
+    groupby count, and both passes are combiner-sized."""
+    import ray.data as rd
+
+    from h3ray.ops.sketch import cm_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return cm_topk(ds, "user_id", k=20)
+
+
+def _cm_oracle() -> str:
+    """SQL mirror of cm_topk over events.user_id: the same D x W sketch
+    (mix64 of user_id XOR row salt, integer bucket counts), the same
+    min-over-rows estimate, the same (est DESC, user ASC) top-20."""
+    from h3ray.ops.sketch import CM_SALTS, CM_W
+
+    salts = ", ".join(f"({r}, CAST({s} AS UBIGINT))"
+                      for r, s in enumerate(CM_SALTS))
+    steps = []
+    cur = "x"
+    a = _sql_mulmod(f"xor({cur}, {cur} >> 30)", 0xBF58476D1CE4E5B9)
+    steps.append(f"SELECT user_id, r, {a} AS x FROM __PREV__")
+    b = _sql_mulmod(f"xor({cur}, {cur} >> 27)", 0x94D049BB133111EB)
+    steps.append(f"SELECT user_id, r, {b} AS x FROM __PREV__")
+    steps.append(f"SELECT user_id, r, xor({cur}, {cur} >> 31) AS x "
+                 f"FROM __PREV__")
+    ctes = [f"m0 AS (SELECT user_id, r, "
+            f"xor(CAST(user_id AS UBIGINT), s) AS x "
+            f"FROM events CROSS JOIN (VALUES {salts}) rows(r, s))"]
+    prev = "m0"
+    for i, s in enumerate(steps):
+        name = f"m{i + 1}"
+        ctes.append(f"{name} AS ({s.replace('__PREV__', prev)})")
+        prev = name
+    return f"""
+        WITH {', '.join(ctes)},
+        b AS (SELECT user_id, r, CAST(x % {CM_W} AS BIGINT) AS bkt
+              FROM {prev}),
+        cms AS (SELECT r, bkt, CAST(COUNT(*) AS BIGINT) AS c
+                FROM b GROUP BY r, bkt),
+        ub AS (SELECT DISTINCT user_id, r, bkt FROM b),
+        est AS (SELECT ub.user_id, MIN(cms.c) AS est_count
+                FROM ub JOIN cms ON ub.r = cms.r AND ub.bkt = cms.bkt
+                GROUP BY ub.user_id)
+        SELECT user_id, est_count FROM est
+        ORDER BY est_count DESC, user_id LIMIT 20
+    """
+
+
 def _events_hll_users_by_type(sf_dir: str):
     """Approximate distinct users per event type via the deterministic
     HyperLogLog sketch (ops.sketch): per-batch register-max combiner ->
@@ -872,6 +923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users_by_type": _events_distinct_users_by_type,
         "events_hll_users_by_type": _events_hll_users_by_type,
         "events_value_bands": _events_value_bands,
+        "events_heavy_users": _events_heavy_users,
         "events_by_type": rel.events_by_type,
         "events_hourly_windows": rel.events_hourly_windows,
         "events_user_sessions": rel.user_sessions,
@@ -1363,6 +1415,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_hll_users_by_type": _hll_oracle(),
         "events_value_bands": _value_bands_oracle(),
+        "events_heavy_users": _cm_oracle(),
         "customers_no_urgent_orders": """
             SELECT c_custkey, c_mktsegment FROM customer
             WHERE NOT EXISTS (SELECT 1 FROM orders

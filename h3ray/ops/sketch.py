@@ -109,3 +109,100 @@ def hll_distinct(ds, key_col: str, value_col: str,
         ests.append(estimate_from_registers(regs))
     return pa.table({key_col: pa.array(keys),
                      out_col: pa.array(np.array(ests, dtype=np.int64))})
+
+
+# --- Count-min sketch heavy hitters -------------------------------------
+
+CM_D = 4          # hash rows
+CM_W = 2048       # buckets per row
+#: Row salts: r * golden-ratio odd constant (mod 2^64), XORed into the
+#: value before mix64 — XOR (not add) so the SQL mirror never trips
+#: DuckDB's UBIGINT overflow check.
+CM_SALTS = [(r * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            for r in range(CM_D)]
+
+
+def _cm_buckets(vals: np.ndarray) -> np.ndarray:
+    """(CM_D, n) bucket index of each value in every sketch row."""
+    u = vals.astype(np.int64).view(np.uint64)
+    return np.stack([
+        (_mix64(u ^ np.uint64(s)) % np.uint64(CM_W)).astype(np.int64)
+        for s in CM_SALTS])
+
+
+def cm_topk(ds, value_col: str, k: int = 20,
+            out_count_col: str = "est_count") -> pa.Table:
+    """Approximate heavy hitters: top-k values by count-min estimated count.
+
+    Two streaming passes, both combiner-shaped:
+
+    1. Sketch build: each batch bincounts its values into the D x W grid
+       and emits at most D*W partial rows; the driver tree-root sums them
+       into the (tiny, 64 KiB) sketch matrix. Bytes moved are O(D*W) per
+       batch — independent of cardinality, unlike an exact groupby count.
+    2. Candidate scan: per-batch distinct values get their estimate from
+       the broadcast sketch (min over rows — the classic CM upper bound)
+       and only the batch's top-k survive to the driver merge root. A
+       globally-top-k value appears in every batch it occurs in with the
+       same (global) estimate, so per-batch top-k never drops it.
+
+    Estimates are DETERMINISTIC (fixed salts, integer arithmetic), so the
+    result is SQL-mirrorable; CM overestimates on collisions, which the
+    mirror reproduces exactly. Returns pa.Table (value_col, out_count_col),
+    est desc / value asc, <= k rows.
+    """
+    from .reduce import driver_merge
+    from .skew import _desc_sort_key
+
+    def build(batch: pa.Table) -> pa.Table:
+        b = _cm_buckets(batch[value_col].to_numpy(zero_copy_only=False))
+        rows, buckets, counts = [], [], []
+        for r in range(CM_D):
+            c = np.bincount(b[r], minlength=CM_W)
+            nz = np.flatnonzero(c)
+            rows.append(np.full(nz.shape[0], r, dtype=np.int64))
+            buckets.append(nz.astype(np.int64))
+            counts.append(c[nz].astype(np.int64))
+        return pa.table({"_r": np.concatenate(rows),
+                         "_b": np.concatenate(buckets),
+                         "_c": np.concatenate(counts)})
+
+    partials = ds.map_batches(build, batch_format="pyarrow",
+                              batch_size=131072)
+    merged = driver_merge(
+        partials,
+        lambda t: t.group_by(["_r", "_b"]).aggregate([("_c", "sum")])
+        if t.num_rows else t)
+    sketch = np.zeros((CM_D, CM_W), dtype=np.int64)
+    if merged.num_rows:
+        c_col = [c for c in merged.column_names if c.startswith("_c")][0]
+        sketch[merged.column("_r").to_numpy(zero_copy_only=False),
+               merged.column("_b").to_numpy(zero_copy_only=False)] = \
+            merged.column(c_col).to_numpy(zero_copy_only=False)
+
+    def estimate(batch: pa.Table) -> pa.Table:
+        vals = np.unique(
+            batch[value_col].to_numpy(zero_copy_only=False)
+            .astype(np.int64))
+        if vals.shape[0] == 0:
+            return pa.table({value_col: pa.array([], type=pa.int64()),
+                             out_count_col: pa.array([], type=pa.int64())})
+        b = _cm_buckets(vals)
+        est = sketch[0, b[0]]
+        for r in range(1, CM_D):
+            est = np.minimum(est, sketch[r, b[r]])
+        order = np.lexsort((vals, _desc_sort_key(est)))[:k]
+        return pa.table({value_col: vals[order],
+                         out_count_col: est[order]})
+
+    def final(t: pa.Table) -> pa.Table:
+        vals = t[value_col].to_numpy(zero_copy_only=False)
+        est = t[out_count_col].to_numpy(zero_copy_only=False)
+        uvals, first = np.unique(vals, return_index=True)
+        uest = est[first]
+        order = np.lexsort((uvals, _desc_sort_key(uest)))[:k]
+        return pa.table({value_col: uvals[order],
+                         out_count_col: uest[order]})
+
+    return driver_merge(ds.map_batches(estimate, batch_format="pyarrow",
+                                       batch_size=131072), final)

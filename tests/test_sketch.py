@@ -5,7 +5,7 @@ import pyarrow as pa
 import pytest
 import ray.data as rd
 
-from h3ray.ops.sketch import (M, RHO_MAX, estimate_from_registers,
+from h3ray.ops.sketch import (M, RHO_MAX, cm_topk, estimate_from_registers,
                               hll_distinct)
 
 
@@ -36,6 +36,33 @@ def test_hll_partition_invariance(ray_session):
     a = hll_distinct(rd.from_arrow(tbl).repartition(2), "k", "v")
     b = hll_distinct(rd.from_arrow(tbl).repartition(16), "k", "v")
     assert a["hll_distinct"].to_pylist() == b["hll_distinct"].to_pylist()
+
+
+def test_cm_topk_heavy_hitters(ray_session):
+    rng = np.random.default_rng(9)
+    # One dominant value (10x the runner-up) + a long tail.
+    vals = np.concatenate([np.full(5000, 7), np.full(500, 11),
+                           rng.integers(100, 400, 3000)]).astype(np.int64)
+    rng.shuffle(vals)
+    tbl = pa.table({"v": pa.array(vals)})
+    out = cm_topk(rd.from_arrow(tbl).repartition(8), "v", k=5)
+    got_vals = out["v"].to_pylist()
+    got_est = out["est_count"].to_pylist()
+    assert got_vals[0] == 7 and got_vals[1] == 11
+    # CM never underestimates; with 4 rows x 2048 buckets over ~300
+    # distinct values the overestimate is bounded by a few collisions.
+    assert got_est[0] >= 5000 and got_est[0] <= 5000 + 100
+    assert got_est[1] >= 500 and got_est[1] <= 500 + 100
+
+
+def test_cm_topk_partition_invariance(ray_session):
+    rng = np.random.default_rng(4)
+    tbl = pa.table({"v": pa.array(rng.integers(0, 50, 8000),
+                                  type=pa.int64())})
+    a = cm_topk(rd.from_arrow(tbl).repartition(2), "v", k=10)
+    b = cm_topk(rd.from_arrow(tbl).repartition(16), "v", k=10)
+    assert a["v"].to_pylist() == b["v"].to_pylist()
+    assert a["est_count"].to_pylist() == b["est_count"].to_pylist()
 
 
 def test_hll_empty_and_register_validation(ray_session):
