@@ -648,6 +648,64 @@ def _customers_left_join_orders(sf_dir: str):
             Sum("num_orders", alias_name="num_orders"))
 
 
+def _nation_supplier_customer_full(sf_dir: str):
+    """FULL OUTER shuffle join of two per-nation aggregates (high-balance
+    suppliers x high-balance customers): nations missing either side
+    survive with nulls — the how='full' unmatched-right merge path,
+    continuously driven."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.join import hash_join
+
+    def agg(table: str, key: str, bal: str, out: str):
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from h3ray.ops.reduce import driver_merge
+
+        ds = rd.read_parquet(f"{sf_dir}/{table}.parquet",
+                             columns=[key, bal],
+                             filter=pc.field(bal) > 8000.0)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            t = pa.table({
+                "nk": batch[key].cast(pa.int64()),
+                out: np.ones(batch.num_rows, dtype=np.int64)})
+            g = t.group_by("nk").aggregate([(out, "sum")])
+            return pa.table({"nk": g["nk"], out: g[f"{out}_sum"]})
+
+        def merge(t: pa.Table) -> pa.Table:
+            g = t.group_by("nk").aggregate([(out, "sum")])
+            return pa.table({"nk": g["nk"], out: g[f"{out}_sum"]})
+
+        # Nation-bounded aggregate: driver_merge keeps a STABLE schema even
+        # when the filter leaves zero rows (a Ray groupby over an empty
+        # input yields a schema-less Dataset, which hash_join rejects).
+        return rd.from_arrow(driver_merge(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=131072),
+            merge,
+            schema=pa.schema([("nk", pa.int64()), (out, pa.int64())])))
+
+    sup = agg("supplier", "s_nationkey", "s_acctbal", "num_suppliers")
+    cust = agg("customer", "c_nationkey", "c_acctbal", "num_customers")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["c_nk", "num_customers"])
+
+    joined = hash_join(sup, cust.map_batches(rename,
+                                             batch_format="pyarrow"),
+                       "nk", "c_nk", how="full")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"n_nationkey": batch["nk"],
+                         "num_suppliers": batch["num_suppliers"],
+                         "num_customers": batch["num_customers"]})
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
 def _customers_no_urgent_orders(sf_dir: str):
     """Anti join (SQL NOT EXISTS): customers with no 1-URGENT order. The
     predicate is pushed into the parquet scan (row-group pruning at the
@@ -919,6 +977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_revenue_topk": rel.orders_revenue_topk,
         "customers_left_join_orders": _customers_left_join_orders,
         "customers_no_urgent_orders": _customers_no_urgent_orders,
+        "nation_supplier_customer_full": _nation_supplier_customer_full,
         "parts_in_lineitems": _parts_in_lineitems,
         "events_distinct_users_by_type": _events_distinct_users_by_type,
         "events_hll_users_by_type": _events_hll_users_by_type,
@@ -1426,6 +1485,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey, p_brand FROM part
             WHERE EXISTS (SELECT 1 FROM lineitem
                           WHERE l_partkey = p_partkey)
+        """,
+        "nation_supplier_customer_full": """
+            SELECT COALESCE(s.nk, c.nk) AS n_nationkey,
+                   s.num_suppliers, c.num_customers
+            FROM (SELECT CAST(s_nationkey AS BIGINT) AS nk,
+                         COUNT(*) AS num_suppliers
+                  FROM supplier WHERE s_acctbal > 8000 GROUP BY 1) s
+            FULL JOIN
+                 (SELECT CAST(c_nationkey AS BIGINT) AS nk,
+                         COUNT(*) AS num_customers
+                  FROM customer WHERE c_acctbal > 8000 GROUP BY 1) c
+              ON s.nk = c.nk
         """,
         "events_hopping_windows": """
             SELECT user_id,

@@ -53,18 +53,27 @@ def hash_join(left_ds, right_ds, left_key: str, right_key: str,
     """Equi-join two Datasets on int64 keys.
 
     Output columns: `left_key` plus every non-key column of both sides
-    (names must not collide — project/rename upstream). how: "inner" or
-    "left" (unmatched left rows carry nulls in right columns). Null join
-    keys are dropped on BOTH sides before bucketing (SQL equi-join
-    semantics: null never matches; note this also drops null-key left rows
-    in a left join — pre-split them upstream if they must be retained).
+    (names must not collide — project/rename upstream). how: "inner",
+    "left" (unmatched left rows carry nulls in right columns) or "full"
+    (additionally, unmatched RIGHT rows survive with nulls in left columns
+    and their own key in `left_key` — SQL COALESCE(l.key, r.key)). Null
+    join keys are dropped on BOTH sides before bucketing (SQL equi-join
+    semantics: null never matches; note this also drops null-key outer
+    rows — pre-split them upstream if they must be retained).
     """
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "full"):
         raise ValueError(f"unsupported how={how!r}")
     nb = num_buckets or default_num_buckets()
 
     lschema = left_ds.schema()
     rschema = right_ds.schema()
+    if lschema is None or rschema is None:
+        # An empty upstream aggregate yields a schema-less Dataset; the
+        # caller must materialize it (e.g. ops.reduce.driver_merge +
+        # from_arrow) so the join knows its columns.
+        raise ValueError("hash_join requires inputs with a known schema; "
+                         "an empty upstream aggregate loses its schema — "
+                         "materialize it with a stable schema first")
     lcols = [c for c in lschema.names if c != left_key]
     rcols = [c for c in rschema.names if c != right_key]
     overlap = set(lcols) & set(rcols)
@@ -132,7 +141,7 @@ def hash_join(left_ds, right_ds, left_key: str, right_key: str,
         lo = np.searchsorted(rk_sorted, lk, side="left")
         hi = np.searchsorted(rk_sorted, lk, side="right")
         counts = hi - lo
-        if how == "left":
+        if how in ("left", "full"):
             # Unmatched lefts emit one row with null right columns.
             take_l = np.repeat(np.arange(lk.shape[0]),
                                np.maximum(counts, 1))
@@ -167,7 +176,28 @@ def hash_join(left_ds, right_ds, left_key: str, right_key: str,
                 taken = pa.compute.if_else(pa.array(r_valid), taken,
                                            pa.nulls(1, col.type)[0])
             arrays.append(taken)
-        return pa.Table.from_arrays(arrays, schema=out_schema)
+        out = pa.Table.from_arrays(arrays, schema=out_schema)
+        if how == "full":
+            # Unmatched RIGHT rows: their key in left_key, left cols null.
+            ulk = np.unique(lk)
+            pos = np.searchsorted(ulk, rk_sorted)
+            rmat = (pos < ulk.shape[0]) & (
+                ulk[np.minimum(pos, max(ulk.shape[0] - 1, 0))]
+                == rk_sorted) if ulk.shape[0] else \
+                np.zeros(rk_sorted.shape[0], dtype=bool)
+            un = np.flatnonzero(~rmat)
+            if un.shape[0]:
+                take_u = pa.array(rrows[rorder[un]])
+                extra = [pa.array(rk_sorted[un])]
+                extra += [pa.nulls(un.shape[0], ltypes[c]) for c in lcols]
+                for c in rcols:
+                    col = group[c]
+                    if isinstance(col, pa.ChunkedArray):
+                        col = col.combine_chunks()
+                    extra.append(col.take(take_u))
+                out = pa.concat_tables(
+                    [out, pa.Table.from_arrays(extra, schema=out_schema)])
+        return out
 
     return tagged.groupby("_bucket").map_groups(merge,
                                                 batch_format="pyarrow")

