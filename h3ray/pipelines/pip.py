@@ -40,14 +40,23 @@ def city_polygons(n: int = 10, radius_deg: float = 0.75) -> list[dict]:
 
 def coverage_table(geoms: list[dict], res: int,
                    mode: str = "centroid") -> pa.Table:
-    """(polygon_id, cell) coverage rows for a list of prepared geometries."""
-    ids = []
-    cells = []
-    for pid, geom in enumerate(geoms):
-        c = np.unique(region.polygon_to_cells(geom, res, mode))
-        cells.append(c)
-        ids.append(np.full(c.shape[0], pid, dtype=np.int64))
-    cells = np.concatenate(cells) if cells else np.empty(0, np.int64)
+    """(polygon_id, cell) coverage rows for a list of prepared geometries.
+
+    Tiling is per-polygon independent: fans out as Ray tasks when a session
+    is up (same pattern as build_probe), serial driver loop otherwise."""
+    def one(geom):
+        return np.unique(region.polygon_to_cells(geom, res, mode))
+
+    import ray
+
+    if ray.is_initialized() and len(geoms) > 4:
+        remote_one = ray.remote(num_cpus=1)(one)
+        covers = ray.get([remote_one.remote(g) for g in geoms])
+    else:
+        covers = [one(g) for g in geoms]
+    ids = [np.full(c.shape[0], pid, dtype=np.int64)
+           for pid, c in enumerate(covers)]
+    cells = np.concatenate(covers) if covers else np.empty(0, np.int64)
     ids = np.concatenate(ids) if ids else np.empty(0, np.int64)
     return pa.Table.from_arrays(
         [pa.array(ids), pa.array(cells.view(np.uint64))],
