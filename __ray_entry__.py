@@ -521,6 +521,28 @@ def _docs_dup_clusters(sf_dir: str):
     return duplicate_clusters(keys, pairs, key_col="doc_id")
 
 
+def _docs_near_dedup(sf_dir: str):
+    """Near-duplicate removal: keep ONE canonical doc per ngram-jaccard
+    cluster (min doc_id of its component); the filtered corpus itself —
+    the operation a training-data pipeline runs — projected to
+    (doc_id, n_chars) for a hash-stable compare."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.text.dedup import near_dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = near_dedup(docs, key_col="doc_id", threshold=0.5)
+
+    def proj(b: pa.Table) -> pa.Table:
+        n = pc.cast(pc.utf8_length(b["text"]), pa.int64())
+        return b.select(["doc_id"]).append_column("n_chars", n)
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
 def _ann_topk_ivf(sf_dir: str):
     """IVF ANN with nprobe == n_centroids (full probe): exercises the whole
     IVF machinery (sampled k-means, list assignment, pruning filter) while
@@ -1028,6 +1050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": _simhash_pairs,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         "docs_dup_clusters": _docs_dup_clusters,
+        "docs_near_dedup": _docs_near_dedup,
         "docs_sample_10pct": _docs_sample_10pct,
         "docs_train_test_split": _docs_train_test_split,
         "ann_topk_lsh": _ann_topk_lsh,
@@ -1375,6 +1398,40 @@ def _multimodal_oracle() -> str:
     """
 
 
+# Shared by docs_dup_clusters (verbatim) and docs_near_dedup (as a CTE):
+# ngram-jaccard pair graph -> recursive transitive closure -> min-label
+# component id per doc (itself when unique).
+_DUP_CLUSTERS_SQL = """
+            WITH RECURSIVE pairs AS (
+              WITH shingles AS (
+                SELECT doc_id,
+                       CASE WHEN length(text) < 5 THEN [rpad(text, 5, ' ')]
+                            ELSE list_distinct([substring(text, i, 5)
+                                    FOR i IN range(1, length(text) - 3)])
+                       END AS gs
+                FROM documents
+              )
+              SELECT a.doc_id AS key_a, b.doc_id AS key_b
+              FROM shingles a JOIN shingles b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                    / (len(a.gs) + len(b.gs)
+                       - len(list_intersect(a.gs, b.gs))) >= 0.5
+            ), edge AS (
+              SELECT key_a AS u, key_b AS v FROM pairs
+              UNION ALL SELECT key_b, key_a FROM pairs
+            ), reach(u, v) AS (
+              SELECT u, v FROM edge
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edge e ON r.v = e.u
+            )
+            SELECT d.doc_id,
+                   LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id))
+                       AS cluster_id
+            FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+            GROUP BY d.doc_id
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "lineitem_pricing_summary": """
@@ -1620,34 +1677,14 @@ def oracle_sql() -> dict[str, str]:
         "langid_predictions": _langid_oracle(),
         # Connected components of the ngram-jaccard pair graph via a
         # recursive transitive closure (components are tiny dup clusters).
-        "docs_dup_clusters": """
-            WITH RECURSIVE pairs AS (
-              WITH shingles AS (
-                SELECT doc_id,
-                       CASE WHEN length(text) < 5 THEN [rpad(text, 5, ' ')]
-                            ELSE list_distinct([substring(text, i, 5)
-                                    FOR i IN range(1, length(text) - 3)])
-                       END AS gs
-                FROM documents
-              )
-              SELECT a.doc_id AS key_a, b.doc_id AS key_b
-              FROM shingles a JOIN shingles b ON a.doc_id < b.doc_id
-              WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
-                    / (len(a.gs) + len(b.gs)
-                       - len(list_intersect(a.gs, b.gs))) >= 0.5
-            ), edge AS (
-              SELECT key_a AS u, key_b AS v FROM pairs
-              UNION ALL SELECT key_b, key_a FROM pairs
-            ), reach(u, v) AS (
-              SELECT u, v FROM edge
-              UNION
-              SELECT r.u, e.v FROM reach r JOIN edge e ON r.v = e.u
-            )
-            SELECT d.doc_id,
-                   LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id))
-                       AS cluster_id
-            FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
-            GROUP BY d.doc_id
+        "docs_dup_clusters": _DUP_CLUSTERS_SQL,
+        # Near-dup removal = the surviving corpus: docs whose cluster_id
+        # (min label of their component) is themselves.
+        "docs_near_dedup": f"""
+            WITH clusters AS ({_DUP_CLUSTERS_SQL})
+            SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
+            FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
+            WHERE c.cluster_id = c.doc_id
         """,
         "docs_fingerprints": _fingerprint_oracle(),
         "docs_sample_10pct": _sample_oracle(

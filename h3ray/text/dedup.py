@@ -682,3 +682,38 @@ def ngram_jaccard_pairs(ds, key_col: str, text_col: str = "text",
 
     return routed.groupby("_vbucket").map_groups(verify,
                                                  batch_format="pyarrow")
+
+
+def near_dedup(docs_ds, key_col: str = "doc_id", text_col: str = "text",
+               threshold: float = 0.5, k: int = 5,
+               num_buckets: int | None = None):
+    """Near-duplicate REMOVAL: keep exactly one canonical document per
+    near-dup cluster (the minimum key of its connected component); unique
+    documents pass through untouched. Output schema == input schema.
+
+    This is the end-to-end filter an LLM training-data pipeline actually
+    runs, composed from the verified pieces: `ngram_jaccard_pairs`
+    (exact-verified candidates, keys-only shuffles) -> `duplicate_clusters`
+    (pointer-doubling min-label propagation) -> survivor filter
+    (key == cluster_id, an Arrow predicate over the O(keys) label set) ->
+    `semi_join` back against the full rows. Document payloads traverse the
+    final exchange exactly once; only keys ride the CC rounds.
+    """
+    import pyarrow.compute as pc
+
+    from ..ops.join import semi_join
+
+    pairs = ngram_jaccard_pairs(
+        docs_ds.select_columns([key_col, text_col]), key_col=key_col,
+        text_col=text_col, threshold=threshold, k=k)
+    clusters = duplicate_clusters(
+        docs_ds.select_columns([key_col]), pairs, key_col=key_col,
+        num_buckets=num_buckets)
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch[key_col], batch["cluster_id"])
+        return batch.filter(keep).select([key_col])
+
+    canon = clusters.map_batches(survivors, batch_format="pyarrow")
+    return semi_join(docs_ds, canon, key_col, key_col,
+                     num_buckets=num_buckets)

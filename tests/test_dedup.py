@@ -171,3 +171,35 @@ def test_duplicate_clusters_chain_pointer_doubling(ray_session):
                                    stats=stats).to_pandas()
     assert (out.cluster_id == 0).all() and len(out) == n
     assert stats["rounds"] <= 8, stats  # log2(16)+slack, not ~16
+
+
+def test_near_dedup_keeps_one_canonical_per_cluster(ray_session, corpus):
+    """near_dedup drops exactly the non-canonical members of each planted
+    dup group (min doc_id survives), keeps full input schema, and passes
+    unique docs through untouched."""
+    ds = rd.from_arrow(corpus)
+    out = dedup.near_dedup(ds, key_col="doc_id", threshold=0.5).to_pandas()
+    survivors = set(out.doc_id)
+    n = corpus.num_rows
+    # Compute expected survivors from the verified pair graph directly.
+    pairs = dedup.ngram_jaccard_pairs(
+        rd.from_arrow(corpus), key_col="doc_id", threshold=0.5).to_pandas()
+    label = {i: i for i in range(n)}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in zip(pairs.key_a, pairs.key_b):
+            m = min(label[a], label[b])
+            if label[a] != m or label[b] != m:
+                label[a] = label[b] = m
+                changed = True
+    expected = {i for i in range(n) if label[i] == i}
+    assert survivors == expected
+    # Planted dups (60, 61, 62 copy 3/17/42; 63 copies 7) must be gone.
+    assert {60, 61, 62, 63}.isdisjoint(survivors)
+    assert {3, 17, 42, 7} <= survivors
+    # Schema preserved: full doc rows survive, not just keys.
+    assert set(out.columns) == {"doc_id", "text"}
+    texts = dict(zip(corpus["doc_id"].to_pylist(),
+                     corpus["text"].to_pylist()))
+    assert all(texts[i] == t for i, t in zip(out.doc_id, out.text))
