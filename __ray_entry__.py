@@ -543,6 +543,25 @@ def _docs_near_dedup(sf_dir: str):
     return out.map_batches(proj, batch_format="pyarrow")
 
 
+def _docs_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag docs sharing any 20-gram with the
+    'benchmark' set (doc_id < 10 stands in for an eval suite; k=20 chars
+    approximates the conventional 13-token window and is discriminative on
+    this corpus — 5-grams flag everything). Broadcast blocklist +
+    zero-shuffle streaming membership probe."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.text.dedup import contamination_flags
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    bench = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"],
+                            filter=pc.field("doc_id") < 10)
+    return contamination_flags(docs, bench, key_col="doc_id", k=20)
+
+
 def _ann_topk_ivf(sf_dir: str):
     """IVF ANN with nprobe == n_centroids (full probe): exercises the whole
     IVF machinery (sampled k-means, list assignment, pruning filter) while
@@ -1051,6 +1070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         "docs_dup_clusters": _docs_dup_clusters,
         "docs_near_dedup": _docs_near_dedup,
+        "docs_decontaminate": _docs_decontaminate,
         "docs_sample_10pct": _docs_sample_10pct,
         "docs_train_test_split": _docs_train_test_split,
         "ann_topk_lsh": _ann_topk_lsh,
@@ -1678,6 +1698,25 @@ def oracle_sql() -> dict[str, str]:
         # Connected components of the ngram-jaccard pair graph via a
         # recursive transitive closure (components are tiny dup clusters).
         "docs_dup_clusters": _DUP_CLUSTERS_SQL,
+        # Decontamination: 20-gram overlap against the doc_id<10 'benchmark'
+        # set (same shingle definition as the dedup family, k=20).
+        "docs_decontaminate": """
+            WITH shingles AS (
+              SELECT doc_id,
+                     CASE WHEN length(text) < 20 THEN [rpad(text, 20, ' ')]
+                          ELSE list_distinct([substring(text, i, 20)
+                                  FOR i IN range(1, length(text) - 18)])
+                     END AS gs
+              FROM documents
+            ), bench AS (
+              SELECT list(DISTINCT g) AS bg
+              FROM (SELECT unnest(gs) AS g FROM shingles WHERE doc_id < 10)
+            )
+            SELECT s.doc_id,
+                   CAST(len(list_intersect(s.gs, b.bg)) > 0 AS BIGINT)
+                       AS contaminated
+            FROM shingles s CROSS JOIN bench b
+        """,
         # Near-dup removal = the surviving corpus: docs whose cluster_id
         # (min label of their component) is themselves.
         "docs_near_dedup": f"""

@@ -717,3 +717,43 @@ def near_dedup(docs_ds, key_col: str = "doc_id", text_col: str = "text",
     canon = clusters.map_batches(survivors, batch_format="pyarrow")
     return semi_join(docs_ds, canon, key_col, key_col,
                      num_buckets=num_buckets)
+
+
+def contamination_flags(docs_ds, bench_ds, key_col: str = "doc_id",
+                        text_col: str = "text", k: int = 5):
+    """Benchmark decontamination: per-document flag = 1 iff the document
+    shares at least one character-k-gram with ANY benchmark document.
+
+    The benchmark side is small by construction (an eval suite is MBs, not
+    TBs), so its k-gram hash set is built once on the driver and broadcast
+    via ray.put — the documented small-side pattern; the corpus then
+    streams through a zero-shuffle vectorized membership probe (one
+    Arrow-buffer shingling pass + np.isin against the sorted blocklist +
+    segmented any via reduceat). Output: (key_col, contaminated int64).
+    """
+    import ray
+
+    chunks = []
+    for b in bench_ds.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            flat, _ = _shingle_hashes_batch(b[text_col], k)
+            chunks.append(np.unique(flat))
+    blocklist = (np.unique(np.concatenate(chunks)) if chunks
+                 else np.empty(0, np.uint64))
+    ref = ray.put(blocklist)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema([batch.schema.field(key_col),
+                                pa.field("contaminated", pa.int64())])
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        bl = ray.get(ref)
+        flat, lens = _shingle_hashes_batch(batch[text_col], k)
+        hit = np.isin(flat, bl)
+        starts = np.cumsum(lens) - lens  # lens >= 1 always (padded docs)
+        contaminated = np.add.reduceat(hit, starts) > 0
+        return pa.Table.from_arrays(
+            [batch[key_col], pa.array(contaminated.astype(np.int64))],
+            schema=out_schema)
+
+    return docs_ds.map_batches(probe, batch_format="pyarrow")

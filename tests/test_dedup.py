@@ -203,3 +203,31 @@ def test_near_dedup_keeps_one_canonical_per_cluster(ray_session, corpus):
     texts = dict(zip(corpus["doc_id"].to_pylist(),
                      corpus["text"].to_pylist()))
     assert all(texts[i] == t for i, t in zip(out.doc_id, out.text))
+
+
+def test_contamination_flags_match_per_doc_reference(ray_session, corpus):
+    """Flag = 1 iff a doc shares any k-gram hash with the benchmark set;
+    benchmark docs flag themselves; planted copies of bench docs flag."""
+    docs = rd.from_arrow(corpus)
+    bench_tbl = corpus.filter(
+        pa.compute.less(corpus["doc_id"], 5))
+    out = dedup.contamination_flags(
+        docs, rd.from_arrow(bench_tbl), key_col="doc_id").to_pandas()
+    texts = corpus["text"].to_pylist()
+    block = np.unique(np.concatenate(
+        [dedup._shingle_hashes(t, 5) for t in texts[:5]]))
+    exp = {i: int(np.isin(dedup._shingle_hashes(t, 5), block).any())
+           for i, t in enumerate(texts)}
+    got = dict(zip(out.doc_id, out.contaminated))
+    assert got == exp
+    assert all(got[i] == 1 for i in range(5))  # bench docs self-flag
+    assert got[60] == 1  # near-copy of bench doc 3 is contaminated
+
+
+def test_contamination_flags_empty_benchmark(ray_session, corpus):
+    """An empty benchmark set flags nothing (schema-stable)."""
+    docs = rd.from_arrow(corpus)
+    empty = rd.from_arrow(corpus.schema.empty_table())
+    out = dedup.contamination_flags(docs, empty,
+                                    key_col="doc_id").to_pandas()
+    assert len(out) == corpus.num_rows and (out.contaminated == 0).all()
