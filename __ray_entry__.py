@@ -543,6 +543,23 @@ def _docs_near_dedup(sf_dir: str):
     return out.map_batches(proj, batch_format="pyarrow")
 
 
+def _docs_stratified_sample(sf_dir: str):
+    """Stratified (per-language) sampling — the corpus-mixing knob: keep
+    all de, half zh, a fifth of en, 5% of everything else, on the same
+    key-stable mix64 stream as docs_sample_10pct (group only selects the
+    threshold, so per-group samples nest and survive repartitioning)."""
+    import ray.data as rd
+
+    from h3ray.ops.sample import stratified_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    return stratified_sample(docs, key_col="doc_id", group_col="lang",
+                             rates_bp={"de": 10000, "zh": 5000,
+                                       "en": 2000},
+                             default_bp=500)
+
+
 def _docs_decontaminate(sf_dir: str):
     """Benchmark decontamination: flag docs sharing any 20-gram with the
     'benchmark' set (doc_id < 10 stands in for an eval suite; k=20 chars
@@ -1071,6 +1088,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_clusters": _docs_dup_clusters,
         "docs_near_dedup": _docs_near_dedup,
         "docs_decontaminate": _docs_decontaminate,
+        "docs_stratified_sample": _docs_stratified_sample,
         "docs_sample_10pct": _docs_sample_10pct,
         "docs_train_test_split": _docs_train_test_split,
         "ann_topk_lsh": _ann_topk_lsh,
@@ -1726,6 +1744,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE c.cluster_id = c.doc_id
         """,
         "docs_fingerprints": _fingerprint_oracle(),
+        "docs_stratified_sample": _sample_oracle(
+            " SELECT d.doc_id, d.lang FROM __LAST__ t JOIN documents d"
+            " USING (doc_id) WHERE __H__ < CASE d.lang"
+            " WHEN 'de' THEN 10000 WHEN 'zh' THEN 5000"
+            " WHEN 'en' THEN 2000 ELSE 500 END"),
         "docs_sample_10pct": _sample_oracle(
             " SELECT doc_id FROM __LAST__ WHERE __H__ < 1000"),
         "docs_train_test_split": _sample_oracle(

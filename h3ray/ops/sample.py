@@ -52,3 +52,32 @@ def train_test_split(ds, key_col: str, test_bp: int, salt: int = 0,
             out_col, pa.array(np.where(is_test, "test", "train")))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def stratified_sample(ds, key_col: str, group_col: str,
+                      rates_bp: dict, default_bp: int = 0, salt: int = 0):
+    """Per-group sampling rates (corpus mixing / language rebalancing):
+    keep a row iff its key hashes below its GROUP's threshold.
+
+    Same key-stable hash stream as hash_sample — the group only selects
+    the threshold — so per-group samples nest (rate x is a subset of rate
+    y > x at the same salt) and survive repartitioning. The rate table is
+    a tiny closure constant (bounded label space): no shuffle, no state,
+    one vectorized equality mask per labelled group. Unlisted / null
+    groups fall back to `default_bp`.
+    """
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        h = _mix64(_key_hash(batch[key_col]) + np.uint64(salt))
+        bucket = (h % np.uint64(SAMPLE_SPACE)).astype(np.int64)
+        thr = np.full(batch.num_rows, default_bp, dtype=np.int64)
+        g = batch[group_col]
+        for gv, bp in rates_bp.items():
+            m = pc.fill_null(pc.equal(g, gv), False)
+            thr[m.combine_chunks().to_numpy(zero_copy_only=False)] = bp
+        return batch.filter(pa.array(bucket < thr))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

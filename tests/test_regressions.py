@@ -186,3 +186,34 @@ def test_hash_sample_and_split_consistency(ray_session):
     s3 = set(hash_sample(rd.from_arrow(keys), "doc_id", 1000, salt=9)
              .to_pandas().doc_id)
     assert s3 != s1
+
+
+def test_stratified_sample_rates_nest_and_default(ray_session):
+    """Per-group thresholds: full-rate group passes whole, rates nest on
+    the shared hash stream, unlisted/null groups use default_bp."""
+    import ray.data as rd
+
+    from h3ray.ops.sample import hash_sample, stratified_sample
+
+    n = 6000
+    labels = np.array(["a", "b", "c"])[np.arange(n) % 3].astype(object)
+    labels[::97] = None  # sprinkle null groups
+    tbl = pa.Table.from_arrays(
+        [pa.array(np.arange(n, dtype=np.int64)), pa.array(labels)],
+        names=["doc_id", "lang"])
+    out = stratified_sample(rd.from_arrow(tbl), "doc_id", "lang",
+                            {"a": 10000, "b": 1000},
+                            default_bp=0).to_pandas()
+    got = dict(out.groupby("lang").doc_id.agg(set))
+    # 'a' at 10000 bp keeps every non-null-'a' row.
+    assert got["a"] == {i for i in range(0, n, 3) if labels[i] == "a"}
+    # 'b' members == plain hash_sample at the same rate, restricted to b.
+    flat = set(hash_sample(rd.from_arrow(tbl), "doc_id", 1000)
+               .to_pandas().doc_id)
+    assert got["b"] == {i for i in flat if labels[i] == "b"}
+    # 'c' and null groups use default_bp=0 -> absent entirely.
+    assert "c" not in got and len(out) == len(got["a"]) + len(got["b"])
+    # Rates nest: 500 bp b-sample is a subset of the 1000 bp one.
+    tighter = stratified_sample(rd.from_arrow(tbl), "doc_id", "lang",
+                                {"b": 500}, default_bp=0).to_pandas()
+    assert set(tighter.doc_id) <= got["b"]
