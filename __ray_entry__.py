@@ -560,6 +560,20 @@ def _docs_stratified_sample(sf_dir: str):
                              default_bp=500)
 
 
+def _docs_epoch_mix(sf_dir: str):
+    """Deterministic upsampling (epoch mixing): zh docs 3x, fr 2x, es 0x
+    (dropped), everything else 1x, with a rep index distinguishing
+    copies — how LLM data mixes express multi-epoch groups."""
+    import ray.data as rd
+
+    from h3ray.ops.sample import repeat_by_group
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    return repeat_by_group(docs, group_col="lang",
+                           factors={"zh": 3, "fr": 2, "es": 0}, default=1)
+
+
 def _docs_decontaminate(sf_dir: str):
     """Benchmark decontamination: flag docs sharing any 20-gram with the
     'benchmark' set (doc_id < 10 stands in for an eval suite; k=20 chars
@@ -1089,6 +1103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_near_dedup": _docs_near_dedup,
         "docs_decontaminate": _docs_decontaminate,
         "docs_stratified_sample": _docs_stratified_sample,
+        "docs_epoch_mix": _docs_epoch_mix,
         "docs_sample_10pct": _docs_sample_10pct,
         "docs_train_test_split": _docs_train_test_split,
         "ann_topk_lsh": _ann_topk_lsh,
@@ -1744,6 +1759,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE c.cluster_id = c.doc_id
         """,
         "docs_fingerprints": _fingerprint_oracle(),
+        "docs_epoch_mix": """
+            SELECT doc_id, lang, unnest(range(
+                CASE lang WHEN 'zh' THEN 3 WHEN 'fr' THEN 2
+                          WHEN 'es' THEN 0 ELSE 1 END)) AS rep
+            FROM documents
+        """,
         "docs_stratified_sample": _sample_oracle(
             " SELECT d.doc_id, d.lang FROM __LAST__ t JOIN documents d"
             " USING (doc_id) WHERE __H__ < CASE d.lang"

@@ -81,3 +81,34 @@ def stratified_sample(ds, key_col: str, group_col: str,
         return batch.filter(pa.array(bucket < thr))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def repeat_by_group(ds, group_col: str, factors: dict, default: int = 1,
+                    rep_col: str = "rep"):
+    """Deterministic upsampling (epoch mixing): emit each row `factor`
+    times for its group (0 drops the group), with `rep_col` = 0..factor-1
+    so downstream shuffles/splits can distinguish copies.
+
+    The dual of stratified_sample for factors > 1: high-value groups are
+    repeated, not re-weighted, which is how LLM data mixes express >1
+    epochs. Pure per-batch np.repeat — no shuffle, no state; factors is a
+    tiny closure constant (bounded label space).
+    """
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out_schema = batch.schema.append(pa.field(rep_col, pa.int64()))
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        counts = np.full(batch.num_rows, default, dtype=np.int64)
+        g = batch[group_col]
+        for gv, k in factors.items():
+            m = pc.fill_null(pc.equal(g, gv), False)
+            counts[m.combine_chunks().to_numpy(zero_copy_only=False)] = k
+        idx = np.repeat(np.arange(batch.num_rows), counts)
+        ends = np.cumsum(counts)
+        rep = np.arange(int(ends[-1])) - np.repeat(ends - counts, counts)
+        return batch.take(pa.array(idx)).append_column(
+            rep_col, pa.array(rep, type=pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -217,3 +217,22 @@ def test_stratified_sample_rates_nest_and_default(ray_session):
     tighter = stratified_sample(rd.from_arrow(tbl), "doc_id", "lang",
                                 {"b": 500}, default_bp=0).to_pandas()
     assert set(tighter.doc_id) <= got["b"]
+
+
+def test_repeat_by_group_counts_and_rep_index(ray_session):
+    """Factors repeat rows with rep=0..k-1, factor 0 drops, default=1
+    passes through; row payloads ride every copy."""
+    import ray.data as rd
+
+    from h3ray.ops.sample import repeat_by_group
+
+    tbl = pa.Table.from_arrays(
+        [pa.array([0, 1, 2, 3], type=pa.int64()),
+         pa.array(["a", "b", "c", None]),
+         pa.array([10.0, 20.0, 30.0, 40.0])],
+        names=["doc_id", "lang", "val"])
+    out = repeat_by_group(rd.from_arrow(tbl), "lang",
+                          {"a": 3, "b": 0}).to_pandas()
+    got = sorted(zip(out.doc_id, out.rep, out.val))
+    assert got == [(0, 0, 10.0), (0, 1, 10.0), (0, 2, 10.0),
+                   (2, 0, 30.0), (3, 0, 40.0)]
