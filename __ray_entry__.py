@@ -574,6 +574,23 @@ def _docs_epoch_mix(sf_dir: str):
                            factors={"zh": 3, "fr": 2, "es": 0}, default=1)
 
 
+def _docs_pack_assign(sf_dir: str):
+    """Sequence packing: assign each doc to the fixed-budget context pack
+    where its span begins under contiguous doc_id-order packing — a
+    distributed two-pass prefix scan (per-range-bucket partials ->
+    bounded driver carry scan -> per-bucket vectorized cumsum), never a
+    global sort. Small bucket_width forces real cross-bucket carries even
+    at sf0.01."""
+    import ray.data as rd
+
+    from h3ray.ops.scan import pack_sequences
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    return pack_sequences(docs, order_col="doc_id", size_col="n_chars",
+                          budget=8192, bucket_width=64)
+
+
 def _docs_decontaminate(sf_dir: str):
     """Benchmark decontamination: flag docs sharing any 20-gram with the
     'benchmark' set (doc_id < 10 stands in for an eval suite; k=20 chars
@@ -1104,6 +1121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate": _docs_decontaminate,
         "docs_stratified_sample": _docs_stratified_sample,
         "docs_epoch_mix": _docs_epoch_mix,
+        "docs_pack_assign": _docs_pack_assign,
         "docs_sample_10pct": _docs_sample_10pct,
         "docs_train_test_split": _docs_train_test_split,
         "ann_topk_lsh": _ann_topk_lsh,
@@ -1759,6 +1777,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE c.cluster_id = c.doc_id
         """,
         "docs_fingerprints": _fingerprint_oracle(),
+        "docs_pack_assign": """
+            SELECT doc_id, n_chars,
+                   COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) // 8192 AS pack_id
+            FROM documents
+        """,
         "docs_epoch_mix": """
             SELECT doc_id, lang, unnest(range(
                 CASE lang WHEN 'zh' THEN 3 WHEN 'fr' THEN 2
