@@ -591,6 +591,20 @@ def _docs_pack_assign(sf_dir: str):
                           budget=8192, bucket_width=64)
 
 
+def _docs_quality_filter(sf_dir: str):
+    """C4-style composite quality filter (the decision step): keep docs
+    with 150-600 chars, >= 20 words, >= 3 stopword hits — exact integer
+    thresholds, so the keep set hash-matches the SQL mirror."""
+    import ray.data as rd
+
+    from h3ray.text.analysis import quality_filter_stage
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "n_chars"])
+    return docs.map_batches(quality_filter_stage(), batch_format="pyarrow") \
+        .select_columns(["doc_id", "n_chars"])
+
+
 def _docs_decontaminate(sf_dir: str):
     """Benchmark decontamination: flag docs sharing any 20-gram with the
     'benchmark' set (doc_id < 10 stands in for an eval suite; k=20 chars
@@ -1122,12 +1136,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": _docs_stratified_sample,
         "docs_epoch_mix": _docs_epoch_mix,
         "docs_pack_assign": _docs_pack_assign,
+        "docs_quality_filter": _docs_quality_filter,
         "docs_sample_10pct": _docs_sample_10pct,
         "docs_train_test_split": _docs_train_test_split,
         "ann_topk_lsh": _ann_topk_lsh,
         "ann_topk_ivf": _ann_topk_ivf,
         "langid_predictions": _langid,
     }
+
+
+def _quality_filter_oracle() -> str:
+    """SQL mirror of quality_filter_stage: same integer-count thresholds,
+    patterns built from the same _STOPWORDS source of truth."""
+    from h3ray.text.analysis import _STOPWORDS
+
+    stop_all = sorted(set().union(*_STOPWORDS.values()))
+    pat = "(?i)\\b(?:" + "|".join(stop_all) + ")\\b"
+    return f"""
+        SELECT doc_id, n_chars FROM documents
+        WHERE length(text) BETWEEN 150 AND 600
+          AND len(regexp_extract_all(text, '\\S+')) >= 20
+          AND len(regexp_extract_all(text, '{pat}')) >= 3
+    """
 
 
 def _langid_oracle() -> str:
@@ -1777,6 +1807,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE c.cluster_id = c.doc_id
         """,
         "docs_fingerprints": _fingerprint_oracle(),
+        "docs_quality_filter": _quality_filter_oracle(),
         "docs_pack_assign": """
             SELECT doc_id, n_chars,
                    COALESCE(SUM(n_chars) OVER (ORDER BY doc_id

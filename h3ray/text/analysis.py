@@ -158,3 +158,30 @@ def top_terms(ds, text_col: str = "text", k: int = 100):
     return driver_merge(summed.map_batches(block_topk,
                                            batch_format="pyarrow"),
                         block_topk)
+
+
+def quality_filter_stage(text_col: str = "text", min_chars: int = 150,
+                         max_chars: int = 600, min_words: int = 20,
+                         min_stop_hits: int = 3):
+    """C4-style composite keep/drop filter — the decision step the quality
+    SIGNALS feed. Thresholds compare EXACT integer counts (chars, words,
+    stopword hits), never float ratios, so the keep set is bit-portable
+    across engines. Keep iff min_chars <= n_chars <= max_chars AND
+    n_words >= min_words AND stopword hits >= min_stop_hits. Pure
+    per-batch Arrow kernels: no shuffle, no state."""
+    stop_all = set().union(*_STOPWORDS.values())
+    stop_pat = r"(?i)\b(?:" + "|".join(sorted(stop_all)) + r")\b"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        n_chars = pc.utf8_length(text)
+        n_words = pc.count_substring_regex(text, r"\S+")
+        n_stop = pc.count_substring_regex(text, stop_pat)
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(n_chars, min_chars),
+                    pc.less_equal(n_chars, max_chars)),
+            pc.and_(pc.greater_equal(n_words, min_words),
+                    pc.greater_equal(n_stop, min_stop_hits)))
+        return batch.filter(keep)
+
+    return fn

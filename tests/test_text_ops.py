@@ -40,3 +40,30 @@ def test_centroids_by_label_exact_sums(ray_session):
         sub = out[out.label == lb].sort_values("dim")
         assert (sub["sum_micro"].to_numpy() == exp).all()
         assert (sub["n_vecs"] == (lab == lb).sum()).all()
+
+
+def test_quality_filter_stage_thresholds(ray_session):
+    """Each condition independently gates; integer boundary values are
+    inclusive exactly as documented."""
+    from h3ray.text.analysis import quality_filter_stage
+
+    ok = "the and of " + "word " * 28  # 3 stopword hits, 31 words
+    ok = ok + "x" * (150 - len(ok)) if len(ok) < 150 else ok
+    docs = {
+        0: ok,                                  # passes all
+        1: "the and " + "word " * 4,            # too short / few words
+        2: "z " * 150,                          # 300 chars, 150 words, 0 stop
+        3: "the and of " + "word " * 200,       # > 600 chars
+    }
+    tbl = pa.table({"doc_id": list(docs), "text": list(docs.values())})
+    out = rd.from_arrow(tbl).map_batches(
+        quality_filter_stage(), batch_format="pyarrow").to_pandas()
+    assert set(out.doc_id) == {0}
+    # Boundary: exactly min_chars with enough words+stopwords passes.
+    base = "the an of is to " + "w " * 20
+    text = base + "y" * (150 - len(base))
+    assert len(text) == 150
+    one = rd.from_arrow(pa.table({"doc_id": [9], "text": [text]}))
+    kept = one.map_batches(quality_filter_stage(),
+                           batch_format="pyarrow").to_pandas()
+    assert list(kept.doc_id) == [9]
