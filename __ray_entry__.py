@@ -605,6 +605,21 @@ def _docs_quality_filter(sf_dir: str):
         .select_columns(["doc_id", "n_chars"])
 
 
+def _docs_repetition_scores(sf_dir: str):
+    """Gopher-style repetition signal: per-doc total/distinct word-2-gram
+    counts and the repeated-occurrence excess (boilerplate detector)."""
+    import ray.data as rd
+
+    from h3ray.text.analysis import repetition_stage
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return docs.map_batches(repetition_stage(n=2),
+                            batch_format="pyarrow") \
+        .select_columns(["doc_id", "ngrams_total", "ngrams_distinct",
+                         "rep_ngrams"])
+
+
 def _docs_decontaminate(sf_dir: str):
     """Benchmark decontamination: flag docs sharing any 20-gram with the
     'benchmark' set (doc_id < 10 stands in for an eval suite; k=20 chars
@@ -1137,6 +1152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_epoch_mix": _docs_epoch_mix,
         "docs_pack_assign": _docs_pack_assign,
         "docs_quality_filter": _docs_quality_filter,
+        "docs_repetition_scores": _docs_repetition_scores,
         "docs_sample_10pct": _docs_sample_10pct,
         "docs_train_test_split": _docs_train_test_split,
         "ann_topk_lsh": _ann_topk_lsh,
@@ -1808,6 +1824,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_fingerprints": _fingerprint_oracle(),
         "docs_quality_filter": _quality_filter_oracle(),
+        # Word-2-gram repetition: raw-string grams in SQL vs 64-bit hashed
+        # grams in Ray agree up to negligible hash collisions.
+        "docs_repetition_scores": """
+            WITH grams AS (
+              SELECT doc_id,
+                     [l[i] || chr(1) || l[i + 1]
+                      FOR i IN range(1, len(l))] AS gs
+              FROM (SELECT doc_id,
+                           regexp_extract_all(text, '\\S+') AS l
+                    FROM documents)
+            )
+            SELECT doc_id,
+                   CAST(len(gs) AS BIGINT) AS ngrams_total,
+                   CAST(len(list_distinct(gs)) AS BIGINT)
+                       AS ngrams_distinct,
+                   CAST(len(gs) - len(list_distinct(gs)) AS BIGINT)
+                       AS rep_ngrams
+            FROM grams
+        """,
         "docs_pack_assign": """
             SELECT doc_id, n_chars,
                    COALESCE(SUM(n_chars) OVER (ORDER BY doc_id

@@ -17,7 +17,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..io.pages import url_hash64
+from ..io.pages import _mix64, url_hash64
 
 _BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
 
@@ -183,5 +183,59 @@ def quality_filter_stage(text_col: str = "text", min_chars: int = 150,
             pc.and_(pc.greater_equal(n_words, min_words),
                     pc.greater_equal(n_stop, min_stop_hits)))
         return batch.filter(keep)
+
+    return fn
+
+
+def repetition_stage(text_col: str = "text", n: int = 2):
+    """Gopher-style within-document repetition signal: per doc, the total
+    and distinct word-n-gram counts and their difference `rep_ngrams`
+    (the number of repeated n-gram occurrences — boilerplate-heavy docs
+    score high and get filtered).
+
+    One Arrow regex split per batch, then pure numpy over the flattened
+    token stream: 64-bit token hashes, an n-fold mixed rolling combine,
+    and distinct-per-document via one lexsort + run detection — no
+    per-doc Python loop. Token hashing vs the SQL mirror's raw-string
+    n-grams agree up to 64-bit collisions (~(grams^2)/2^64, negligible).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    gold = np.uint64(0x9E3779B97F4A7C15)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ndocs = batch.num_rows
+        lists = pc.split_pattern_regex(batch[text_col], r"\s+")
+        flat = pc.list_flatten(lists)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        seg = np.repeat(np.arange(ndocs, dtype=np.int64), lens)[keep]
+        h = url_hash64(flat)[keep]
+        m = h.size
+        if m >= n:
+            valid = seg[: m - n + 1] == seg[n - 1:]
+            acc = _mix64(h[: m - n + 1] + gold)
+            for j in range(1, n):
+                acc = _mix64(acc ^ _mix64(h[j: m - n + 1 + j]
+                                          + gold * np.uint64(j + 1)))
+            grams, gseg = acc[valid], seg[: m - n + 1][valid]
+        else:
+            grams = np.empty(0, np.uint64)
+            gseg = np.empty(0, np.int64)
+        total = np.bincount(gseg, minlength=ndocs)
+        order = np.lexsort((grams, gseg))
+        gs, gr = gseg[order], grams[order]
+        new = np.ones(gs.size, dtype=bool)
+        new[1:] = (gs[1:] != gs[:-1]) | (gr[1:] != gr[:-1])
+        distinct = np.bincount(gs[new], minlength=ndocs)
+        batch = batch.append_column("ngrams_total",
+                                    pa.array(total.astype(np.int64)))
+        batch = batch.append_column("ngrams_distinct",
+                                    pa.array(distinct.astype(np.int64)))
+        return batch.append_column(
+            "rep_ngrams", pa.array((total - distinct).astype(np.int64)))
 
     return fn

@@ -67,3 +67,23 @@ def test_quality_filter_stage_thresholds(ray_session):
     kept = one.map_batches(quality_filter_stage(),
                            batch_format="pyarrow").to_pandas()
     assert list(kept.doc_id) == [9]
+
+
+def test_repetition_stage_matches_string_reference(ray_session):
+    """Hashed n-gram counts == raw-string n-gram counts per doc, including
+    repeated phrases, whitespace edges, short and empty docs."""
+    from h3ray.text.analysis import repetition_stage
+
+    docs = ["a b a b a", "  x  y ", "", "w", "p q p q p q p q",
+            "one two three two three two"]
+    tbl = pa.table({"doc_id": list(range(len(docs))), "text": docs})
+    out = rd.from_arrow(tbl).map_batches(
+        repetition_stage(n=2), batch_format="pyarrow") \
+        .to_pandas().sort_values("doc_id")
+    for i, text in enumerate(docs):
+        toks = text.split()
+        grams = [(toks[j], toks[j + 1]) for j in range(len(toks) - 1)]
+        row = out[out.doc_id == i].iloc[0]
+        assert row.ngrams_total == len(grams)
+        assert row.ngrams_distinct == len(set(grams))
+        assert row.rep_ngrams == len(grams) - len(set(grams))
