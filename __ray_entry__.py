@@ -620,6 +620,20 @@ def _docs_repetition_scores(sf_dir: str):
                          "rep_ngrams"])
 
 
+def _docs_cap_per_source(sf_dir: str):
+    """Per-source quota cap (at most 5 docs per source, the crawl
+    anti-boilerplate cap): deterministic hash-order winners via the
+    bucketed segmented-top-k machinery; same mix64(mix64(doc_id)) stream
+    as the sampling family."""
+    import ray.data as rd
+
+    from h3ray.ops.sample import cap_per_group
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"])
+    return cap_per_group(docs, group_col="source", key_col="doc_id", k=5)
+
+
 def _docs_decontaminate(sf_dir: str):
     """Benchmark decontamination: flag docs sharing any 20-gram with the
     'benchmark' set (doc_id < 10 stands in for an eval suite; k=20 chars
@@ -1153,6 +1167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_assign": _docs_pack_assign,
         "docs_quality_filter": _docs_quality_filter,
         "docs_repetition_scores": _docs_repetition_scores,
+        "docs_cap_per_source": _docs_cap_per_source,
         "docs_sample_10pct": _docs_sample_10pct,
         "docs_train_test_split": _docs_train_test_split,
         "ann_topk_lsh": _ann_topk_lsh,
@@ -1856,6 +1871,11 @@ def oracle_sql() -> dict[str, str]:
                           WHEN 'es' THEN 0 ELSE 1 END)) AS rep
             FROM documents
         """,
+        "docs_cap_per_source": _sample_oracle(
+            " SELECT d.doc_id, d.source FROM __LAST__ t JOIN documents d"
+            " USING (doc_id)"
+            " QUALIFY ROW_NUMBER() OVER (PARTITION BY d.source"
+            " ORDER BY t.x, d.doc_id) <= 5"),
         "docs_stratified_sample": _sample_oracle(
             " SELECT d.doc_id, d.lang FROM __LAST__ t JOIN documents d"
             " USING (doc_id) WHERE __H__ < CASE d.lang"

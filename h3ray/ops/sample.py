@@ -112,3 +112,38 @@ def repeat_by_group(ds, group_col: str, factors: dict, default: int = 1,
             rep_col, pa.array(rep, type=pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def cap_per_group(ds, group_col: str, key_col: str, k: int, salt: int = 0,
+                  num_buckets: int | None = None):
+    """Per-group quota cap (e.g. at most k documents per source/domain —
+    the anti-boilerplate crawl cap): keep the k rows whose key hash is
+    SMALLEST within each group. Winners are a deterministic, key-stable
+    'random' subset — repartition-proof and reproducible like hash_sample.
+
+    Rides the bucketed segmented-top-k skew machinery (per-group partial
+    top-k per bucket, two salted rounds), so a hot group never funnels all
+    its rows through one reducer. The ranking column is an ORDER-PRESERVING
+    int64 image of the complemented hash — ~h maps h-ascending to
+    uint64-descending, and XOR with the sign bit maps uint64 order onto
+    int64 order (a plain bit-view would wrap the top half negative) —
+    so the top-k machinery's value-DESC == hash-ASC, and the column is
+    never a full-range uint64 on a shuffle. Hash ties break by key
+    ascending in both engines.
+    """
+    from .skew import salted_top_k
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        h = _mix64(_key_hash(batch[key_col]) + np.uint64(salt))
+        g = ~h ^ np.uint64(1 << 63)
+        return batch.append_column("_hash_desc",
+                                   pa.array(g.view(np.int64)))
+
+    ranked = ds.map_batches(add_rank, batch_format="pyarrow")
+    out = salted_top_k(ranked, group_col, "_hash_desc", k,
+                       tiebreak_col=key_col, num_buckets=num_buckets)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["_hash_desc"])
+
+    return out.map_batches(strip, batch_format="pyarrow")

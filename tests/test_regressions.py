@@ -236,3 +236,31 @@ def test_repeat_by_group_counts_and_rep_index(ray_session):
     got = sorted(zip(out.doc_id, out.rep, out.val))
     assert got == [(0, 0, 10.0), (0, 1, 10.0), (0, 2, 10.0),
                    (2, 0, 30.0), (3, 0, 40.0)]
+
+
+def test_cap_per_group_hash_order_winners(ray_session):
+    """Per-group cap keeps the k smallest-hash keys per group, matching a
+    brute-force reference, independent of partitioning; groups with fewer
+    than k rows pass through whole."""
+    import ray.data as rd
+
+    from h3ray.io.pages import _mix64
+    from h3ray.ops.sample import cap_per_group
+
+    n = 3000
+    keys = np.arange(n, dtype=np.int64)
+    groups = np.array(["g%d" % (i % 7) for i in range(n)], dtype=object)
+    groups[:3] = "tiny"  # a group smaller than k
+    tbl = pa.Table.from_arrays(
+        [pa.array(keys), pa.array(groups)], names=["doc_id", "source"])
+    out = cap_per_group(rd.from_arrow(tbl).repartition(5),
+                        "source", "doc_id", k=10).to_pandas()
+    h = _mix64(_mix64(keys.astype(np.uint64)))
+    expected = set()
+    for g in set(groups):
+        members = np.flatnonzero(groups == g)
+        order = members[np.lexsort((keys[members], h[members]))]
+        expected |= set(keys[order[:10]])
+    assert set(out.doc_id) == expected
+    assert set(out[out.source == "tiny"].doc_id) == {0, 1, 2}
+    assert set(out.columns) == {"doc_id", "source"}
