@@ -634,6 +634,21 @@ def _docs_cap_per_source(sf_dir: str):
     return cap_per_group(docs, group_col="source", key_col="doc_id", k=5)
 
 
+def _events_cont_quantiles(sf_dir: str):
+    """Interpolated quantiles (PERCENTILE_CONT p50/p90) per event type via
+    the two-pass selection — the selection pass keeps at most two bins per
+    quantile; interpolation uses the SQL formula in the same float64
+    operation order, so values hash-match the oracle bit-for-bit."""
+    import ray.data as rd
+
+    from h3ray.ops.quantile import grouped_percentiles_cont
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return grouped_percentiles_cont(ds, "event_type", "value",
+                                    [0.5, 0.9], ["p50_cont", "p90_cont"])
+
+
 def _docs_decontaminate(sf_dir: str):
     """Benchmark decontamination: flag docs sharing any 20-gram with the
     'benchmark' set (doc_id < 10 stands in for an eval suite; k=20 chars
@@ -1168,6 +1183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_filter": _docs_quality_filter,
         "docs_repetition_scores": _docs_repetition_scores,
         "docs_cap_per_source": _docs_cap_per_source,
+        "events_cont_quantiles": _events_cont_quantiles,
         "docs_sample_10pct": _docs_sample_10pct,
         "docs_train_test_split": _docs_train_test_split,
         "ann_topk_lsh": _ann_topk_lsh,
@@ -1870,6 +1886,14 @@ def oracle_sql() -> dict[str, str]:
                 CASE lang WHEN 'zh' THEN 3 WHEN 'fr' THEN 2
                           WHEN 'es' THEN 0 ELSE 1 END)) AS rep
             FROM documents
+        """,
+        "events_cont_quantiles": """
+            SELECT event_type,
+                   PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY value)
+                       AS p50_cont,
+                   PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY value)
+                       AS p90_cont
+            FROM events GROUP BY event_type
         """,
         "docs_cap_per_source": _sample_oracle(
             " SELECT d.doc_id, d.source FROM __LAST__ t JOIN documents d"

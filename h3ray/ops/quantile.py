@@ -1,9 +1,10 @@
 """Distributed exact per-group order statistics (two-pass selection).
 
-PERCENTILE_DISC-style quantiles are non-algebraic: a combiner can't reduce
-them, and the naive `groupby(key).map_groups(sort)` ships EVERY row of a
-group to one reducer — ~n/|groups| rows through one Python callback, which
-dies at web scale. Two-pass selection bounds every participant instead:
+PERCENTILE_DISC/CONT-style quantiles are non-algebraic: a combiner can't
+reduce them, and the naive `groupby(key).map_groups(sort)` ships EVERY row
+of a group to one reducer — ~n/|groups| rows through one Python callback,
+which dies at web scale. Two-pass selection bounds every participant
+instead:
 
 1. Histogram pass: a per-batch combiner counts (key, bin) pairs, where bin
    is the top 16 bits of an order-preserving float64 -> uint64 map. The
@@ -16,8 +17,8 @@ dies at web scale. Two-pass selection bounds every participant instead:
 
 Any number of quantiles shares the SAME two passes — the histogram pass is
 quantile-independent and the selection pass keeps the union of selected
-bins (<= one bin per requested q), so p25..p99 in one call costs the same
-two scans as a lone median.
+bins (<= one bin per DISC quantile, <= two per CONT quantile), so p25..p99
+in one call costs the same two scans as a lone median.
 
 The input Dataset is consumed twice (lineage re-executes); materialize
 upstream first if the input is itself an expensive pipeline.
@@ -38,14 +39,14 @@ def _float_order_key(v: np.ndarray) -> np.ndarray:
     return np.where(neg, ~b, b | np.uint64(1 << 63))
 
 
-def grouped_percentiles_disc(ds, key_col: str, value_col: str,
-                             qs: list[float],
-                             out_cols: list[str]):
-    """(key_col, *out_cols) with out_cols[j] = PERCENTILE_DISC(qs[j]) of
-    value_col per key: the smallest value whose cumulative distribution
-    >= q, i.e. the ceil(q*n)-th smallest — exact, matching the SQL window
-    function. All quantiles share one histogram pass and one selection
-    pass."""
+def _grouped_order_select(ds, key_col: str, value_col: str,
+                          qs: list[float], out_cols: list[str],
+                          interpolate: bool):
+    """Shared two-pass engine. For each key and quantile j it selects the
+    needed order statistic(s): DISC takes rank ceil(q*n); CONT takes ranks
+    floor(p)+1 and ceil(p)+1 with p = q*(n-1) and linearly interpolates
+    `lo + (p - floor(p)) * (hi - lo)` — the SQL PERCENTILE_CONT formula,
+    evaluated in the same float64 operation order."""
     if len(qs) != len(out_cols) or not qs:
         raise ValueError("qs and out_cols must be equal-length, non-empty")
     for q in qs:
@@ -79,24 +80,40 @@ def grouped_percentiles_disc(ds, key_col: str, value_col: str,
             + [(c, pa.float64()) for c in out_cols]).empty_table())
     hist = hist.groupby([key_col, "_bin"], as_index=False)["_n"].sum() \
         .sort_values([key_col, "_bin"])
-    # sel[key][j] = (bin, residual rank within bin) for quantile j.
+    # sel[key][j] = list of (bin, residual_rank) picks for quantile j
+    # (one pick for DISC, two for CONT); frac[key][j] = CONT weight.
     sel: dict = {}
+    fracs: dict = {}
     for key, g in hist.groupby(key_col, sort=False):
         n = int(g["_n"].sum())
         cum = g["_n"].cumsum().to_numpy()
         bins_np = g["_bin"].to_numpy()
-        picks = []
-        for q in qs:
-            k = max(int(np.ceil(q * n)), 1)
+
+        def locate(k: int):
             i = int(np.searchsorted(cum, k))
             before = int(cum[i - 1]) if i else 0
-            picks.append((int(bins_np[i]), k - before))
+            return (int(bins_np[i]), k - before)
+
+        picks, fr = [], []
+        for q in qs:
+            if interpolate:
+                p = q * (n - 1)
+                k_lo = int(np.floor(p)) + 1
+                k_hi = int(np.ceil(p)) + 1
+                picks.append((locate(k_lo), locate(k_hi)))
+                fr.append(p - np.floor(p))
+            else:
+                k = max(int(np.ceil(q * n)), 1)
+                picks.append((locate(k),))
         sel[key] = picks
+        fracs[key] = fr
     keys = sorted(sel)
     key_arr = pa.array(keys)
-    sel_bins = np.array([[sel[t][j][0] for t in keys] for j in range(n_q)],
-                        dtype=np.int32)
-    ranks = {t: [sel[t][j][1] for j in range(n_q)] for t in keys}
+    flat_picks = [[p for pick in sel[t] for p in pick] for t in keys]
+    n_picks = len(flat_picks[0])
+    sel_bins = np.array([[flat_picks[ti][j][0]
+                          for ti in range(len(keys))]
+                         for j in range(n_picks)], dtype=np.int32)
 
     def keep(batch: pa.Table) -> pa.Table:
         v, bins = bin_of(batch)
@@ -104,20 +121,29 @@ def grouped_percentiles_disc(ds, key_col: str, value_col: str,
             .fill_null(-1).to_numpy(zero_copy_only=False)
         safe = np.maximum(idx, 0)
         hit = np.zeros(bins.shape[0], dtype=bool)
-        for j in range(n_q):
+        for j in range(n_picks):
             hit |= sel_bins[j][safe] == bins
         hit &= idx >= 0
         return pa.table({key_col: pc.filter(batch[key_col], pa.array(hit)),
                          value_col: v[hit], "_bin": bins[hit]})
 
-    def pick(group: pa.Table) -> pa.Table:
+    def order_stat(vals, bins, pick):
+        b, rank = pick
+        in_bin = np.sort(vals[bins == b])
+        return float(in_bin[rank - 1])
+
+    def pick_rows(group: pa.Table) -> pa.Table:
         key = group[key_col][0].as_py()
         vals = group[value_col].to_numpy(zero_copy_only=False)
         bins = group["_bin"].to_numpy(zero_copy_only=False)
         out = []
-        for (b, _), rank in zip(sel[key], ranks[key]):
-            in_bin = np.sort(vals[bins == b])
-            out.append(float(in_bin[rank - 1]))
+        for j, picks in enumerate(sel[key]):
+            if interpolate:
+                lo = order_stat(vals, bins, picks[0])
+                hi = order_stat(vals, bins, picks[1])
+                out.append(lo + fracs[key][j] * (hi - lo))
+            else:
+                out.append(order_stat(vals, bins, picks[0]))
         return pa.Table.from_arrays(
             [pa.array([key], type=key_arr.type)]
             + [pa.array([v]) for v in out],
@@ -125,7 +151,29 @@ def grouped_percentiles_disc(ds, key_col: str, value_col: str,
 
     return ds.map_batches(keep, batch_format="pyarrow",
                           batch_size=131072) \
-        .groupby(key_col).map_groups(pick, batch_format="pyarrow")
+        .groupby(key_col).map_groups(pick_rows, batch_format="pyarrow")
+
+
+def grouped_percentiles_disc(ds, key_col: str, value_col: str,
+                             qs: list[float],
+                             out_cols: list[str]):
+    """(key_col, *out_cols) with out_cols[j] = PERCENTILE_DISC(qs[j]) of
+    value_col per key: the smallest value whose cumulative distribution
+    >= q, i.e. the ceil(q*n)-th smallest — exact, matching the SQL window
+    function. All quantiles share one histogram pass and one selection
+    pass."""
+    return _grouped_order_select(ds, key_col, value_col, qs, out_cols,
+                                 interpolate=False)
+
+
+def grouped_percentiles_cont(ds, key_col: str, value_col: str,
+                             qs: list[float],
+                             out_cols: list[str]):
+    """PERCENTILE_CONT: linear interpolation between the two order
+    statistics straddling p = q*(n-1), computed with the same two-pass
+    selection (the selection pass keeps <= 2 bins per quantile)."""
+    return _grouped_order_select(ds, key_col, value_col, qs, out_cols,
+                                 interpolate=True)
 
 
 def grouped_percentile_disc(ds, key_col: str, value_col: str,

@@ -63,3 +63,29 @@ def test_grouped_percentile_empty_and_bad_q(ray_session):
     assert len(out.to_pandas()) == 0
     with pytest.raises(ValueError, match="q must be"):
         grouped_percentile_disc(rd.from_arrow(empty), "k", "value", q=0.0)
+
+
+def test_grouped_percentiles_cont_matches_numpy(ray_session):
+    """CONT interpolation == np.percentile(method='linear') per group,
+    including all-tied groups, single-row groups, and q crossing bins."""
+    from h3ray.ops.quantile import grouped_percentiles_cont
+
+    rng = np.random.default_rng(12)
+    keys = rng.integers(0, 4, 4001)
+    vals = np.round(rng.standard_normal(4001) * 100, 1)
+    vals[keys == 3] = -3.5                      # all-equal group
+    keys[0] = 9                                 # a single-row group
+    tbl = pa.table({"k": pa.array([f"g{k}" for k in keys]),
+                    "v": pa.array(vals)})
+    out = grouped_percentiles_cont(
+        rd.from_arrow(tbl), "k", "v", [0.5, 0.9],
+        ["p50", "p90"]).to_pandas().set_index("k")
+    for g in np.unique(keys):
+        gv = vals[keys == g]
+        row = out.loc[f"g{g}"]
+        # Same formula and op order as np linear interpolation.
+        for q, col in ((0.5, "p50"), (0.9, "p90")):
+            p = q * (gv.shape[0] - 1)
+            s = np.sort(gv)
+            lo, hi = s[int(np.floor(p))], s[int(np.ceil(p))]
+            assert row[col] == lo + (p - np.floor(p)) * (hi - lo)
