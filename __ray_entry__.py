@@ -634,6 +634,65 @@ def _docs_cap_per_source(sf_dir: str):
     return cap_per_group(docs, group_col="source", key_col="doc_id", k=5)
 
 
+def _lineitem_priority_counts(sf_dir: str):
+    """TPC-H Q12 shape: big x big shuffle join (lineitem x orders on
+    orderkey, both sides projected to key + one small column; the shipdate
+    predicate is pushed into the parquet scan) feeding a conditional
+    aggregation — per returnflag, counts of high- vs low-priority order
+    lines — via a bounded combiner + driver merge."""
+    import datetime
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.ops.join import hash_join
+    from h3ray.ops.reduce import driver_merge
+
+    cutoff = pa.scalar(datetime.datetime(1997, 1, 1),
+                       type=pa.timestamp("us"))
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+        filter=(pc.field("l_shipdate") < cutoff))
+    line = line.select_columns(["l_orderkey", "l_returnflag"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    joined = hash_join(line, orders, "l_orderkey", "o_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hi = pc.is_in(batch["o_orderpriority"],
+                      value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        hi_np = hi.combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        t = pa.table({"l_returnflag": batch["l_returnflag"],
+                      "high_lines": hi_np, "low_lines": 1 - hi_np})
+        return t.group_by("l_returnflag").aggregate(
+            [("high_lines", "sum"), ("low_lines", "sum")]) \
+            .rename_columns(["l_returnflag", "high_lines", "low_lines"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        return t.group_by("l_returnflag").aggregate(
+            [("high_lines", "sum"), ("low_lines", "sum")]) \
+            .rename_columns(["l_returnflag", "high_lines", "low_lines"])
+
+    return driver_merge(joined.map_batches(partial,
+                                           batch_format="pyarrow"), merge)
+
+
+def _docs_mode_lang_by_source(sf_dir: str):
+    """Per-source MODE(lang) with deterministic smallest-value tie-break:
+    bounded (source x lang) pair combiner + driver merge + one lexsort."""
+    import ray.data as rd
+
+    from h3ray.ops.reduce import grouped_mode
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "lang"])
+    return grouped_mode(docs, "source", "lang", out_col="top_lang")
+
+
 def _events_cont_quantiles(sf_dir: str):
     """Interpolated quantiles (PERCENTILE_CONT p50/p90) per event type via
     the two-pass selection — the selection pass keeps at most two bins per
@@ -1184,6 +1243,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition_scores": _docs_repetition_scores,
         "docs_cap_per_source": _docs_cap_per_source,
         "events_cont_quantiles": _events_cont_quantiles,
+        "docs_mode_lang_by_source": _docs_mode_lang_by_source,
+        "lineitem_priority_counts": _lineitem_priority_counts,
         "docs_sample_10pct": _docs_sample_10pct,
         "docs_train_test_split": _docs_train_test_split,
         "ann_topk_lsh": _ann_topk_lsh,
@@ -1886,6 +1947,25 @@ def oracle_sql() -> dict[str, str]:
                 CASE lang WHEN 'zh' THEN 3 WHEN 'fr' THEN 2
                           WHEN 'es' THEN 0 ELSE 1 END)) AS rep
             FROM documents
+        """,
+        "lineitem_priority_counts": """
+            SELECT l_returnflag,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_lines,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_lines
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_returnflag
+        """,
+        "docs_mode_lang_by_source": """
+            SELECT source, lang AS top_lang,
+                   CAST(cnt AS BIGINT) AS mode_count
+            FROM (SELECT source, lang, count(*) AS cnt,
+                         ROW_NUMBER() OVER (PARTITION BY source
+                             ORDER BY count(*) DESC, lang) AS rn
+                  FROM documents GROUP BY source, lang)
+            WHERE rn = 1
         """,
         "events_cont_quantiles": """
             SELECT event_type,

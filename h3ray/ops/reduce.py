@@ -38,3 +38,40 @@ def driver_merge(ds, merge_fn, schema: pa.Schema | None = None) -> pa.Table:
             if schema is not None else pa.table({})
         return merge_fn(empty) if schema is not None else empty
     return merge_fn(pa.concat_tables(non_empty).combine_chunks())
+
+
+def grouped_mode(ds, key_col: str, value_col: str,
+                 out_col: str = "mode_value") -> pa.Table:
+    """Per-key MODE (most frequent value), ties broken by smallest value —
+    fully deterministic, matching a ROW_NUMBER()-over-counts SQL mirror.
+
+    For bounded (key, value) pair spaces (label x label, source x lang):
+    a per-batch Arrow group-count combiner collapses each batch to its
+    distinct pairs, the bounded partials driver-merge, and one vectorized
+    lexsort picks each key's (count DESC, value ASC) winner. Unbounded
+    value spaces should pre-bucket instead (see ops.skew)."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({key_col: batch[key_col], value_col: batch[value_col]})
+        g = t.group_by([key_col, value_col]).aggregate([([], "count_all")])
+        return g.rename_columns([key_col, value_col, "_n"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by([key_col, value_col]).aggregate([("_n", "sum")])
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        vals = g[value_col].to_numpy(zero_copy_only=False)
+        cnt = g["_n_sum"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vals, -cnt, keys))
+        ks = keys[order]
+        first = np.ones(ks.shape[0], dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        win = order[first]
+        return pa.Table.from_arrays(
+            [g[key_col].take(pa.array(win)),
+             g[value_col].take(pa.array(win)),
+             pa.array(cnt[win])],
+            names=[key_col, out_col, "mode_count"])
+
+    return driver_merge(ds.map_batches(partial, batch_format="pyarrow"),
+                        merge)

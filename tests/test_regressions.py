@@ -264,3 +264,19 @@ def test_cap_per_group_hash_order_winners(ray_session):
     assert set(out.doc_id) == expected
     assert set(out[out.source == "tiny"].doc_id) == {0, 1, 2}
     assert set(out.columns) == {"doc_id", "source"}
+
+
+def test_grouped_mode_ties_and_counts(ray_session):
+    """Mode per key with count-tie broken by smallest value; counts merge
+    across partitions."""
+    import ray.data as rd
+
+    from h3ray.ops.reduce import grouped_mode
+
+    tbl = pa.table({"k": ["a"] * 5 + ["b"] * 4,
+                    "v": ["y", "y", "x", "x", "z", "q", "p", "q", "p"]})
+    out = grouped_mode(rd.from_arrow(tbl).repartition(4), "k", "v") \
+        .to_pandas().sort_values("k")
+    assert list(out.k) == ["a", "b"]
+    assert list(out.mode_value) == ["x", "p"]  # x ties y -> x; p ties q -> p
+    assert list(out.mode_count) == [2, 2]
