@@ -681,6 +681,39 @@ def _lineitem_priority_counts(sf_dir: str):
                                            batch_format="pyarrow"), merge)
 
 
+def _events_pivot_by_hour(sf_dir: str):
+    """Pivot / crosstab: one row per event type, one count column per
+    hour-of-day (fixed 24-column schema). Bounded pair-count combiner +
+    driver merge + vectorized scatter."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import pivot_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        hour = (us // 3_600_000_000) % 24
+        return pa.table({"event_type": batch["event_type"],
+                         "hour": pa.array(hour.astype(np.int64))})
+
+    hours = ds.map_batches(add_hour, batch_format="pyarrow")
+    return pivot_counts(hours, "event_type", "hour", list(range(24)),
+                        prefix="h")
+
+
+def _events_pivot_oracle() -> str:
+    cases = ", ".join(
+        f"SUM(CASE WHEN EXTRACT(hour FROM ts) = {h} THEN 1 ELSE 0 END)"
+        f" AS h{h}" for h in range(24))
+    return (f"SELECT event_type, {cases} FROM events"
+            " GROUP BY event_type")
+
+
 def _docs_mode_lang_by_source(sf_dir: str):
     """Per-source MODE(lang) with deterministic smallest-value tie-break:
     bounded (source x lang) pair combiner + driver merge + one lexsort."""
@@ -691,6 +724,18 @@ def _docs_mode_lang_by_source(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["source", "lang"])
     return grouped_mode(docs, "source", "lang", out_col="top_lang")
+
+
+def _emb_quantize_int8(sf_dir: str):
+    """Int8 vector quantization: exact-integer squared norm, one
+    correctly-rounded sqrt + division — engine-portable floors."""
+    import ray.data as rd
+
+    from h3ray.pipelines.ann import quantize_int8
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return quantize_int8(emb)
 
 
 def _events_cont_quantiles(sf_dir: str):
@@ -1245,6 +1290,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cont_quantiles": _events_cont_quantiles,
         "docs_mode_lang_by_source": _docs_mode_lang_by_source,
         "lineitem_priority_counts": _lineitem_priority_counts,
+        "events_pivot_by_hour": _events_pivot_by_hour,
+        "emb_quantize_int8": _emb_quantize_int8,
         "docs_sample_10pct": _docs_sample_10pct,
         "docs_train_test_split": _docs_train_test_split,
         "ann_topk_lsh": _ann_topk_lsh,
@@ -1947,6 +1994,24 @@ def oracle_sql() -> dict[str, str]:
                 CASE lang WHEN 'zh' THEN 3 WHEN 'fr' THEN 2
                           WHEN 'es' THEN 0 ELSE 1 END)) AS rep
             FROM documents
+        """,
+        "events_pivot_by_hour": _events_pivot_oracle(),
+        "emb_quantize_int8": """
+            WITH m AS (
+              SELECT vec_id, i AS dim,
+                     CAST(FLOOR(CAST(e AS DOUBLE) * 1000000 + 0.5)
+                          AS BIGINT) AS em
+              FROM (SELECT vec_id, unnest(embedding) AS e,
+                           unnest(range(1, len(embedding) + 1)) AS i
+                    FROM embeddings)
+            ), n AS (
+              SELECT vec_id, SUM(em * em) AS norm2 FROM m GROUP BY vec_id
+            )
+            SELECT m.vec_id, m.dim,
+                   CAST(CASE WHEN n.norm2 = 0 THEN 0
+                        ELSE FLOOR(127 * m.em / SQRT(n.norm2) + 0.5)
+                        END AS BIGINT) AS q8
+            FROM m JOIN n USING (vec_id)
         """,
         "lineitem_priority_counts": """
             SELECT l_returnflag,

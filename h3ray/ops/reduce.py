@@ -75,3 +75,38 @@ def grouped_mode(ds, key_col: str, value_col: str,
 
     return driver_merge(ds.map_batches(partial, batch_format="pyarrow"),
                         merge)
+
+
+def pivot_counts(ds, row_col: str, col_col: str, col_values: list,
+                 prefix: str = "c") -> pa.Table:
+    """Crosstab: one output row per row_col value, one int64 count column
+    per entry of `col_values` (fixed, caller-declared columns — the schema
+    must not depend on the data). Per-batch (row, col) pair-count
+    combiner, bounded driver merge, then a vectorized scatter into the
+    |rows| x |cols| matrix. Values outside col_values are dropped."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({row_col: batch[row_col], col_col: batch[col_col]})
+        g = t.group_by([row_col, col_col]).aggregate([([], "count_all")])
+        return g.rename_columns([row_col, col_col, "_n"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by([row_col, col_col]).aggregate([("_n", "sum")])
+        rows = g[row_col].to_numpy(zero_copy_only=False)
+        cols = g[col_col].to_numpy(zero_copy_only=False)
+        cnt = g["_n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        urows = np.unique(rows)
+        ri = np.searchsorted(urows, rows)
+        lookup = {v: j for j, v in enumerate(col_values)}
+        cj = np.array([lookup.get(v, -1) for v in cols], dtype=np.int64)
+        mat = np.zeros((urows.shape[0], len(col_values)), dtype=np.int64)
+        ok = cj >= 0
+        np.add.at(mat, (ri[ok], cj[ok]), cnt[ok])
+        return pa.Table.from_arrays(
+            [pa.array(urows)]
+            + [pa.array(mat[:, j]) for j in range(len(col_values))],
+            names=[row_col] + [f"{prefix}{v}" for v in col_values])
+
+    return driver_merge(ds.map_batches(partial, batch_format="pyarrow"),
+                        merge)

@@ -457,3 +457,34 @@ def centroids_by_label(ds, *, label_col: str = "label",
                          "n_vecs": g["n_vecs_sum"]})
 
     return driver_merge(partials, merge)
+
+
+def quantize_int8(ds, *, id_col: str = "vec_id",
+                  emb_col: str = "embedding"):
+    """Int8 vector quantization (the storage/serving compression step):
+    per vector, q8[d] = floor(127 * e[d] / ||e|| + 0.5), emitted unnested
+    as (id, dim, q8) with dim 1-based.
+
+    Engine-portable determinism: elements quantize to micro-int64 first,
+    the squared norm is an EXACT integer sum (order-free, unlike float
+    summation whose grouping differs between numpy and SQL), and the only
+    float ops are one correctly-rounded sqrt and one division — identical
+    doubles in every IEEE-754 engine, so the floor never flips. Zero
+    vectors quantize to all-zero. Pure per-batch numpy; no shuffle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        x = _embedding_matrix(batch, emb_col, dtype=np.float64)
+        n, d = x.shape
+        micro = np.floor(x * 1_000_000 + 0.5).astype(np.int64)
+        norm2 = (micro * micro).sum(axis=1)
+        norm = np.sqrt(norm2.astype(np.float64))
+        safe = np.where(norm == 0.0, 1.0, norm)
+        q8 = np.floor(127.0 * micro / safe[:, None] + 0.5).astype(np.int64)
+        q8[norm == 0.0] = 0
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: np.repeat(ids, d),
+            "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), n),
+            "q8": q8.ravel()})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -121,3 +121,23 @@ def test_distinct_pairs_keeps_extra_column(ray_session):
                          keep=("cosine",)).to_pandas()
     assert sorted(zip(out.id_a, out.id_b, out.cosine)) == \
         [(1, 5, 0.5), (1, 6, 0.6), (2, 7, 0.7)]
+
+
+def test_quantize_int8_matches_reference_and_zero_vector(ray_session):
+    from h3ray.pipelines.ann import quantize_int8
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((20, 8)).astype(np.float32)
+    vecs[5] = 0.0  # zero vector -> all-zero q8
+    tbl = pa.table({"vec_id": pa.array(np.arange(20, dtype=np.int64)),
+                    "embedding": pa.array(list(vecs))})
+    out = quantize_int8(rd.from_arrow(tbl)).to_pandas()
+    assert len(out) == 160
+    for vid in (0, 5, 13):
+        got = out[out.vec_id == vid].sort_values("dim").q8.to_numpy()
+        micro = np.floor(vecs[vid].astype(np.float64) * 1e6 + 0.5)
+        n2 = (micro * micro).sum()
+        exp = (np.zeros(8) if n2 == 0
+               else np.floor(127 * micro / np.sqrt(n2) + 0.5))
+        assert np.array_equal(got, exp.astype(np.int64))
+        assert np.abs(got).max() <= 127

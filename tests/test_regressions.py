@@ -280,3 +280,18 @@ def test_grouped_mode_ties_and_counts(ray_session):
     assert list(out.k) == ["a", "b"]
     assert list(out.mode_value) == ["x", "p"]  # x ties y -> x; p ties q -> p
     assert list(out.mode_count) == [2, 2]
+
+
+def test_pivot_counts_fixed_columns(ray_session):
+    """Fixed declared columns, absent cells zero, out-of-range dropped."""
+    import ray.data as rd
+
+    from h3ray.ops.reduce import pivot_counts
+
+    tbl = pa.table({"t": ["a", "a", "b", "a", "b"],
+                    "h": pa.array([0, 1, 1, 9, 1], type=pa.int64())})
+    out = pivot_counts(rd.from_arrow(tbl).repartition(3), "t", "h",
+                       [0, 1, 2], prefix="h").to_pandas().sort_values("t")
+    assert list(out.columns) == ["t", "h0", "h1", "h2"]
+    assert out[out.t == "a"].iloc[0].tolist() == ["a", 1, 1, 0]  # h9 dropped
+    assert out[out.t == "b"].iloc[0].tolist() == ["b", 0, 2, 0]
