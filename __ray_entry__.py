@@ -726,6 +726,30 @@ def _docs_mode_lang_by_source(sf_dir: str):
     return grouped_mode(docs, "source", "lang", out_col="top_lang")
 
 
+def _events_profile(sf_dir: str):
+    """Dataset profiler over the events numeric columns: exact micro-int
+    stats (order-free sums), one combiner row per column per batch."""
+    import ray.data as rd
+
+    from h3ray.ops.reduce import profile_numeric
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "value"])
+    return profile_numeric(ds, ["user_id", "value"])
+
+
+def _docs_redacted(sf_dir: str):
+    """Regex redaction (PII-scrub seam): digit runs collapse to '#'.
+    The scrubbed text itself is the compared value."""
+    import ray.data as rd
+
+    from h3ray.text.analysis import redact_stage
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return docs.map_batches(redact_stage(), batch_format="pyarrow")
+
+
 def _emb_quantize_int8(sf_dir: str):
     """Int8 vector quantization: exact-integer squared norm, one
     correctly-rounded sqrt + division — engine-portable floors."""
@@ -1292,6 +1316,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_priority_counts": _lineitem_priority_counts,
         "events_pivot_by_hour": _events_pivot_by_hour,
         "emb_quantize_int8": _emb_quantize_int8,
+        "docs_redacted": _docs_redacted,
+        "events_profile": _events_profile,
         "docs_sample_10pct": _docs_sample_10pct,
         "docs_train_test_split": _docs_train_test_split,
         "ann_topk_lsh": _ann_topk_lsh,
@@ -1996,6 +2022,32 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "events_pivot_by_hour": _events_pivot_oracle(),
+        "events_profile": """
+            SELECT 'user_id' AS "column",
+                   COUNT(*) AS n_rows,
+                   COUNT(*) - COUNT(user_id) AS n_null,
+                   CAST(MIN(FLOOR(CAST(user_id AS DOUBLE) * 1000000
+                                  + 0.5)) AS BIGINT) AS min_micro,
+                   CAST(MAX(FLOOR(CAST(user_id AS DOUBLE) * 1000000
+                                  + 0.5)) AS BIGINT) AS max_micro,
+                   CAST(SUM(CAST(FLOOR(CAST(user_id AS DOUBLE) * 1000000
+                                       + 0.5) AS BIGINT)) AS BIGINT)
+                       AS sum_micro
+            FROM events
+            UNION ALL
+            SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+                   CAST(MIN(FLOOR(CAST(value AS DOUBLE) * 1000000 + 0.5))
+                        AS BIGINT),
+                   CAST(MAX(FLOOR(CAST(value AS DOUBLE) * 1000000 + 0.5))
+                        AS BIGINT),
+                   CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 1000000
+                                       + 0.5) AS BIGINT)) AS BIGINT)
+            FROM events
+        """,
+        "docs_redacted": """
+            SELECT doc_id, regexp_replace(text, '[0-9]+', '#', 'g') AS text
+            FROM documents
+        """,
         "emb_quantize_int8": """
             WITH m AS (
               SELECT vec_id, i AS dim,

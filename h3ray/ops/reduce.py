@@ -110,3 +110,45 @@ def pivot_counts(ds, row_col: str, col_col: str, col_values: list,
 
     return driver_merge(ds.map_batches(partial, batch_format="pyarrow"),
                         merge)
+
+
+def profile_numeric(ds, cols: list) -> pa.Table:
+    """Dataset profiler: one row per numeric column with
+    (n_rows, n_null, min_micro, max_micro, sum_micro) — every statistic an
+    exact micro-scaled int64 (floor(x*1e6+0.5)), so sums are
+    summation-order-free and engine-portable. One combiner row per column
+    per batch, bounded driver merge; all-null columns profile with null
+    min/max/sum."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows = {"column": [], "n_rows": [], "n_null": [],
+                "min_micro": [], "max_micro": [], "sum_micro": []}
+        for c in cols:
+            col = batch[c]
+            arr = col.drop_null().to_numpy(zero_copy_only=False)
+            v = np.floor(arr.astype(np.float64) * 1_000_000 + 0.5) \
+                .astype(np.int64)
+            rows["column"].append(c)
+            rows["n_rows"].append(len(col))
+            rows["n_null"].append(col.null_count)
+            rows["min_micro"].append(int(v.min()) if v.size else None)
+            rows["max_micro"].append(int(v.max()) if v.size else None)
+            rows["sum_micro"].append(int(v.sum()) if v.size else None)
+        return pa.table({
+            "column": pa.array(rows["column"], type=pa.string()),
+            "n_rows": pa.array(rows["n_rows"], type=pa.int64()),
+            "n_null": pa.array(rows["n_null"], type=pa.int64()),
+            "min_micro": pa.array(rows["min_micro"], type=pa.int64()),
+            "max_micro": pa.array(rows["max_micro"], type=pa.int64()),
+            "sum_micro": pa.array(rows["sum_micro"], type=pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("column").aggregate(
+            [("n_rows", "sum"), ("n_null", "sum"), ("min_micro", "min"),
+             ("max_micro", "max"), ("sum_micro", "sum")])
+        return g.rename_columns(["column", "n_rows", "n_null",
+                                 "min_micro", "max_micro", "sum_micro"])
+
+    return driver_merge(ds.map_batches(partial, batch_format="pyarrow"),
+                        merge)

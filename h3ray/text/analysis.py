@@ -239,3 +239,20 @@ def repetition_stage(text_col: str = "text", n: int = 2):
             "rep_ngrams", pa.array((total - distinct).astype(np.int64)))
 
     return fn
+
+
+def redact_stage(text_col: str = "text", pattern: str = r"[0-9]+",
+                 replacement: str = "#", out_col: str | None = None):
+    """Regex redaction (the PII-scrub seam: digit runs, emails, phones —
+    pattern is caller-supplied): one compiled-once Arrow kernel per batch,
+    no shuffle, no state. Replaces in place unless out_col is given."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        scrubbed = pc.replace_substring_regex(
+            batch[text_col], pattern=pattern, replacement=replacement)
+        if out_col is None:
+            i = batch.schema.get_field_index(text_col)
+            return batch.set_column(i, text_col, scrubbed)
+        return batch.append_column(out_col, scrubbed)
+
+    return fn

@@ -295,3 +295,42 @@ def test_pivot_counts_fixed_columns(ray_session):
     assert list(out.columns) == ["t", "h0", "h1", "h2"]
     assert out[out.t == "a"].iloc[0].tolist() == ["a", 1, 1, 0]  # h9 dropped
     assert out[out.t == "b"].iloc[0].tolist() == ["b", 0, 2, 0]
+
+
+def test_profile_numeric_nulls_and_all_null(ray_session):
+    """Profiler merges exact micro stats across partitions; nulls counted;
+    an all-null column keeps null min/max/sum."""
+    import ray.data as rd
+
+    from h3ray.ops.reduce import profile_numeric
+
+    tbl = pa.table({
+        "a": pa.array([1.5, None, -2.25, 0.0], type=pa.float64()),
+        "b": pa.array([None, None, None, None], type=pa.float64())})
+    out = profile_numeric(rd.from_arrow(tbl).repartition(2),
+                          ["a", "b"]).to_pandas().set_index("column")
+    ra = out.loc["a"]
+    assert (ra.n_rows, ra.n_null) == (4, 1)
+    assert (ra.min_micro, ra.max_micro) == (-2250000, 1500000)
+    assert ra.sum_micro == -750000
+    rb = out.loc["b"]
+    assert (rb.n_rows, rb.n_null) == (4, 4)
+    import pandas as pd
+    assert pd.isna(rb.min_micro) and pd.isna(rb.max_micro) \
+        and pd.isna(rb.sum_micro)
+
+
+def test_redact_stage_patterns(ray_session):
+    import ray.data as rd
+
+    from h3ray.text.analysis import redact_stage
+
+    tbl = pa.table({"doc_id": [0, 1], "text": ["w12 34x", "no digits"]})
+    out = rd.from_arrow(tbl).map_batches(
+        redact_stage(), batch_format="pyarrow").to_pandas()
+    assert list(out.sort_values("doc_id").text) == ["w# #x", "no digits"]
+    out2 = rd.from_arrow(tbl).map_batches(
+        redact_stage(pattern="[aeiou]", replacement="_",
+                     out_col="scrubbed"),
+        batch_format="pyarrow").to_pandas()
+    assert "scrubbed" in out2.columns and "text" in out2.columns
