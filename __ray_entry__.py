@@ -726,6 +726,127 @@ def _docs_mode_lang_by_source(sf_dir: str):
     return grouped_mode(docs, "source", "lang", out_col="top_lang")
 
 
+def _docs_curation_pipeline(sf_dir: str):
+    """The flagship end-to-end LLM data-curation pipeline, one Dataset
+    graph: C4-style quality filter -> benchmark decontamination (drop
+    contaminated) -> ngram-Jaccard near-dedup (keep canonical per
+    cluster) -> sequence packing of the surviving corpus. The cleaned
+    corpus is materialized once before near-dedup (three downstream
+    consumers; at production scale this is the checkpoint-to-parquet
+    boundary). Every stage is individually oracle-proven; this query
+    proves the COMPOSITION end to end."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.ops.join import semi_join
+    from h3ray.ops.scan import pack_sequences
+    from h3ray.text.analysis import quality_filter_stage
+    from h3ray.text.dedup import contamination_flags, near_dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "n_chars"])
+    kept = docs.map_batches(quality_filter_stage(),
+                            batch_format="pyarrow")
+    bench = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"],
+                            filter=pc.field("doc_id") < 10)
+    flags = contamination_flags(kept, bench, key_col="doc_id", k=20)
+
+    def clean_ids(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["contaminated"], 0)) \
+            .select(["doc_id"])
+
+    clean = semi_join(kept,
+                      flags.map_batches(clean_ids,
+                                        batch_format="pyarrow"),
+                      "doc_id", "doc_id").materialize()
+    unique_docs = near_dedup(clean, key_col="doc_id", threshold=0.5)
+    packed = pack_sequences(unique_docs, order_col="doc_id",
+                            size_col="n_chars", budget=8192,
+                            bucket_width=64)
+    return packed.select_columns(["doc_id", "pack_id"])
+
+
+def _curation_oracle() -> str:
+    """SQL mirror of the whole curation chain: each CTE is the proven
+    mirror of its stage, composed in the same order."""
+    from h3ray.text.analysis import _STOPWORDS
+
+    stop_all = sorted(set().union(*_STOPWORDS.values()))
+    pat = "(?i)\\b(?:" + "|".join(stop_all) + ")\\b"
+    g20 = ("CASE WHEN length(text) < 20 THEN [rpad(text, 20, ' ')]"
+           " ELSE list_distinct([substring(text, i, 20)"
+           " FOR i IN range(1, length(text) - 18)]) END")
+    return f"""
+        WITH RECURSIVE kept AS (
+          SELECT doc_id, text, n_chars FROM documents
+          WHERE length(text) BETWEEN 150 AND 600
+            AND len(regexp_extract_all(text, '\\S+')) >= 20
+            AND len(regexp_extract_all(text, '{pat}')) >= 3
+        ), s20 AS (
+          SELECT doc_id, {g20} AS gs FROM kept
+        ), bench AS (
+          SELECT list(DISTINCT g) AS bg
+          FROM (SELECT unnest({g20}) AS g FROM documents
+                WHERE doc_id < 10) t(g)
+        ), clean AS (
+          SELECT k.doc_id, k.text, k.n_chars
+          FROM kept k JOIN s20 s USING (doc_id) CROSS JOIN bench b
+          WHERE len(list_intersect(s.gs, b.bg)) = 0
+        ), pairs AS (
+          WITH sh AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) < 5 THEN [rpad(text, 5, ' ')]
+                        ELSE list_distinct([substring(text, i, 5)
+                                FOR i IN range(1, length(text) - 3)])
+                   END AS gs
+            FROM clean
+          )
+          SELECT a.doc_id AS key_a, b.doc_id AS key_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                / (len(a.gs) + len(b.gs)
+                   - len(list_intersect(a.gs, b.gs))) >= 0.5
+        ), edge AS (
+          SELECT key_a AS u, key_b AS v FROM pairs
+          UNION ALL SELECT key_b, key_a FROM pairs
+        ), reach(u, v) AS (
+          SELECT u, v FROM edge
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edge e ON r.v = e.u
+        ), clusters AS (
+          SELECT c.doc_id,
+                 LEAST(c.doc_id, COALESCE(MIN(r.v), c.doc_id))
+                     AS cluster_id
+          FROM clean c LEFT JOIN reach r ON r.u = c.doc_id
+          GROUP BY c.doc_id
+        ), surv AS (
+          SELECT c.doc_id, c.n_chars
+          FROM clean c JOIN clusters cl USING (doc_id)
+          WHERE cl.cluster_id = cl.doc_id
+        )
+        SELECT doc_id,
+               COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) // 8192 AS pack_id
+        FROM surv
+    """
+
+
+def _docs_langs_by_source(sf_dir: str):
+    """string_agg(DISTINCT lang ORDER BY lang) per source — ordered
+    distinct concatenation over a bounded pair space."""
+    import ray.data as rd
+
+    from h3ray.ops.reduce import grouped_string_agg_distinct
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "lang"])
+    return grouped_string_agg_distinct(docs, "source", "lang",
+                                       out_col="langs")
+
+
 def _events_profile(sf_dir: str):
     """Dataset profiler over the events numeric columns: exact micro-int
     stats (order-free sums), one combiner row per column per batch."""
@@ -1318,6 +1439,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_quantize_int8": _emb_quantize_int8,
         "docs_redacted": _docs_redacted,
         "events_profile": _events_profile,
+        "docs_langs_by_source": _docs_langs_by_source,
+        "docs_curation_pipeline": _docs_curation_pipeline,
         "docs_sample_10pct": _docs_sample_10pct,
         "docs_train_test_split": _docs_train_test_split,
         "ann_topk_lsh": _ann_topk_lsh,
@@ -2022,6 +2145,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "events_pivot_by_hour": _events_pivot_oracle(),
+        "docs_curation_pipeline": _curation_oracle(),
+        "docs_langs_by_source": """
+            SELECT source,
+                   string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
+            FROM documents GROUP BY source
+        """,
         "events_profile": """
             SELECT 'user_id' AS "column",
                    COUNT(*) AS n_rows,

@@ -152,3 +152,39 @@ def profile_numeric(ds, cols: list) -> pa.Table:
 
     return driver_merge(ds.map_batches(partial, batch_format="pyarrow"),
                         merge)
+
+
+def grouped_string_agg_distinct(ds, key_col: str, value_col: str,
+                                sep: str = ",",
+                                out_col: str = "agg_value") -> pa.Table:
+    """Per-key ordered DISTINCT string concatenation (SQL
+    string_agg(DISTINCT v, sep ORDER BY v)) for bounded (key, value) pair
+    spaces: per-batch distinct-pair combiner, bounded driver merge, one
+    lexsort, then per-key joins over the already-distinct pair rows (the
+    output is pair-space-sized by construction)."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({key_col: batch[key_col], value_col: batch[value_col]})
+        g = t.group_by([key_col, value_col]).aggregate([])
+        return g
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by([key_col, value_col]).aggregate([])
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        vals = g[value_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vals, keys))
+        ks, vs = keys[order], vals[order]
+        first = np.ones(ks.shape[0], dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        bounds = np.flatnonzero(first).tolist() + [ks.shape[0]]
+        out_keys = [ks[b] for b in bounds[:-1]]
+        out_vals = [sep.join(vs[bounds[i]:bounds[i + 1]])
+                    for i in range(len(bounds) - 1)]
+        return pa.Table.from_arrays(
+            [pa.array(out_keys, type=g[key_col].type),
+             pa.array(out_vals, type=pa.string())],
+            names=[key_col, out_col])
+
+    return driver_merge(ds.map_batches(partial, batch_format="pyarrow"),
+                        merge)
