@@ -726,6 +726,32 @@ def _docs_mode_lang_by_source(sf_dir: str):
     return grouped_mode(docs, "source", "lang", out_col="top_lang")
 
 
+def _events_latest_per_user(sf_dir: str):
+    """Latest record per key (dedup-by-recency, the CDC/compaction
+    primitive): per user, the single event with max ts (event_id
+    tie-break) — salted segmented top-k with k=1, so hot users never
+    funnel one reducer."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.skew import salted_top_k
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+
+    def ts_int(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({"event_id": batch["event_id"],
+                         "user_id": batch["user_id"],
+                         "ts_us": pa.array(us)})
+
+    ranked = ds.map_batches(ts_int, batch_format="pyarrow")
+    return salted_top_k(ranked, "user_id", "ts_us", k=1,
+                        tiebreak_col="event_id")
+
+
 def _docs_curation_pipeline(sf_dir: str):
     """The flagship end-to-end LLM data-curation pipeline, one Dataset
     graph: C4-style quality filter -> benchmark decontamination (drop
@@ -1441,6 +1467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_profile": _events_profile,
         "docs_langs_by_source": _docs_langs_by_source,
         "docs_curation_pipeline": _docs_curation_pipeline,
+        "events_latest_per_user": _events_latest_per_user,
         "docs_sample_10pct": _docs_sample_10pct,
         "docs_train_test_split": _docs_train_test_split,
         "ann_topk_lsh": _ann_topk_lsh,
@@ -2146,6 +2173,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_pivot_by_hour": _events_pivot_oracle(),
         "docs_curation_pipeline": _curation_oracle(),
+        "events_latest_per_user": """
+            SELECT event_id, user_id,
+                   epoch_us(ts) AS ts_us
+            FROM events
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY ts DESC, event_id) = 1
+        """,
         "docs_langs_by_source": """
             SELECT source,
                    string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs

@@ -204,6 +204,16 @@ def run_benchmarks() -> dict:
             best = min(best, time.time() - t0)
         timings["docs_dup_clusters"] = best
 
+    if want("curation_pipeline"):
+        # The flagship composed pipeline (quality filter -> decontaminate
+        # -> near-dedup -> pack). Single rep: it dominates its own noise
+        # (near-dedup on the filtered corpus is the bulk of the work).
+        import __ray_entry__ as entrymod
+
+        t0 = time.time()
+        entrymod.queries()["docs_curation_pipeline"](SF_DIR).count()
+        timings["curation_pipeline"] = time.time() - t0
+
     if os.environ.get("GRAFT_BENCH_STATS"):
         # Per-stage execution stats for the headline ENCODE pipeline
         # (stderr only; stdout stays one JSON line for the driver).
