@@ -58,9 +58,11 @@ def global_exclusive_cumsum(ds, order_col: str, value_col: str,
         ub, inv = np.unique(b, return_inverse=True)
         tot = np.zeros(ub.shape[0], dtype=np.int64)
         np.add.at(tot, inv, s)
-        carry = np.concatenate([[0], np.cumsum(tot)[:-1]])
+        carry = (np.concatenate([[0], np.cumsum(tot)[:-1]])
+                 if ub.size else np.empty(0, np.int64))
         return pa.Table.from_arrays(
-            [pa.array(ub), pa.array(carry)], names=["_bucket", "_carry"])
+            [pa.array(ub), pa.array(carry.astype(np.int64))],
+            names=["_bucket", "_carry"])
 
     totals = driver_merge(
         ds.map_batches(partial, batch_format="pyarrow"), merge,

@@ -1,0 +1,60 @@
+"""Empty-corpus robustness for the round-3 third/fourth/fifth-wave ops.
+
+Empty partitions and empty filter results are routine at 100-TB scale;
+every operator must return a schema-stable empty result, not crash.
+"""
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+
+def _empty_docs():
+    return rd.from_arrow(pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()),
+         ("lang", pa.string()), ("n_chars", pa.int64())]).empty_table())
+
+
+def test_empty_sampling_family(ray_session):
+    from h3ray.ops.sample import (cap_per_group, repeat_by_group,
+                                  stratified_sample)
+
+    e = _empty_docs()
+    assert stratified_sample(e, "doc_id", "lang", {"en": 100}).count() == 0
+    assert repeat_by_group(e, "lang", {"en": 2}).count() == 0
+    assert cap_per_group(e, "lang", "doc_id", k=3).count() == 0
+
+
+def test_empty_scan_and_pack(ray_session):
+    from h3ray.ops.scan import global_exclusive_cumsum, pack_sequences
+
+    e = _empty_docs()
+    assert global_exclusive_cumsum(e, "doc_id", "n_chars").count() == 0
+    assert pack_sequences(e, "doc_id", "n_chars", budget=10).count() == 0
+
+
+def test_empty_text_stages(ray_session):
+    from h3ray.text.analysis import (quality_filter_stage, redact_stage,
+                                     repetition_stage)
+    from h3ray.text.dedup import contamination_flags, near_dedup
+
+    e = _empty_docs()
+    assert e.map_batches(quality_filter_stage(),
+                         batch_format="pyarrow").count() == 0
+    assert e.map_batches(redact_stage(),
+                         batch_format="pyarrow").count() == 0
+    assert e.map_batches(repetition_stage(),
+                         batch_format="pyarrow").count() == 0
+    assert contamination_flags(e, e).count() == 0
+    assert near_dedup(e).count() == 0
+
+
+def test_empty_driver_merged_aggregates(ray_session):
+    from h3ray.ops.reduce import (grouped_mode, grouped_string_agg_distinct,
+                                  pivot_counts, profile_numeric)
+
+    e = _empty_docs()
+    assert grouped_mode(e, "lang", "text").num_rows == 0
+    assert grouped_string_agg_distinct(e, "lang", "text").num_rows == 0
+    assert pivot_counts(e, "lang", "doc_id", [0, 1]).num_rows == 0
+    prof = profile_numeric(e, ["doc_id", "n_chars"])
+    assert prof.num_rows in (0, 2)  # no batches -> no combiner rows
