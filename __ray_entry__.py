@@ -726,6 +726,29 @@ def _docs_mode_lang_by_source(sf_dir: str):
     return grouped_mode(docs, "source", "lang", out_col="top_lang")
 
 
+def _docs_weighted_sample(sf_dir: str):
+    """Importance sampling with a per-row probability column: keep
+    probability proportional to doc length (weight_bp = min(10*n_chars,
+    10000)) on the shared key-stable mix64 stream."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.sample import weighted_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+
+    def add_weight(batch: pa.Table) -> pa.Table:
+        n = batch["n_chars"].to_numpy(zero_copy_only=False)
+        w = np.minimum(10 * n, 10000).astype(np.int64)
+        return batch.append_column("weight_bp", pa.array(w))
+
+    weighted = docs.map_batches(add_weight, batch_format="pyarrow")
+    return weighted_sample(weighted, "doc_id", "weight_bp") \
+        .select_columns(["doc_id", "n_chars"])
+
+
 def _events_latest_per_user(sf_dir: str):
     """Latest record per key (dedup-by-recency, the CDC/compaction
     primitive): per user, the single event with max ts (event_id
@@ -1468,6 +1491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_langs_by_source": _docs_langs_by_source,
         "docs_curation_pipeline": _docs_curation_pipeline,
         "events_latest_per_user": _events_latest_per_user,
+        "docs_weighted_sample": _docs_weighted_sample,
         "docs_sample_10pct": _docs_sample_10pct,
         "docs_train_test_split": _docs_train_test_split,
         "ann_topk_lsh": _ann_topk_lsh,
@@ -2255,6 +2279,10 @@ def oracle_sql() -> dict[str, str]:
                        AS p90_cont
             FROM events GROUP BY event_type
         """,
+        "docs_weighted_sample": _sample_oracle(
+            " SELECT d.doc_id, d.n_chars FROM __LAST__ t JOIN documents d"
+            " USING (doc_id)"
+            " WHERE __H__ < LEAST(10 * d.n_chars, 10000)"),
         "docs_cap_per_source": _sample_oracle(
             " SELECT d.doc_id, d.source FROM __LAST__ t JOIN documents d"
             " USING (doc_id)"

@@ -147,3 +147,21 @@ def cap_per_group(ds, group_col: str, key_col: str, k: int, salt: int = 0,
         return batch.drop_columns(["_hash_desc"])
 
     return out.map_batches(strip, batch_format="pyarrow")
+
+
+def weighted_sample(ds, key_col: str, weight_bp_col: str, salt: int = 0):
+    """Importance sampling: keep a row with probability
+    weight_bp/10000 taken from a PER-ROW column (quality scores, domain
+    weights) — same key-stable mix64 stream as hash_sample, so the kept
+    set is deterministic, repartition-proof, and nests as a row's weight
+    grows. Weights are integer basis points (clip to [0, 10000] upstream);
+    no shuffle, no state."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        h = _mix64(_key_hash(batch[key_col]) + np.uint64(salt))
+        w = batch[weight_bp_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = (h % np.uint64(SAMPLE_SPACE)).astype(np.int64) < w
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

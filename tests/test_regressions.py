@@ -334,3 +334,27 @@ def test_redact_stage_patterns(ray_session):
                      out_col="scrubbed"),
         batch_format="pyarrow").to_pandas()
     assert "scrubbed" in out2.columns and "text" in out2.columns
+
+
+def test_weighted_sample_per_row_thresholds(ray_session):
+    """Weight 0 never keeps, weight 10000 always keeps, and membership at
+    weight w equals hash_sample at rate w for the same keys."""
+    import ray.data as rd
+
+    from h3ray.ops.sample import hash_sample, weighted_sample
+
+    n = 4000
+    keys = np.arange(n, dtype=np.int64)
+    w = np.zeros(n, dtype=np.int64)
+    w[keys % 3 == 0] = 10000
+    w[keys % 3 == 1] = 2500
+    tbl = pa.table({"doc_id": keys, "weight_bp": w})
+    out = weighted_sample(rd.from_arrow(tbl).repartition(5),
+                          "doc_id", "weight_bp").to_pandas()
+    got = set(out.doc_id)
+    assert {k for k in got if k % 3 == 2} == set()          # w=0 drops all
+    assert {int(k) for k in keys[keys % 3 == 0]} <= got     # w=1 keeps all
+    flat = set(hash_sample(rd.from_arrow(tbl), "doc_id", 2500)
+               .to_pandas().doc_id)
+    assert {k for k in got if k % 3 == 1} == \
+        {k for k in flat if k % 3 == 1}
