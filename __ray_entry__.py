@@ -726,6 +726,54 @@ def _docs_mode_lang_by_source(sf_dir: str):
     return grouped_mode(docs, "source", "lang", out_col="top_lang")
 
 
+def _docs_counts_long(sf_dir: str):
+    """Unpivot/melt: per-doc exact integer metrics (chars, words,
+    stopword hits) stacked to (doc_id, metric, value) long form."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.ops.reduce import unpivot
+    from h3ray.text.analysis import _STOPWORDS
+
+    stop_all = sorted(set().union(*_STOPWORDS.values()))
+    stop_pat = r"(?i)\b(?:" + "|".join(stop_all) + r")\b"
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+            "n_words": pc.cast(pc.count_substring_regex(text, r"\S+"),
+                               pa.int64()),
+            "n_stop": pc.cast(pc.count_substring_regex(text, stop_pat),
+                              pa.int64())})
+
+    wide = docs.map_batches(counts, batch_format="pyarrow")
+    return unpivot(wide, "doc_id", ["n_chars", "n_words", "n_stop"])
+
+
+def _counts_long_oracle() -> str:
+    from h3ray.text.analysis import _STOPWORDS
+
+    stop_all = sorted(set().union(*_STOPWORDS.values()))
+    pat = "(?i)\\b(?:" + "|".join(stop_all) + ")\\b"
+    return f"""
+        SELECT doc_id, 'n_chars' AS metric,
+               CAST(length(text) AS BIGINT) AS value FROM documents
+        UNION ALL
+        SELECT doc_id, 'n_words',
+               CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 'n_stop',
+               CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)
+        FROM documents
+    """
+
+
 def _docs_weighted_sample(sf_dir: str):
     """Importance sampling with a per-row probability column: keep
     probability proportional to doc length (weight_bp = min(10*n_chars,
@@ -1492,6 +1540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_curation_pipeline": _docs_curation_pipeline,
         "events_latest_per_user": _events_latest_per_user,
         "docs_weighted_sample": _docs_weighted_sample,
+        "docs_counts_long": _docs_counts_long,
         "docs_sample_10pct": _docs_sample_10pct,
         "docs_train_test_split": _docs_train_test_split,
         "ann_topk_lsh": _ann_topk_lsh,
@@ -2279,6 +2328,7 @@ def oracle_sql() -> dict[str, str]:
                        AS p90_cont
             FROM events GROUP BY event_type
         """,
+        "docs_counts_long": _counts_long_oracle(),
         "docs_weighted_sample": _sample_oracle(
             " SELECT d.doc_id, d.n_chars FROM __LAST__ t JOIN documents d"
             " USING (doc_id)"

@@ -188,3 +188,22 @@ def grouped_string_agg_distinct(ds, key_col: str, value_col: str,
 
     return driver_merge(ds.map_batches(partial, batch_format="pyarrow"),
                         merge)
+
+
+def unpivot(ds, id_col: str, value_cols: list,
+            name_col: str = "metric", value_col: str = "value"):
+    """Melt / UNPIVOT: (id, c1..ck) wide rows -> (id, metric, value) long
+    rows, k per input row — one stacked sub-table per value column, pure
+    per-batch Arrow concatenation, no shuffle. Value columns are cast to
+    int64 (use exact integer metrics; float melts forfeit hash parity)."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        parts = [pa.table({
+            id_col: batch[id_col],
+            name_col: pa.array([c] * batch.num_rows, type=pa.string()),
+            value_col: pc.cast(batch[c], pa.int64())})
+            for c in value_cols]
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

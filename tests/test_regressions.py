@@ -358,3 +358,17 @@ def test_weighted_sample_per_row_thresholds(ray_session):
                .to_pandas().doc_id)
     assert {k for k in got if k % 3 == 1} == \
         {k for k in flat if k % 3 == 1}
+
+
+def test_unpivot_stacks_columns(ray_session):
+    import ray.data as rd
+
+    from h3ray.ops.reduce import unpivot
+
+    tbl = pa.table({"id": pa.array([1, 2], type=pa.int64()),
+                    "a": pa.array([10, 20], type=pa.int64()),
+                    "b": pa.array([30, 40], type=pa.int64())})
+    out = unpivot(rd.from_arrow(tbl), "id", ["a", "b"]) \
+        .to_pandas().sort_values(["metric", "id"])
+    assert list(map(tuple, out.itertuples(index=False))) == [
+        (1, "a", 10), (2, "a", 20), (1, "b", 30), (2, "b", 40)]
