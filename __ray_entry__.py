@@ -726,6 +726,18 @@ def _docs_mode_lang_by_source(sf_dir: str):
     return grouped_mode(docs, "source", "lang", out_col="top_lang")
 
 
+def _docs_normalized(sf_dir: str):
+    """Text normalization: lowercase, collapse whitespace, trim — the
+    normalized text itself is the compared value."""
+    import ray.data as rd
+
+    from h3ray.text.analysis import normalize_stage
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return docs.map_batches(normalize_stage(), batch_format="pyarrow")
+
+
 def _docs_counts_long(sf_dir: str):
     """Unpivot/melt: per-doc exact integer metrics (chars, words,
     stopword hits) stacked to (doc_id, metric, value) long form."""
@@ -1541,6 +1553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest_per_user": _events_latest_per_user,
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_counts_long": _docs_counts_long,
+        "docs_normalized": _docs_normalized,
         "docs_sample_10pct": _docs_sample_10pct,
         "docs_train_test_split": _docs_train_test_split,
         "ann_topk_lsh": _ann_topk_lsh,
@@ -2329,6 +2342,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "docs_counts_long": _counts_long_oracle(),
+        "docs_normalized": """
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                       AS text
+            FROM documents
+        """,
         "docs_weighted_sample": _sample_oracle(
             " SELECT d.doc_id, d.n_chars FROM __LAST__ t JOIN documents d"
             " USING (doc_id)"

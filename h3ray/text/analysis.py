@@ -256,3 +256,20 @@ def redact_stage(text_col: str = "text", pattern: str = r"[0-9]+",
         return batch.append_column(out_col, scrubbed)
 
     return fn
+
+
+def normalize_stage(text_col: str = "text", out_col: str | None = None):
+    """Text normalization (the pre-tokenization step): lowercase, collapse
+    whitespace runs to single spaces, trim. Three Arrow kernels per batch;
+    replaces in place unless out_col is given."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(batch[text_col])
+        t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+        t = pc.utf8_trim_whitespace(t)
+        if out_col is None:
+            i = batch.schema.get_field_index(text_col)
+            return batch.set_column(i, text_col, t)
+        return batch.append_column(out_col, t)
+
+    return fn

@@ -87,3 +87,14 @@ def test_repetition_stage_matches_string_reference(ray_session):
         assert row.ngrams_total == len(grams)
         assert row.ngrams_distinct == len(set(grams))
         assert row.rep_ngrams == len(grams) - len(set(grams))
+
+
+def test_normalize_stage(ray_session):
+    from h3ray.text.analysis import normalize_stage
+
+    tbl = pa.table({"doc_id": [0, 1],
+                    "text": ["  Hello\t\tWORLD  x ", "a"]})
+    out = rd.from_arrow(tbl).map_batches(
+        normalize_stage(), batch_format="pyarrow") \
+        .to_pandas().sort_values("doc_id")
+    assert list(out.text) == ["hello world x", "a"]
