@@ -726,6 +726,68 @@ def _docs_mode_lang_by_source(sf_dir: str):
     return grouped_mode(docs, "source", "lang", out_col="top_lang")
 
 
+def _promo_revenue_by_brand(sf_dir: str):
+    """TPC-H Q14 shape: revenue share of a part category per brand. The
+    part table is the small side by construction — broadcast once via
+    ray.put as sorted numpy arrays (key -> brand code + category flag);
+    lineitem streams through a searchsorted probe + np.add.at combiner,
+    no shuffle at all. Revenue in exact cents (floor(p*(1-d)*100+0.5),
+    same float64 op order as the SQL mirror)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_type"])
+    pkeys = part["p_partkey"].to_numpy()
+    order = np.argsort(pkeys)
+    pkeys = pkeys[order]
+    brands_np = part["p_brand"].to_numpy(zero_copy_only=False)[order]
+    brand_list, brand_code = np.unique(brands_np, return_inverse=True)
+    is_econ = (part["p_type"].to_numpy(zero_copy_only=False)[order]
+               == "ECONOMY")
+    ref = ray.put((pkeys, brand_code.astype(np.int64), is_econ))
+    n_brands = brand_list.shape[0]
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys, codes, econ = ray.get(ref)
+        lp = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64)
+        idx = np.searchsorted(keys, lp)
+        idx = np.minimum(idx, keys.shape[0] - 1)
+        hit = keys[idx] == lp
+        b = codes[idx[hit]]
+        c = cents[hit]
+        e = econ[idx[hit]]
+        promo = np.zeros(n_brands, dtype=np.int64)
+        total = np.zeros(n_brands, dtype=np.int64)
+        np.add.at(total, b, c)
+        np.add.at(promo, b[e], c[e])
+        return pa.table({"p_brand": pa.array(brand_list),
+                         "promo_cents": pa.array(promo),
+                         "total_cents": pa.array(total)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("p_brand").aggregate(
+            [("promo_cents", "sum"), ("total_cents", "sum")])
+        g = g.rename_columns(["p_brand", "promo_cents", "total_cents"])
+        import pyarrow.compute as pc
+        return g.filter(pc.greater(g["total_cents"], 0))
+
+    return driver_merge(line.map_batches(partial,
+                                         batch_format="pyarrow"), merge)
+
+
 def _docs_normalized(sf_dir: str):
     """Text normalization: lowercase, collapse whitespace, trim — the
     normalized text itself is the compared value."""
@@ -1554,6 +1616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_counts_long": _docs_counts_long,
         "docs_normalized": _docs_normalized,
+        "promo_revenue_by_brand": _promo_revenue_by_brand,
         "docs_sample_10pct": _docs_sample_10pct,
         "docs_train_test_split": _docs_train_test_split,
         "ann_topk_lsh": _ann_topk_lsh,
@@ -2342,6 +2405,18 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "docs_counts_long": _counts_long_oracle(),
+        "promo_revenue_by_brand": """
+            SELECT p_brand,
+                   CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN cents
+                                 ELSE 0 END) AS BIGINT) AS promo_cents,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents
+            FROM (SELECT l_partkey,
+                         CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                    * 100 + 0.5) AS BIGINT) AS cents
+                  FROM lineitem) l
+            JOIN part ON p_partkey = l_partkey
+            GROUP BY p_brand
+        """,
         "docs_normalized": """
             SELECT doc_id,
                    trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
