@@ -11,7 +11,6 @@
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 
@@ -65,18 +64,36 @@ class BruteForceScorer:
                       .astype(np.float64))],
             names=["query_id", self.id_col, "cosine"])
 
-    @staticmethod
-    def merge_topk(k: int, id_col: str):
-        def fn(group: pd.DataFrame) -> pd.DataFrame:
-            return group.sort_values(["cosine", id_col],
-                                     ascending=[False, True]).head(k)
+def _rank_topk(partials, *, n_queries: int, k: int, id_col: str,
+               merge: str = "auto"):
+    """Final per-query ranking of (query_id, id, cosine) scorer partials.
 
-        return fn
+    Same two-path design as knn_join's final merge: each scorer batch
+    already emitted <= n_queries * k partial rows, so the total ranking
+    input is #blocks * n_queries * k. While n_queries * k is tiny the
+    driver tree-root merge wins (one vectorized segmented top-k, no
+    shuffle); past DRIVER_MERGE_MAX_ROWS the ranking routes through the
+    bucketed-groupby segmented top-k (`_distributed_topk`) — every row of
+    a query lands in one reducer, reducers stay Arrow-native. No per-query
+    Python/pandas callback on either path. Ties break by id ascending
+    (numeric id columns; hash string ids upstream if needed)."""
+    import ray.data as rd
+
+    from ..ops.reduce import driver_merge
+    from ..ops.skew import _segmented_top_k
+    from .knn import _distributed_topk, _resolve_merge
+
+    def top_k(tbl: pa.Table) -> pa.Table:
+        return _segmented_top_k(tbl, "query_id", "cosine", k, id_col)
+
+    if _resolve_merge(merge, n_queries, k) == "distributed":
+        return _distributed_topk(partials, top_k)
+    return rd.from_arrow(driver_merge(partials, top_k))
 
 
 def brute_force_topk(ds, queries: np.ndarray, *, id_col: str = "vec_id",
                      emb_col: str = "embedding", k: int = 10,
-                     concurrency: int = 4):
+                     concurrency: int = 4, merge: str = "auto"):
     """Exact cosine top-k per query over the embedding Dataset."""
     import ray
 
@@ -89,8 +106,8 @@ def brute_force_topk(ds, queries: np.ndarray, *, id_col: str = "vec_id",
         BruteForceScorer,
         fn_constructor_args=(qref, id_col, emb_col, k),
         batch_format="pyarrow", batch_size=4096, concurrency=_pool(concurrency))
-    return partials.groupby("query_id").map_groups(
-        BruteForceScorer.merge_topk(k, id_col), batch_format="pandas")
+    return _rank_topk(partials, n_queries=queries.shape[0], k=k,
+                      id_col=id_col, merge=merge)
 
 
 # ---------------------------------------------------------------------------
@@ -118,7 +135,7 @@ def lsh_bucket_stage(planes: np.ndarray, emb_col: str = "embedding",
 
 def lsh_topk(ds, queries: np.ndarray, *, id_col: str = "vec_id",
              emb_col: str = "embedding", k: int = 10, n_bits: int = 8,
-             concurrency: int = 4):
+             concurrency: int = 4, merge: str = "auto"):
     """ANN top-k scanning only LSH buckets that contain a query signature."""
     import ray
 
@@ -145,8 +162,8 @@ def lsh_topk(ds, queries: np.ndarray, *, id_col: str = "vec_id",
     partials = pruned.map_batches(
         BruteForceScorer, fn_constructor_args=(qref, id_col, emb_col, k),
         batch_format="pyarrow", batch_size=4096, concurrency=_pool(concurrency))
-    return partials.groupby("query_id").map_groups(
-        BruteForceScorer.merge_topk(k, id_col), batch_format="pandas")
+    return _rank_topk(partials, n_queries=queries.shape[0], k=k,
+                      id_col=id_col, merge=merge)
 
 
 
@@ -180,7 +197,7 @@ def _kmeans(sample: np.ndarray, n_centroids: int, n_iter: int = 10,
 def ivf_topk(ds, queries: np.ndarray, *, id_col: str = "vec_id",
              emb_col: str = "embedding", k: int = 10, n_centroids: int = 16,
              nprobe: int = 4, sample_rows: int = 4096,
-             concurrency: int = 4):
+             concurrency: int = 4, merge: str = "auto"):
     """IVF ANN: coarse-quantize the corpus against k-means centroids fitted
     on a driver-side sample (small by construction), scan only rows whose
     centroid is among each query's `nprobe` nearest lists.
@@ -227,8 +244,8 @@ def ivf_topk(ds, queries: np.ndarray, *, id_col: str = "vec_id",
     partials = pruned.map_batches(
         BruteForceScorer, fn_constructor_args=(qref, id_col, emb_col, k),
         batch_format="pyarrow", batch_size=4096, concurrency=_pool(concurrency))
-    return partials.groupby("query_id").map_groups(
-        BruteForceScorer.merge_topk(k, id_col), batch_format="pandas")
+    return _rank_topk(partials, n_queries=queries.shape[0], k=k,
+                      id_col=id_col, merge=merge)
 
 
 def _norm_block(tbl: pa.Table, id_col: str, emb_col: str):

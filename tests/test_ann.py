@@ -97,6 +97,25 @@ def test_ivf_topk_full_probe_exact_and_pruned_recall(ray_session):
     assert recall >= 0.9  # clustered queries live in few lists
 
 
+def test_topk_merge_paths_agree(ray_session):
+    """The driver tree-root merge and the distributed bucketed segmented
+    top-k must rank identically (same rows, same cosines) — the auto switch
+    at DRIVER_MERGE_MAX_ROWS must never change results."""
+    tbl, mat = make_embeddings(n=400)
+    queries = mat[:7].astype(np.float32)
+
+    def run(merge):
+        ds = rd.from_arrow(tbl).repartition(5)
+        out = ann.brute_force_topk(ds, queries, k=8, merge=merge).to_pandas()
+        return out.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+
+    a, b = run("driver"), run("distributed")
+    assert a[["query_id", "vec_id"]].values.tolist() == \
+        b[["query_id", "vec_id"]].values.tolist()
+    assert np.allclose(a.cosine, b.cosine)
+    assert set(a.groupby("query_id").size()) == {8}
+
+
 def test_cosine_dup_pairs_refuses_block_blowup(ray_session):
     """The exact O(N^2) path must refuse past max_blocks — the O(B^2)
     driver task fan-out cannot be deployed at corpus scale by accident."""
