@@ -898,45 +898,20 @@ def _events_latest_per_user(sf_dir: str):
 
 
 def _docs_curation_pipeline(sf_dir: str):
-    """The flagship end-to-end LLM data-curation pipeline, one Dataset
-    graph: C4-style quality filter -> benchmark decontamination (drop
-    contaminated) -> ngram-Jaccard near-dedup (keep canonical per
-    cluster) -> sequence packing of the surviving corpus. The cleaned
-    corpus is materialized once before near-dedup (three downstream
-    consumers; at production scale this is the checkpoint-to-parquet
-    boundary). Every stage is individually oracle-proven; this query
-    proves the COMPOSITION end to end."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import ray.data as rd
+    """The flagship end-to-end LLM data-curation pipeline: C4-style
+    quality filter -> benchmark decontamination -> ngram-Jaccard
+    near-dedup -> sequence packing (h3ray.pipelines.curation). The
+    cleaned corpus checkpoints DURABLY through the resumable partitioned
+    sink (hash-partitioned parquet + lineage manifests under /tmp;
+    re-runs on unchanged input skip finished partitions), not an
+    in-memory materialize — the 100-TB checkpoint boundary. Every stage
+    is individually oracle-proven; this query proves the COMPOSITION."""
+    from pathlib import Path
 
-    from h3ray.ops.join import semi_join
-    from h3ray.ops.scan import pack_sequences
-    from h3ray.text.analysis import quality_filter_stage
-    from h3ray.text.dedup import contamination_flags, near_dedup
+    from h3ray.pipelines.curation import curation_pipeline
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text", "n_chars"])
-    kept = docs.map_batches(quality_filter_stage(),
-                            batch_format="pyarrow")
-    bench = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                            columns=["doc_id", "text"],
-                            filter=pc.field("doc_id") < 10)
-    flags = contamination_flags(kept, bench, key_col="doc_id", k=20)
-
-    def clean_ids(b: pa.Table) -> pa.Table:
-        return b.filter(pc.equal(b["contaminated"], 0)) \
-            .select(["doc_id"])
-
-    clean = semi_join(kept,
-                      flags.map_batches(clean_ids,
-                                        batch_format="pyarrow"),
-                      "doc_id", "doc_id").materialize()
-    unique_docs = near_dedup(clean, key_col="doc_id", threshold=0.5)
-    packed = pack_sequences(unique_docs, order_col="doc_id",
-                            size_col="n_chars", budget=8192,
-                            bucket_width=64)
-    return packed.select_columns(["doc_id", "pack_id"])
+    ckpt = f"/tmp/h3ray_curation_ckpt/{Path(sf_dir).name}"
+    return curation_pipeline(sf_dir, checkpoint_dir=ckpt)
 
 
 def _curation_oracle() -> str:

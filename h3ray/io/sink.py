@@ -130,6 +130,38 @@ def write_partitioned(ds, out_dir: str, partition_col: str,
     return job
 
 
+def checkpoint_dataset(ds, out_dir: str, input_signature: str, *,
+                       key_col: str, num_parts: int = 16,
+                       columns: list[str] | None = None):
+    """Durable mid-pipeline checkpoint: hash-partitioned resumable parquet.
+
+    The scale-correct replacement for a mid-pipeline `.materialize()`
+    (which pins the whole intermediate in object-store memory): rows get a
+    deterministic partition from mix64(key_col) % num_parts, stream through
+    `write_partitioned` (per-partition lineage manifests, finished
+    partitions skipped on resume), and the returned Dataset READS BACK from
+    parquet — downstream consumers re-scan storage instead of holding the
+    checkpoint in memory, and a re-submitted job resumes from the manifest
+    state. The partition column is internal and dropped on read-back.
+    """
+    import numpy as np
+
+    from .pages import _mix64
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        part = (_mix64(keys) % np.uint64(num_parts)).astype(np.int32)
+        return batch.append_column("ckpt_part", pa.array(part))
+
+    keyed = ds.map_batches(add_part, batch_format="pyarrow")
+    write_partitioned(keyed, out_dir, "ckpt_part", input_signature)
+    import ray.data as rd
+
+    back = rd.read_parquet(out_dir, columns=columns)
+    return back.drop_columns(["ckpt_part"]) if columns is None else back
+
+
 def partition_row_counts(out_dir: str, partition_col: str,
                          exclude: set[str] | None = None) -> dict[str, int]:
     """Per-partition row counts from parquet footers (metadata-only)."""

@@ -79,3 +79,48 @@ def test_crashed_partition_redone(ray_session, out_dir):
 def test_new_signature_invalidates(ray_session, out_dir):
     sink.write_partitioned(build_ds(), out_dir, "parent_r1", "sig-a")
     assert not sink.finished_partitions(out_dir, "sig-b")
+
+
+def test_checkpoint_dataset_roundtrip_and_resume(ray_session, out_dir):
+    """checkpoint_dataset: read-back equals input (rows + values), the
+    internal partition column is dropped, and a re-run with the same
+    signature skips every finished partition (durable resume)."""
+    import ray.data as rd
+
+    src = rd.read_parquet(f"{SF}/documents.parquet",
+                          columns=["doc_id", "text", "n_chars"])
+    back = sink.checkpoint_dataset(src, out_dir, "ck-sig",
+                                   key_col="doc_id", num_parts=8)
+    df = back.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    exp = src.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert sorted(df.columns) == sorted(exp.columns)
+    assert df.doc_id.tolist() == exp.doc_id.tolist()
+    assert (df.n_chars.to_numpy() == exp.n_chars.to_numpy()).all()
+    job = json.loads((Path(out_dir) / "_manifests" / "_job.json")
+                     .read_text())
+    assert job["partitions"] == 8 and job["skipped"] == 0
+    # Resume: same signature -> all 8 partitions skipped, same read-back.
+    back2 = sink.checkpoint_dataset(src, out_dir, "ck-sig",
+                                    key_col="doc_id", num_parts=8)
+    job2 = json.loads((Path(out_dir) / "_manifests" / "_job.json")
+                      .read_text())
+    assert job2["skipped"] == 8 and job2["partitions"] == 0
+    assert back2.count() == len(exp)
+
+
+def test_curation_checkpoint_matches_in_memory(ray_session, tmp_path):
+    """The durable-checkpoint curation run must produce exactly the
+    in-memory run's (doc_id, pack_id) assignment."""
+    from h3ray.pipelines.curation import curation_pipeline
+
+    mem = curation_pipeline(SF).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    timings: dict = {}
+    dur = curation_pipeline(SF, checkpoint_dir=str(tmp_path / "ckpt"),
+                            timings=timings).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert mem.doc_id.tolist() == dur.doc_id.tolist()
+    assert mem.pack_id.tolist() == dur.pack_id.tolist()
+    assert set(timings) == {"filter_decontam_checkpoint", "near_dedup",
+                            "pack"}
+    assert (Path(tmp_path) / "ckpt" / "_manifests" / "_job.json").exists()
