@@ -33,6 +33,30 @@ N_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "8000000"))
 PAGES_DIR = os.environ.get("GRAFT_PAGES_DIR", f"/tmp/h3ray_bench_pages_{N_PAGES}")
 
 
+#: Single-core probe wall above which the tenancy window is "dirty"
+#: (BASELINE.md protocol): the sandbox shares a host and its effective CPU
+#: speed swings up to 50x under external load; a clean window probes
+#: <= ~0.35-0.4 s on this box.
+PROBE_CLEAN_S = 0.4
+
+
+def tenancy_probe() -> float:
+    """Single-core numpy probe (sqrt+sin over a warm 20M-element array).
+
+    Emitted as probe_s_before/probe_s_after in the bench JSON so every
+    recorded number is self-describing about window quality: wall times
+    from a run whose probes exceed PROBE_CLEAN_S are tenancy-inflated with
+    no code cause and must not be compared against clean-window records.
+    """
+    import numpy as np
+
+    a = np.arange(20_000_000, dtype=np.float64)
+    np.sqrt(a) * np.sin(a)  # warm-up: allocation + page faults
+    t0 = time.time()
+    np.sqrt(a) * np.sin(a)
+    return round(time.time() - t0, 3)
+
+
 def ensure_pages_parquet():
     """Materialize the synthetic pages input once (shared across runs)."""
     if not Path(PAGES_DIR).exists() or not any(Path(PAGES_DIR).glob("*.parquet")):
@@ -48,6 +72,7 @@ def run_benchmarks() -> dict:
     import ray.data as rd
     from ray.data import DataContext
 
+    probe_before = tenancy_probe()
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     ctx = DataContext.get_current()
@@ -204,14 +229,24 @@ def run_benchmarks() -> dict:
             best = min(best, time.time() - t0)
         timings["docs_dup_clusters"] = best
 
+    curation_stages: dict[str, float] = {}
     if want("curation_pipeline"):
         # The flagship composed pipeline (quality filter -> decontaminate
-        # -> near-dedup -> pack). Single rep: it dominates its own noise
-        # (near-dedup on the filtered corpus is the bulk of the work).
-        import __ray_entry__ as entrymod
+        # -> near-dedup -> pack) through its DURABLE checkpoint (fresh dir
+        # each run: the write is part of the measured work). Single rep:
+        # it dominates its own noise (near-dedup on the filtered corpus is
+        # the bulk). timings= forces stage boundaries so the JSON carries
+        # continuous per-stage cost attribution (filter+decontam+ckpt /
+        # near-dedup / pack) instead of a one-off hand profile.
+        import shutil
 
+        from h3ray.pipelines.curation import curation_pipeline
+
+        ckpt = f"/tmp/h3ray_bench_curation_ckpt_{NUM_CPUS}"
+        shutil.rmtree(ckpt, ignore_errors=True)
         t0 = time.time()
-        entrymod.queries()["docs_curation_pipeline"](SF_DIR).count()
+        curation_pipeline(SF_DIR, checkpoint_dir=ckpt,
+                          timings=curation_stages).count()
         timings["curation_pipeline"] = time.time() - t0
 
     if os.environ.get("GRAFT_BENCH_STATS"):
@@ -239,7 +274,15 @@ def run_benchmarks() -> dict:
             round(N_PAGES / timings["encode_cell_counts"])
             if timings.get("encode_cell_counts") else None),
     }
+    if curation_stages:
+        result["curation_pipeline_stages"] = {
+            k: round(v, 3) for k, v in curation_stages.items()}
     ray.shutdown()
+    probe_after = tenancy_probe()
+    result["probe_s_before"] = probe_before
+    result["probe_s_after"] = probe_after
+    result["window_clean"] = bool(max(probe_before, probe_after)
+                                  <= PROBE_CLEAN_S)
     return result
 
 
@@ -291,7 +334,14 @@ def run_scaling():
         p_eff = pass_res[lo]["value"] / ((hi / lo) * pass_res[hi]["value"])
         per_pass.append({f"sec_{lo}": pass_res[lo]["value"],
                          f"sec_{hi}": pass_res[hi]["value"],
-                         "eff": round(p_eff, 3)})
+                         "eff": round(p_eff, 3),
+                         "probes": [pass_res[lo].get("probe_s_before"),
+                                    pass_res[lo].get("probe_s_after"),
+                                    pass_res[hi].get("probe_s_before"),
+                                    pass_res[hi].get("probe_s_after")],
+                         "window_clean": bool(
+                             pass_res[lo].get("window_clean")
+                             and pass_res[hi].get("window_clean"))})
     lo, hi = cpus
     thr_lo = results[lo]["n_pages"] / results[lo]["value"]
     thr_hi = results[hi]["n_pages"] / results[hi]["value"]
