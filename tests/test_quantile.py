@@ -89,3 +89,61 @@ def test_grouped_percentiles_cont_matches_numpy(ray_session):
             s = np.sort(gv)
             lo, hi = s[int(np.floor(p))], s[int(np.ceil(p))]
             assert row[col] == lo + (p - np.floor(p)) * (hi - lo)
+
+
+def test_distributed_path_many_keys_matches_reference(ray_session):
+    """~10^5 distinct keys through the bucketed segmented-selection path:
+    DISC and CONT must match the direct per-key order statistic, and the
+    driver path must agree where it can run (spot groups)."""
+    from h3ray.ops.quantile import grouped_percentiles_cont
+
+    rng = np.random.default_rng(23)
+    n_keys = 100_000
+    keys = rng.integers(0, n_keys, 400_000).astype(np.int64)
+    vals = np.round(rng.standard_normal(400_000) * 100, 1)
+    tbl = pa.table({"k": pa.array(keys), "value": pa.array(vals)})
+    ds = rd.from_arrow(tbl).repartition(8)
+
+    disc = grouped_percentiles_disc(ds, "k", "value", [0.5, 0.9],
+                                    ["p50", "p90"],
+                                    merge="distributed").to_pandas()
+    assert len(disc) == len(np.unique(keys))
+    spot = rng.choice(np.unique(keys), 200, replace=False)
+    d = disc.set_index("k")
+    for k in spot:
+        grp = vals[keys == k]
+        assert d.loc[k, "p50"] == _disc(grp, 0.5), f"key {k} p50"
+        assert d.loc[k, "p90"] == _disc(grp, 0.9), f"key {k} p90"
+
+    cont = grouped_percentiles_cont(ds, "k", "value", [0.5], ["med"],
+                                    merge="distributed").to_pandas()
+    c = cont.set_index("k")
+    for k in spot:
+        grp = np.sort(vals[keys == k]).astype(np.float64)
+        p = 0.5 * (grp.shape[0] - 1)
+        lo, hi = grp[int(np.floor(p))], grp[int(np.ceil(p))]
+        exp = lo + (p - np.floor(p)) * (hi - lo)
+        assert c.loc[k, "med"] == exp, f"key {k} median"
+
+
+def test_auto_switches_to_distributed_past_budget(ray_session, monkeypatch):
+    """auto must produce identical results on both sides of the histogram
+    row budget (tiny budget forces the distributed fallback)."""
+    import h3ray.ops.quantile as qmod
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 50, 20_000).astype(np.int64)
+    vals = np.round(rng.standard_normal(20_000) * 10, 2)
+    tbl = pa.table({"k": pa.array(keys), "value": pa.array(vals)})
+
+    def run():
+        return grouped_percentiles_disc(
+            rd.from_arrow(tbl).repartition(6), "k", "value",
+            [0.5], ["p50"], merge="auto").to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+
+    on_driver = run()
+    monkeypatch.setattr(qmod, "DRIVER_HIST_MAX_ROWS", 100)
+    forced = run()
+    assert on_driver.k.tolist() == forced.k.tolist()
+    assert on_driver.p50.tolist() == forced.p50.tolist()
