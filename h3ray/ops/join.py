@@ -218,6 +218,11 @@ def semi_join(left_ds, right_ds, left_key: str, right_key: str,
     """
     nb = num_buckets or default_num_buckets()
     lschema = left_ds.schema()
+    if lschema is None:
+        raise ValueError("semi_join/anti_join requires a left input with a "
+                         "known schema; an empty upstream aggregate yields "
+                         "a schema-less Dataset — seed it with an explicit "
+                         "empty table instead")
     ltypes = arrow_types(lschema)
     lcols = list(lschema.names)
     fields = ([pa.field("_key", pa.int64()), pa.field("_side", pa.int8())]

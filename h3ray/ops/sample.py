@@ -158,6 +158,12 @@ def weighted_sample(ds, key_col: str, weight_bp_col: str, salt: int = 0):
     no shuffle, no state."""
 
     def fn(batch: pa.Table) -> pa.Table:
+        wc = batch[weight_bp_col]
+        if wc.null_count:
+            # A null weight is an unknown probability: drop the row rather
+            # than let NaN->int64 produce a platform-defined sentinel that
+            # keeps/drops nondeterministically.
+            batch = batch.filter(pa.compute.is_valid(wc))
         h = _mix64(_key_hash(batch[key_col]) + np.uint64(salt))
         w = batch[weight_bp_col].to_numpy(zero_copy_only=False) \
             .astype(np.int64)

@@ -94,7 +94,11 @@ def hll_distinct(ds, key_col: str, value_col: str,
         lambda t: t.group_by([key_col, "_idx"]).aggregate([("_rho", "max")])
         if t.num_rows else t)
     if merged.num_rows == 0:
-        return pa.table({key_col: pa.array([], type=pa.string()),
+        # Schema-stable empty result: key type comes from the (empty but
+        # schema-carrying) merged partials, not a hardcoded string.
+        key_type = (merged.schema.field(key_col).type
+                    if key_col in merged.schema.names else pa.string())
+        return pa.table({key_col: pa.array([], type=key_type),
                          out_col: pa.array([], type=pa.int64())})
     key_np = merged.column(key_col).to_numpy(zero_copy_only=False)
     idx_np = merged.column("_idx").to_numpy(zero_copy_only=False)

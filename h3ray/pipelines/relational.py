@@ -362,7 +362,9 @@ def orders_revenue_topk(sf_dir: str, segment: str = "BUILDING",
             else "o_orderkey"
         rev = batch["revenue_cents"].to_numpy(zero_copy_only=False)
         okey = batch[key].to_numpy(zero_copy_only=False)
-        order = np.lexsort((okey, -rev))[:k]
+        from ..ops.skew import _desc_sort_key
+
+        order = np.lexsort((okey, _desc_sort_key(rev)))[:k]
         kept = batch.take(pa.array(order))
         return pa.table({"o_orderkey": kept[key],
                          "revenue_cents": kept["revenue_cents"],
