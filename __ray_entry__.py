@@ -1508,6 +1508,237 @@ def _events_quantiles_by_type(sf_dir: str):
                   "p99_value"])
 
 
+def _events_ranked_in_type(sf_dir: str):
+    """SQL window-function family over one bucketed exchange: row_number /
+    rank / dense_rank / ntile(4) per event_type by value DESC, event_id
+    tiebreak — one vectorized lexsort per reducer (ops/window.py), no
+    per-partition callback, no global sort."""
+    import ray.data as rd
+
+    from h3ray.ops.window import window_rank
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    out = window_rank(ds, "event_type", "value", tiebreak_col="event_id",
+                      descending=True, ntile=4)
+    return out.select_columns(["event_id", "event_type", "row_number",
+                               "rank", "dense_rank", "ntile_4"])
+
+
+def _events_lag_lead_by_user(sf_dir: str):
+    """LAG/LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts,
+    event_id): partition-bucketed exchange + one lexsort per reducer,
+    nulls at partition edges."""
+    import ray.data as rd
+
+    from h3ray.ops.window import window_lag_lead
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    out = window_lag_lead(ds, "user_id", "ts", "value",
+                          tiebreak_col="event_id")
+    return out.select_columns(["event_id", "user_id", "lag_value",
+                               "lead_value"])
+
+
+def _events_winsorized(sf_dir: str):
+    """Per-type winsorization (outlier clamping to [p05, p95]): exact
+    PERCENTILE_CONT bounds from the two-pass selection engine (tiny:
+    |event_types| rows), broadcast once, one clamp kernel per batch — the
+    quantile engine composing into a row-level transform with zero extra
+    shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.quantile import grouped_percentiles_cont
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    bounds = grouped_percentiles_cont(
+        ds, "event_type", "value", [0.05, 0.95], ["p05", "p95"]) \
+        .to_pandas().sort_values("event_type")
+    types = bounds["event_type"].to_numpy()
+    p05 = bounds["p05"].to_numpy()
+    p95 = bounds["p95"].to_numpy()
+
+    def clamp(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(types, et)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        w = np.minimum(np.maximum(v, p05[pos]), p95[pos])
+        return pa.table({"event_id": batch["event_id"],
+                         "event_type": batch["event_type"],
+                         "value_w": pa.array(w)})
+
+    return ds.map_batches(clamp, batch_format="pyarrow")
+
+
+def _lineitem_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) of COUNT(*) +
+    SUM(quantity): the full rollup lattice from ONE combiner pass
+    (ops.reduce.rollup_counts) — coarser levels derived from the finest
+    partials, raw rows never re-scanned."""
+    import ray.data as rd
+
+    from h3ray.ops.reduce import rollup_counts
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_linestatus",
+                                  "l_quantity"])
+    return rollup_counts(li, "l_returnflag", "l_linestatus", "l_quantity",
+                         count_col="num_rows", sum_col="sum_qty")
+
+
+def _lineitem_corr_by_flag(sf_dir: str):
+    """Exact per-returnflag Pearson correlation of (quantity,
+    extendedprice): integer-moment combiners (cents quantization), Python
+    bigint tree-root merge, one float64 formula at the end — bit-identical
+    to DuckDB's HUGEINT-sum mirror."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.ops.reduce import grouped_corr_exact
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity",
+                                  "l_extendedprice"])
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "qty": np.floor(q + 0.5).astype(np.int64),
+            "price_cents": np.floor(p * 100 + 0.5).astype(np.int64)})
+
+    ints = li.map_batches(to_int, batch_format="pyarrow")
+    return grouped_corr_exact(ints, "l_returnflag", "qty", "price_cents",
+                              out_col="corr_qty_price")
+
+
+def _orders_big_qty(sf_dir: str):
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold — combiner-first per-order quantity sums, filter BEFORE the
+    join (only qualifying orderkeys cross), then a hash join to decorate
+    with order columns."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from h3ray.ops.join import hash_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        qty = np.floor(batch["l_quantity"]
+                       .to_numpy(zero_copy_only=False) + 0.5) \
+            .astype(np.int64)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        acc = np.zeros(uniq.shape[0], dtype=np.int64)
+        np.add.at(acc, inv, qty)
+        return pa.table({"l_orderkey": uniq, "total_qty": acc})
+
+    per_order = li.map_batches(partial, batch_format="pyarrow",
+                               batch_size=131072) \
+        .groupby("l_orderkey").aggregate(Sum("total_qty",
+                                             alias_name="total_qty"))
+    big = per_order.filter(expr="total_qty > 180")
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_totalprice"])
+    joined = hash_join(orders, big, "o_orderkey", "l_orderkey")
+    return joined.select_columns(["o_orderkey", "o_custkey",
+                                  "o_totalprice", "total_qty"])
+
+
+def _part_supplier_counts(sf_dir: str):
+    """COUNT(DISTINCT l_suppkey) per part: per-batch distinct-pair
+    combiner collapses to (partkey, suppkey) pairs before the one
+    exchange; per-bucket np.unique finishes the distinct count."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.io.pages import _mix64
+    from h3ray.ops.skew import default_num_buckets
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+    nb = default_num_buckets()
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        s = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        u = np.unique(np.stack([p, s], axis=1), axis=0)
+        return pa.table({
+            "l_partkey": u[:, 0], "l_suppkey": u[:, 1],
+            "_bucket": (_mix64(u[:, 0].astype(np.uint64))
+                        % np.uint64(nb)).astype(np.int32)})
+
+    def count_distinct(group: pa.Table) -> pa.Table:
+        p = group["l_partkey"].to_numpy(zero_copy_only=False)
+        s = group["l_suppkey"].to_numpy(zero_copy_only=False)
+        u = np.unique(np.stack([p, s], axis=1), axis=0)
+        uniq, counts = np.unique(u[:, 0], return_counts=True)
+        return pa.table({"l_partkey": uniq,
+                         "num_suppliers": counts.astype(np.int64)})
+
+    return li.map_batches(pairs, batch_format="pyarrow",
+                          batch_size=131072) \
+        .groupby("_bucket").map_groups(count_distinct,
+                                       batch_format="pyarrow")
+
+
+def _docs_tfidf_topk(sf_dir: str):
+    """Per-doc top-5 terms by integer-exact TF-IDF ordering (tf DESC, df
+    ASC, term ASC): vocabulary-bounded df combiner + broadcast, then a
+    zero-shuffle per-batch segmented top-k (text/analysis.py)."""
+    import ray.data as rd
+
+    from h3ray.text.analysis import tfidf_top_terms
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return tfidf_top_terms(ds, id_col="doc_id", text_col="text", k=5)
+
+
+def _h3_ring_smoothed(sf_dir: str):
+    """Hex-raster box filter: per-cell page counts smoothed over
+    gridDisk(1) — disk expansion on pre-reduced per-cell partials, one
+    groupby(cell) sum (pipelines/geotag.ring_smoothed_counts). H3 math;
+    validated by pytest vs a local whole-corpus reference, rows-only
+    here."""
+    from h3ray.io import pages as pio
+    from h3ray.pipelines import geotag
+
+    return geotag.ring_smoothed_counts(pio.pages_from_documents(sf_dir),
+                                       res=5, k=1)
+
+
+def _emb_kmeans_assign(sf_dir: str):
+    """Distributed spherical k-means (3 Lloyd passes, exact micro-int
+    partial sums -> bit-deterministic regardless of blocking) + one
+    assignment pass. Embeddings never shuffle. No SQL oracle (iterative);
+    pytest asserts exact equality with a single-process reference."""
+    import ray.data as rd
+
+    from h3ray.pipelines.ann import kmeans_assign, kmeans_fit
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    cent = kmeans_fit(ds, n_clusters=8, n_iter=3, sample_rows=2048)
+    return kmeans_assign(ds, cent)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -1517,6 +1748,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     return {
+        # --- round-4 wave: window functions / rollup / exact corr /
+        # --- Q18 / TF-IDF ---
+        "events_ranked_in_type": _events_ranked_in_type,
+        "events_lag_lead_by_user": _events_lag_lead_by_user,
+        "events_winsorized": _events_winsorized,
+        "lineitem_rollup": _lineitem_rollup,
+        "lineitem_corr_by_flag": _lineitem_corr_by_flag,
+        "orders_big_qty": _orders_big_qty,
+        "part_supplier_counts": _part_supplier_counts,
+        "docs_tfidf_topk": _docs_tfidf_topk,
+        "emb_kmeans_assign": _emb_kmeans_assign,
+        "h3_ring_smoothed": _h3_ring_smoothed,
         # --- round-3/4 flagships (curation / dedup / sampling family) ---
         "docs_curation_pipeline": _docs_curation_pipeline,
         "docs_near_dedup": _docs_near_dedup,
@@ -1999,6 +2242,101 @@ _DUP_CLUSTERS_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_ranked_in_type": """
+            SELECT event_id, event_type,
+                   ROW_NUMBER() OVER w AS "row_number",
+                   RANK() OVER (PARTITION BY event_type
+                                ORDER BY value DESC) AS "rank",
+                   DENSE_RANK() OVER (PARTITION BY event_type
+                                      ORDER BY value DESC) AS dense_rank,
+                   NTILE(4) OVER w AS ntile_4
+            FROM events
+            WINDOW w AS (PARTITION BY event_type
+                         ORDER BY value DESC, event_id)
+        """,
+        "events_lag_lead_by_user": """
+            SELECT event_id, user_id,
+                   LAG(value, 1) OVER w AS lag_value,
+                   LEAD(value, 1) OVER w AS lead_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "events_winsorized": """
+            WITH b AS (
+              SELECT event_type,
+                     PERCENTILE_CONT(0.05) WITHIN GROUP (ORDER BY value)
+                         AS p05,
+                     PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY value)
+                         AS p95
+              FROM events GROUP BY event_type)
+            SELECT e.event_id, e.event_type,
+                   LEAST(GREATEST(e.value, b.p05), b.p95) AS value_w
+            FROM events e JOIN b USING (event_type)
+        """,
+        "lineitem_rollup": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS num_rows,
+                   CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "lineitem_corr_by_flag": """
+            WITH m AS (
+              SELECT l_returnflag,
+                     COUNT(*) AS n,
+                     SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS sx,
+                     SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                              AS BIGINT)) AS sy,
+                     SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)
+                         * CAST(FLOOR(l_quantity + 0.5) AS BIGINT))
+                         AS sxx,
+                     SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                         * CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                AS BIGINT)) AS syy,
+                     SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)
+                         * CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                AS BIGINT)) AS sxy
+              FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+                       AS corr_qty_price
+            FROM m
+        """,
+        "orders_big_qty": """
+            SELECT o_orderkey, o_custkey, o_totalprice, total_qty
+            FROM orders JOIN (
+              SELECT l_orderkey,
+                     CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT))
+                          AS BIGINT) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+            ) q ON o_orderkey = q.l_orderkey
+            WHERE total_qty > 180
+        """,
+        "part_supplier_counts": """
+            SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS num_suppliers
+            FROM lineitem GROUP BY l_partkey
+        """,
+        "docs_tfidf_topk": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '\s+'))
+                         AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM tok WHERE term <> '' GROUP BY doc_id, term
+            ), df AS (
+              SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tok WHERE term <> '' GROUP BY term
+            ), ranked AS (
+              SELECT t.doc_id, t.term, t.tf, d.df,
+                     ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                        ORDER BY t.tf DESC, d.df, t.term)
+                         AS rn
+              FROM tf t JOIN df d USING (term))
+            SELECT doc_id, term, tf, df FROM ranked WHERE rn <= 5
+        """,
         "lineitem_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT))

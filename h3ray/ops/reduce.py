@@ -207,3 +207,133 @@ def unpivot(ds, id_col: str, value_cols: list,
         return pa.concat_tables(parts)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def grouped_corr_exact(ds, key_col: str, x_col: str, y_col: str,
+                       out_col: str = "corr",
+                       chunk_rows: int = 4096) -> pa.Table:
+    """Exact per-key Pearson correlation of two INTEGER columns.
+
+    Float summation is grouping-dependent (numpy pairwise vs SQL
+    sequential differ in the last bits), so the moments are accumulated as
+    EXACT integers instead: per-batch combiners emit int64 partial sums
+    (n, sx, sy, sxx, syy, sxy) over <= chunk_rows row slices (4096 rows
+    keeps x*x sums under int64 even at 1e7-magnitude inputs), the driver
+    tree-root merges them in arbitrary-precision Python ints, and the only
+    float ops are the FINAL formula
+        corr = (n*sxy - sx*sy) / (sqrt(n*sxx - sx^2) * sqrt(n*syy - sy^2))
+    on exact-integer operands — one rounding per operand, then IEEE
+    mul/div/sqrt, bit-identical to a SQL engine computing the same
+    expression from HUGEINT sums. Keys with zero variance emit NULL.
+    Returns pa.Table (key_col, out_col)."""
+    import math
+
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col]
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_k, sums = [], []
+        for s in range(0, x.shape[0], chunk_rows):
+            e = min(s + chunk_rows, x.shape[0])
+            karr = keys.slice(s, e - s).to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(karr, return_inverse=True)
+            m = uniq.shape[0]
+            acc = np.zeros((m, 6), dtype=np.int64)
+            np.add.at(acc[:, 0], inv, 1)
+            np.add.at(acc[:, 1], inv, x[s:e])
+            np.add.at(acc[:, 2], inv, y[s:e])
+            np.add.at(acc[:, 3], inv, x[s:e] * x[s:e])
+            np.add.at(acc[:, 4], inv, y[s:e] * y[s:e])
+            np.add.at(acc[:, 5], inv, x[s:e] * y[s:e])
+            out_k.append(uniq)
+            sums.append(acc)
+        if not out_k:
+            return pa.table({key_col: pa.array([], keys.type),
+                             "_n": pa.array([], pa.int64()),
+                             "_sx": pa.array([], pa.int64()),
+                             "_sy": pa.array([], pa.int64()),
+                             "_sxx": pa.array([], pa.int64()),
+                             "_syy": pa.array([], pa.int64()),
+                             "_sxy": pa.array([], pa.int64())})
+        ks = np.concatenate(out_k)
+        a = np.concatenate(sums, axis=0)
+        return pa.table({key_col: pa.array(ks, type=keys.type),
+                         "_n": a[:, 0], "_sx": a[:, 1], "_sy": a[:, 2],
+                         "_sxx": a[:, 3], "_syy": a[:, 4],
+                         "_sxy": a[:, 5]})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=131072)
+
+    def merge(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if len(df) == 0:
+            return pa.table({key_col: pa.array([], pa.string()),
+                             out_col: pa.array([], pa.float64())})
+        # object dtype => Python ints => no int64 overflow in the merge.
+        for c in ("_n", "_sx", "_sy", "_sxx", "_syy", "_sxy"):
+            df[c] = df[c].astype(object)
+        g = df.groupby(key_col, sort=True, as_index=False).sum()
+        vals = []
+        for _, r in g.iterrows():
+            n, sx, sy = int(r["_n"]), int(r["_sx"]), int(r["_sy"])
+            cov = n * int(r["_sxy"]) - sx * sy
+            vx = n * int(r["_sxx"]) - sx * sx
+            vy = n * int(r["_syy"]) - sy * sy
+            if vx <= 0 or vy <= 0:
+                vals.append(None)
+            else:
+                vals.append(float(cov)
+                            / (math.sqrt(float(vx)) * math.sqrt(float(vy))))
+        return pa.table({key_col: pa.array(g[key_col].tolist()),
+                         out_col: pa.array(vals, type=pa.float64())})
+
+    return driver_merge(partials, merge)
+
+
+def rollup_counts(ds, col_a: str, col_b: str, value_col: str,
+                  count_col: str = "num_rows",
+                  sum_col: str = "sum_value") -> pa.Table:
+    """GROUP BY ROLLUP(col_a, col_b): COUNT(*) + SUM(int value) at three
+    grouping levels — (a, b), (a, NULL), (NULL, NULL) — in ONE combiner
+    pass: each batch collapses to its distinct (a, b) partials and the
+    driver tree-root derives the coarser levels from the finest (the
+    rollup lattice is algebraic, so upper levels cost nothing extra and
+    never see raw rows). NULL marks the rolled-up column, as in SQL."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({col_a: batch[col_a], col_b: batch[col_b],
+                      "_v": pc.cast(batch[value_col], pa.int64())})
+        g = t.group_by([col_a, col_b]).aggregate(
+            [([], "count_all"), ("_v", "sum")])
+        return g.rename_columns([col_a, col_b, "_n", "_s"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by([col_a, col_b]).aggregate(
+            [("_n", "sum"), ("_s", "sum")])
+        a = g[col_a].to_pylist()
+        b = g[col_b].to_pylist()
+        n = g["_n_sum"].to_numpy(zero_copy_only=False)
+        s = g["_s_sum"].to_numpy(zero_copy_only=False)
+        rows_a: dict = {}
+        for i, ka in enumerate(a):
+            acc = rows_a.setdefault(ka, [0, 0])
+            acc[0] += int(n[i])
+            acc[1] += int(s[i])
+        total = [sum(v[0] for v in rows_a.values()),
+                 sum(v[1] for v in rows_a.values())]
+        out_a = list(a) + list(rows_a) + [None]
+        out_b = list(b) + [None] * (len(rows_a) + 1)
+        out_n = list(n) + [v[0] for v in rows_a.values()] + [total[0]]
+        out_s = list(s) + [v[1] for v in rows_a.values()] + [total[1]]
+        return pa.table({col_a: pa.array(out_a, type=g[col_a].type),
+                         col_b: pa.array(out_b, type=g[col_b].type),
+                         count_col: pa.array(out_n, type=pa.int64()),
+                         sum_col: pa.array(out_s, type=pa.int64())})
+
+    return driver_merge(ds.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=131072), merge)

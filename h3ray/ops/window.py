@@ -1,0 +1,154 @@
+"""Partitioned SQL window functions (rank family, lag/lead, ntile).
+
+Window functions need every row of a partition co-located and ordered.
+One hash-bucketed exchange (all rows of a partition land in one reducer;
+reducer count scales with cores) followed by ONE vectorized lexsort per
+bucket that computes every requested window column in the same pass —
+no per-partition Python callback, no global sort. Per-reducer memory is
+~n/num_buckets; a single partition's rows are the irreducible unit
+(same co-location argument as exact grouped quantiles).
+
+Semantics match SQL (DuckDB):
+- row_number: 1-based position by (order_col ASC|DESC, tiebreak ASC) —
+  deterministic because the tiebreak column must be per-row unique.
+- rank / dense_rank: ties on order_col only (tiebreak ignored), gaps /
+  no gaps.
+- ntile(n): first (count % n) tiles get ceil(count/n) rows, rest floor.
+- lag/lead(value, 1): previous/next row's value in partition order,
+  null at the edges.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..io.pages import _mix64
+from .sample import _key_hash
+from .skew import _desc_sort_key, default_num_buckets
+
+
+def _bucketed(ds, part_col: str, num_buckets: int | None):
+    nb = num_buckets or default_num_buckets()
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch[part_col])
+        return batch.append_column(
+            "_bucket",
+            pa.array((_mix64(h) % np.uint64(nb)).astype(np.int32)))
+
+    return ds.map_batches(bucket, batch_format="pyarrow",
+                          batch_size=131072)
+
+
+def _partition_order(group: pa.Table, part_col: str, order_col: str,
+                     tiebreak_col: str, descending: bool):
+    """(sort permutation, inverse-codes-sorted, segment starts, order
+    values sorted) for one bucket's rows."""
+    parts = group[part_col].to_numpy(zero_copy_only=False)
+    ov = group[order_col].to_numpy(zero_copy_only=False)
+    tb = group[tiebreak_col].to_numpy(zero_copy_only=False)
+    _, inv = np.unique(parts, return_inverse=True)
+    key = _desc_sort_key(ov) if descending else ov
+    order = np.lexsort((tb, key, inv))
+    iv = inv[order]
+    n = order.shape[0]
+    new_seg = np.ones(n, dtype=bool)
+    if n:
+        new_seg[1:] = iv[1:] != iv[:-1]
+    seg_start = np.flatnonzero(new_seg)
+    return order, iv, new_seg, seg_start, ov[order]
+
+
+def window_rank(ds, part_col: str, order_col: str, *,
+                tiebreak_col: str, descending: bool = False,
+                ntile: int | None = None,
+                num_buckets: int | None = None):
+    """Append row_number / rank / dense_rank (and ntile_<n> when `ntile`)
+    columns, partitioned by `part_col`, ordered by `order_col`."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["_bucket"])
+        n = group.num_rows
+        if n == 0:
+            out = group
+            for c in ["row_number", "rank", "dense_rank"] + (
+                    [f"ntile_{ntile}"] if ntile else []):
+                out = out.append_column(c, pa.array([], pa.int64()))
+            return out
+        order, iv, new_seg, seg_start, ov_sorted = _partition_order(
+            group, part_col, order_col, tiebreak_col, descending)
+        idx = np.arange(n, dtype=np.int64)
+        seg_of = np.cumsum(new_seg) - 1
+        pos = idx - seg_start[seg_of]          # 0-based within partition
+        row_number = pos + 1
+        # Tie runs: new value within segment (or new segment).
+        new_val = new_seg.copy()
+        new_val[1:] |= ov_sorted[1:] != ov_sorted[:-1]
+        run_start = np.maximum.accumulate(np.where(new_val, idx, 0))
+        rank = run_start - seg_start[seg_of] + 1
+        gv = np.cumsum(new_val)
+        dense = gv - gv[seg_start[seg_of]] + 1
+        cols = {"row_number": row_number, "rank": rank,
+                "dense_rank": dense}
+        if ntile:
+            seg_len = np.diff(np.append(seg_start, n))[seg_of]
+            q, rem = seg_len // ntile, seg_len % ntile
+            big = rem * (q + 1)
+            in_big = pos < big
+            safe_q = np.maximum(q, 1)  # seg_len < ntile => rem-only tiles
+            cols[f"ntile_{ntile}"] = np.where(
+                in_big, pos // np.maximum(q + 1, 1),
+                rem + (pos - big) // safe_q) + 1
+        # Scatter back to input row order.
+        out = group
+        for name, v in cols.items():
+            scattered = np.empty(n, dtype=np.int64)
+            scattered[order] = v
+            out = out.append_column(name, pa.array(scattered))
+        return out
+
+    return _bucketed(ds, part_col, num_buckets).groupby("_bucket") \
+        .map_groups(fn, batch_format="pyarrow")
+
+
+def window_lag_lead(ds, part_col: str, order_col: str, value_col: str, *,
+                    tiebreak_col: str, lag_col: str = "lag_value",
+                    lead_col: str = "lead_value",
+                    num_buckets: int | None = None):
+    """Append lag(value,1) / lead(value,1) over (PARTITION BY part_col
+    ORDER BY order_col, tiebreak_col); null at partition edges."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["_bucket"])
+        n = group.num_rows
+        vtype = group.schema.field(value_col).type
+        if n == 0:
+            return group.append_column(lag_col, pa.array([], vtype)) \
+                .append_column(lead_col, pa.array([], vtype))
+        order, iv, new_seg, seg_start, _ = _partition_order(
+            group, part_col, order_col, tiebreak_col, descending=False)
+        vals = group[value_col].to_numpy(zero_copy_only=False)[order]
+        lag_v = np.empty_like(vals)
+        lag_v[1:] = vals[:-1]
+        lag_mask = ~new_seg                    # first row of segment: null
+        lead_v = np.empty_like(vals)
+        lead_v[:-1] = vals[1:]
+        last = np.zeros(n, dtype=bool)
+        last[:-1] = new_seg[1:]
+        last[-1] = True
+        lead_mask = ~last
+        out_lag = np.empty(n, dtype=vals.dtype)
+        out_lag[order] = lag_v
+        ok_lag = np.empty(n, dtype=bool)
+        ok_lag[order] = lag_mask
+        out_lead = np.empty(n, dtype=vals.dtype)
+        out_lead[order] = lead_v
+        ok_lead = np.empty(n, dtype=bool)
+        ok_lead[order] = lead_mask
+        return group.append_column(
+            lag_col, pa.array(out_lag, mask=~ok_lag)) \
+            .append_column(lead_col, pa.array(out_lead, mask=~ok_lead))
+
+    return _bucketed(ds, part_col, num_buckets).groupby("_bucket") \
+        .map_groups(fn, batch_format="pyarrow")

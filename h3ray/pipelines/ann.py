@@ -505,3 +505,113 @@ def quantize_int8(ds, *, id_col: str = "vec_id",
             "q8": q8.ravel()})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def kmeans_fit(ds, *, emb_col: str = "embedding", n_clusters: int = 8,
+               n_iter: int = 5, sample_rows: int = 4096, seed: int = 11):
+    """Distributed spherical k-means (Lloyd): the corpus-scale variant of
+    the driver-sample `_kmeans` used by IVF.
+
+    Each iteration is ONE streaming pass: centroids broadcast via ray.put,
+    every batch assigns rows (argmax cosine) and collapses to
+    (cluster x dim) micro-int64 partial sums + counts (exact,
+    summation-order-free — the centroids_by_label trick, so the fit is
+    bit-deterministic regardless of block boundaries), partials tree-merge
+    at the driver (bounded by n_clusters x dim), centroids renormalize.
+    Embeddings never shuffle; the exchange per iteration is
+    O(blocks x n_clusters x dim) partial rows. Returns (n_clusters, dim)
+    float32 centroids. Empty clusters keep their previous centroid."""
+    import ray
+
+    init = _kmeans(_sample_matrix(ds, emb_col, sample_rows), n_clusters,
+                   n_iter=0, seed=seed)
+    cent = init
+    for _ in range(n_iter):
+        cent = _kmeans_step(ds, emb_col, cent)
+    return cent
+
+
+def _sample_matrix(ds, emb_col: str, sample_rows: int) -> np.ndarray:
+    parts = [
+        pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+        for b in ds.select_columns([emb_col]).limit(sample_rows)
+        .iter_batches(batch_format="pyarrow", batch_size=None)]
+    parts = [t for t in parts if t.num_rows]
+    if not parts:
+        raise ValueError("kmeans_fit: empty input dataset")
+    return _embedding_matrix(pa.concat_tables(parts), emb_col)
+
+
+def _kmeans_step(ds, emb_col: str, cent: np.ndarray) -> np.ndarray:
+    import ray
+
+    from ..ops.reduce import driver_merge
+
+    cref = ray.put(cent)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        x = _embedding_matrix(batch, emb_col, dtype=np.float64)
+        xn = x / np.clip(np.linalg.norm(x, axis=1, keepdims=True),
+                         1e-30, None)
+        assign = np.argmax(xn @ c.T.astype(np.float64), axis=1)
+        micro = np.floor(xn * 1_000_000 + 0.5).astype(np.int64)
+        acc = np.zeros((c.shape[0], x.shape[1]), dtype=np.int64)
+        np.add.at(acc, assign, micro)
+        counts = np.bincount(assign, minlength=c.shape[0]).astype(np.int64)
+        d = x.shape[1]
+        return pa.table({
+            "cluster": np.repeat(np.arange(c.shape[0], dtype=np.int64), d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), c.shape[0]),
+            "sum_micro": acc.reshape(-1),
+            "n_vecs": np.repeat(counts, d)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["cluster", "dim"]).aggregate(
+            [("sum_micro", "sum"), ("n_vecs", "sum")])
+        return g.rename_columns(["cluster", "dim", "sum_micro", "n_vecs"])
+
+    m = driver_merge(ds.select_columns([emb_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=8192), merge)
+    if m.num_rows == 0:
+        return cent
+    cl = m["cluster"].to_numpy(zero_copy_only=False)
+    dim = m["dim"].to_numpy(zero_copy_only=False)
+    sm = m["sum_micro"].to_numpy(zero_copy_only=False)
+    nv = m["n_vecs"].to_numpy(zero_copy_only=False)
+    new = cent.astype(np.float64).copy()
+    d = cent.shape[1]
+    sums = np.zeros((cent.shape[0], d), dtype=np.float64)
+    counts = np.zeros(cent.shape[0], dtype=np.int64)
+    sums[cl, dim] = sm
+    counts[cl] = nv
+    nonempty = counts > 0
+    mean = sums[nonempty] / counts[nonempty, None]
+    norm = np.clip(np.linalg.norm(mean, axis=1, keepdims=True),
+                   1e-30, None)
+    new[nonempty] = mean / norm
+    return new.astype(np.float32)
+
+
+def kmeans_assign(ds, centroids: np.ndarray, *, id_col: str = "vec_id",
+                  emb_col: str = "embedding"):
+    """Assignment pass: (id, cluster, cosine-to-centroid) per row against
+    broadcast centroids — one zero-shuffle map_batches."""
+    import ray
+
+    cref = ray.put(centroids.astype(np.float32))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        x = _embedding_matrix(batch, emb_col, dtype=np.float64)
+        xn = x / np.clip(np.linalg.norm(x, axis=1, keepdims=True),
+                         1e-30, None)
+        sims = xn @ c.T.astype(np.float64)
+        assign = np.argmax(sims, axis=1)
+        best = np.take_along_axis(sims, assign[:, None], axis=1).ravel()
+        return pa.table({id_col: batch[id_col],
+                         "cluster": assign.astype(np.int64),
+                         "cosine": best})
+
+    return ds.select_columns([id_col, emb_col]).map_batches(
+        fn, batch_format="pyarrow", batch_size=8192)

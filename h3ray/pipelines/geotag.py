@@ -105,3 +105,44 @@ def write_geotagged(pages_ds, out_dir: str, res: int = 9, parent_res: int = 3):
         ds, out_dir, f"parent_r{parent_res}",
         input_signature=f"geotag:res={res}:parent={parent_res}")
     return job
+
+
+def ring_smoothed_counts(pages_ds, res: int = 5, k: int = 1,
+                         batch_size: int = 32768):
+    """Hex-raster box filter: per-cell page counts smoothed over the
+    gridDisk(k) neighborhood (raster smoothing on the H3 grid — the
+    raster side of raster<->vector tiling).
+
+    smoothed(c) = sum of num_pages(c') over all c' with gridDistance <= k.
+    Grid distance is symmetric, so scattering each cell's count TO its own
+    disk computes exactly the gather over every cell's disk — one
+    vectorized disk expansion per combiner batch (counts, not pages: the
+    expansion runs on the pre-reduced per-cell partials, ~7x rows at k=1),
+    then one groupby(cell) sum. Cells with zero pages in their whole disk
+    don't appear (sparse raster). Returns Dataset (cell, num_pages,
+    smoothed_pages); `cell` is the int64 bit-view (shuffle-safe).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..kernels import grid
+
+    ds = geotag_cells(pages_ds, res=res, parent_res=0,
+                      keep_cols=("url",), batch_size=batch_size)
+    col = f"cell_r{res}"
+
+    def expand(batch: pa.Table) -> pa.Table:
+        cells = batch[col].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(cells, return_counts=True)
+        orow, dcell, dist = grid.grid_disk_distances(uniq, k)
+        cnt = counts[orow].astype(np.int64)
+        return pa.table({
+            "cell": dcell.view(np.int64),
+            "partial_smooth": cnt,
+            "partial_self": np.where(dist == 0, cnt, 0).astype(np.int64)})
+
+    partials = ds.map_batches(expand, batch_format="pyarrow",
+                              batch_size=131072)
+    agg = partials.groupby("cell").aggregate(
+        Sum("partial_smooth", alias_name="smoothed_pages"),
+        Sum("partial_self", alias_name="num_pages"))
+    return agg.select_columns(["cell", "num_pages", "smoothed_pages"])

@@ -273,3 +273,102 @@ def normalize_stage(text_col: str = "text", out_col: str | None = None):
         return batch.append_column(out_col, t)
 
     return fn
+
+
+def _doc_terms(batch: pa.Table, id_col: str, text_col: str):
+    """(doc_ids_per_token, token_strings) exploded from one batch —
+    lowercase whitespace tokens, empties dropped (the top_terms rules)."""
+    lists = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]), r"\s+")
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    toks = pc.list_flatten(lists)
+    ids = np.repeat(batch[id_col].to_numpy(zero_copy_only=False), lens)
+    keep = pc.not_equal(toks, "").to_numpy(zero_copy_only=False)
+    return ids[keep], toks.to_numpy(zero_copy_only=False)[keep]
+
+
+def document_frequency(ds, id_col: str = "doc_id",
+                       text_col: str = "text") -> pa.Table:
+    """Per-term document frequency (distinct docs containing the term).
+
+    Vocabulary-bounded combiner: each batch collapses to its distinct
+    (term -> #docs-in-batch) rows (a doc never spans batches, so per-batch
+    distinct (doc, term) dedup is globally correct), then the tiny
+    per-batch partials driver-merge — the exchange moves vocabulary-sized
+    rows, never tokens. Returns pa.Table (term, df)."""
+    from ..ops.reduce import driver_merge
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, toks = _doc_terms(batch, id_col, text_col)
+        if ids.shape[0] == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        terms, code = np.unique(toks, return_inverse=True)
+        pair = ids.astype(np.int64) * np.int64(terms.shape[0]) + code
+        upair = np.unique(pair)
+        t_of_pair = (upair % terms.shape[0]).astype(np.int64)
+        df = np.bincount(t_of_pair,
+                         minlength=terms.shape[0]).astype(np.int64)
+        return pa.table({"term": pa.array(terms, type=pa.string()),
+                         "df": df})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["term"]).aggregate([("df", "sum")])
+        return g.rename_columns(["term", "df"])
+
+    return driver_merge(ds.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=8192), merge)
+
+
+def tfidf_top_terms(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                    k: int = 5):
+    """Per-doc top-k terms by (tf DESC, df ASC, term ASC) — the
+    integer-exact TF-IDF ranking (at equal term frequency the RARER term
+    ranks first; idf = ln(N/df) is monotone-decreasing in df, so ordering
+    by df ascending IS the idf ordering without a float in sight).
+
+    Two passes: the vocabulary-bounded df combiner above, then a
+    zero-shuffle per-batch pass — df broadcasts once (ray.put of two
+    sorted arrays), tf is a per-(doc,term) np.unique count (docs never
+    span batches), and one lexsort + segment-rank filter per batch takes
+    each doc's top k. Emits (doc_id, term, tf, df)."""
+    import ray
+
+    from ..ops.skew import _desc_sort_key
+
+    dft = document_frequency(ds, id_col, text_col)
+    vocab = dft["term"].to_numpy(zero_copy_only=False)
+    order = np.argsort(vocab)
+    vocab_ref = ray.put((vocab[order],
+                         dft["df"].to_numpy(zero_copy_only=False)[order]))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, toks = _doc_terms(batch, id_col, text_col)
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "term": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64()),
+                          "df": pa.array([], pa.int64())})
+        if ids.shape[0] == 0:
+            return empty
+        terms, code = np.unique(toks, return_inverse=True)
+        pair = ids.astype(np.int64) * np.int64(terms.shape[0]) + code
+        upair, tf = np.unique(pair, return_counts=True)
+        doc = (upair // terms.shape[0]).astype(np.int64)
+        tcode = (upair % terms.shape[0]).astype(np.int64)
+        v_terms, v_df = ray.get(vocab_ref)
+        pos = np.searchsorted(v_terms, terms[tcode])
+        df = v_df[pos]
+        # Per-doc top-k by (tf DESC, df ASC, term ASC).
+        srt = np.lexsort((terms[tcode], df, _desc_sort_key(tf), doc))
+        ds_ = doc[srt]
+        new = np.ones(ds_.shape[0], dtype=bool)
+        new[1:] = ds_[1:] != ds_[:-1]
+        seg = np.flatnonzero(new)
+        rank = np.arange(ds_.shape[0]) - seg[np.cumsum(new) - 1]
+        keep = srt[rank < k]
+        return pa.table({id_col: doc[keep],
+                         "term": pa.array(terms[tcode[keep]],
+                                          type=pa.string()),
+                         "tf": tf[keep].astype(np.int64),
+                         "df": df[keep].astype(np.int64)})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
