@@ -1739,6 +1739,285 @@ def _emb_kmeans_assign(sf_dir: str):
     return kmeans_assign(ds, cent)
 
 
+def _revenue_local_suppliers(sf_dir: str):
+    """TPC-H Q5 shape: revenue per nation from 1996 orders whose customer
+    and supplier share a nation. Two big-big hash joins (orders x customer
+    on custkey, then x lineitem on orderkey), each side projected to
+    key + one small int (the Q12 discipline); the supplier->nation map is
+    the broadcast small side (searchsorted probe, no shuffle); the final
+    per-nation rollup is a bounded combiner + driver merge decorated with
+    nation names driver-side (25 rows)."""
+    import datetime
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from h3ray.ops.join import hash_join
+    from h3ray.ops.reduce import driver_merge
+
+    lo = pa.scalar(datetime.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1997, 1, 1), type=pa.timestamp("us"))
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=((pc.field("o_orderdate") >= lo)
+                & (pc.field("o_orderdate") < hi))) \
+        .select_columns(["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    ord_nat = hash_join(orders, cust, "o_custkey", "c_custkey") \
+        .select_columns(["o_orderkey", "c_nationkey"])
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    skeys = sup["s_suppkey"].to_numpy()
+    sorder = np.argsort(skeys)
+    snat = sup["s_nationkey"].to_numpy()[sorder].astype(np.int64)
+    sup_ref = ray.put((skeys[sorder], snat))
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+
+    def line_prep(batch: pa.Table) -> pa.Table:
+        keys, nat = ray.get(sup_ref)
+        ls = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64)
+        pos = np.searchsorted(keys, ls)
+        pos = np.minimum(pos, keys.shape[0] - 1)
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "s_nat": nat[pos],
+                         "cents": cents})
+
+    joined = hash_join(line.map_batches(line_prep,
+                                        batch_format="pyarrow",
+                                        batch_size=131072),
+                       ord_nat, "l_orderkey", "o_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cn = batch["c_nationkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sn = batch["s_nat"].to_numpy(zero_copy_only=False)
+        cents = batch["cents"].to_numpy(zero_copy_only=False)
+        local = cn == sn
+        uniq, inv = np.unique(cn[local], return_inverse=True)
+        acc = np.zeros(uniq.shape[0], dtype=np.int64)
+        np.add.at(acc, inv, cents[local])
+        return pa.table({"nationkey": uniq, "revenue_cents": acc})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("nationkey").aggregate([("revenue_cents", "sum")]) \
+            .rename_columns(["nationkey", "revenue_cents"])
+        nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                               columns=["n_nationkey", "n_name"])
+        nk = nation["n_nationkey"].to_numpy().astype(np.int64)
+        nord = np.argsort(nk)
+        names = nation["n_name"].to_numpy(zero_copy_only=False)[nord]
+        pos = np.searchsorted(nk[nord],
+                              g["nationkey"].to_numpy(
+                                  zero_copy_only=False))
+        return pa.table({"n_name": pa.array(names[pos]),
+                         "revenue_cents": g["revenue_cents"]})
+
+    return driver_merge(joined.map_batches(partial,
+                                           batch_format="pyarrow"), merge)
+
+
+def _brand_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape (correlated per-part average): revenue from
+    lineitems of one brand's parts whose quantity is below 0.2x that
+    part's average. The brand-filtered part set is small BY FILTER —
+    broadcast; pass 1 is a per-part (count, qty_sum) combiner + bounded
+    driver merge; pass 2 re-streams lineitem against the broadcast stats
+    with the exact-integer test 5*qty*count < qty_sum (quantities are
+    integral, so no float average is ever formed — bit-identical to the
+    algebraic SQL mirror)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    mask = pa.compute.equal(part["p_brand"], "Brand#11")
+    pkeys = np.sort(part.filter(mask)["p_partkey"].to_numpy())
+    pk_ref = ray.put(pkeys)
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_partkey", "l_quantity",
+                                    "l_extendedprice"])
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(pk_ref)
+        lp = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        q = np.floor(batch["l_quantity"]
+                     .to_numpy(zero_copy_only=False) + 0.5) \
+            .astype(np.int64)
+        pos = np.searchsorted(keys, lp)
+        pos_c = np.minimum(pos, keys.shape[0] - 1)
+        hit = keys.shape[0] > 0
+        sel = (keys[pos_c] == lp) if hit else np.zeros(lp.shape[0], bool)
+        uniq, inv = np.unique(lp[sel], return_inverse=True)
+        cnt = np.zeros(uniq.shape[0], dtype=np.int64)
+        qs = np.zeros(uniq.shape[0], dtype=np.int64)
+        np.add.at(cnt, inv, 1)
+        np.add.at(qs, inv, q[sel])
+        return pa.table({"l_partkey": uniq, "cnt": cnt, "qty_sum": qs})
+
+    stats = driver_merge(
+        line.map_batches(stats_partial, batch_format="pyarrow",
+                         batch_size=131072),
+        lambda t: t.group_by("l_partkey").aggregate(
+            [("cnt", "sum"), ("qty_sum", "sum")])
+        .rename_columns(["l_partkey", "cnt", "qty_sum"]))
+    sk = stats["l_partkey"].to_numpy()
+    sorder = np.argsort(sk)
+    stats_ref = ray.put((sk[sorder],
+                         stats["cnt"].to_numpy()[sorder],
+                         stats["qty_sum"].to_numpy()[sorder]))
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        keys, cnt, qsum = ray.get(stats_ref)
+        lp = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        q = np.floor(batch["l_quantity"]
+                     .to_numpy(zero_copy_only=False) + 0.5) \
+            .astype(np.int64)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        if keys.shape[0] == 0:
+            return pa.table({"revenue_cents": pa.array([], pa.int64()),
+                             "n_rows": pa.array([], pa.int64())})
+        pos = np.minimum(np.searchsorted(keys, lp), keys.shape[0] - 1)
+        sel = (keys[pos] == lp) & (5 * q * cnt[pos] < qsum[pos])
+        cents = np.floor(price[sel] * 100 + 0.5).astype(np.int64)
+        return pa.table({"revenue_cents": pa.array([int(cents.sum())]),
+                         "n_rows": pa.array([int(sel.sum())])})
+
+    def merge(t: pa.Table) -> pa.Table:
+        n = int(pa.compute.sum(t["n_rows"]).as_py() or 0)
+        total = pa.compute.sum(t["revenue_cents"]).as_py()
+        # SQL SUM over zero rows is NULL, not 0.
+        return pa.table({"revenue_cents": pa.array(
+            [total if n else None], type=pa.int64())})
+
+    return driver_merge(line.map_batches(rev_partial,
+                                         batch_format="pyarrow",
+                                         batch_size=131072), merge)
+
+
+def _orders_bloom_pruned_revenue(sf_dir: str):
+    """Bloom-pruned big join: revenue per order priority for lineitems of
+    1995 orders. The date-filtered orders side builds a Bloom filter of
+    its orderkeys (sparse-word combiner + driver OR, 512 KiB dense bitmap
+    broadcast ONCE via ray.put); the lineitem probe side drops ~85% of its
+    rows BEFORE the orderkey exchange; the hash join after the filter is
+    exact, so false positives never reach the result (ops/bloom.py)."""
+    import datetime
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from h3ray.ops.bloom import bloom_build, bloom_prune
+    from h3ray.ops.join import hash_join
+    from h3ray.ops.reduce import driver_merge
+
+    lo = pa.scalar(datetime.datetime(1995, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+        filter=((pc.field("o_orderdate") >= lo)
+                & (pc.field("o_orderdate") < hi))) \
+        .select_columns(["o_orderkey", "o_orderpriority"])
+    bloom = ray.put(bloom_build(orders, "o_orderkey"))
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_extendedprice",
+                                    "l_discount"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "cents": np.floor(price * (1 - disc) * 100 + 0.5)
+            .astype(np.int64)})
+
+    pruned = bloom_prune(line, "l_orderkey", bloom) \
+        .map_batches(to_cents, batch_format="pyarrow", batch_size=131072)
+    joined = hash_join(pruned, orders, "l_orderkey", "o_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by("o_orderpriority").aggregate(
+            [("cents", "sum")]) \
+            .rename_columns(["o_orderpriority", "revenue_cents"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        return t.group_by("o_orderpriority").aggregate(
+            [("revenue_cents", "sum")]) \
+            .rename_columns(["o_orderpriority", "revenue_cents"])
+
+    return driver_merge(joined.map_batches(partial,
+                                           batch_format="pyarrow"), merge)
+
+
+def _orders_cube(sf_dir: str):
+    """GROUP BY CUBE(o_orderstatus, o_orderpriority) of COUNT(*) +
+    SUM(totalprice cents): all four lattice levels from one combiner pass
+    over the finest partials (ops.reduce.cube_counts)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import cube_counts
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderstatus", "o_orderpriority",
+                                      "o_totalprice"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderstatus": batch["o_orderstatus"],
+            "o_orderpriority": batch["o_orderpriority"],
+            "price_cents": np.floor(p * 100 + 0.5).astype(np.int64)})
+
+    return cube_counts(orders.map_batches(to_cents,
+                                          batch_format="pyarrow",
+                                          batch_size=131072),
+                       "o_orderstatus", "o_orderpriority", "price_cents",
+                       count_col="num_rows", sum_col="sum_cents")
+
+
+def _events_rank_dist(sf_dir: str):
+    """PERCENT_RANK + CUME_DIST per event_type by value ASC: the window
+    exchange computes the rank family and both distribution columns in
+    the same per-reducer lexsort pass; each float is ONE IEEE division of
+    exact integers, bit-identical to the SQL engine's."""
+    import ray.data as rd
+
+    from h3ray.ops.window import window_rank
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    out = window_rank(ds, "event_type", "value", tiebreak_col="event_id",
+                      dist=True)
+    return out.select_columns(["event_id", "event_type", "percent_rank",
+                               "cume_dist"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -1748,6 +2027,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     return {
+        # --- round-4 wave 2: Q5/Q17 shapes, bloom-pruned join, cube,
+        # --- window distributions ---
+        "revenue_local_suppliers": _revenue_local_suppliers,
+        "brand_small_qty_revenue": _brand_small_qty_revenue,
+        "orders_bloom_pruned_revenue": _orders_bloom_pruned_revenue,
+        "orders_cube": _orders_cube,
+        "events_rank_dist": _events_rank_dist,
         # --- round-4 wave: window functions / rollup / exact corr /
         # --- Q18 / TF-IDF ---
         "events_ranked_in_type": _events_ranked_in_type,
@@ -2242,6 +2528,63 @@ _DUP_CLUSTERS_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "revenue_local_suppliers": """
+            SELECT n_name,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice
+                                       * (1 - l_discount)
+                                       * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM customer, orders, lineitem, supplier, nation
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "brand_small_qty_revenue": """
+            WITH stats AS (
+                SELECT l_partkey, COUNT(*) AS cnt,
+                       SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT))
+                           AS qty_sum
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_brand = 'Brand#11'
+                GROUP BY l_partkey
+            )
+            SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem l JOIN stats s ON l.l_partkey = s.l_partkey
+            WHERE 5 * CAST(FLOOR(l.l_quantity + 0.5) AS BIGINT) * s.cnt
+                  < s.qty_sum
+        """,
+        "orders_bloom_pruned_revenue": """
+            SELECT o_orderpriority,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice
+                                       * (1 - l_discount)
+                                       * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1996-01-01'
+            GROUP BY o_orderpriority
+        """,
+        "orders_cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   COUNT(*) AS num_rows,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM orders
+            GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+        "events_rank_dist": """
+            SELECT event_id, event_type,
+                   PERCENT_RANK() OVER w AS percent_rank,
+                   CUME_DIST() OVER w AS cume_dist
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY value)
+        """,
         "events_ranked_in_type": """
             SELECT event_id, event_type,
                    ROW_NUMBER() OVER w AS "row_number",

@@ -337,3 +337,53 @@ def rollup_counts(ds, col_a: str, col_b: str, value_col: str,
 
     return driver_merge(ds.map_batches(partial, batch_format="pyarrow",
                                        batch_size=131072), merge)
+
+
+def cube_counts(ds, col_a: str, col_b: str, value_col: str,
+                count_col: str = "num_rows",
+                sum_col: str = "sum_value") -> pa.Table:
+    """GROUP BY CUBE(col_a, col_b): COUNT(*) + SUM(int value) at all four
+    grouping levels — (a, b), (a, NULL), (NULL, b), (NULL, NULL) — derived
+    from ONE combiner pass over the finest (a, b) partials, exactly like
+    rollup_counts but with the b-marginal level added (the cube lattice is
+    algebraic over the finest level, so raw rows are seen once)."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({col_a: batch[col_a], col_b: batch[col_b],
+                      "_v": pc.cast(batch[value_col], pa.int64())})
+        g = t.group_by([col_a, col_b]).aggregate(
+            [([], "count_all"), ("_v", "sum")])
+        return g.rename_columns([col_a, col_b, "_n", "_s"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by([col_a, col_b]).aggregate(
+            [("_n", "sum"), ("_s", "sum")])
+        a = g[col_a].to_pylist()
+        b = g[col_b].to_pylist()
+        n = g["_n_sum"].to_numpy(zero_copy_only=False)
+        s = g["_s_sum"].to_numpy(zero_copy_only=False)
+        marg_a: dict = {}
+        marg_b: dict = {}
+        for i, (ka, kb) in enumerate(zip(a, b)):
+            acc = marg_a.setdefault(ka, [0, 0])
+            acc[0] += int(n[i])
+            acc[1] += int(s[i])
+            acc = marg_b.setdefault(kb, [0, 0])
+            acc[0] += int(n[i])
+            acc[1] += int(s[i])
+        total = [sum(v[0] for v in marg_a.values()),
+                 sum(v[1] for v in marg_a.values())]
+        out_a = list(a) + list(marg_a) + [None] * (len(marg_b) + 1)
+        out_b = list(b) + [None] * len(marg_a) + list(marg_b) + [None]
+        out_n = (list(n) + [v[0] for v in marg_a.values()]
+                 + [v[0] for v in marg_b.values()] + [total[0]])
+        out_s = (list(s) + [v[1] for v in marg_a.values()]
+                 + [v[1] for v in marg_b.values()] + [total[1]])
+        return pa.table({col_a: pa.array(out_a, type=g[col_a].type),
+                         col_b: pa.array(out_b, type=g[col_b].type),
+                         count_col: pa.array(out_n, type=pa.int64()),
+                         sum_col: pa.array(out_s, type=pa.int64())})
+
+    return driver_merge(ds.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=131072), merge)

@@ -14,6 +14,9 @@ Semantics match SQL (DuckDB):
 - rank / dense_rank: ties on order_col only (tiebreak ignored), gaps /
   no gaps.
 - ntile(n): first (count % n) tiles get ceil(count/n) rows, rest floor.
+- percent_rank: (rank - 1) / (count - 1), 0.0 for single-row partitions
+  — one IEEE division of exact ints, bit-identical to the SQL engine.
+- cume_dist: (# rows ordered <= current) / count, same exactness.
 - lag/lead(value, 1): previous/next row's value in partition order,
   null at the edges.
 """
@@ -62,10 +65,11 @@ def _partition_order(group: pa.Table, part_col: str, order_col: str,
 
 def window_rank(ds, part_col: str, order_col: str, *,
                 tiebreak_col: str, descending: bool = False,
-                ntile: int | None = None,
+                ntile: int | None = None, dist: bool = False,
                 num_buckets: int | None = None):
-    """Append row_number / rank / dense_rank (and ntile_<n> when `ntile`)
-    columns, partitioned by `part_col`, ordered by `order_col`."""
+    """Append row_number / rank / dense_rank (and ntile_<n> when `ntile`,
+    percent_rank + cume_dist when `dist`) columns, partitioned by
+    `part_col`, ordered by `order_col`."""
 
     def fn(group: pa.Table) -> pa.Table:
         group = group.drop_columns(["_bucket"])
@@ -75,6 +79,9 @@ def window_rank(ds, part_col: str, order_col: str, *,
             for c in ["row_number", "rank", "dense_rank"] + (
                     [f"ntile_{ntile}"] if ntile else []):
                 out = out.append_column(c, pa.array([], pa.int64()))
+            if dist:
+                for c in ["percent_rank", "cume_dist"]:
+                    out = out.append_column(c, pa.array([], pa.float64()))
             return out
         order, iv, new_seg, seg_start, ov_sorted = _partition_order(
             group, part_col, order_col, tiebreak_col, descending)
@@ -91,8 +98,18 @@ def window_rank(ds, part_col: str, order_col: str, *,
         dense = gv - gv[seg_start[seg_of]] + 1
         cols = {"row_number": row_number, "rank": rank,
                 "dense_rank": dense}
+        seg_len = np.diff(np.append(seg_start, n))[seg_of]
+        if dist:
+            denom = np.maximum(seg_len - 1, 1)
+            cols["percent_rank"] = np.where(
+                seg_len > 1, (rank - 1) / denom, 0.0)
+            # cume_dist numerator = last index of this row's tie run,
+            # relative to the partition start, + 1.
+            run_starts = np.append(np.flatnonzero(new_val), n)
+            run_id = np.cumsum(new_val) - 1
+            run_end = run_starts[run_id + 1] - 1
+            cols["cume_dist"] = (run_end - seg_start[seg_of] + 1) / seg_len
         if ntile:
-            seg_len = np.diff(np.append(seg_start, n))[seg_of]
             q, rem = seg_len // ntile, seg_len % ntile
             big = rem * (q + 1)
             in_big = pos < big
@@ -103,7 +120,8 @@ def window_rank(ds, part_col: str, order_col: str, *,
         # Scatter back to input row order.
         out = group
         for name, v in cols.items():
-            scattered = np.empty(n, dtype=np.int64)
+            dt = np.float64 if v.dtype.kind == "f" else np.int64
+            scattered = np.empty(n, dtype=dt)
             scattered[order] = v
             out = out.append_column(name, pa.array(scattered))
         return out
