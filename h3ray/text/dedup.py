@@ -757,3 +757,72 @@ def contamination_flags(docs_ds, bench_ds, key_col: str = "doc_id",
             schema=out_schema)
 
     return docs_ds.map_batches(probe, batch_format="pyarrow")
+
+
+def dup_ngram_stats(ds, key_col: str = "doc_id", text_col: str = "text",
+                    k: int = 5, num_buckets: int | None = None):
+    """Cross-document duplicated-n-gram statistics — the CCNet-style
+    line/paragraph-dedup shape (Wenzek et al. 2020), expressed over
+    character k-grams because the corpus here has no line structure:
+    per document, how many of its DISTINCT k-grams also occur in at least
+    one OTHER document.
+
+    Scale shape: the one wide exchange moves (shingle-hash, key) int64
+    pairs only — never text. Shingles are deduped per doc inside
+    map_batches (one Arrow-buffer pass + one segmented sort,
+    `_unique_shingle_sets`); the dup decision is a run-length check inside
+    `num_buckets` hash buckets (identical hashes co-locate, so a run of
+    >= 2 rows == >= 2 distinct docs — within a doc each shingle appears
+    once); each reducer pre-rolls its (key, n, n_dup) partials so the
+    final groupby moves three ints per (doc, bucket). Output:
+    (key_col, n_shingles, n_dup), all int64.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..ops.skew import default_num_buckets
+
+    nb = num_buckets or default_num_buckets()
+    pair_schema = pa.schema([("_g", pa.int64()), (key_col, pa.int64()),
+                             ("_bucket", pa.int32())])
+    out_schema = pa.schema([(key_col, pa.int64()),
+                            ("n_shingles", pa.int64()),
+                            ("n_dup", pa.int64())])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pair_schema.empty_table()
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        values, _starts, lens = _unique_shingle_sets(batch[text_col], k)
+        bucket = (values.view(np.uint64) % np.uint64(nb)).astype(np.int32)
+        return pa.Table.from_arrays(
+            [pa.array(values), pa.array(np.repeat(keys, lens)),
+             pa.array(bucket)], schema=pair_schema)
+
+    def mark(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        g = group["_g"].to_numpy(zero_copy_only=False)
+        keys = group[key_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        gs = g[order]
+        same = np.zeros(n, dtype=bool)
+        same[1:] = gs[1:] == gs[:-1]
+        is_dup = same.copy()
+        is_dup[:-1] |= same[1:]
+        uniq, inv = np.unique(keys[order], return_inverse=True)
+        tot = np.bincount(inv, minlength=uniq.shape[0])
+        dup = np.bincount(inv, weights=is_dup.astype(np.float64),
+                          minlength=uniq.shape[0])
+        return pa.Table.from_arrays(
+            [pa.array(uniq), pa.array(tot.astype(np.int64)),
+             pa.array(np.floor(dup + 0.5).astype(np.int64))],
+            schema=out_schema)
+
+    marked = ds.select_columns([key_col, text_col]) \
+        .map_batches(pairs, batch_format="pyarrow", batch_size=32768) \
+        .groupby("_bucket").map_groups(mark, batch_format="pyarrow")
+    return marked.groupby(key_col).aggregate(
+        Sum("n_shingles", alias_name="n_shingles"),
+        Sum("n_dup", alias_name="n_dup"))
