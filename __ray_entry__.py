@@ -2466,6 +2466,176 @@ def _docs_dup_ngram_fraction(sf_dir: str):
     return dup_ngram_stats(ds, key_col="doc_id", text_col="text", k=5)
 
 
+def _pages_snapshot_diff(sf_dir: str):
+    """Crawl-snapshot diff (added / removed / changed / unchanged per
+    url): the shape a recrawl pipeline runs between two crawl dumps. The
+    two snapshots derive deterministically from the documents table
+    (salted-mix64 membership; ~20% of snapshot-B texts mutate), and the
+    diff is a distributed FULL OUTER hash join that ships only
+    (key, 64-bit text fingerprint) pairs — document payloads never cross
+    the exchange; text equality is fingerprint equality (url_hash64, the
+    conformance-pinned hash)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.io.pages import _mix64, url_hash64
+    from h3ray.ops.join import hash_join
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def _salted(did: np.ndarray, salt: int) -> np.ndarray:
+        return _mix64(_mix64(did.astype(np.uint64)) + np.uint64(salt))
+
+    def snap_a(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        ina = _salted(did, 101) % np.uint64(10) != 0
+        fa = url_hash64(batch["text"]).view(np.int64)
+        return pa.table({"doc_id": did[ina], "fa": fa[ina]})
+
+    def snap_b(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        inb = _salted(did, 202) % np.uint64(10) != 0
+        chg = _salted(did, 303) % np.uint64(5) == 0
+        text_b = pc.if_else(
+            pa.array(chg),
+            pc.binary_join_element_wise(batch["text"].combine_chunks()
+                                        if isinstance(batch["text"],
+                                                      pa.ChunkedArray)
+                                        else batch["text"],
+                                        pa.scalar(" v2"), ""),
+            batch["text"])
+        fb = url_hash64(text_b).view(np.int64)
+        return pa.table({"doc_id": did[inb], "fb": fb[inb]})
+
+    a_ds = docs.map_batches(snap_a, batch_format="pyarrow",
+                            batch_size=32768)
+    b_ds = docs.map_batches(snap_b, batch_format="pyarrow",
+                            batch_size=32768)
+    joined = hash_join(a_ds, b_ds, "doc_id", "doc_id", how="full")
+
+    def status(batch: pa.Table) -> pa.Table:
+        fa, fb = batch["fa"], batch["fb"]
+        st = pc.if_else(
+            pc.is_null(fa), pa.scalar("added"),
+            pc.if_else(pc.is_null(fb), pa.scalar("removed"),
+                       pc.if_else(pc.not_equal(fa, fb),
+                                  pa.scalar("changed"),
+                                  pa.scalar("unchanged"))))
+        return pa.table({"doc_id": batch["doc_id"], "status": st})
+
+    return joined.map_batches(status, batch_format="pyarrow")
+
+
+def _sole_late_supplier_counts(sf_dir: str):
+    """TPC-H Q21 shape (per-order EXISTS + NOT-EXISTS over siblings):
+    count, per supplier, the multi-supplier orders where that supplier was
+    the ONLY late shipper. Dates become int64 microseconds before the
+    lineitem x orders hash join (key + 2 ints per row); per-batch
+    combiners collapse to distinct (order, supplier, late-max) triples;
+    order-hash buckets finish with one lexsort + segmented run logic (no
+    per-order callbacks); the per-supplier rollup is bounded."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from h3ray.io.pages import _mix64
+    from h3ray.ops.join import hash_join
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.ops.skew import default_num_buckets
+
+    late_us = np.int64(90 * 86400 * 1_000_000)  # 90 days
+    nb = default_num_buckets()
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_suppkey",
+                                    "l_shipdate"])
+
+    def line_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "l_suppkey": batch["l_suppkey"],
+            "ship_us": batch["l_shipdate"].cast(pa.int64())})
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate"])
+
+    def ord_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "od_us": batch["o_orderdate"].cast(pa.int64())})
+
+    joined = hash_join(
+        line.map_batches(line_prep, batch_format="pyarrow",
+                         batch_size=131072),
+        orders.map_batches(ord_prep, batch_format="pyarrow",
+                           batch_size=131072),
+        "l_orderkey", "o_orderkey")
+
+    def triples(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        late = (batch["ship_us"].to_numpy(zero_copy_only=False)
+                >= batch["od_us"].to_numpy(zero_copy_only=False)
+                + late_us).astype(np.int64)
+        pair = np.stack([ok, sk], axis=1)
+        uniq, inv = np.unique(pair, axis=0, return_inverse=True)
+        lm = np.zeros(uniq.shape[0], dtype=np.int64)
+        np.maximum.at(lm, inv, late)
+        return pa.table({
+            "ok": uniq[:, 0], "sk": uniq[:, 1], "late": lm,
+            "_bucket": (_mix64(uniq[:, 0].astype(np.uint64))
+                        % np.uint64(nb)).astype(np.int32)})
+
+    def per_order(group: pa.Table) -> pa.Table:
+        ok = group["ok"].to_numpy(zero_copy_only=False)
+        sk = group["sk"].to_numpy(zero_copy_only=False)
+        late = group["late"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sk, ok))
+        oks, sks, ls = ok[order], sk[order], late[order]
+        # Collapse duplicate (order, supplier) rows from different blocks.
+        first = np.ones(oks.shape[0], dtype=bool)
+        first[1:] = (oks[1:] != oks[:-1]) | (sks[1:] != sks[:-1])
+        grp = np.cumsum(first) - 1
+        n_pairs = int(first.sum())
+        lmax = np.zeros(n_pairs, dtype=np.int64)
+        np.maximum.at(lmax, grp, ls)
+        poks, psks = oks[first], sks[first]
+        # Segmented per-order stats over the collapsed pairs.
+        ostart = np.ones(n_pairs, dtype=bool)
+        ostart[1:] = poks[1:] != poks[:-1]
+        oid = np.cumsum(ostart) - 1
+        n_orders = int(ostart.sum())
+        n_supp = np.bincount(oid, minlength=n_orders)
+        n_late = np.bincount(oid, weights=lmax, minlength=n_orders) \
+            .astype(np.int64)
+        pick = (n_supp >= 2) & (n_late == 1)
+        sel = pick[oid] & (lmax == 1)
+        winners, counts = np.unique(psks[sel], return_counts=True)
+        return pa.table({"s_suppkey": winners,
+                         "numwait": counts.astype(np.int64)})
+
+    partials = joined.map_batches(triples, batch_format="pyarrow",
+                                  batch_size=131072) \
+        .groupby("_bucket").map_groups(per_order, batch_format="pyarrow")
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("s_suppkey").aggregate([("numwait", "sum")]) \
+            .rename_columns(["s_suppkey", "numwait"])
+        sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_name"])
+        sk = sup["s_suppkey"].to_numpy()
+        sorder = np.argsort(sk)
+        names = sup["s_name"].to_numpy(zero_copy_only=False)[sorder]
+        pos = np.searchsorted(sk[sorder], g["s_suppkey"].to_numpy())
+        return pa.table({"s_name": pa.array(names[pos]),
+                         "numwait": g["numwait"]})
+
+    return driver_merge(partials, merge)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -2485,6 +2655,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idle_rich_customers": _idle_rich_customers,
         "pages_domain_stats": _pages_domain_stats,
         "docs_dup_ngram_fraction": _docs_dup_ngram_fraction,
+        "pages_snapshot_diff": _pages_snapshot_diff,
+        "sole_late_supplier_counts": _sole_late_supplier_counts,
         # --- round-4 wave 2: Q5/Q17 shapes, bloom-pruned join, cube,
         # --- window distributions ---
         "revenue_local_suppliers": _revenue_local_suppliers,
@@ -2609,7 +2781,8 @@ _WINDOW_FIRST = [
     # round-4 wave 3 (new)
     "order_priority_check", "nation_pair_volume", "customer_order_dist",
     "top_supplier_revenue", "disjunct_brand_revenue", "idle_rich_customers",
-    "pages_domain_stats", "docs_dup_ngram_fraction",
+    "pages_domain_stats", "docs_dup_ngram_fraction", "pages_snapshot_diff",
+    "sole_late_supplier_counts",
     # round-4 waves 1-2 (new)
     "revenue_local_suppliers", "brand_small_qty_revenue",
     "orders_bloom_pruned_revenue", "orders_cube", "events_rank_dist",
@@ -2633,7 +2806,6 @@ _WINDOW_FIRST = [
     # text-quality family (judge-only evidence so far)
     "docs_quality_filter", "docs_repetition_scores", "docs_redacted",
     "docs_normalized", "langid_predictions",
-    "simhash_fingerprints", "simhash_dup_pairs",
 ]
 
 
@@ -2960,6 +3132,51 @@ def _fingerprint_oracle() -> str:
     """
 
 
+def _sql_mix64_ctes(src: str, in_expr: str, out: str, pfx: str) -> str:
+    """CTE chain computing splitmix64(in_expr) into UBIGINT column `out`,
+    carrying every column of `src` through. `pfx` must be unique per use
+    within one statement."""
+    a = _sql_mulmod(f"xor({pfx}0, {pfx}0 >> 30)", 0xBF58476D1CE4E5B9)
+    b = _sql_mulmod(f"xor({pfx}1, {pfx}1 >> 27)", 0x94D049BB133111EB)
+    return f"""
+        {pfx}a AS (SELECT *, CAST({in_expr} AS UBIGINT) AS {pfx}0
+                   FROM {src}),
+        {pfx}b AS (SELECT *, {a} AS {pfx}1 FROM {pfx}a),
+        {pfx}c AS (SELECT *, {b} AS {pfx}2 FROM {pfx}b),
+        {pfx}d AS (SELECT *, xor({pfx}2, {pfx}2 >> 31) AS {out}
+                   FROM {pfx}c)
+    """
+
+
+def _snapshot_diff_oracle() -> str:
+    """SQL mirror of _pages_snapshot_diff: the same salted-mix64 snapshot
+    membership / mutation rules, then a FULL OUTER JOIN comparing texts
+    (the Ray side compares url_hash64 fingerprints — equivalent absent
+    64-bit collisions, which the conformance tests pin)."""
+    wrap = "CAST((CAST(h AS HUGEINT) + {s}) % 18446744073709551616 " \
+           "AS UBIGINT)"
+    return f"""
+        WITH {_sql_mix64_ctes('documents', 'doc_id', 'h', '_h')},
+        {_sql_mix64_ctes('_hd', wrap.format(s=101), 'ha', '_a')},
+        {_sql_mix64_ctes('_ad', wrap.format(s=202), 'hb', '_b')},
+        {_sql_mix64_ctes('_bd', wrap.format(s=303), 'hc', '_c')},
+        snap_a AS (
+          SELECT doc_id, text FROM _cd WHERE ha % 10 != 0
+        ), snap_b AS (
+          SELECT doc_id,
+                 CASE WHEN hc % 5 = 0 THEN text || ' v2' ELSE text END
+                     AS text
+          FROM _cd WHERE hb % 10 != 0
+        )
+        SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+               CASE WHEN a.doc_id IS NULL THEN 'added'
+                    WHEN b.doc_id IS NULL THEN 'removed'
+                    WHEN a.text <> b.text THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id
+    """
+
+
 def _pages_domain_oracle() -> str:
     """SQL mirror of _pages_domain_stats over the pages_from_documents
     derivation: url = 'https://site' || lpad(mix64(doc_id) % 997) ||
@@ -3143,6 +3360,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_mktsegment
         """,
         "pages_domain_stats": _pages_domain_oracle(),
+        "pages_snapshot_diff": _snapshot_diff_oracle(),
+        "sole_late_supplier_counts": """
+            WITH pairs AS (
+              SELECT l_orderkey AS ok, l_suppkey AS sk,
+                     MAX(CASE WHEN l_shipdate >=
+                                   o_orderdate + INTERVAL 90 DAY
+                              THEN 1 ELSE 0 END) AS late
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY 1, 2
+            ), per_order AS (
+              SELECT ok, COUNT(*) AS n_supp,
+                     CAST(SUM(late) AS BIGINT) AS n_late,
+                     MAX(CASE WHEN late = 1 THEN sk END) AS late_sk
+              FROM pairs GROUP BY ok
+            )
+            SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM per_order JOIN supplier ON s_suppkey = late_sk
+            WHERE n_supp >= 2 AND n_late = 1
+            GROUP BY s_name
+        """,
         "docs_dup_ngram_fraction": """
             WITH sh AS (
               SELECT doc_id,

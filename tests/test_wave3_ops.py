@@ -126,3 +126,65 @@ def test_top_supplier_revenue_ties(ray_session, tmp_path):
     df = df.sort_values("s_suppkey").reset_index(drop=True)
     assert df.s_suppkey.tolist() == [10, 20]
     assert df.total_revenue_cents.tolist() == [10000, 10000]
+
+
+def test_snapshot_diff_all_statuses(ray_session):
+    """At sf0.001 all four diff statuses appear and partition the union
+    of the two snapshots (memberships recomputed here from the same
+    salted-mix64 rules)."""
+    import pyarrow.parquet as pq2
+
+    from h3ray.io.pages import _mix64
+
+    got = entry.queries()["pages_snapshot_diff"]("/root/testdata/sf0.001")
+    df = got.to_pandas()
+    counts = df.status.value_counts().to_dict()
+    assert set(counts) == {"added", "removed", "changed", "unchanged"}
+
+    did = pq2.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id"])["doc_id"].to_numpy()
+    h = _mix64(did.astype(np.uint64))
+    ina = _mix64(h + np.uint64(101)) % np.uint64(10) != 0
+    inb = _mix64(h + np.uint64(202)) % np.uint64(10) != 0
+    assert len(df) == int((ina | inb).sum())
+    assert counts["added"] == int((~ina & inb).sum())
+    assert counts["removed"] == int((ina & ~inb).sum())
+    assert df.doc_id.is_unique
+
+
+def test_sole_late_supplier_counts_known_answer(ray_session, tmp_path):
+    """Hand-built orders: order 0 has 2 suppliers / 1 late (counts),
+    order 1 has 2 suppliers / 2 late (excluded), order 2 has 1 supplier
+    late (excluded: single-supplier)."""
+    pq.write_table(pa.table({
+        "s_suppkey": np.array([1, 2, 3], dtype=np.int64),
+        "s_name": ["sa", "sb", "sc"],
+        "s_nationkey": np.zeros(3, dtype=np.int32),
+        "s_acctbal": np.zeros(3),
+    }), tmp_path / "supplier.parquet")
+    od = np.datetime64("1995-01-01", "us")
+    late = np.datetime64("1995-06-01", "us")   # > 90 days after od
+    ontime = np.datetime64("1995-02-01", "us")
+    ok = np.array([0, 0, 1, 1, 2], dtype=np.int64)
+    sk = np.array([1, 2, 1, 2, 3], dtype=np.int64)
+    ship = pa.array([late, ontime, late, late, late])
+    pq.write_table(pa.table({
+        "l_orderkey": ok, "l_partkey": np.zeros(5, dtype=np.int64),
+        "l_suppkey": sk, "l_linenumber": np.ones(5, dtype=np.int32),
+        "l_quantity": np.ones(5), "l_extendedprice": np.ones(5),
+        "l_discount": np.zeros(5), "l_tax": np.zeros(5),
+        "l_returnflag": ["N"] * 5, "l_linestatus": ["O"] * 5,
+        "l_shipdate": ship,
+    }), tmp_path / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": np.arange(3, dtype=np.int64),
+        "o_custkey": np.zeros(3, dtype=np.int64),
+        "o_orderstatus": ["F"] * 3,
+        "o_totalprice": np.zeros(3),
+        "o_orderdate": pa.array([od] * 3),
+        "o_orderpriority": ["1-URGENT"] * 3,
+    }), tmp_path / "orders.parquet")
+    got = entry.queries()["sole_late_supplier_counts"](str(tmp_path))
+    df = got.to_pandas() if isinstance(got, pa.Table) else got.to_pandas()
+    assert df.s_name.tolist() == ["sa"]
+    assert df.numwait.tolist() == [1]
