@@ -229,6 +229,23 @@ def run_benchmarks() -> dict:
             best = min(best, time.time() - t0)
         timings["docs_dup_clusters"] = best
 
+    # 5c. Round-4 chained-join shapes over $GRAFT_SF_DIR: the two-nation
+    # volume (Q7: broadcast-filter + two big-big joins) and the
+    # sole-late-supplier (Q21: join + distinct-triple combiner + bucketed
+    # segmented runs). Single rep each (they share the lineitem scan cost
+    # profile already covered min-of-reps by orders_revenue_topk).
+    if want("nation_pair_volume") or want("sole_late_supplier_counts"):
+        import __ray_entry__ as _entry
+
+        if want("nation_pair_volume"):
+            t0 = time.time()
+            _entry._nation_pair_volume(SF_DIR)
+            timings["nation_pair_volume"] = time.time() - t0
+        if want("sole_late_supplier_counts"):
+            t0 = time.time()
+            _entry._sole_late_supplier_counts(SF_DIR)
+            timings["sole_late_supplier_counts"] = time.time() - t0
+
     curation_stages: dict[str, float] = {}
     if want("curation_pipeline"):
         # The flagship composed pipeline (quality filter -> decontaminate
