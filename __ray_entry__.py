@@ -2117,10 +2117,14 @@ def _nation_pair_volume(sf_dir: str):
     ord_nat = hash_join(orders, cust, "o_custkey", "c_custkey") \
         .select_columns(["o_orderkey", "c_nationkey"])
 
-    joined = hash_join(
+    from h3ray.ops.join import seed_schema
+
+    prepped = seed_schema(
         line.map_batches(line_prep, batch_format="pyarrow",
                          batch_size=131072),
-        ord_nat, "l_orderkey", "o_orderkey")
+        pa.schema([("l_orderkey", pa.int64()), ("s_nat", pa.int64()),
+                   ("l_year", pa.int64()), ("cents", pa.int64())]))
+    joined = hash_join(prepped, ord_nat, "l_orderkey", "o_orderkey")
 
     def partial(batch: pa.Table) -> pa.Table:
         sn = batch["s_nat"].to_numpy(zero_copy_only=False)
@@ -2180,10 +2184,14 @@ def _customer_order_dist(sf_dir: str):
         return pa.table({"o_custkey": uniq,
                          "c_count": counts.astype(np.int64)})
 
-    per_cust = orders.map_batches(count_partial, batch_format="pyarrow",
-                                  batch_size=131072) \
+    from h3ray.ops.join import seed_schema
+
+    per_cust = seed_schema(
+        orders.map_batches(count_partial, batch_format="pyarrow",
+                           batch_size=131072)
         .groupby("o_custkey").aggregate(Sum("c_count",
-                                            alias_name="c_count"))
+                                            alias_name="c_count")),
+        pa.schema([("o_custkey", pa.int64()), ("c_count", pa.int64())]))
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey"])
     joined = hash_join(cust, per_cust, "c_custkey", "o_custkey",
@@ -2203,7 +2211,9 @@ def _customer_order_dist(sf_dir: str):
             .rename_columns(["c_count", "custdist"])
 
     return driver_merge(joined.map_batches(dist_partial,
-                                           batch_format="pyarrow"), merge)
+                                           batch_format="pyarrow"), merge,
+                        schema=pa.schema([("c_count", pa.int64()),
+                                          ("custdist", pa.int64())]))
 
 
 def _top_supplier_revenue(sf_dir: str):
@@ -2253,7 +2263,8 @@ def _top_supplier_revenue(sf_dir: str):
     max_tbl = driver_merge(
         rev.map_batches(max_partial, batch_format="pyarrow"),
         lambda t: pa.table({"m": pa.array(
-            [pc.max(t["m"]).as_py()], type=pa.int64())}))
+            [pc.max(t["m"]).as_py()], type=pa.int64())}),
+        schema=pa.schema([("m", pa.int64())]))
     maxv = max_tbl["m"][0].as_py()
     if maxv is None:
         return pa.table({"s_suppkey": pa.array([], pa.int64()),
@@ -2373,7 +2384,8 @@ def _idle_rich_customers(sf_dir: str):
             "sum_cents": pa.array([pc.sum(t["sum_cents"]).as_py() or 0],
                                   type=pa.int64()),
             "n": pa.array([pc.sum(t["n"]).as_py() or 0],
-                          type=pa.int64())}))
+                          type=pa.int64())}),
+        schema=pa.schema([("sum_cents", pa.int64()), ("n", pa.int64())]))
     sum_cents = scal["sum_cents"][0].as_py()
     n_pos = scal["n"][0].as_py()
 
@@ -2387,8 +2399,13 @@ def _idle_rich_customers(sf_dir: str):
              batch["c_mktsegment"].filter(pa.array(keep))],
             names=["c_custkey", "acct_cents", "c_mktsegment"])
 
-    rich_ds = cust.map_batches(rich, batch_format="pyarrow",
-                               batch_size=131072)
+    from h3ray.ops.join import seed_schema
+
+    rich_ds = seed_schema(
+        cust.map_batches(rich, batch_format="pyarrow",
+                         batch_size=131072),
+        pa.schema([("c_custkey", pa.int64()), ("acct_cents", pa.int64()),
+                   ("c_mktsegment", pa.string())]))
     early = pa.scalar(datetime.datetime(1996, 1, 1),
                       type=pa.timestamp("us"))
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
@@ -2410,7 +2427,11 @@ def _idle_rich_customers(sf_dir: str):
                              "total_acctbal_cents"])
 
     return driver_merge(idle.map_batches(partial, batch_format="pyarrow"),
-                        merge)
+                        merge,
+                        schema=pa.schema([("c_mktsegment", pa.string()),
+                                          ("numcust", pa.int64()),
+                                          ("total_acctbal_cents",
+                                           pa.int64())]))
 
 
 def _pages_domain_stats(sf_dir: str):
@@ -2510,10 +2531,16 @@ def _pages_snapshot_diff(sf_dir: str):
         fb = url_hash64(text_b).view(np.int64)
         return pa.table({"doc_id": did[inb], "fb": fb[inb]})
 
-    a_ds = docs.map_batches(snap_a, batch_format="pyarrow",
-                            batch_size=32768)
-    b_ds = docs.map_batches(snap_b, batch_format="pyarrow",
-                            batch_size=32768)
+    from h3ray.ops.join import seed_schema
+
+    a_ds = seed_schema(
+        docs.map_batches(snap_a, batch_format="pyarrow",
+                         batch_size=32768),
+        pa.schema([("doc_id", pa.int64()), ("fa", pa.int64())]))
+    b_ds = seed_schema(
+        docs.map_batches(snap_b, batch_format="pyarrow",
+                         batch_size=32768),
+        pa.schema([("doc_id", pa.int64()), ("fb", pa.int64())]))
     joined = hash_join(a_ds, b_ds, "doc_id", "doc_id", how="full")
 
     def status(batch: pa.Table) -> pa.Table:
@@ -2567,11 +2594,18 @@ def _sole_late_supplier_counts(sf_dir: str):
         return pa.table({"o_orderkey": batch["o_orderkey"],
                          "od_us": batch["o_orderdate"].cast(pa.int64())})
 
+    from h3ray.ops.join import seed_schema
+
     joined = hash_join(
-        line.map_batches(line_prep, batch_format="pyarrow",
-                         batch_size=131072),
-        orders.map_batches(ord_prep, batch_format="pyarrow",
-                           batch_size=131072),
+        seed_schema(line.map_batches(line_prep, batch_format="pyarrow",
+                                     batch_size=131072),
+                    pa.schema([("l_orderkey", pa.int64()),
+                               ("l_suppkey", pa.int64()),
+                               ("ship_us", pa.int64())])),
+        seed_schema(orders.map_batches(ord_prep, batch_format="pyarrow",
+                                       batch_size=131072),
+                    pa.schema([("o_orderkey", pa.int64()),
+                               ("od_us", pa.int64())])),
         "l_orderkey", "o_orderkey")
 
     def triples(batch: pa.Table) -> pa.Table:
@@ -2630,10 +2664,12 @@ def _sole_late_supplier_counts(sf_dir: str):
         sorder = np.argsort(sk)
         names = sup["s_name"].to_numpy(zero_copy_only=False)[sorder]
         pos = np.searchsorted(sk[sorder], g["s_suppkey"].to_numpy())
-        return pa.table({"s_name": pa.array(names[pos]),
+        return pa.table({"s_name": pa.array(names[pos], type=pa.string()),
                          "numwait": g["numwait"]})
 
-    return driver_merge(partials, merge)
+    return driver_merge(partials, merge,
+                        schema=pa.schema([("s_suppkey", pa.int64()),
+                                          ("numwait", pa.int64())]))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -199,8 +199,28 @@ def hash_join(left_ds, right_ds, left_key: str, right_key: str,
                     [out, pa.Table.from_arrays(extra, schema=out_schema)])
         return out
 
-    return tagged.groupby("_bucket").map_groups(merge,
-                                                batch_format="pyarrow")
+    import ray.data as rd
+
+    joined = tagged.groupby("_bucket").map_groups(merge,
+                                                  batch_format="pyarrow")
+    # Zero groups (both inputs empty) yield a schema-less Dataset that
+    # breaks downstream joins/aggregates; a typed empty seed block keeps
+    # out_schema alive at negligible cost.
+    return rd.from_arrow(out_schema.empty_table()).union(joined)
+
+
+def seed_schema(ds, schema: pa.Schema):
+    """`ds`, or a typed empty Dataset if `ds` lost its schema.
+
+    map_batches over an empty input never runs the UDF, so the resulting
+    Dataset has schema None and trips the join schema guards. Callers that
+    feed a map_batches output into a join declare its schema here so empty
+    partitions flow through instead of raising."""
+    import ray.data as rd
+
+    if ds.schema() is None:
+        return rd.from_arrow(schema.empty_table())
+    return ds
 
 
 def semi_join(left_ds, right_ds, left_key: str, right_key: str,
@@ -283,8 +303,11 @@ def semi_join(left_ds, right_ds, left_key: str, right_key: str,
             arrays.append(col.take(take))
         return pa.Table.from_arrays(arrays, schema=out_schema)
 
-    result = tagged.groupby("_bucket").map_groups(probe,
-                                                  batch_format="pyarrow")
+    import ray.data as rd
+
+    result = rd.from_arrow(out_schema.empty_table()).union(
+        tagged.groupby("_bucket").map_groups(probe,
+                                             batch_format="pyarrow"))
     if anti:
         # NOT EXISTS keeps null-key left rows; they bypass the shuffle.
         def nulls_only(batch: pa.Table) -> pa.Table:
