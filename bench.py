@@ -246,6 +246,22 @@ def run_benchmarks() -> dict:
             _entry._sole_late_supplier_counts(SF_DIR)
             timings["sole_late_supplier_counts"] = time.time() - t0
 
+    # 5d. Web-pipeline shapes over $GRAFT_SF_DIR documents: cross-doc
+    # duplicated n-grams (keys-only shingle exchange) and the crawl
+    # snapshot diff (FULL OUTER fingerprint join).
+    if want("docs_dup_ngram_fraction"):
+        import __ray_entry__ as _entry2
+
+        t0 = time.time()
+        _entry2._docs_dup_ngram_fraction(SF_DIR).count()
+        timings["docs_dup_ngram_fraction"] = time.time() - t0
+    if want("pages_snapshot_diff"):
+        import __ray_entry__ as _entry3
+
+        t0 = time.time()
+        _entry3._pages_snapshot_diff(SF_DIR).count()
+        timings["pages_snapshot_diff"] = time.time() - t0
+
     curation_stages: dict[str, float] = {}
     if want("curation_pipeline"):
         # The flagship composed pipeline (quality filter -> decontaminate
