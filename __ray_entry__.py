@@ -708,8 +708,8 @@ def _events_pivot_by_hour(sf_dir: str):
 
 def _events_pivot_oracle() -> str:
     cases = ", ".join(
-        f"SUM(CASE WHEN EXTRACT(hour FROM ts) = {h} THEN 1 ELSE 0 END)"
-        f" AS h{h}" for h in range(24))
+        f"CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) = {h} "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS h{h}" for h in range(24))
     return (f"SELECT event_type, {cases} FROM events"
             " GROUP BY event_type")
 
@@ -973,9 +973,9 @@ def _curation_oracle() -> str:
           WHERE cl.cluster_id = cl.doc_id
         )
         SELECT doc_id,
-               COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+               CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                   0) // 8192 AS pack_id
+                   0) // 8192 AS BIGINT) AS pack_id
         FROM surv
     """
 
@@ -1727,8 +1727,14 @@ def _h3_ring_smoothed(sf_dir: str):
 def _emb_kmeans_assign(sf_dir: str):
     """Distributed spherical k-means (3 Lloyd passes, exact micro-int
     partial sums -> bit-deterministic regardless of blocking) + one
-    assignment pass. Embeddings never shuffle. No SQL oracle (iterative);
-    pytest asserts exact equality with a single-process reference."""
+    assignment pass. Embeddings never shuffle. Differential oracle: the
+    fit is bit-deterministic (pytest asserts exact equality with a
+    single-process reference), so `_kmeans_assign_oracle` re-fits, inlines
+    the centroids as SQL literals, and mirrors the argmax-cosine
+    assignment in SQL (reference precedent for differential testing of
+    every function: /root/reference/tests/h3/mod.rs:1-66). Only
+    (vec_id, cluster) is emitted — the float cosine stays out of the
+    hash-compared output (fp summation order differs engine vs SQL)."""
     import ray.data as rd
 
     from h3ray.pipelines.ann import kmeans_assign, kmeans_fit
@@ -1736,7 +1742,7 @@ def _emb_kmeans_assign(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     cent = kmeans_fit(ds, n_clusters=8, n_iter=3, sample_rows=2048)
-    return kmeans_assign(ds, cent)
+    return kmeans_assign(ds, cent).select_columns(["vec_id", "cluster"])
 
 
 def _revenue_local_suppliers(sf_dir: str):
@@ -3311,6 +3317,56 @@ _DUP_CLUSTERS_SQL = """
         """
 
 
+def _kmeans_assign_oracle() -> str:
+    """Differential oracle for emb_kmeans_assign: run the (bit-deterministic,
+    blocking-independent) distributed fit once, inline the 8x64 centroids as
+    exact DOUBLE literals, and mirror the assignment — argmax over
+    dot(x/|x|, c) with np.argmax's first-max tie-break (ORDER BY sim DESC,
+    cluster ASC). The fit itself is iterative / not SQL-expressible; its
+    correctness is pinned by pytest exact-equality vs a single-process
+    reference, so the SQL independently checks the assignment pass
+    (differential-testing precedent: /root/reference/tests/h3/mod.rs:1-66).
+
+    The fit reads the same sf dir the driver registers its views from
+    (sf0.01 by default; tools/check_oracles.py overrides via
+    GRAFT_ORACLE_SF when pointed elsewhere)."""
+    import os
+
+    import ray.data as rd
+
+    from h3ray.pipelines.ann import kmeans_fit
+
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    cent = kmeans_fit(ds, n_clusters=8, n_iter=3, sample_rows=2048)
+    rows = ",\n              ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            k, ", ".join(repr(float(v)) for v in cent[k]))
+        for k in range(cent.shape[0]))
+    return f"""
+        WITH c(cluster, vec) AS (
+          VALUES {rows}
+        ), x AS (
+          SELECT vec_id,
+                 list_transform(embedding, (e) -> CAST(e AS DOUBLE)) AS emb
+          FROM embeddings
+        ), sims AS (
+          SELECT vec_id, c.cluster,
+                 list_inner_product(emb, c.vec)
+                   / GREATEST(sqrt(list_inner_product(emb, emb)), 1e-30)
+                     AS sim
+          FROM x CROSS JOIN c
+        )
+        SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
+        FROM (SELECT vec_id, cluster,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY sim DESC, cluster ASC) AS rn
+              FROM sims)
+        WHERE rn = 1
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "order_priority_check": """
@@ -3807,6 +3863,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(LENGTH(text) AS DOUBLE) AS q_len
             FROM documents
         """,
+        "emb_kmeans_assign": _kmeans_assign_oracle(),
         "emb_centroids_by_label": """
             SELECT label, i AS dim,
                    CAST(SUM(CAST(FLOOR(CAST(e AS DOUBLE) * 1000000 + 0.5)
@@ -3881,9 +3938,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_pack_assign": """
             SELECT doc_id, n_chars,
-                   COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+                   CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                       0) // 8192 AS pack_id
+                       0) // 8192 AS BIGINT) AS pack_id
             FROM documents
         """,
         "docs_epoch_mix": """
@@ -3951,10 +4008,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lineitem_priority_counts": """
             SELECT l_returnflag,
-                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_lines,
-                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 0 ELSE 1 END) AS low_lines
+                   CAST(SUM(CASE WHEN o_orderpriority
+                                     IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+                   CAST(SUM(CASE WHEN o_orderpriority
+                                     IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_lines
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate < TIMESTAMP '1997-01-01'
             GROUP BY l_returnflag

@@ -516,7 +516,9 @@ def kmeans_fit(ds, *, emb_col: str = "embedding", n_clusters: int = 8,
     every batch assigns rows (argmax cosine) and collapses to
     (cluster x dim) micro-int64 partial sums + counts (exact,
     summation-order-free — the centroids_by_label trick, so the fit is
-    bit-deterministic regardless of block boundaries), partials tree-merge
+    bit-deterministic regardless of block boundaries and of Ray's
+    run-to-run block arrival order — the init sample is lexsorted),
+    partials tree-merge
     at the driver (bounded by n_clusters x dim), centroids renormalize.
     Embeddings never shuffle; the exchange per iteration is
     O(blocks x n_clusters x dim) partial rows. Returns (n_clusters, dim)
@@ -539,7 +541,16 @@ def _sample_matrix(ds, emb_col: str, sample_rows: int) -> np.ndarray:
     parts = [t for t in parts if t.num_rows]
     if not parts:
         raise ValueError("kmeans_fit: empty input dataset")
-    return _embedding_matrix(pa.concat_tables(parts), emb_col)
+    m = _embedding_matrix(pa.concat_tables(parts), emb_col)
+    # Ray's block arrival order under limit+iter_batches is NOT stable run
+    # to run, and the seeded init draws row indices — lexsort the sample so
+    # the init (hence the whole fit) is row-order-free. When the dataset
+    # exceeds sample_rows, WHICH rows land in the sample still follows
+    # Ray's limit (first-N of an unordered stream); the fit is then
+    # deterministic per sample, not per run — callers needing cross-run
+    # determinism (the emb_kmeans_assign oracle) keep the corpus within
+    # sample_rows.
+    return m[np.lexsort(m.T[::-1])]
 
 
 def _kmeans_step(ds, emb_col: str, cent: np.ndarray) -> np.ndarray:

@@ -21,20 +21,47 @@ and the survivor semi-join), so it must be produced once. Two modes:
 
 from __future__ import annotations
 
+import hashlib
 import os
 import time
+from pathlib import Path
+
+# Modules whose behavior feeds the checkpointed intermediate (everything
+# upstream of — and including — the checkpoint write). Hashing their source
+# into the signature means any code change automatically invalidates
+# persisted checkpoints: a stale round-N checkpoint can never serve
+# round-N+1 answers even if nobody remembers to bump a version constant.
+_UPSTREAM_MODULES = ("pipelines/curation.py", "text/analysis.py",
+                     "text/dedup.py", "ops/join.py", "io/sink.py")
+_CODE_SIG: str | None = None
+
+
+def _code_signature() -> str:
+    global _CODE_SIG
+    if _CODE_SIG is None:
+        root = Path(__file__).resolve().parent.parent
+        h = hashlib.sha256()
+        for rel in _UPSTREAM_MODULES:
+            try:
+                h.update((root / rel).read_bytes())
+            except OSError:
+                h.update(f"missing:{rel}".encode())
+        _CODE_SIG = h.hexdigest()[:12]
+    return _CODE_SIG
 
 
 def _input_signature(sf_dir: str) -> str:
-    """Cheap change-detecting signature of the pipeline input: path plus
-    size/mtime of the documents file, so a stale checkpoint from different
-    data is never reused (manifests embed this string)."""
+    """Change-detecting signature of the pipeline input: path plus
+    size/mtime of the documents file, plus a hash of the upstream stage
+    code, so a stale checkpoint from different data OR different code is
+    never reused (manifests embed this string)."""
     path = f"{sf_dir}/documents.parquet"
+    tag = f"quality+decontam|code={_code_signature()}"
     try:
         st = os.stat(path)
-        return f"{path}|{st.st_size}|{int(st.st_mtime)}|quality+decontam"
+        return f"{path}|{st.st_size}|{int(st.st_mtime)}|{tag}"
     except OSError:
-        return f"{path}|missing|quality+decontam"
+        return f"{path}|missing|{tag}"
 
 
 def curation_pipeline(sf_dir: str, *, checkpoint_dir: str | None = None,

@@ -108,6 +108,31 @@ def test_checkpoint_dataset_roundtrip_and_resume(ray_session, out_dir):
     assert back2.count() == len(exp)
 
 
+def test_code_change_invalidates_curation_checkpoint(ray_session, tmp_path,
+                                                     monkeypatch):
+    """The checkpoint signature embeds a hash of the upstream stage code:
+    changing any stage's source must change the signature, and a persisted
+    checkpoint from the old code must be fully recomputed, never reused."""
+    from h3ray.pipelines import curation
+
+    ckpt = tmp_path / "ckpt"
+    curation.curation_pipeline(SF, checkpoint_dir=str(ckpt))
+    job1 = json.loads((ckpt / "_manifests" / "_job.json").read_text())
+    assert job1["skipped"] == 0 and job1["partitions"] > 0
+    sig_before = curation._input_signature(SF)
+    assert f"code={curation._code_signature()}" in sig_before
+
+    # Simulate a behavior change in an upstream stage.
+    monkeypatch.setattr(curation, "_CODE_SIG", "deadbeef0000")
+    sig_after = curation._input_signature(SF)
+    assert sig_after != sig_before
+    assert not sink.finished_partitions(str(ckpt), sig_after)
+
+    curation.curation_pipeline(SF, checkpoint_dir=str(ckpt))
+    job2 = json.loads((ckpt / "_manifests" / "_job.json").read_text())
+    assert job2["skipped"] == 0 and job2["partitions"] == job1["partitions"]
+
+
 def test_curation_checkpoint_matches_in_memory(ray_session, tmp_path):
     """The durable-checkpoint curation run must produce exactly the
     in-memory run's (doc_id, pack_id) assignment."""

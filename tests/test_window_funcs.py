@@ -100,6 +100,23 @@ def test_kmeans_blocking_invariant_and_assignment(ray_session):
     assert (got == exp).all()
 
 
+def test_kmeans_fit_run_to_run_deterministic(ray_session):
+    """Ray's block arrival order under limit+iter_batches varies run to
+    run; the fit must still be bit-identical across repeated fits over a
+    real parquet read (the emb_kmeans_assign differential oracle re-fits
+    and inlines the centroids — any drift would fail the driver hash)."""
+    from h3ray.pipelines.ann import kmeans_fit
+
+    def fit():
+        ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        return kmeans_fit(ds, n_clusters=8, n_iter=3, sample_rows=2048)
+
+    runs = [fit() for _ in range(3)]
+    assert np.array_equal(runs[0], runs[1])
+    assert np.array_equal(runs[0], runs[2])
+
+
 def test_ring_smoothed_counts_matches_local(ray_session):
     """Distributed hex box filter == whole-corpus local reference."""
     from h3ray.io import pages as pio

@@ -12,6 +12,7 @@ Usage: python tools/check_oracles.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 from pathlib import Path
 
@@ -36,8 +37,15 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def value_hash(df: pd.DataFrame) -> str:
+    # Hash dtype *kinds* alongside values: the driver's hash distinguishes
+    # int64 12 from float64 12.0, but "%.10g" prints both as "12" — without
+    # the kind line this gate passed oracles the driver fails (round-4
+    # docs_pack_assign incident). Kinds, not exact dtypes, so int32/int64
+    # stay interchangeable while int/float divergence is caught.
     df = norm(df)
-    payload = df.to_csv(index=False, float_format="%.10g").encode()
+    kinds = ",".join(f"{c}:{df[c].dtype.kind}" for c in df.columns)
+    payload = (kinds + "\n").encode() + \
+        df.to_csv(index=False, float_format="%.10g").encode()
     return hashlib.sha256(payload).hexdigest()[:16]
 
 
@@ -57,6 +65,9 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * "
                     f"FROM '{sf_dir}/{t}.parquet'")
     qs = entry.queries()
+    # Data-dependent oracles (emb_kmeans_assign's centroid fit) must read
+    # the same dir the views point at, not the driver's sf0.01 default.
+    os.environ["GRAFT_ORACLE_SF"] = sf_dir
     oracles = entry.oracle_sql()
     failures = 0
     for name, fn in qs.items():
