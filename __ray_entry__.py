@@ -430,6 +430,13 @@ def _ngram_jaccard_pairs(sf_dir: str):
 
 
 def _ann_topk_lsh(sf_dir: str):
+    """LSH-bucketed ANN top-k (no SQL oracle: recall < 1 by design). The
+    row carries quantitative evidence instead: at driver scale the wrapper
+    re-ranks the same queries with the exact brute-force path and logs
+    recall@10 (pytest pins the bound; the probe is size-guarded so it can
+    never run at corpus scale, where brute force is the wrong tool)."""
+    import logging
+
     import numpy as np
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -442,8 +449,21 @@ def _ann_topk_lsh(sf_dir: str):
     queries = np.stack(tbl.filter(mask)["embedding"].to_numpy(
         zero_copy_only=False))
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    out = ann.lsh_topk(ds, queries, k=10, concurrency=2)
-    return out.select_columns(["query_id", "vec_id"])
+    out = ann.lsh_topk(ds, queries, k=10, concurrency=2) \
+        .select_columns(["query_id", "vec_id"])
+    if tbl.num_rows <= 100_000:  # telemetry probe, driver scale only
+        out = out.materialize()
+        exact = ann.brute_force_topk(
+            rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"]),
+            queries, k=10, concurrency=2) \
+            .select_columns(["query_id", "vec_id"]).to_pandas()
+        recall = ann.topk_recall(out.to_pandas(), exact)
+        logging.getLogger("h3ray.ann").warning(
+            "ann_topk_lsh recall@10 vs brute force: %.4f "
+            "(corpus=%d rows, queries=%d)", recall, tbl.num_rows,
+            queries.shape[0])
+    return out
 
 
 def _docs_exact_canonical(sf_dir: str):
@@ -1796,11 +1816,20 @@ def _revenue_local_suppliers(sf_dir: str):
         price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = batch["l_discount"].to_numpy(zero_copy_only=False)
         cents = np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64)
-        pos = np.searchsorted(keys, ls)
-        pos = np.minimum(pos, keys.shape[0] - 1)
-        return pa.table({"l_orderkey": batch["l_orderkey"],
-                         "s_nat": nat[pos],
-                         "cents": cents})
+        # Inner-join semantics like the Q7/Q17 siblings: a suppkey absent
+        # from supplier must drop, not inherit a neighbor's nation (and an
+        # empty supplier table must yield zero rows, not IndexError).
+        if keys.shape[0] == 0:
+            sel = np.zeros(ls.shape[0], dtype=bool)
+            pos = np.zeros(ls.shape[0], dtype=np.int64)
+        else:
+            pos = np.minimum(np.searchsorted(keys, ls), keys.shape[0] - 1)
+            sel = keys[pos] == ls
+        return pa.table({"l_orderkey": batch["l_orderkey"].filter(
+                             pa.array(sel)),
+                         "s_nat": nat[pos[sel]] if keys.shape[0]
+                         else np.zeros(0, dtype=np.int64),
+                         "cents": cents[sel]})
 
     joined = hash_join(line.map_batches(line_prep,
                                         batch_format="pyarrow",
@@ -2818,36 +2847,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {k: d[k] for k in order}
 
 
-# 50 names, audited against the round-3 verdict's "next round" item 1.
+# 50 names — the driver checks this prefix. Round-5 rotation policy
+# (VERDICT r4 item 5 + ADVICE): (1) everything changed this round, (2) the
+# queries never driver-checked in r1-r4 (two of the eight turned out to
+# carry latent oracle type bugs — rotation exists for exactly this), (3)
+# the stalest r02/r03-only evidence, (4) a few round-4 flagships kept for
+# regression coverage.
 _WINDOW_FIRST = [
-    # round-4 wave 3 (new)
-    "order_priority_check", "nation_pair_volume", "customer_order_dist",
-    "top_supplier_revenue", "disjunct_brand_revenue", "idle_rich_customers",
-    "pages_domain_stats", "docs_dup_ngram_fraction", "pages_snapshot_diff",
-    "sole_late_supplier_counts",
-    # round-4 waves 1-2 (new)
-    "revenue_local_suppliers", "brand_small_qty_revenue",
-    "orders_bloom_pruned_revenue", "orders_cube", "events_rank_dist",
-    "events_ranked_in_type", "events_lag_lead_by_user", "events_winsorized",
-    "lineitem_rollup", "lineitem_corr_by_flag", "orders_big_qty",
-    "part_supplier_counts", "docs_tfidf_topk", "emb_kmeans_assign",
-    "h3_ring_smoothed",
-    # implementation changed in round 4 (ANN distributed ranking, quantile
-    # distributed merge, desc-sort-key fix)
-    "ann_topk_cosine", "ann_topk_lsh", "ann_topk_ivf",
-    "events_quantiles_by_type", "events_cont_quantiles",
-    "orders_revenue_topk",
-    # round-3 flagships the round-3 verdict named (curation checkpoint also
-    # changed in round 4: durable sink)
-    "docs_curation_pipeline", "docs_near_dedup", "docs_decontaminate",
-    "docs_pack_assign", "docs_dup_clusters", "minhash_dup_pairs",
-    "ngram_jaccard_pairs", "promo_revenue_by_brand",
-    # sampling family (round-3 verdict item 1)
-    "docs_stratified_sample", "docs_weighted_sample", "docs_epoch_mix",
-    "docs_cap_per_source", "docs_sample_10pct", "docs_train_test_split",
-    # text-quality family (judge-only evidence so far)
-    "docs_quality_filter", "docs_repetition_scores", "docs_redacted",
-    "docs_normalized", "langid_predictions",
+    # (1) round-5 changed: fixed oracles (BIGINT casts), new kmeans
+    # differential oracle + deterministic fit, multiprobe LSH, the
+    # line_prep inner-join guard, rollup/cube empty-input semantics.
+    "docs_pack_assign", "docs_curation_pipeline", "lineitem_priority_counts",
+    "events_pivot_by_hour", "emb_kmeans_assign", "ann_topk_lsh",
+    "revenue_local_suppliers", "orders_cube", "lineitem_rollup",
+    # (2) never driver-checked in any round
+    "events_latest_per_user", "docs_langs_by_source", "events_profile",
+    "emb_quantize_int8", "docs_mode_lang_by_source", "docs_counts_long",
+    # (3) stalest driver evidence (r02)
+    "simhash_fingerprints", "simhash_dup_pairs",
+    # (3) r03-only evidence, rotated back in (verdict-named first)
+    "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
+    "events_heavy_users", "lineitem_pricing_summary", "orders_by_mktsegment",
+    "orders_by_nation_shuffle_join", "events_hourly_windows",
+    "events_median_by_type", "events_p90_by_type",
+    "customers_left_join_orders", "events_distinct_users_by_type",
+    "events_hll_users_by_type", "customers_no_urgent_orders",
+    "parts_in_lineitems", "nation_supplier_customer_full",
+    "events_hopping_windows", "events_asof_join", "events_user_sessions",
+    "events_rolling_by_user", "events_topk_by_type", "docs_by_lang",
+    "docs_token_counts", "docs_exact_dedup", "docs_exact_canonical",
+    "docs_bpe_tokens", "docs_quality_len", "emb_cosine_dup_pairs",
+    "emb_cosine_dup_pairs_lsh", "docs_fingerprints",
+    # (4) round-4 flagship regression keepers
+    "minhash_dup_pairs", "docs_dup_clusters", "ann_topk_ivf",
 ]
 
 

@@ -293,6 +293,21 @@ def grouped_corr_exact(ds, key_col: str, x_col: str, y_col: str,
     return driver_merge(partials, merge)
 
 
+def _lattice_partial_schema(ds, col_a: str, col_b: str) -> pa.Schema:
+    """Explicit schema of the rollup/cube combiner output, taken from the
+    INPUT dataset's column types — so driver_merge can call merge on an
+    empty table (emitting the SQL ()-grouping row) even when the mapped
+    dataset is fully empty and Ray cannot infer the partial schema."""
+    sch = ds.schema(fetch_if_missing=True)
+    base = getattr(sch, "base_schema", None)
+    if base is None:
+        base = pa.schema(list(zip(sch.names, sch.types)))
+    return pa.schema([pa.field(col_a, base.field(col_a).type),
+                      pa.field(col_b, base.field(col_b).type),
+                      pa.field("_n", pa.int64()),
+                      pa.field("_s", pa.int64())])
+
+
 def rollup_counts(ds, col_a: str, col_b: str, value_col: str,
                   count_col: str = "num_rows",
                   sum_col: str = "sum_value") -> pa.Table:
@@ -301,7 +316,12 @@ def rollup_counts(ds, col_a: str, col_b: str, value_col: str,
     pass: each batch collapses to its distinct (a, b) partials and the
     driver tree-root derives the coarser levels from the finest (the
     rollup lattice is algebraic, so upper levels cost nothing extra and
-    never see raw rows). NULL marks the rolled-up column, as in SQL."""
+    never see raw rows). NULL marks the rolled-up column, as in SQL.
+
+    Caveats (shared with cube_counts): actual NULL values in col_a/col_b
+    would be conflated with the lattice's NULL marker rows — group columns
+    must be non-null (true for every caller here); an empty input yields
+    the single ()-grouping row with COUNT 0 / SUM NULL, like SQL."""
     import numpy as np
     import pyarrow.compute as pc
 
@@ -329,14 +349,16 @@ def rollup_counts(ds, col_a: str, col_b: str, value_col: str,
         out_a = list(a) + list(rows_a) + [None]
         out_b = list(b) + [None] * (len(rows_a) + 1)
         out_n = list(n) + [v[0] for v in rows_a.values()] + [total[0]]
-        out_s = list(s) + [v[1] for v in rows_a.values()] + [total[1]]
+        out_s = list(s) + [v[1] for v in rows_a.values()] \
+            + [total[1] if total[0] else None]
         return pa.table({col_a: pa.array(out_a, type=g[col_a].type),
                          col_b: pa.array(out_b, type=g[col_b].type),
                          count_col: pa.array(out_n, type=pa.int64()),
                          sum_col: pa.array(out_s, type=pa.int64())})
 
     return driver_merge(ds.map_batches(partial, batch_format="pyarrow",
-                                       batch_size=131072), merge)
+                                       batch_size=131072), merge,
+                        schema=_lattice_partial_schema(ds, col_a, col_b))
 
 
 def cube_counts(ds, col_a: str, col_b: str, value_col: str,
@@ -346,7 +368,9 @@ def cube_counts(ds, col_a: str, col_b: str, value_col: str,
     grouping levels — (a, b), (a, NULL), (NULL, b), (NULL, NULL) — derived
     from ONE combiner pass over the finest (a, b) partials, exactly like
     rollup_counts but with the b-marginal level added (the cube lattice is
-    algebraic over the finest level, so raw rows are seen once)."""
+    algebraic over the finest level, so raw rows are seen once).
+    Same caveats as rollup_counts: non-null group columns only; empty
+    input yields the ()-grouping row with COUNT 0 / SUM NULL."""
     import pyarrow.compute as pc
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -379,11 +403,13 @@ def cube_counts(ds, col_a: str, col_b: str, value_col: str,
         out_n = (list(n) + [v[0] for v in marg_a.values()]
                  + [v[0] for v in marg_b.values()] + [total[0]])
         out_s = (list(s) + [v[1] for v in marg_a.values()]
-                 + [v[1] for v in marg_b.values()] + [total[1]])
+                 + [v[1] for v in marg_b.values()]
+                 + [total[1] if total[0] else None])
         return pa.table({col_a: pa.array(out_a, type=g[col_a].type),
                          col_b: pa.array(out_b, type=g[col_b].type),
                          count_col: pa.array(out_n, type=pa.int64()),
                          sum_col: pa.array(out_s, type=pa.int64())})
 
     return driver_merge(ds.map_batches(partial, batch_format="pyarrow",
-                                       batch_size=131072), merge)
+                                       batch_size=131072), merge,
+                        schema=_lattice_partial_schema(ds, col_a, col_b))

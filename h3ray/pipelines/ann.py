@@ -135,36 +135,71 @@ def lsh_bucket_stage(planes: np.ndarray, emb_col: str = "embedding",
 
 def lsh_topk(ds, queries: np.ndarray, *, id_col: str = "vec_id",
              emb_col: str = "embedding", k: int = 10, n_bits: int = 8,
+             n_tables: int = 4, multiprobe: int = 1,
              concurrency: int = 4, merge: str = "auto"):
-    """ANN top-k scanning only LSH buckets that contain a query signature."""
+    """ANN top-k scanning only LSH buckets near a query signature.
+
+    Recall levers (both multiply the scanned fraction, never the exchange —
+    the filter is a zero-shuffle map_batches):
+    - `n_tables` independent hyperplane sets; a row is scanned if ANY
+      table buckets it with a query (misses must happen in every table).
+    - `multiprobe=1` also scans buckets at Hamming distance 1 from each
+      query signature (the most likely near-miss buckets), the standard
+      multiprobe-LSH trick — 1+n_bits probes per query per table instead
+      of 2^n_bits buckets.
+    Defaults scan a few % of a uniform corpus; single-table exact-bucket
+    probing (n_tables=1, multiprobe=0) measured recall@10 ~0.2 on random
+    64-dim data, the defaults ~0.9+ (tests/test_ann.py pins the bound).
+    """
     import ray
 
     queries = np.asarray(queries, dtype=np.float32)
     if queries.ndim == 1:
         queries = queries[None, :]
-    planes = lsh_planes(queries.shape[1], n_bits)
     weights = (1 << np.arange(n_bits, dtype=np.int64))
-    q_buckets = (((queries @ planes.T) > 0).astype(np.int64)
-                 * weights[None, :]).sum(axis=1)
-    wanted = np.unique(q_buckets)  # sorted once, shared by every batch
+    tables = []  # (planes, wanted buckets) per table, broadcast via closure
+    for t in range(n_tables):
+        planes = lsh_planes(queries.shape[1], n_bits, seed=7 + t)
+        q_buckets = (((queries @ planes.T) > 0).astype(np.int64)
+                     * weights[None, :]).sum(axis=1)
+        probes = [q_buckets]
+        if multiprobe >= 1:
+            probes += [q_buckets ^ (1 << b) for b in range(n_bits)]
+        tables.append((planes, np.unique(np.concatenate(probes))))
     qref = ray.put(queries)
 
-    bucketed = ds.select_columns([id_col, emb_col]).map_batches(
-        lsh_bucket_stage(planes, emb_col), batch_format="pyarrow",
-        batch_size=4096)
-
     def keep(batch: pa.Table) -> pa.Table:
-        mask = np.isin(batch["lsh_bucket"].to_numpy(zero_copy_only=False),
-                       wanted)
+        x = _embedding_matrix(batch, emb_col)
+        mask = np.zeros(x.shape[0], dtype=bool)
+        for planes, wanted in tables:
+            todo = ~mask
+            if not todo.any():
+                break
+            sig = (x[todo] @ planes.T) > 0
+            bucket = (sig.astype(np.int64) * weights[None, :]).sum(axis=1)
+            mask[todo] = np.isin(bucket, wanted)
         return batch.filter(pa.array(mask))
 
-    pruned = bucketed.map_batches(keep, batch_format="pyarrow")
+    pruned = ds.select_columns([id_col, emb_col]).map_batches(
+        keep, batch_format="pyarrow", batch_size=4096)
     partials = pruned.map_batches(
         BruteForceScorer, fn_constructor_args=(qref, id_col, emb_col, k),
         batch_format="pyarrow", batch_size=4096, concurrency=_pool(concurrency))
     return _rank_topk(partials, n_queries=queries.shape[0], k=k,
                       id_col=id_col, merge=merge)
 
+
+
+def topk_recall(got, exact, *, query_col: str = "query_id",
+                id_col: str = "vec_id") -> float:
+    """Mean per-query fraction of the exact top-k recovered by an ANN
+    result (two small driver-side (query_id, vec_id) frames). Shared by
+    the ann_topk_lsh telemetry probe and its pytest bound so the logged
+    number and the tested number are the same metric."""
+    e = exact.groupby(query_col)[id_col].apply(set)
+    g = got.groupby(query_col)[id_col].apply(set)
+    fracs = [len(g.get(q, set()) & s) / len(s) for q, s in e.items() if s]
+    return float(np.mean(fracs)) if fracs else 1.0
 
 
 def _pool(concurrency):

@@ -160,3 +160,37 @@ def test_quantize_int8_matches_reference_and_zero_vector(ray_session):
                else np.floor(127 * micro / np.sqrt(n2) + 0.5))
         assert np.array_equal(got, exp.astype(np.int64))
         assert np.abs(got).max() <= 127
+
+
+def test_lsh_topk_recall_bound_vs_brute_force(ray_session):
+    """Pins the quantitative evidence behind the no-oracle ann_topk_lsh
+    row: recall@10 of the LSH-pruned scan vs the exact brute-force ranking
+    on the sf0.001 embeddings, same metric the driver wrapper logs."""
+    import pyarrow.parquet as pq
+
+    from h3ray.pipelines.ann import brute_force_topk, lsh_topk, topk_recall
+
+    sf = "/root/testdata/sf0.001"
+    tbl = pq.read_table(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    queries = np.stack(tbl.filter(
+        tbl["vec_id"].to_numpy() < 5)["embedding"].to_numpy(
+        zero_copy_only=False))
+    ds = rd.read_parquet(f"{sf}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    got = lsh_topk(ds, queries, k=10, concurrency=2) \
+        .select_columns(["query_id", "vec_id"]).to_pandas()
+    exact = brute_force_topk(
+        rd.read_parquet(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]),
+        queries, k=10, concurrency=2) \
+        .select_columns(["query_id", "vec_id"]).to_pandas()
+    recall = topk_recall(got, exact)
+    # 4-table 8-bit multiprobe(1) LSH. This corpus is UNIFORM random
+    # 64-dim data — LSH's worst case (top-10 "neighbors" are barely closer
+    # than random rows), so recall tracks scan fraction: measured 0.72 at
+    # ~59% scanned (deterministic: seeded planes, fixed data). Single-table
+    # exact-bucket probing measured 0.2. On clustered data (the real
+    # near-dup use case) the same config is near-1 — see
+    # test_cosine_dup_pairs_lsh_recall_on_near_dups.
+    assert recall >= 0.7, recall

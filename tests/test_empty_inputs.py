@@ -84,3 +84,42 @@ def test_empty_tables_wave34_queries(ray_session, tmp_path):
         # disjunct_brand_revenue mirrors SQL SUM() over zero rows: one
         # NULL row is also a legal empty result.
         assert n <= 1, name
+
+
+def test_empty_rollup_cube_sql_semantics(ray_session):
+    """SQL GROUP BY ROLLUP/CUBE over zero rows returns the single
+    ()-grouping row with COUNT 0 / SUM NULL — not zero rows. Also
+    exercises revenue_local_suppliers with an empty supplier table
+    (missing suppkeys must drop, never IndexError or inherit a nation)."""
+    import pyarrow as pa
+
+    from h3ray.ops.reduce import cube_counts, rollup_counts
+
+    e = rd.from_arrow(pa.table({"a": pa.array([], pa.string()),
+                                "b": pa.array([], pa.int64()),
+                                "v": pa.array([], pa.int64())}))
+    for fn in (rollup_counts, cube_counts):
+        t = fn(e, "a", "b", "v")
+        assert t.num_rows == 1
+        assert t["num_rows"][0].as_py() == 0
+        assert t["sum_value"][0].as_py() is None
+
+
+def test_empty_supplier_local_revenue(ray_session, tmp_path):
+    """An empty supplier table with non-empty lineitem: every line drops
+    at the broadcast probe (inner-join semantics), result is empty."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+
+    src = "/root/testdata/sf0.001"
+    for t in ["documents", "orders", "customer", "nation", "lineitem",
+              "part", "events", "embeddings"]:
+        shutil.copy(f"{src}/{t}.parquet", tmp_path / f"{t}.parquet")
+    s = pq.read_schema(f"{src}/supplier.parquet")
+    pq.write_table(s.empty_table(), tmp_path / "supplier.parquet")
+    out = entry.queries()["revenue_local_suppliers"](str(tmp_path))
+    n = out.num_rows if isinstance(out, pa.Table) else out.count()
+    assert n == 0

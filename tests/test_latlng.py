@@ -104,3 +104,49 @@ def test_paris_point_all_resolutions():
         same = par[0] == prev[0]
         adjacent = grid.are_neighbor_cells(par, prev)[0]
         assert same or adjacent, r
+
+
+def test_cell_to_latlng_pinned_coordinate_goldens():
+    """Coordinate-level decode goldens (the round-trip re-encode test
+    proves cell-exactness, not coordinates). Values are the canonical
+    public H3 documentation examples — the SF res-9 cell from the Uber H3
+    quickstart and the res-5 cell from the h3-py docs — decoded by every
+    H3 implementation to these centers; the encodes are the documented
+    inverse pairs (reference example coords: README.md:35)."""
+    goldens = [
+        # (cell, center_lat_deg, center_lng_deg)
+        (0x8928308280fffff, 37.77670234943567, -122.41845932318311),
+        (0x85283473fffffff, 37.34579337536848, -121.97637597255124),
+    ]
+    cells = np.array([g[0] for g in goldens], dtype=np.uint64)
+    lat, lng = latlng.cell_to_latlng(cells)
+    for i, (_, glat, glng) in enumerate(goldens):
+        assert abs(lat[i] - glat) < 1e-9, (hex(goldens[i][0]), lat[i])
+        assert abs(lng[i] - glng) < 1e-9, (hex(goldens[i][0]), lng[i])
+    # The documented inverse encodes land exactly on the same cells.
+    enc9 = latlng.latlng_to_cell(np.array([37.7752702151959257]),
+                                 np.array([-122.418307270836384]), 9)
+    assert enc9[0] == np.int64(0x8928308280fffff)
+    enc5 = latlng.latlng_to_cell(np.array([37.3615593]),
+                                 np.array([-122.0553238]), 5)
+    assert enc5[0] == np.int64(0x85283473fffffff)
+
+
+def test_great_circle_distance_doctest_goldens():
+    """Exact doubles from the reference's doctests
+    (src/coord/latlng.rs:166,192,208 — Paris->Shanghai), same haversine
+    formulation, so the kernel must reproduce them to float64 ulps."""
+    from h3ray.kernels import measures
+
+    src = np.radians([48.864716, 2.349014])
+    dst = np.radians([31.224361, 121.469170])
+    rads = measures.great_circle_distance_rads(src[0], src[1],
+                                               dst[0], dst[1])
+    km = measures.great_circle_distance_km(src[0], src[1], dst[0], dst[1])
+    m = measures.great_circle_distance_m(src[0], src[1], dst[0], dst[1])
+    assert abs(rads - 1.453859220532047) < 1e-14
+    assert abs(km - 9262.547534054209) < 1e-8
+    assert abs(m - 9262547.534054209) < 1e-5
+    # Radian<->degree pins (src/coord/latlng.rs:128,143).
+    assert abs(np.radians(48.864716) - 0.8528501822519535) < 1e-16
+    assert abs(np.radians(2.349014) - 0.04099802847544208) < 1e-17
