@@ -616,7 +616,8 @@ def _unique_shingle_sets(texts: pa.Array, k: int):
 
 def ngram_jaccard_pairs(ds, key_col: str, text_col: str = "text",
                         threshold: float = 0.5, k: int = 5,
-                        num_buckets: int = 32):
+                        num_buckets: int = 64,
+                        verify_block_bytes: int = 4 * 1024 * 1024):
     """Exact-verified near-dup pairs: MinHash-LSH candidates re-checked with
     true character-k-gram Jaccard >= threshold.
 
@@ -626,8 +627,18 @@ def ngram_jaccard_pairs(ds, key_col: str, text_col: str = "text",
     and the texts of their endpoint docs are hash-joined to the same
     buckets (`ops.pairverify`), each doc's text shipping once per distinct
     bucket membership. Verification shingles each bucket's docs in one
-    Arrow-buffer pass and intersects all pairs with one tagged lexsort —
-    no per-pair Python loop, no broadcast routing table.
+    Arrow-buffer pass and intersects all pairs with one flat rank-space
+    sort — no per-pair Python loop, no broadcast routing table.
+
+    `verify_block_bytes` caps the block size the groupby packs verification
+    groups into, because the verify stage is extremely CPU-dense (~hundreds
+    of shingle intersections per payload KB): at the default 128 MiB the
+    sort packed ALL groups into 3 blocks and the whole verification ran
+    3-wide regardless of cluster size (measured 12.2 s -> 2.7 s at sf0.1 /
+    32 cpus with 4 MiB + 64 buckets). The override is captured at dataset
+    BUILD time and scoped to this sub-pipeline. At corpus scales where
+    routed bytes / verify_block_bytes would exceed ~100k blocks, raise it —
+    the goal is blocks ~ a few x cluster cores.
     """
     import ray.data as rd
 
@@ -635,6 +646,25 @@ def ngram_jaccard_pairs(ds, key_col: str, text_col: str = "text",
 
     out_schema = pa.schema([("key_a", pa.int64()), ("key_b", pa.int64()),
                             ("jaccard", pa.float64())])
+    # The block-size cap is captured at dataset build time (Ray snapshots
+    # DataContext into the plan), so the override is scoped to the datasets
+    # constructed in this try block and restored before returning.
+    ctx = rd.DataContext.get_current()
+    prev_block = ctx.target_max_block_size
+    ctx.target_max_block_size = verify_block_bytes
+    try:
+        return _ngram_jaccard_pairs_build(ds, key_col, text_col, threshold,
+                                          k, num_buckets, out_schema)
+    finally:
+        ctx.target_max_block_size = prev_block
+
+
+def _ngram_jaccard_pairs_build(ds, key_col, text_col, threshold, k,
+                               num_buckets, out_schema):
+    import ray.data as rd
+
+    from ..ops.pairverify import route_pairs_and_payload, split_pair_group
+
     # distinct=False: copies of a multi-band collision all hash to the same
     # verification bucket, so split_pair_group dedupes them in-group — one
     # fewer all-to-all than a pre-shuffle global distinct.
@@ -660,18 +690,38 @@ def ngram_jaccard_pairs(ds, key_col: str, text_col: str = "text",
         a_ids, b_ids, ia, ib = a_ids[ok], b_ids[ok], ia[ok], ib[ok]
         if a_ids.size == 0:
             return out_schema.empty_table()
-        # Vectorized multi-pair intersection: tag each shingle with its pair
-        # id, sort (pair, value), count adjacent equal values within a pair.
+        # Vectorized multi-pair intersection in RANK space: map shingle
+        # hashes to dense group-local ranks, pack (pair_tag, rank) into one
+        # uint64, and count duplicate composites with a single flat
+        # np.sort — measured ~2.5x faster than the previous 2-key
+        # np.lexsort + double take on the same inputs (the sort was the
+        # verify stage's dominant cost).
         la, lb = lens[ia], lens[ib]
-        vals = np.concatenate([_ragged_gather(values, starts[ia], la),
-                               _ragged_gather(values, starts[ib], lb)])
+        uniq, ranks = np.unique(values, return_inverse=True)
+        rvals = ranks.astype(np.uint64)
         npairs = a_ids.shape[0]
-        tags = np.concatenate([np.repeat(np.arange(npairs), la),
-                               np.repeat(np.arange(npairs), lb)])
-        so = np.lexsort((vals, tags))
-        tv, vv = tags[so], vals[so]
-        eq = (tv[1:] == tv[:-1]) & (vv[1:] == vv[:-1])
-        inter = np.bincount(tv[1:][eq], minlength=npairs)
+        nu = np.uint64(max(len(uniq), 1))
+        if np.uint64(npairs) < np.iinfo(np.uint64).max // nu:
+            tags = np.concatenate([np.repeat(np.arange(npairs,
+                                                       dtype=np.uint64), la),
+                                   np.repeat(np.arange(npairs,
+                                                       dtype=np.uint64), lb)])
+            comp = tags * nu + np.concatenate(
+                [_ragged_gather(rvals, starts[ia], la),
+                 _ragged_gather(rvals, starts[ib], lb)])
+            comp.sort()
+            eq = comp[1:] == comp[:-1]
+            inter = np.bincount((comp[1:][eq] // nu).astype(np.int64),
+                                minlength=npairs)
+        else:  # composite would overflow (never at sane bucket sizing)
+            vals = np.concatenate([_ragged_gather(values, starts[ia], la),
+                                   _ragged_gather(values, starts[ib], lb)])
+            tags = np.concatenate([np.repeat(np.arange(npairs), la),
+                                   np.repeat(np.arange(npairs), lb)])
+            so = np.lexsort((vals, tags))
+            tv, vv = tags[so], vals[so]
+            eq = (tv[1:] == tv[:-1]) & (vv[1:] == vv[:-1])
+            inter = np.bincount(tv[1:][eq], minlength=npairs)
         union = la + lb - inter
         jacc = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
         keep = jacc >= threshold
