@@ -54,6 +54,16 @@ def uncompact(cells, res: int):
     return cell_to_children(cells, res)
 
 
+def uncompact_cells_size(cells, res: int) -> int:
+    """uncompactCellsSize closed form (cell.rs:779-810): total number of
+    res-`res` children over the cell set — sum of cellToChildrenSize, no
+    child materialization (hexagons 7^d; pentagons 1 + 5*(7^d - 1)/6)."""
+    arr = np.asarray(cells)
+    if arr.size == 0:
+        return 0
+    return int(bits.children_count(arr, res).sum())
+
+
 def compact(cells) -> np.ndarray:
     """compactCells over a unique, homogeneous-resolution cell set.
 

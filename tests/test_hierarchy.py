@@ -70,3 +70,20 @@ def test_compact_disk_of_pentagon():
     assert len(ch) == bits.children_count(pent, 3)[0]
     compacted = hierarchy.compact(ch)
     assert np.array_equal(compacted, pent)
+
+
+def test_uncompact_cells_size_closed_form():
+    """uncompactCellsSize == len(uncompact(...)) over a mixed hex+pentagon,
+    mixed-resolution compacted set (reference cell.rs:779-810)."""
+    import numpy as np
+
+    from h3ray.kernels import latlng
+
+    hexes = latlng.latlng_to_cell(np.array([48.86, 37.77, -33.9]),
+                                  np.array([2.35, -122.42, 151.2]), 3)
+    pent = np.array([0x8009fffffffffff], dtype=np.int64)  # res-0 pentagon
+    cells = np.concatenate([hexes, pent])
+    for res in (3, 5, 6):
+        _, expanded = hierarchy.uncompact(cells, res)
+        assert hierarchy.uncompact_cells_size(cells, res) == len(expanded)
+    assert hierarchy.uncompact_cells_size(np.empty(0, np.int64), 5) == 0
