@@ -642,8 +642,6 @@ def ngram_jaccard_pairs(ds, key_col: str, text_col: str = "text",
     """
     import ray.data as rd
 
-    from ..ops.pairverify import route_pairs_and_payload, split_pair_group
-
     out_schema = pa.schema([("key_a", pa.int64()), ("key_b", pa.int64()),
                             ("jaccard", pa.float64())])
     # The block-size cap is captured at dataset build time (Ray snapshots
