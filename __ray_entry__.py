@@ -2707,6 +2707,669 @@ def _sole_late_supplier_counts(sf_dir: str):
                                           ("numwait", pa.int64())]))
 
 
+def _forecast_revenue_delta(sf_dir: str):
+    """TPC-H Q6 shape: pure predicate scan — the what-if revenue delta of
+    dropping small discounts on small quantities for one shipping year.
+    Zero shuffle: the date range is a read-time row-group filter, the
+    discount/quantity band is one vectorized mask per batch, and each
+    block emits a single partial-sum row (combiner-first discipline)."""
+    import datetime
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    lo = pa.scalar(datetime.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1997, 1, 1), type=pa.timestamp("us"))
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity"],
+        filter=((pc.field("l_shipdate") >= lo)
+                & (pc.field("l_shipdate") < hi)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        sel = (disc >= 0.05) & (disc <= 0.07) & (qty < 24)
+        cents = np.floor(price[sel] * disc[sel] * 100 + 0.5) \
+            .astype(np.int64)
+        return pa.table({"revenue_cents": pa.array([int(cents.sum())]),
+                         "n_rows": pa.array([int(sel.sum())])})
+
+    def merge(t: pa.Table) -> pa.Table:
+        n = int(pa.compute.sum(t["n_rows"]).as_py() or 0)
+        total = pa.compute.sum(t["revenue_cents"]).as_py()
+        # SQL SUM over zero rows is NULL, not 0.
+        return pa.table({"revenue_cents": pa.array(
+            [total if n else None], type=pa.int64())})
+
+    return driver_merge(line.map_batches(partial, batch_format="pyarrow",
+                                         batch_size=131072), merge,
+                        schema=pa.schema([("revenue_cents", pa.int64()),
+                                          ("n_rows", pa.int64())]))
+
+
+def _promo_revenue_pct(sf_dir: str):
+    """TPC-H Q14 shape: promo-type share of one month's revenue. The part
+    side collapses to a broadcast sorted key array (PROMO partkeys via
+    ray.put, searchsorted per batch — no join shuffle); each lineitem
+    block emits one (promo, total, n) partial row, and the percentage is
+    a driver-side division of the two exact int64 sums, so the float
+    matches SQL's 100.0 * x / y bit-for-bit."""
+    import datetime
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    pkeys = np.sort(part.filter(
+        pa.compute.equal(part["p_type"], "PROMO"))["p_partkey"]
+        .to_numpy().astype(np.int64))
+    pk_ref = ray.put(pkeys)
+
+    lo = pa.scalar(datetime.datetime(1996, 3, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1996, 4, 1), type=pa.timestamp("us"))
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=((pc.field("l_shipdate") >= lo)
+                & (pc.field("l_shipdate") < hi)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(pk_ref)
+        lp = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64)
+        if keys.shape[0]:
+            pos = np.minimum(np.searchsorted(keys, lp), keys.shape[0] - 1)
+            promo = keys[pos] == lp
+        else:
+            promo = np.zeros(lp.shape[0], dtype=bool)
+        return pa.table({"promo_cents": pa.array([int(cents[promo].sum())]),
+                         "total_cents": pa.array([int(cents.sum())]),
+                         "n_rows": pa.array([batch.num_rows])})
+
+    def merge(t: pa.Table) -> pa.Table:
+        n = int(pa.compute.sum(t["n_rows"]).as_py() or 0)
+        if not n:
+            return pa.table({"promo_cents": pa.array([None], pa.int64()),
+                             "total_cents": pa.array([None], pa.int64()),
+                             "promo_pct": pa.array([None], pa.float64())})
+        promo = int(pa.compute.sum(t["promo_cents"]).as_py())
+        total = int(pa.compute.sum(t["total_cents"]).as_py())
+        pct = (100.0 * promo) / total if total else None
+        return pa.table({"promo_cents": pa.array([promo], pa.int64()),
+                         "total_cents": pa.array([total], pa.int64()),
+                         "promo_pct": pa.array([pct], pa.float64())})
+
+    return driver_merge(line.map_batches(partial, batch_format="pyarrow",
+                                         batch_size=131072), merge,
+                        schema=pa.schema([("promo_cents", pa.int64()),
+                                          ("total_cents", pa.int64()),
+                                          ("n_rows", pa.int64())]))
+
+
+def _nation_market_share(sf_dir: str):
+    """TPC-H Q8 shape: one nation's share of a region's STANDARD-part
+    revenue, per order year. Small sides (STANDARD partkeys, supplier
+    nation map, region membership) broadcast via ray.put; the orders x
+    customer and orders x lineitem joins are the only exchanges, with the
+    lineitem side pre-aggregated by (orderkey, is_target) inside batches
+    before the shuffle. The share is a driver-side double division of the
+    two exact int64 sums, matching SQL bit-for-bit."""
+    import datetime
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from h3ray.ops.join import hash_join
+    from h3ray.ops.reduce import driver_merge
+
+    target_nation = 3
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    pkeys = np.sort(part.filter(
+        pa.compute.equal(part["p_type"], "STANDARD"))["p_partkey"]
+        .to_numpy().astype(np.int64))
+    pk_ref = ray.put(pkeys)
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = sup["s_suppkey"].to_numpy()
+    sorder = np.argsort(sk)
+    sup_ref = ray.put((sk[sorder].astype(np.int64),
+                       sup["s_nationkey"].to_numpy()[sorder]
+                       .astype(np.int64)))
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"])
+    asia = region.filter(pa.compute.equal(region["r_name"], "ASIA"))
+    rkey = asia["r_regionkey"][0].as_py() if asia.num_rows else -1
+    region_nations = np.sort(nation.filter(
+        pa.compute.equal(nation["n_regionkey"], rkey))["n_nationkey"]
+        .to_numpy().astype(np.int64))
+    rn_ref = ray.put(region_nations)
+
+    lo = pa.scalar(datetime.datetime(1995, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1997, 1, 1), type=pa.timestamp("us"))
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=((pc.field("o_orderdate") >= lo)
+                & (pc.field("o_orderdate") < hi)))
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    ord_cust = hash_join(orders, cust, "o_custkey", "c_custkey")
+
+    def ord_prep(batch: pa.Table) -> pa.Table:
+        members = ray.get(rn_ref)
+        cn = batch["c_nationkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if members.shape[0]:
+            pos = np.minimum(np.searchsorted(members, cn),
+                             members.shape[0] - 1)
+            sel = members[pos] == cn
+        else:
+            sel = np.zeros(cn.shape[0], dtype=bool)
+        kept = batch.filter(pa.array(sel))
+        year = kept["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({"o_orderkey": kept["o_orderkey"],
+                         "o_year": year})
+
+    from h3ray.ops.join import seed_schema
+    ord_side = seed_schema(
+        ord_cust.map_batches(ord_prep, batch_format="pyarrow",
+                             batch_size=131072),
+        pa.schema([("o_orderkey", pa.int64()), ("o_year", pa.int64())]))
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"])
+
+    def line_prep(batch: pa.Table) -> pa.Table:
+        pk = ray.get(pk_ref)
+        skeys, snat = ray.get(sup_ref)
+        lp = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        ls = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        lo_k = batch["l_orderkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        if pk.shape[0] and skeys.shape[0]:
+            ppos = np.minimum(np.searchsorted(pk, lp), pk.shape[0] - 1)
+            spos = np.minimum(np.searchsorted(skeys, ls),
+                              skeys.shape[0] - 1)
+            sel = (pk[ppos] == lp) & (skeys[spos] == ls)
+        else:
+            sel = np.zeros(lp.shape[0], dtype=bool)
+            spos = np.zeros(lp.shape[0], dtype=np.int64)
+        cents = np.floor(price[sel] * (1 - disc[sel]) * 100 + 0.5) \
+            .astype(np.int64)
+        is_tgt = (snat[spos[sel]] == target_nation).astype(np.int64) \
+            if skeys.shape[0] else np.zeros(0, dtype=np.int64)
+        # combiner: pre-aggregate by (orderkey, is_target) inside the
+        # batch before the join shuffle (orderkeys are dense ints; the
+        # composite stays well inside int64).
+        comp = lo_k[sel] * 2 + is_tgt
+        uniq, inv = np.unique(comp, return_inverse=True)
+        acc = np.zeros(uniq.shape[0], dtype=np.int64)
+        np.add.at(acc, inv, cents)
+        return pa.table({"l_orderkey": uniq // 2, "is_tgt": uniq % 2,
+                         "cents": acc})
+
+    li_p = seed_schema(
+        line.map_batches(line_prep, batch_format="pyarrow",
+                         batch_size=131072),
+        pa.schema([("l_orderkey", pa.int64()), ("is_tgt", pa.int64()),
+                   ("cents", pa.int64())]))
+    joined = hash_join(li_p, ord_side, "l_orderkey", "o_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        year = batch["o_year"].to_numpy(zero_copy_only=False)
+        tgt = batch["is_tgt"].to_numpy(zero_copy_only=False)
+        cents = batch["cents"].to_numpy(zero_copy_only=False)
+        comp = year * 2 + tgt
+        uniq, inv = np.unique(comp, return_inverse=True)
+        acc = np.zeros(uniq.shape[0], dtype=np.int64)
+        np.add.at(acc, inv, cents)
+        return pa.table({"o_year": uniq // 2, "is_tgt": uniq % 2,
+                         "cents": acc})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_year", "is_tgt"]).aggregate([("cents", "sum")])
+        year = g["o_year"].to_numpy()
+        tgt = g["is_tgt"].to_numpy()
+        cents = g["cents_sum"].to_numpy()
+        years = np.unique(year)
+        target = np.zeros(years.shape[0], dtype=np.int64)
+        total = np.zeros(years.shape[0], dtype=np.int64)
+        pos = np.searchsorted(years, year)
+        np.add.at(total, pos, cents)
+        np.add.at(target, pos[tgt == 1], cents[tgt == 1])
+        share = target.astype(np.float64) / total.astype(np.float64)
+        return pa.table({"o_year": years,
+                         "target_cents": target,
+                         "total_cents": total,
+                         "mkt_share": share})
+
+    return driver_merge(joined.map_batches(partial,
+                                           batch_format="pyarrow"), merge,
+                        schema=pa.schema([("o_year", pa.int64()),
+                                          ("is_tgt", pa.int64()),
+                                          ("cents", pa.int64())]))
+
+
+def _product_type_profit(sf_dir: str):
+    """TPC-H Q9 shape (no partsupp table, so profit = discounted revenue):
+    per supplier-nation, per order-year profit on parts whose name
+    contains 'red'. Part filter and supplier->nation map broadcast via
+    ray.put; the lineitem side pre-aggregates by (orderkey, nation)
+    inside batches, so the one orderkey exchange moves partial sums, not
+    raw lineitems; orders contribute only (orderkey, year)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from h3ray.ops.join import hash_join
+    from h3ray.ops.reduce import driver_merge
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"])
+    pkeys = np.sort(part.filter(
+        pa.compute.match_substring(part["p_name"], "red"))["p_partkey"]
+        .to_numpy().astype(np.int64))
+    pk_ref = ray.put(pkeys)
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = sup["s_suppkey"].to_numpy()
+    sorder = np.argsort(sk)
+    sup_ref = ray.put((sk[sorder].astype(np.int64),
+                       sup["s_nationkey"].to_numpy()[sorder]
+                       .astype(np.int64)))
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"])
+
+    def line_prep(batch: pa.Table) -> pa.Table:
+        pk = ray.get(pk_ref)
+        skeys, snat = ray.get(sup_ref)
+        lp = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        ls = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        lo_k = batch["l_orderkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        if pk.shape[0] and skeys.shape[0]:
+            ppos = np.minimum(np.searchsorted(pk, lp), pk.shape[0] - 1)
+            spos = np.minimum(np.searchsorted(skeys, ls),
+                              skeys.shape[0] - 1)
+            sel = (pk[ppos] == lp) & (skeys[spos] == ls)
+        else:
+            sel = np.zeros(lp.shape[0], dtype=bool)
+            spos = np.zeros(lp.shape[0], dtype=np.int64)
+        cents = np.floor(price[sel] * (1 - disc[sel]) * 100 + 0.5) \
+            .astype(np.int64)
+        nat = snat[spos[sel]] if skeys.shape[0] \
+            else np.zeros(0, dtype=np.int64)
+        # combiner: (orderkey, nation) partial sums; nationkey < 25 so
+        # the composite key stays well inside int64.
+        comp = lo_k[sel] * 32 + nat
+        uniq, inv = np.unique(comp, return_inverse=True)
+        acc = np.zeros(uniq.shape[0], dtype=np.int64)
+        np.add.at(acc, inv, cents)
+        return pa.table({"l_orderkey": uniq // 32, "s_nat": uniq % 32,
+                         "cents": acc})
+
+    from h3ray.ops.join import seed_schema
+    li_p = seed_schema(
+        line.map_batches(line_prep, batch_format="pyarrow",
+                         batch_size=131072),
+        pa.schema([("l_orderkey", pa.int64()), ("s_nat", pa.int64()),
+                   ("cents", pa.int64())]))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate"])
+
+    def ord_prep(batch: pa.Table) -> pa.Table:
+        year = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "o_year": year})
+
+    ord_side = seed_schema(
+        orders.map_batches(ord_prep, batch_format="pyarrow",
+                           batch_size=131072),
+        pa.schema([("o_orderkey", pa.int64()), ("o_year", pa.int64())]))
+    joined = hash_join(li_p, ord_side, "l_orderkey", "o_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nat = batch["s_nat"].to_numpy(zero_copy_only=False)
+        year = batch["o_year"].to_numpy(zero_copy_only=False)
+        cents = batch["cents"].to_numpy(zero_copy_only=False)
+        comp = year * 32 + nat
+        uniq, inv = np.unique(comp, return_inverse=True)
+        acc = np.zeros(uniq.shape[0], dtype=np.int64)
+        np.add.at(acc, inv, cents)
+        return pa.table({"o_year": uniq // 32, "s_nat": uniq % 32,
+                         "profit_cents": acc})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_year", "s_nat"]) \
+            .aggregate([("profit_cents", "sum")])
+        nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                               columns=["n_nationkey", "n_name"])
+        nk = nation["n_nationkey"].to_numpy().astype(np.int64)
+        nord = np.argsort(nk)
+        names = nation["n_name"].to_numpy(zero_copy_only=False)[nord]
+        pos = np.searchsorted(nk[nord],
+                              g["s_nat"].to_numpy(zero_copy_only=False))
+        return pa.table({"n_name": pa.array(names[pos], type=pa.string()),
+                         "o_year": g["o_year"],
+                         "profit_cents": g["profit_cents_sum"]})
+
+    return driver_merge(joined.map_batches(partial,
+                                           batch_format="pyarrow"), merge,
+                        schema=pa.schema([("o_year", pa.int64()),
+                                          ("s_nat", pa.int64()),
+                                          ("profit_cents", pa.int64())]))
+
+
+def _returned_item_customers(sf_dir: str):
+    """TPC-H Q10 shape: top-20 customers by returned-lineitem revenue for
+    one order quarter. Return-flag and date predicates push to the reads;
+    lineitem revenue pre-aggregates by orderkey inside batches before the
+    one orderkey exchange; the global top-k runs as per-block partials
+    (k rows per block, never the full customer list on the driver), and
+    only the 20 winners' rows are fetched from customer (filtered read),
+    so no full decoration join. Ties break on c_custkey ascending."""
+    import datetime
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from h3ray.ops.join import hash_join, seed_schema
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.ops.skew import _desc_sort_key
+
+    k = 20
+    lo = pa.scalar(datetime.datetime(1995, 10, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    orders = seed_schema(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+            filter=((pc.field("o_orderdate") >= lo)
+                    & (pc.field("o_orderdate") < hi)))
+        .select_columns(["o_orderkey", "o_custkey"]),
+        pa.schema([("o_orderkey", pa.int64()),
+                   ("o_custkey", pa.int64())]))
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pc.field("l_returnflag") == "R")
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64)
+        lo_k = batch["l_orderkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(lo_k, return_inverse=True)
+        acc = np.zeros(uniq.shape[0], dtype=np.int64)
+        np.add.at(acc, inv, cents)
+        return pa.table({"l_orderkey": uniq, "revenue_cents": acc})
+
+    li_p = seed_schema(
+        line.map_batches(li_partial, batch_format="pyarrow",
+                         batch_size=131072),
+        pa.schema([("l_orderkey", pa.int64()),
+                   ("revenue_cents", pa.int64())]))
+    joined = hash_join(li_p, orders, "l_orderkey", "o_orderkey")
+    per_cust = joined.groupby("o_custkey").aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents"))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        rev = batch["revenue_cents"].to_numpy(zero_copy_only=False)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ck, _desc_sort_key(rev)))[:k]
+        kept = batch.take(pa.array(order))
+        return pa.table({"o_custkey": kept["o_custkey"],
+                         "revenue_cents": kept["revenue_cents"]})
+
+    top = driver_merge(per_cust.map_batches(block_topk,
+                                            batch_format="pyarrow"),
+                       block_topk,
+                       schema=pa.schema([("o_custkey", pa.int64()),
+                                         ("revenue_cents", pa.int64())]))
+    if top.num_rows == 0:
+        return pa.table({"c_custkey": pa.array([], pa.int64()),
+                         "c_name": pa.array([], pa.string()),
+                         "revenue_cents": pa.array([], pa.int64()),
+                         "acctbal_cents": pa.array([], pa.int64()),
+                         "n_name": pa.array([], pa.string())})
+
+    win_keys = top["o_custkey"].to_numpy(zero_copy_only=False)
+    cust = driver_merge(
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_name", "c_acctbal",
+                                 "c_nationkey"],
+                        filter=pc.field("c_custkey").isin(
+                            [int(x) for x in win_keys])),
+        lambda t: t)
+    ck = cust["c_custkey"].to_numpy().astype(np.int64)
+    corder = np.argsort(ck)
+    pos = np.searchsorted(ck[corder], win_keys)
+    names = cust["c_name"].to_numpy(zero_copy_only=False)[corder][pos]
+    acct = np.floor(cust["c_acctbal"].to_numpy()[corder][pos] * 100
+                    + 0.5).astype(np.int64)
+    cnat = cust["c_nationkey"].to_numpy()[corder][pos].astype(np.int64)
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    nk = nation["n_nationkey"].to_numpy().astype(np.int64)
+    nord = np.argsort(nk)
+    nnames = nation["n_name"].to_numpy(zero_copy_only=False)[nord][
+        np.searchsorted(nk[nord], cnat)]
+    return pa.table({"c_custkey": win_keys,
+                     "c_name": pa.array(names, type=pa.string()),
+                     "revenue_cents": top["revenue_cents"],
+                     "acctbal_cents": acct,
+                     "n_name": pa.array(nnames, type=pa.string())})
+
+
+def _excess_parts_suppliers(sf_dir: str):
+    """TPC-H Q20 shape (no partsupp, so the availability predicate becomes
+    an above-average-shipper predicate): suppliers whose 1996 shipped
+    quantity of 'red' parts exceeds the mean over shipping suppliers.
+    Part filter broadcast via ray.put; per-supplier quantity sums are
+    batch-local combiners; the HAVING comparison is integer-exact
+    (qty * n > total, no float division); only the bounded supplier
+    rollup reaches the driver."""
+    import datetime
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"])
+    pkeys = np.sort(part.filter(
+        pa.compute.match_substring(part["p_name"], "red"))["p_partkey"]
+        .to_numpy().astype(np.int64))
+    pk_ref = ray.put(pkeys)
+
+    lo = pa.scalar(datetime.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1997, 1, 1), type=pa.timestamp("us"))
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+        filter=((pc.field("l_shipdate") >= lo)
+                & (pc.field("l_shipdate") < hi)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(pk_ref)
+        lp = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        ls = batch["l_suppkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        qty = np.floor(batch["l_quantity"]
+                       .to_numpy(zero_copy_only=False) + 0.5) \
+            .astype(np.int64)
+        if keys.shape[0]:
+            pos = np.minimum(np.searchsorted(keys, lp), keys.shape[0] - 1)
+            sel = keys[pos] == lp
+        else:
+            sel = np.zeros(lp.shape[0], dtype=bool)
+        uniq, inv = np.unique(ls[sel], return_inverse=True)
+        acc = np.zeros(uniq.shape[0], dtype=np.int64)
+        np.add.at(acc, inv, qty[sel])
+        return pa.table({"s_suppkey": uniq, "qty_sum": acc})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("s_suppkey").aggregate([("qty_sum", "sum")]) \
+            .rename_columns(["s_suppkey", "qty_sum"])
+        qs = g["qty_sum"].to_numpy(zero_copy_only=False)
+        n = qs.shape[0]
+        total = int(qs.sum())
+        keep = qs * n > total  # integer-exact "above mean"
+        kept = g.filter(pa.array(keep))
+        sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_name"])
+        sk = sup["s_suppkey"].to_numpy().astype(np.int64)
+        sorder = np.argsort(sk)
+        names = sup["s_name"].to_numpy(zero_copy_only=False)[sorder]
+        pos = np.searchsorted(sk[sorder],
+                              kept["s_suppkey"].to_numpy(
+                                  zero_copy_only=False))
+        return pa.table({"s_suppkey": kept["s_suppkey"],
+                         "s_name": pa.array(names[pos], type=pa.string()),
+                         "qty_sum": kept["qty_sum"]})
+
+    return driver_merge(line.map_batches(partial, batch_format="pyarrow",
+                                         batch_size=131072), merge,
+                        schema=pa.schema([("s_suppkey", pa.int64()),
+                                          ("qty_sum", pa.int64())]))
+
+
+def _best_supplier_per_part(sf_dir: str):
+    """TPC-H Q2 shape (no partsupp, so 'min supplycost' becomes 'max
+    account balance among suppliers who actually shipped the part'): for
+    each size-5 STANDARD part, the shipping supplier with the highest
+    account balance, ties broken on the lower suppkey. The lineitem scan
+    reduces to batch-local DISTINCT (partkey, suppkey) pairs (packed into
+    one uint64 in-batch, decomposed back to int64 columns before
+    anything crosses a block boundary); the surviving pair set is bounded
+    by |filtered parts| x suppliers-per-part, so the argmax runs on the
+    driver."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.ops.skew import _desc_sort_key
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_size", "p_type"])
+    mask = pa.compute.and_(pa.compute.equal(part["p_size"], 5),
+                           pa.compute.equal(part["p_type"], "STANDARD"))
+    pkeys = np.sort(part.filter(mask)["p_partkey"]
+                    .to_numpy().astype(np.int64))
+    pk_ref = ray.put(pkeys)
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_partkey", "l_suppkey"])
+
+    def pairs_partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(pk_ref)
+        lp = batch["l_partkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ls = batch["l_suppkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if keys.shape[0]:
+            pos = np.minimum(np.searchsorted(keys, lp), keys.shape[0] - 1)
+            sel = keys[pos] == lp
+        else:
+            sel = np.zeros(lp.shape[0], dtype=bool)
+        packed = (lp[sel].astype(np.uint64) << np.uint64(32)) \
+            | ls[sel].astype(np.uint64)
+        uniq = np.unique(packed)
+        return pa.table({
+            "p_partkey": (uniq >> np.uint64(32)).astype(np.int64),
+            "s_suppkey": (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        lp = t["p_partkey"].to_numpy(zero_copy_only=False)
+        ls = t["s_suppkey"].to_numpy(zero_copy_only=False)
+        packed = (lp.astype(np.uint64) << np.uint64(32)) \
+            | ls.astype(np.uint64)
+        uniq = np.unique(packed)
+        pk = (uniq >> np.uint64(32)).astype(np.int64)
+        sk = (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_name", "s_acctbal"])
+        skeys = sup["s_suppkey"].to_numpy().astype(np.int64)
+        sorder = np.argsort(skeys)
+        acct = np.floor(sup["s_acctbal"].to_numpy()[sorder] * 100
+                        + 0.5).astype(np.int64)
+        names = sup["s_name"].to_numpy(zero_copy_only=False)[sorder]
+        pos = np.minimum(np.searchsorted(skeys[sorder], sk),
+                         max(skeys.shape[0] - 1, 0))
+        hit = (skeys[sorder][pos] == sk) if skeys.shape[0] \
+            else np.zeros(sk.shape[0], dtype=bool)
+        pk, sk, pos = pk[hit], sk[hit], pos[hit]
+        a = acct[pos]
+        # per part: max acctbal, tie-break min suppkey
+        order = np.lexsort((sk, _desc_sort_key(a), pk))
+        first = np.ones(order.shape[0], dtype=bool)
+        first[1:] = pk[order][1:] != pk[order][:-1]
+        win = order[first]
+        return pa.table({"p_partkey": pk[win], "s_suppkey": sk[win],
+                         "s_name": pa.array(names[pos[win]],
+                                            type=pa.string()),
+                         "acctbal_cents": a[win]})
+
+    return driver_merge(line.map_batches(pairs_partial,
+                                         batch_format="pyarrow",
+                                         batch_size=131072), merge,
+                        schema=pa.schema([("p_partkey", pa.int64()),
+                                          ("s_suppkey", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -2716,6 +3379,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave: TPC-H Q2/Q6/Q8/Q9/Q10/Q14/Q20 shapes ---
+        "forecast_revenue_delta": _forecast_revenue_delta,
+        "promo_revenue_pct": _promo_revenue_pct,
+        "nation_market_share": _nation_market_share,
+        "product_type_profit": _product_type_profit,
+        "returned_item_customers": _returned_item_customers,
+        "excess_parts_suppliers": _excess_parts_suppliers,
+        "best_supplier_per_part": _best_supplier_per_part,
         # --- round-4 wave 3: TPC-H Q4/Q7/Q13/Q15/Q19/Q22 shapes + web
         # --- pipeline ops (domain stats, CCNet-style dup-ngram counts) ---
         "order_priority_check": _order_priority_check,
@@ -2854,6 +3525,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # the stalest r02/r03-only evidence, (4) a few round-4 flagships kept for
 # regression coverage.
 _WINDOW_FIRST = [
+    # (0) round-5 wave: the seven new TPC-H shapes (Q2/Q6/Q8/Q9/Q10/
+    # Q14/Q20 adaptations) — never driver-checked before this round.
+    "forecast_revenue_delta", "promo_revenue_pct", "nation_market_share",
+    "product_type_profit", "returned_item_customers",
+    "excess_parts_suppliers", "best_supplier_per_part",
     # (1) round-5 changed: fixed oracles (BIGINT casts), new kmeans
     # differential oracle + deterministic fit, multiprobe LSH, the
     # line_prep inner-join guard, rollup/cube empty-input semantics.
@@ -3401,6 +4077,138 @@ def _kmeans_assign_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "forecast_revenue_delta": """
+            SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount
+                                       * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "promo_revenue_pct": """
+            WITH m AS (
+              SELECT CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                * 100 + 0.5) AS BIGINT) AS cents,
+                     p_type
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+            )
+            SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN cents
+                                 ELSE 0 END) AS BIGINT) AS promo_cents,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   (100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                          THEN cents ELSE 0 END)
+                                 AS DOUBLE))
+                   / CAST(SUM(cents) AS DOUBLE) AS promo_pct
+            FROM m
+        """,
+        "nation_market_share": """
+            WITH rev AS (
+              SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+                         AS o_year,
+                     CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                * 100 + 0.5) AS BIGINT) AS cents,
+                     s_nationkey
+              FROM lineitem, orders, customer, supplier, part,
+                   nation, region
+              WHERE l_orderkey = o_orderkey
+                AND o_custkey = c_custkey
+                AND l_suppkey = s_suppkey
+                AND l_partkey = p_partkey
+                AND c_nationkey = n_nationkey
+                AND n_regionkey = r_regionkey
+                AND r_name = 'ASIA'
+                AND p_type = 'STANDARD'
+                AND o_orderdate >= TIMESTAMP '1995-01-01'
+                AND o_orderdate < TIMESTAMP '1997-01-01'
+            )
+            SELECT o_year,
+                   CAST(SUM(CASE WHEN s_nationkey = 3 THEN cents
+                                 ELSE 0 END) AS BIGINT) AS target_cents,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   CAST(SUM(CASE WHEN s_nationkey = 3 THEN cents
+                                 ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(cents) AS DOUBLE) AS mkt_share
+            FROM rev
+            GROUP BY o_year
+        """,
+        "product_type_profit": """
+            SELECT n_name,
+                   CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+                       AS o_year,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                       * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS profit_cents
+            FROM lineitem, orders, supplier, part, nation
+            WHERE l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND l_partkey = p_partkey
+              AND s_nationkey = n_nationkey
+              AND p_name LIKE '%red%'
+            GROUP BY 1, 2
+        """,
+        "returned_item_customers": """
+            WITH rev AS (
+              SELECT o_custkey,
+                     CAST(SUM(CAST(FLOOR(l_extendedprice
+                                         * (1 - l_discount)
+                                         * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS revenue_cents
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= TIMESTAMP '1995-10-01'
+                AND o_orderdate < TIMESTAMP '1996-01-01'
+              GROUP BY o_custkey
+              ORDER BY revenue_cents DESC, o_custkey
+              LIMIT 20
+            )
+            SELECT c_custkey, c_name, revenue_cents,
+                   CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+                       AS acctbal_cents,
+                   n_name
+            FROM rev JOIN customer ON o_custkey = c_custkey
+                     JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "excess_parts_suppliers": """
+            WITH q AS (
+              SELECT l_suppkey,
+                     CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT))
+                          AS BIGINT) AS qty_sum
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE p_name LIKE '%red%'
+                AND l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, qty_sum
+            FROM supplier JOIN q ON s_suppkey = l_suppkey
+            WHERE qty_sum * (SELECT COUNT(*) FROM q)
+                  > (SELECT SUM(qty_sum) FROM q)
+        """,
+        "best_supplier_per_part": """
+            WITH pairs AS (
+              SELECT DISTINCT l_partkey, l_suppkey
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE p_size = 5 AND p_type = 'STANDARD'
+            ), dec AS (
+              SELECT l_partkey AS p_partkey, l_suppkey,
+                     CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT)
+                         AS acctbal_cents,
+                     s_name,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY l_partkey
+                         ORDER BY CAST(FLOOR(s_acctbal * 100 + 0.5)
+                                       AS BIGINT) DESC, l_suppkey
+                     ) AS rn
+              FROM pairs JOIN supplier ON s_suppkey = l_suppkey
+            )
+            SELECT p_partkey, l_suppkey AS s_suppkey, s_name,
+                   acctbal_cents
+            FROM dec WHERE rn = 1
+        """,
         "order_priority_check": """
             SELECT o_orderpriority,
                    CAST(COUNT(*) AS BIGINT) AS order_count
