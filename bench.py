@@ -273,6 +273,18 @@ def run_benchmarks() -> dict:
             best = min(best, time.time() - t0)
         timings["pages_snapshot_diff"] = best
 
+    # 5e. Round-5 wave representative: Q9 shape (two broadcast small
+    # sides + one orderkey exchange of pre-aggregated partials).
+    if want("product_type_profit"):
+        import __ray_entry__ as _entry4
+
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            _entry4._product_type_profit(SF_DIR)
+            best = min(best, time.time() - t0)
+        timings["product_type_profit"] = best
+
     curation_stages: dict[str, float] = {}
     if want("curation_pipeline"):
         # The flagship composed pipeline (quality filter -> decontaminate
