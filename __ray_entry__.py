@@ -3370,6 +3370,118 @@ def _best_supplier_per_part(sf_dir: str):
                                           ("s_suppkey", pa.int64())]))
 
 
+def _events_props_ksum_by_type(sf_dir: str):
+    """Semi-structured payload rollup: extract the integer `k` field from
+    the props JSON column (one vectorized RE2 pass per batch — no per-row
+    json.loads) and sum it per event type. Bounded-key combiner + driver
+    merge; SQL NULL semantics (SUM over an all-null group is NULL)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.text.analysis import json_int_field_stage
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+    stage = json_int_field_stage("props", "k", "k_val")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = stage(batch)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        kv = t["k_val"].to_numpy(zero_copy_only=False)
+        valid = ~np.isnan(kv) if kv.dtype.kind == "f" \
+            else np.ones(kv.shape[0], dtype=bool)
+        ki = np.where(valid, np.nan_to_num(kv), 0).astype(np.int64)
+        uniq, inv = np.unique(et, return_inverse=True)
+        ksum = np.zeros(uniq.shape[0], dtype=np.int64)
+        nval = np.zeros(uniq.shape[0], dtype=np.int64)
+        nrow = np.bincount(inv, minlength=uniq.shape[0]).astype(np.int64)
+        np.add.at(ksum, inv, ki)
+        np.add.at(nval, inv, valid.astype(np.int64))
+        return pa.table({"event_type": pa.array(uniq, pa.string()),
+                         "k_sum": ksum, "_nval": nval, "n_rows": nrow})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate(
+            [("k_sum", "sum"), ("_nval", "sum"), ("n_rows", "sum")])
+        ks = g["k_sum_sum"].to_numpy(zero_copy_only=False)
+        nv = g["_nval_sum"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": g["event_type"],
+            "k_sum": pa.array([int(k) if n else None
+                               for k, n in zip(ks, nv)], pa.int64()),
+            "n_rows": g["n_rows_sum"]})
+
+    return driver_merge(ds.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=131072), merge,
+                        schema=pa.schema([("event_type", pa.string()),
+                                          ("k_sum", pa.int64()),
+                                          ("_nval", pa.int64()),
+                                          ("n_rows", pa.int64())]))
+
+
+def _docs_bigram_topk(sf_dir: str):
+    """Corpus bigram statistics (tokenizer-training shape): global top-100
+    consecutive-token pairs by frequency; see text.analysis.bigram_topk
+    for the one-exchange keys-only design."""
+    import ray.data as rd
+
+    from h3ray.text.analysis import bigram_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return bigram_topk(ds, "text", k=100)
+
+
+def _docs_lang_source_except(sf_dir: str):
+    """SQL EXCEPT over (lang, source): pairs that long documents
+    (n_chars >= 300) have and short documents don't. Fingerprint
+    membership exchange ships keys only; see ops.setops."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.ops.setops import except_distinct
+
+    long_ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["lang", "source"],
+                              filter=pc.field("n_chars") >= 300)
+    short_ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "source"],
+                               filter=pc.field("n_chars") < 300)
+    return except_distinct(long_ds, short_ds, ["lang", "source"])
+
+
+def _docs_lang_source_intersect(sf_dir: str):
+    """SQL INTERSECT over (lang, source): pairs present in both the long
+    and the short half of the corpus (ops.setops)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.ops.setops import intersect_distinct
+
+    long_ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["lang", "source"],
+                              filter=pc.field("n_chars") >= 300)
+    short_ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "source"],
+                               filter=pc.field("n_chars") < 300)
+    return intersect_distinct(long_ds, short_ds, ["lang", "source"])
+
+
+def _events_stddev_by_type(sf_dir: str):
+    """Exact per-type sample variance/stddev via integer moments: values
+    are 2-decimal fixed-point, so FLOOR(v*100+0.5) int64 moments are
+    exact and the final float formula matches a HUGEINT-SQL engine
+    bit-for-bit (ops.reduce.grouped_var_exact)."""
+    import ray.data as rd
+
+    from h3ray.ops.reduce import grouped_var_exact
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return grouped_var_exact(ds, "event_type", "value", scale=100)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -3379,6 +3491,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 2: semi-structured extraction, corpus bigrams,
+        # --- distinct set ops, exact grouped variance ---
+        "events_props_ksum_by_type": _events_props_ksum_by_type,
+        "docs_bigram_topk": _docs_bigram_topk,
+        "docs_lang_source_except": _docs_lang_source_except,
+        "docs_lang_source_intersect": _docs_lang_source_intersect,
+        "events_stddev_by_type": _events_stddev_by_type,
         # --- round-5 wave: TPC-H Q2/Q6/Q8/Q9/Q10/Q14/Q20 shapes ---
         "forecast_revenue_delta": _forecast_revenue_delta,
         "promo_revenue_pct": _promo_revenue_pct,
@@ -3525,6 +3644,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # the stalest r02/r03-only evidence, (4) a few round-4 flagships kept for
 # regression coverage.
 _WINDOW_FIRST = [
+    # (0) round-5 wave 2: semi-structured extraction, corpus bigrams,
+    # distinct set ops, exact grouped variance.
+    "events_props_ksum_by_type", "docs_bigram_topk",
+    "docs_lang_source_except", "docs_lang_source_intersect",
+    "events_stddev_by_type",
     # (0) round-5 wave: the seven new TPC-H shapes (Q2/Q6/Q8/Q9/Q10/
     # Q14/Q20 adaptations) — never driver-checked before this round.
     "forecast_revenue_delta", "promo_revenue_pct", "nation_market_share",
@@ -4077,6 +4201,66 @@ def _kmeans_assign_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_props_ksum_by_type": """
+            SELECT event_type,
+                   CAST(SUM(TRY_CAST(regexp_extract(props,
+                        '"k":\\s*(-?\\d+)', 1) AS BIGINT)) AS BIGINT)
+                       AS k_sum,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM events
+            GROUP BY event_type
+        """,
+        "docs_bigram_topk": """
+            WITH toks AS (
+              SELECT doc_id, unnest(l) AS tok,
+                     generate_subscripts(l, 1) AS pos
+              FROM (SELECT doc_id,
+                           regexp_extract_all(text, '\\S+') AS l
+                    FROM documents)
+            )
+            SELECT a.tok AS w1, b.tok AS w2,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM toks a JOIN toks b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            GROUP BY 1, 2
+            ORDER BY cnt DESC, w1, w2
+            LIMIT 100
+        """,
+        "docs_lang_source_except": """
+            SELECT DISTINCT lang, source FROM documents
+            WHERE n_chars >= 300
+            EXCEPT
+            SELECT DISTINCT lang, source FROM documents
+            WHERE n_chars < 300
+        """,
+        "docs_lang_source_intersect": """
+            SELECT DISTINCT lang, source FROM documents
+            WHERE n_chars >= 300
+            INTERSECT
+            SELECT DISTINCT lang, source FROM documents
+            WHERE n_chars < 300
+        """,
+        "events_stddev_by_type": """
+            WITH s AS (
+              SELECT event_type, COUNT(*) AS n,
+                     SUM(v) AS sv, SUM(v * v) AS svv
+              FROM (SELECT event_type,
+                           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+                    FROM events)
+              GROUP BY event_type
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+                   CASE WHEN n < 2 THEN NULL
+                        ELSE CAST(n * svv - sv * sv AS DOUBLE)
+                             / CAST(n * (n - 1) AS DOUBLE) / 10000.0
+                   END AS var_value,
+                   CASE WHEN n < 2 THEN NULL
+                        ELSE sqrt(CAST(n * svv - sv * sv AS DOUBLE)
+                                  / CAST(n * (n - 1) AS DOUBLE)
+                                  / 10000.0)
+                   END AS stddev_value
+            FROM s
+        """,
         "forecast_revenue_delta": """
             SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount
                                        * 100 + 0.5) AS BIGINT))

@@ -293,6 +293,84 @@ def grouped_corr_exact(ds, key_col: str, x_col: str, y_col: str,
     return driver_merge(partials, merge)
 
 
+def grouped_var_exact(ds, key_col: str, x_col: str, scale: int = 100,
+                      chunk_rows: int = 4096) -> pa.Table:
+    """Exact per-key sample variance + stddev of a fixed-point column.
+
+    Same design as grouped_corr_exact: `x_col` is micro-scaled to int64
+    (FLOOR(x*scale + 0.5) — pick `scale` so the data is exactly
+    representable, e.g. 100 for 2-decimal values), per-batch combiners
+    emit chunked int64 (n, s, ss) partials, the driver root merges them
+    as arbitrary-precision Python ints, and the only float ops are the
+    FINAL mirrored formula
+        var  = (n*ss - s^2) / (n*(n-1)) / scale^2
+        std  = sqrt(var)
+    — one rounding per exact-integer operand then IEEE div/sqrt, so a SQL
+    engine computing VAR_SAMP from HUGEINT sums of the SAME scaled ints
+    matches bit-for-bit. Keys with n < 2 emit NULL (SQL VAR_SAMP).
+    Returns pa.Table (key_col, n_rows, var_value, stddev_value)."""
+    import math
+
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col]
+        xf = batch[x_col].to_numpy(zero_copy_only=False)
+        x = np.floor(xf * scale + 0.5).astype(np.int64)
+        out_k, sums = [], []
+        for s in range(0, x.shape[0], chunk_rows):
+            e = min(s + chunk_rows, x.shape[0])
+            karr = keys.slice(s, e - s).to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(karr, return_inverse=True)
+            acc = np.zeros((uniq.shape[0], 3), dtype=np.int64)
+            np.add.at(acc[:, 0], inv, 1)
+            np.add.at(acc[:, 1], inv, x[s:e])
+            np.add.at(acc[:, 2], inv, x[s:e] * x[s:e])
+            out_k.append(uniq)
+            sums.append(acc)
+        if not out_k:
+            return pa.table({key_col: pa.array([], keys.type),
+                             "_n": pa.array([], pa.int64()),
+                             "_s": pa.array([], pa.int64()),
+                             "_ss": pa.array([], pa.int64())})
+        ks = np.concatenate(out_k)
+        a = np.concatenate(sums, axis=0)
+        return pa.table({key_col: pa.array(ks, type=keys.type),
+                         "_n": a[:, 0], "_s": a[:, 1], "_ss": a[:, 2]})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=131072)
+
+    def merge(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if len(df) == 0:
+            return pa.table({key_col: pa.array([], pa.string()),
+                             "n_rows": pa.array([], pa.int64()),
+                             "var_value": pa.array([], pa.float64()),
+                             "stddev_value": pa.array([], pa.float64())})
+        for c in ("_n", "_s", "_ss"):
+            df[c] = df[c].astype(object)
+        g = df.groupby(key_col, sort=True, as_index=False).sum()
+        ns, variances, stds = [], [], []
+        sq = float(scale) * float(scale)
+        for _, r in g.iterrows():
+            n, s, ss = int(r["_n"]), int(r["_s"]), int(r["_ss"])
+            ns.append(n)
+            if n < 2:
+                variances.append(None)
+                stds.append(None)
+                continue
+            v = float(n * ss - s * s) / float(n * (n - 1)) / sq
+            variances.append(v)
+            stds.append(math.sqrt(v))
+        return pa.table({key_col: pa.array(g[key_col].tolist()),
+                         "n_rows": pa.array(ns, type=pa.int64()),
+                         "var_value": pa.array(variances, pa.float64()),
+                         "stddev_value": pa.array(stds, pa.float64())})
+
+    return driver_merge(partials, merge)
+
+
 def _lattice_partial_schema(ds, col_a: str, col_b: str) -> pa.Schema:
     """Explicit schema of the rollup/cube combiner output, taken from the
     INPUT dataset's column types — so driver_merge can call merge on an

@@ -160,6 +160,89 @@ def top_terms(ds, text_col: str = "text", k: int = 100):
                         block_topk)
 
 
+def json_int_field_stage(col: str, field: str, out_col: str):
+    """Extract one integer field from a JSON-string column, vectorized.
+
+    Semi-structured payload parsing (crawl metadata, event props) without
+    a per-row json.loads: one RE2 `pc.extract_regex` pass per batch pulls
+    `"field": <int>` and casts it; rows without the field emit NULL. The
+    pattern intentionally matches the flat `{"k": 1}` shape — nested JSON
+    needs a real parser and is out of scope for the hot path."""
+    pattern = '"' + field + '":\\s*(?P<v>-?\\d+)'
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(batch[col], pattern=pattern)
+        v = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+        return batch.append_column(out_col, v)
+
+    return fn
+
+
+def bigram_topk(ds, text_col: str = "text", k: int = 100):
+    """Global top-k token bigrams by frequency (whitespace tokens).
+
+    The tokenizer-training corpus-stats shape: per batch, one Arrow
+    trim+regex-split pass yields a token ListArray; consecutive-token
+    pairs are gathered positionally from the flat values (no per-doc
+    Python), joined with an \\x1f separator (below any \\S character, so
+    the concatenated string sorts exactly like the (w1, w2) tuple), and
+    collapsed to batch-local (bigram, count) partials BEFORE the one
+    vocabulary shuffle. The global top-k then moves only k rows per block
+    to the driver root; ties break on (w1, w2) ascending. Returns a
+    pa.Table (w1, w2, cnt) of <= k rows."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.reduce import driver_merge
+    from ..ops.skew import _desc_sort_key
+
+    def explode(batch: pa.Table) -> pa.Table:
+        la = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch[text_col]), r"\s+")
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        flat = la.values  # aligned with offsets (texts are non-null)
+        offsets = la.offsets.to_numpy()
+        n = len(flat)
+        if n == 0:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        # every position except each doc's last token starts a bigram
+        mask = np.ones(n, dtype=bool)
+        mask[np.maximum(offsets[1:] - 1, 0)] = False
+        idx = np.flatnonzero(mask)
+        left = flat.take(pa.array(idx))
+        right = flat.take(pa.array(idx + 1))
+        # an empty doc trims+splits to [""]: its lone empty token never
+        # pairs, but guard against empties pairing across malformed input
+        big = pc.binary_join_element_wise(left, right, "\x1f")
+        ok = pc.and_(pc.not_equal(left, ""), pc.not_equal(right, ""))
+        big = big.filter(ok)
+        uniq, counts = np.unique(
+            big.to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"bigram": pa.array(uniq, type=pa.string()),
+                         "cnt": counts.astype(np.int64)})
+
+    summed = ds.map_batches(explode, batch_format="pyarrow",
+                            batch_size=32768) \
+        .groupby("bigram").aggregate(Sum("cnt", alias_name="cnt"))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        cnt = batch["cnt"].to_numpy(zero_copy_only=False)
+        big = batch["bigram"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((big, _desc_sort_key(cnt)))[:k]
+        return batch.take(pa.array(order))
+
+    top = driver_merge(summed.map_batches(block_topk,
+                                          batch_format="pyarrow"),
+                       block_topk,
+                       schema=pa.schema([("bigram", pa.string()),
+                                         ("cnt", pa.int64())]))
+    parts = pc.split_pattern(top["bigram"], "\x1f")
+    w1 = pc.list_element(parts, 0)
+    w2 = pc.list_element(parts, 1)
+    return pa.table({"w1": w1, "w2": w2, "cnt": top["cnt"]})
+
+
 def quality_filter_stage(text_col: str = "text", min_chars: int = 150,
                          max_chars: int = 600, min_words: int = 20,
                          min_stop_hits: int = 3):

@@ -21,7 +21,12 @@ import __ray_entry__ as entry  # noqa: E402
 WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         "nation_market_share", "product_type_profit",
         "returned_item_customers", "excess_parts_suppliers",
-        "best_supplier_per_part"]
+        "best_supplier_per_part",
+        # wave 2: semi-structured extraction, corpus bigrams, set ops,
+        # exact grouped variance
+        "events_props_ksum_by_type", "docs_bigram_topk",
+        "docs_lang_source_except", "docs_lang_source_intersect",
+        "events_stddev_by_type"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -67,3 +72,57 @@ def test_empty_tables_round5_queries(ray_session, tmp_path):
         limit = 1 if name in ("forecast_revenue_delta",
                               "promo_revenue_pct") else 0
         assert n <= limit, name
+
+
+def test_set_ops_match_python_sets(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from h3ray.ops.setops import except_distinct, intersect_distinct
+
+    rng = np.random.default_rng(3)
+    a = [(f"k{int(i)}", f"v{int(j)}")
+         for i, j in zip(rng.integers(0, 12, 400),
+                         rng.integers(0, 5, 400))]
+    b = [(f"k{int(i)}", f"v{int(j)}")
+         for i, j in zip(rng.integers(0, 12, 300),
+                         rng.integers(0, 5, 300))]
+    mk = lambda rows: rd.from_arrow(pa.table(  # noqa: E731
+        {"x": [r[0] for r in rows],
+         "y": [r[1] for r in rows]})).repartition(4)
+    got_ex = {tuple(r.values()) for r in
+              except_distinct(mk(a), mk(b), ["x", "y"]).take_all()}
+    got_in = {tuple(r.values()) for r in
+              intersect_distinct(mk(a), mk(b), ["x", "y"]).take_all()}
+    assert got_ex == set(a) - set(b)
+    assert got_in == set(a) & set(b)
+
+
+def test_grouped_var_exact_edge_cases(ray_session):
+    import ray.data as rd
+
+    from h3ray.ops.reduce import grouped_var_exact
+
+    ds = rd.from_arrow(pa.table({
+        "g": ["a", "a", "a", "b", "c", "c"],
+        "v": [1.25, 2.50, 4.75, 7.00, 3.00, 3.00]})).repartition(3)
+    t = grouped_var_exact(ds, "g", "v", scale=100)
+    rows = {r["g"]: r for r in t.to_pylist()}
+    # singleton group -> NULL (SQL VAR_SAMP); constant group -> 0.0
+    assert rows["b"]["var_value"] is None
+    assert rows["c"]["var_value"] == 0.0
+    import statistics
+    assert abs(rows["a"]["var_value"]
+               - statistics.variance([1.25, 2.50, 4.75])) < 1e-12
+
+
+def test_bigram_topk_tokenization_edges(ray_session):
+    import ray.data as rd
+
+    from h3ray.text.analysis import bigram_topk
+
+    ds = rd.from_arrow(pa.table({"text": [
+        "  a b  ", "", "solo", "a b c", "b c"]})).repartition(2)
+    t = bigram_topk(ds, "text", k=10)
+    got = {(r["w1"], r["w2"]): r["cnt"] for r in t.to_pylist()}
+    assert got == {("a", "b"): 2, ("b", "c"): 2}
