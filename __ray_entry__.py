@@ -3468,6 +3468,23 @@ def _docs_lang_source_intersect(sf_dir: str):
     return intersect_distinct(long_ds, short_ds, ["lang", "source"])
 
 
+def _events_first_last_by_user(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE / NTH_VALUE(2) over the full per-user
+    frame (PARTITION BY user ORDER BY ts, event_id ROWS UNBOUNDED BOTH
+    WAYS): one partition-hash exchange, one lexsort per bucket, answers
+    gathered off segment boundaries (ops.window.window_first_last)."""
+    import ray.data as rd
+
+    from h3ray.ops.window import window_first_last
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    out = window_first_last(ds, "user_id", "ts", "value",
+                            tiebreak_col="event_id", nth=2)
+    return out.select_columns(["event_id", "first_value", "last_value",
+                               "nth_value"])
+
+
 def _events_stddev_by_type(sf_dir: str):
     """Exact per-type sample variance/stddev via integer moments: values
     are 2-decimal fixed-point, so FLOOR(v*100+0.5) int64 moments are
@@ -3494,6 +3511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-5 wave 2: semi-structured extraction, corpus bigrams,
         # --- distinct set ops, exact grouped variance ---
         "events_props_ksum_by_type": _events_props_ksum_by_type,
+        "events_first_last_by_user": _events_first_last_by_user,
         "docs_bigram_topk": _docs_bigram_topk,
         "docs_lang_source_except": _docs_lang_source_except,
         "docs_lang_source_intersect": _docs_lang_source_intersect,
@@ -3646,9 +3664,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _WINDOW_FIRST = [
     # (0) round-5 wave 2: semi-structured extraction, corpus bigrams,
     # distinct set ops, exact grouped variance.
-    "events_props_ksum_by_type", "docs_bigram_topk",
-    "docs_lang_source_except", "docs_lang_source_intersect",
-    "events_stddev_by_type",
+    "events_props_ksum_by_type", "events_first_last_by_user",
+    "docs_bigram_topk", "docs_lang_source_except",
+    "docs_lang_source_intersect", "events_stddev_by_type",
     # (0) round-5 wave: the seven new TPC-H shapes (Q2/Q6/Q8/Q9/Q10/
     # Q14/Q20 adaptations) — never driver-checked before this round.
     "forecast_revenue_delta", "promo_revenue_pct", "nation_market_share",
@@ -4209,6 +4227,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_rows
             FROM events
             GROUP BY event_type
+        """,
+        "events_first_last_by_user": """
+            SELECT event_id,
+                   FIRST_VALUE(value) OVER w AS first_value,
+                   LAST_VALUE(value) OVER w AS last_value,
+                   NTH_VALUE(value, 2) OVER w AS nth_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
         """,
         "docs_bigram_topk": """
             WITH toks AS (

@@ -170,3 +170,60 @@ def window_lag_lead(ds, part_col: str, order_col: str, value_col: str, *,
 
     return _bucketed(ds, part_col, num_buckets).groupby("_bucket") \
         .map_groups(fn, batch_format="pyarrow")
+
+
+def window_first_last(ds, part_col: str, order_col: str, value_col: str,
+                      *, tiebreak_col: str, nth: int | None = None,
+                      first_col: str = "first_value",
+                      last_col: str = "last_value",
+                      nth_col: str = "nth_value",
+                      num_buckets: int | None = None):
+    """Append FIRST_VALUE / LAST_VALUE (and NTH_VALUE(value, nth) when
+    `nth`) over (PARTITION BY part_col ORDER BY order_col, tiebreak_col
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) — the full
+    partition frame, so every row of a partition sees the same three
+    values. Same one-exchange design as the rank family: partitions hash
+    into a bounded bucket count, one lexsort per bucket orders every
+    partition in it, and the per-row answers are two gathers off the
+    segment boundaries (no per-partition Python). NTH_VALUE is NULL when
+    the partition has fewer than `nth` rows, as in SQL."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["_bucket"])
+        n = group.num_rows
+        vtype = group.schema.field(value_col).type
+        if n == 0:
+            out = group.append_column(first_col, pa.array([], vtype)) \
+                .append_column(last_col, pa.array([], vtype))
+            if nth:
+                out = out.append_column(nth_col, pa.array([], vtype))
+            return out
+        order, iv, new_seg, seg_start, _ = _partition_order(
+            group, part_col, order_col, tiebreak_col, descending=False)
+        vals = group[value_col].to_numpy(zero_copy_only=False)[order]
+        seg_of = np.cumsum(new_seg) - 1
+        starts = seg_start[seg_of]             # per sorted row
+        seg_end = np.append(seg_start[1:], n)  # exclusive, per segment
+        ends = seg_end[seg_of]
+        first_v = vals[starts]
+        last_v = vals[ends - 1]
+        out_first = np.empty(n, dtype=vals.dtype)
+        out_first[order] = first_v
+        out_last = np.empty(n, dtype=vals.dtype)
+        out_last[order] = last_v
+        out = group.append_column(first_col, pa.array(out_first)) \
+            .append_column(last_col, pa.array(out_last))
+        if nth:
+            pos = starts + (nth - 1)
+            ok = pos < ends
+            nth_v = vals[np.minimum(pos, n - 1)]
+            out_nth = np.empty(n, dtype=vals.dtype)
+            out_nth[order] = nth_v
+            ok_n = np.empty(n, dtype=bool)
+            ok_n[order] = ok
+            out = out.append_column(nth_col,
+                                    pa.array(out_nth, mask=~ok_n))
+        return out
+
+    return _bucketed(ds, part_col, num_buckets).groupby("_bucket") \
+        .map_groups(fn, batch_format="pyarrow")

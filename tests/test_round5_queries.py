@@ -24,9 +24,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         "best_supplier_per_part",
         # wave 2: semi-structured extraction, corpus bigrams, set ops,
         # exact grouped variance
-        "events_props_ksum_by_type", "docs_bigram_topk",
-        "docs_lang_source_except", "docs_lang_source_intersect",
-        "events_stddev_by_type"]
+        "events_props_ksum_by_type", "events_first_last_by_user",
+        "docs_bigram_topk", "docs_lang_source_except",
+        "docs_lang_source_intersect", "events_stddev_by_type"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -114,6 +114,34 @@ def test_grouped_var_exact_edge_cases(ray_session):
     import statistics
     assert abs(rows["a"]["var_value"]
                - statistics.variance([1.25, 2.50, 4.75])) < 1e-12
+
+
+def test_window_first_last_partition_edges(ray_session):
+    import ray.data as rd
+
+    from h3ray.ops.window import window_first_last
+
+    ds = rd.from_arrow(pa.table({
+        "id": [1, 2, 3, 4, 5, 6],
+        "p": ["a", "a", "a", "b", "b", "c"],
+        "o": [10, 5, 7, 1, 1, 9],      # ties in b break on id
+        "v": [100, 200, 300, 400, 500, 600]})).repartition(3)
+    t = window_first_last(ds, "p", "o", "v", tiebreak_col="id", nth=2)
+    rows = {r["id"]: r for r in t.take_all()}
+    # partition a sorted by o: id2(5), id3(7), id1(10)
+    for i in (1, 2, 3):
+        assert rows[i]["first_value"] == 200
+        assert rows[i]["last_value"] == 100
+        assert rows[i]["nth_value"] == 300
+    # partition b: tie on o=1 -> id4 first
+    for i in (4, 5):
+        assert rows[i]["first_value"] == 400
+        assert rows[i]["last_value"] == 500
+        assert rows[i]["nth_value"] == 500
+    # singleton partition: NTH_VALUE(2) is NULL
+    assert rows[6]["first_value"] == 600
+    assert rows[6]["last_value"] == 600
+    assert rows[6]["nth_value"] is None
 
 
 def test_bigram_topk_tokenization_edges(ray_session):
