@@ -3485,6 +3485,47 @@ def _events_first_last_by_user(sf_dir: str):
                                "nth_value"])
 
 
+def _pages_byte_stats_by_lang(sf_dir: str):
+    """Per-language payload byte accounting through the REAL multimodal
+    byte-statistics actor stage (multimodal.ByteStatsStage: histogram /
+    entropy / magic-sniff in one NumPy pass over the Arrow value buffer).
+    The oracle mirrors n_bytes exactly — the synthetic html wrapper adds
+    a fixed 26 bytes around the utf-8 text (io/pages.py to_pages) — while
+    the entropy/sniff columns are pytest-verified against a per-row
+    Python reference (tests/test_multimodal.py)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from h3ray.io.pages import pages_from_documents
+    from h3ray.multimodal import byte_stats
+    from h3ray.ops.reduce import driver_merge
+
+    stats = byte_stats(pages_from_documents(sf_dir), col="html",
+                       concurrency=(1, 4))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        nb = batch["n_bytes"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(lang, return_inverse=True)
+        tot = np.zeros(uniq.shape[0], dtype=np.int64)
+        cnt = np.bincount(inv, minlength=uniq.shape[0]).astype(np.int64)
+        np.add.at(tot, inv, nb)
+        return pa.table({"lang": pa.array(uniq, pa.string()),
+                         "n_pages": cnt, "total_bytes": tot})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("lang").aggregate(
+            [("n_pages", "sum"), ("total_bytes", "sum")])
+        return pa.table({"lang": g["lang"], "n_pages": g["n_pages_sum"],
+                         "total_bytes": g["total_bytes_sum"]})
+
+    return driver_merge(stats.map_batches(partial,
+                                          batch_format="pyarrow"), merge,
+                        schema=pa.schema([("lang", pa.string()),
+                                          ("n_pages", pa.int64()),
+                                          ("total_bytes", pa.int64())]))
+
+
 def _events_stddev_by_type(sf_dir: str):
     """Exact per-type sample variance/stddev via integer moments: values
     are 2-decimal fixed-point, so FLOOR(v*100+0.5) int64 moments are
@@ -3516,6 +3557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_source_except": _docs_lang_source_except,
         "docs_lang_source_intersect": _docs_lang_source_intersect,
         "events_stddev_by_type": _events_stddev_by_type,
+        "pages_byte_stats_by_lang": _pages_byte_stats_by_lang,
         # --- round-5 wave: TPC-H Q2/Q6/Q8/Q9/Q10/Q14/Q20 shapes ---
         "forecast_revenue_delta": _forecast_revenue_delta,
         "promo_revenue_pct": _promo_revenue_pct,
@@ -3667,6 +3709,7 @@ _WINDOW_FIRST = [
     "events_props_ksum_by_type", "events_first_last_by_user",
     "docs_bigram_topk", "docs_lang_source_except",
     "docs_lang_source_intersect", "events_stddev_by_type",
+    "pages_byte_stats_by_lang",
     # (0) round-5 wave: the seven new TPC-H shapes (Q2/Q6/Q8/Q9/Q10/
     # Q14/Q20 adaptations) — never driver-checked before this round.
     "forecast_revenue_delta", "promo_revenue_pct", "nation_market_share",
@@ -4267,6 +4310,15 @@ def oracle_sql() -> dict[str, str]:
             INTERSECT
             SELECT DISTINCT lang, source FROM documents
             WHERE n_chars < 300
+        """,
+        "pages_byte_stats_by_lang": """
+            -- html payload = '<html><body>' || text || '</body></html>'
+            -- (26 fixed wrapper bytes; io/pages.py to_pages)
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pages,
+                   CAST(SUM(octet_length(CAST(text AS BLOB)) + 26)
+                        AS BIGINT) AS total_bytes
+            FROM documents
+            GROUP BY lang
         """,
         "events_stddev_by_type": """
             WITH s AS (

@@ -26,7 +26,8 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # exact grouped variance
         "events_props_ksum_by_type", "events_first_last_by_user",
         "docs_bigram_topk", "docs_lang_source_except",
-        "docs_lang_source_intersect", "events_stddev_by_type"]
+        "docs_lang_source_intersect", "events_stddev_by_type",
+        "pages_byte_stats_by_lang"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
