@@ -3485,6 +3485,40 @@ def _events_first_last_by_user(sf_dir: str):
                                "nth_value"])
 
 
+def _sites_pagerank(sf_dir: str):
+    """3-iteration PageRank over the synthetic site link graph (edge per
+    document: mix64(doc_id)%997 -> mix64(doc_id+3)%997, self-loops
+    dropped) in EXACT integer fixed-point — summation-order-free, so an
+    iterative graph algorithm carries a value-hash SQL oracle (the float
+    variant could not). ops.graph.pagerank_fixed: broadcast rank vector,
+    per-batch destination bincounts, driver-root merges; edges never
+    leave their blocks."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.io.pages import _mix64
+    from h3ray.ops.graph import pagerank_fixed
+    from h3ray.ops.join import seed_schema
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        src = (_mix64(did) % np.uint64(997)).astype(np.int64)
+        dst = (_mix64(did + np.uint64(3))
+               % np.uint64(997)).astype(np.int64)
+        keep = src != dst
+        return pa.table({"src": src[keep], "dst": dst[keep]})
+
+    edges_ds = seed_schema(
+        ds.map_batches(edges, batch_format="pyarrow", batch_size=131072),
+        pa.schema([("src", pa.int64()), ("dst", pa.int64())]))
+    return pagerank_fixed(edges_ds, 997, iters=3)
+
+
 def _pages_byte_stats_by_lang(sf_dir: str):
     """Per-language payload byte accounting through the REAL multimodal
     byte-statistics actor stage (multimodal.ByteStatsStage: histogram /
@@ -3558,6 +3592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_source_intersect": _docs_lang_source_intersect,
         "events_stddev_by_type": _events_stddev_by_type,
         "pages_byte_stats_by_lang": _pages_byte_stats_by_lang,
+        "sites_pagerank": _sites_pagerank,
         # --- round-5 wave: TPC-H Q2/Q6/Q8/Q9/Q10/Q14/Q20 shapes ---
         "forecast_revenue_delta": _forecast_revenue_delta,
         "promo_revenue_pct": _promo_revenue_pct,
@@ -3709,7 +3744,7 @@ _WINDOW_FIRST = [
     "events_props_ksum_by_type", "events_first_last_by_user",
     "docs_bigram_topk", "docs_lang_source_except",
     "docs_lang_source_intersect", "events_stddev_by_type",
-    "pages_byte_stats_by_lang",
+    "pages_byte_stats_by_lang", "sites_pagerank",
     # (0) round-5 wave: the seven new TPC-H shapes (Q2/Q6/Q8/Q9/Q10/
     # Q14/Q20 adaptations) — never driver-checked before this round.
     "forecast_revenue_delta", "promo_revenue_pct", "nation_market_share",
@@ -3860,6 +3895,58 @@ def _sql_mulmod(x: str, c: int) -> str:
             f" % 4294967296 * 4294967296"
             f" + CAST({x} & 4294967295 AS HUGEINT) * {c}::HUGEINT)"
             f" % 18446744073709551616 AS UBIGINT)")
+
+
+def _pagerank_oracle() -> str:
+    """SQL mirror of _sites_pagerank: the same mix64-derived edge list,
+    outdegrees, and THREE chained integer fixed-point power iterations
+    ((15*base)//100 + (85*SUM(r//od))//100, floor division throughout —
+    identical to the numpy ints, so the hash matches exactly)."""
+    c1, c2 = 13787848793156543929, 10723151780598845931
+    base = "(1000000000000 // 997)"
+
+    def it(prev_rank_expr: str, join_prev: str) -> str:
+        return f"""
+          SELECT n.site,
+                 (15 * {base}) // 100
+                 + (85 * COALESCE(SUM({prev_rank_expr} // o.od), 0))
+                   // 100 AS r
+          FROM nodes n
+          LEFT JOIN edges e ON e.dst = n.site
+          LEFT JOIN outdeg o ON o.src = e.src
+          {join_prev}
+          GROUP BY n.site
+        """
+
+    return f"""
+        WITH _d AS (
+          SELECT CAST(doc_id AS UBIGINT) AS a0,
+                 CAST(doc_id AS UBIGINT) + 3 AS b0
+          FROM documents
+        ), _m1 AS (
+          SELECT {_sql_mulmod('xor(a0, a0 >> 30)', c1)} AS a1,
+                 {_sql_mulmod('xor(b0, b0 >> 30)', c1)} AS b1
+          FROM _d
+        ), _m2 AS (
+          SELECT {_sql_mulmod('xor(a1, a1 >> 27)', c2)} AS a2,
+                 {_sql_mulmod('xor(b1, b1 >> 27)', c2)} AS b2
+          FROM _m1
+        ), edges AS (
+          SELECT CAST(xor(a2, a2 >> 31) % 997 AS BIGINT) AS src,
+                 CAST(xor(b2, b2 >> 31) % 997 AS BIGINT) AS dst
+          FROM _m2
+          WHERE xor(a2, a2 >> 31) % 997 != xor(b2, b2 >> 31) % 997
+        ), nodes AS (
+          SELECT CAST(unnest(range(997)) AS BIGINT) AS site
+        ), outdeg AS (
+          SELECT src, CAST(COUNT(*) AS BIGINT) AS od
+          FROM edges GROUP BY src
+        ), it1 AS ({it(base, "")}
+        ), it2 AS ({it("r1.r", "LEFT JOIN it1 r1 ON r1.site = e.src")}
+        ), it3 AS ({it("r2.r", "LEFT JOIN it2 r2 ON r2.site = e.src")}
+        )
+        SELECT site, CAST(r AS BIGINT) AS pr_fixed FROM it3
+    """
 
 
 def _sql_poly_hash_ctes(text_expr: str, src: str) -> str:
@@ -4311,6 +4398,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT lang, source FROM documents
             WHERE n_chars < 300
         """,
+        "sites_pagerank": _pagerank_oracle(),
         "pages_byte_stats_by_lang": """
             -- html payload = '<html><body>' || text || '</body></html>'
             -- (26 fixed wrapper bytes; io/pages.py to_pages)

@@ -27,7 +27,7 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         "events_props_ksum_by_type", "events_first_last_by_user",
         "docs_bigram_topk", "docs_lang_source_except",
         "docs_lang_source_intersect", "events_stddev_by_type",
-        "pages_byte_stats_by_lang"]
+        "pages_byte_stats_by_lang", "sites_pagerank"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -69,9 +69,11 @@ def test_empty_tables_round5_queries(ray_session, tmp_path):
         out = q[name](str(tmp_path))
         n = out.num_rows if isinstance(out, pa.Table) else out.count()
         # single-row scalar aggregates mirror SQL SUM() over zero rows
-        # (one NULL row); everything else must be zero rows.
-        limit = 1 if name in ("forecast_revenue_delta",
-                              "promo_revenue_pct") else 0
+        # (one NULL row); pagerank is defined on the full fixed node set
+        # (997 base-rank rows, matching its SQL mirror's nodes CTE);
+        # everything else must be zero rows.
+        limit = {"forecast_revenue_delta": 1, "promo_revenue_pct": 1,
+                 "sites_pagerank": 997}.get(name, 0)
         assert n <= limit, name
 
 
@@ -143,6 +145,29 @@ def test_window_first_last_partition_edges(ray_session):
     assert rows[6]["first_value"] == 600
     assert rows[6]["last_value"] == 600
     assert rows[6]["nth_value"] is None
+
+
+def test_pagerank_fixed_tiny_graph(ray_session):
+    """Hand-checkable 3-node graph, 1 iteration: 0->1, 0->2, 1->2.
+    base = scale//3; node0 gets no incoming; node1 gets r0//2; node2
+    gets r0//2 + r1//1. Integer floor division throughout."""
+    import ray.data as rd
+
+    from h3ray.ops.graph import pagerank_fixed
+
+    edges = rd.from_arrow(pa.table({"src": [0, 0, 1],
+                                    "dst": [1, 2, 2]})).repartition(2)
+    scale = 10 ** 6
+    t = pagerank_fixed(edges, 3, iters=1, scale=scale)
+    r = dict(zip(t["site"].to_pylist(), t["pr_fixed"].to_pylist()))
+    base = scale // 3
+    assert r[0] == (15 * base) // 100
+    assert r[1] == (15 * base) // 100 + (85 * (base // 2)) // 100
+    assert r[2] == (15 * base) // 100 \
+        + (85 * (base // 2 + base // 1)) // 100
+    # determinism under different blocking
+    t2 = pagerank_fixed(edges.repartition(1), 3, iters=1, scale=scale)
+    assert t2.equals(t)
 
 
 def test_bigram_topk_tokenization_edges(ray_session):
