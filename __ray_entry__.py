@@ -3485,6 +3485,15 @@ def _events_first_last_by_user(sf_dir: str):
                                "nth_value"])
 
 
+def _events_funnel(sf_dir: str):
+    """view -> click -> purchase funnel: users completing each ordered
+    prefix (pipelines.relational.events_funnel — one user-hash exchange,
+    vectorized minimum.at chain per bucket, integer counts)."""
+    from h3ray.pipelines.relational import events_funnel
+
+    return events_funnel(sf_dir)
+
+
 def _sites_pagerank(sf_dir: str):
     """3-iteration PageRank over the synthetic site link graph (edge per
     document: mix64(doc_id)%997 -> mix64(doc_id+3)%997, self-loops
@@ -3593,6 +3602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_stddev_by_type": _events_stddev_by_type,
         "pages_byte_stats_by_lang": _pages_byte_stats_by_lang,
         "sites_pagerank": _sites_pagerank,
+        "events_funnel": _events_funnel,
         # --- round-5 wave: TPC-H Q2/Q6/Q8/Q9/Q10/Q14/Q20 shapes ---
         "forecast_revenue_delta": _forecast_revenue_delta,
         "promo_revenue_pct": _promo_revenue_pct,
@@ -3744,7 +3754,7 @@ _WINDOW_FIRST = [
     "events_props_ksum_by_type", "events_first_last_by_user",
     "docs_bigram_topk", "docs_lang_source_except",
     "docs_lang_source_intersect", "events_stddev_by_type",
-    "pages_byte_stats_by_lang", "sites_pagerank",
+    "pages_byte_stats_by_lang", "sites_pagerank", "events_funnel",
     # (0) round-5 wave: the seven new TPC-H shapes (Q2/Q6/Q8/Q9/Q10/
     # Q14/Q20 adaptations) — never driver-checked before this round.
     "forecast_revenue_delta", "promo_revenue_pct", "nation_market_share",
@@ -4399,6 +4409,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_chars < 300
         """,
         "sites_pagerank": _pagerank_oracle(),
+        "events_funnel": """
+            WITH a AS (
+              SELECT user_id, MIN(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ), b AS (
+              SELECT e.user_id, MIN(e.ts) AS t2
+              FROM events e JOIN a ON e.user_id = a.user_id
+              WHERE e.event_type = 'click' AND e.ts >= a.t1
+              GROUP BY e.user_id
+            ), c AS (
+              SELECT e.user_id, MIN(e.ts) AS t3
+              FROM events e JOIN b ON e.user_id = b.user_id
+              WHERE e.event_type = 'purchase' AND e.ts >= b.t2
+              GROUP BY e.user_id
+            )
+            SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_step1,
+                   CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_step2,
+                   CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_step3
+        """,
         "pages_byte_stats_by_lang": """
             -- html payload = '<html><body>' || text || '</body></html>'
             -- (26 fixed wrapper bytes; io/pages.py to_pages)

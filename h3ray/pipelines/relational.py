@@ -546,3 +546,66 @@ def events_asof_join(sf_dir: str, left_type: str = "purchase",
     return ds.map_batches(bucket, batch_format="pyarrow",
                           batch_size=131072) \
         .groupby("_bucket").map_groups(asof, batch_format="pyarrow")
+
+
+def events_funnel(sf_dir: str, steps=("view", "click", "purchase"),
+                  num_buckets: int | None = None) -> pa.Table:
+    """Ordered funnel analysis: how many users completed each prefix of
+    `steps` in order (step k counts users with a step-k event at or
+    after their earliest qualifying step-(k-1) time; same-timestamp
+    events qualify, >= semantics).
+
+    Shape: users hash into a bounded bucket count (the user_sessions
+    discipline), ONE exchange co-locates each user's events, and inside
+    each bucket the whole chain is vectorized `np.minimum.at` segment
+    reductions over int64 timestamps — no per-user Python, no sort
+    needed. Each bucket emits a single counts row; the driver root sums
+    integers, so the result is blocking-independent and SQL-exact."""
+    import ray.data as rd  # noqa: F401  (Dataset comes from _read)
+
+    from ..ops.reduce import driver_merge
+
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two steps")
+    nb = num_buckets or _default_buckets()
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_type"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_bucket", pa.array((uid % nb).astype(np.int32)))
+
+    imax = np.iinfo(np.int64).max
+
+    def funnel(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(u, return_inverse=True)
+        m = uniq.shape[0]
+        counts = []
+        prev = np.full(m, -np.iinfo(np.int64).max, dtype=np.int64)
+        for step in steps:
+            t = np.full(m, imax, dtype=np.int64)
+            sel = (et == step) & (ts >= prev[inv])
+            np.minimum.at(t, inv[sel], ts[sel])
+            counts.append(int((t < imax).sum()))
+            prev = t
+        return pa.table({f"n_step{i + 1}": pa.array([c], pa.int64())
+                         for i, c in enumerate(counts)})
+
+    partials = ds.map_batches(bucket, batch_format="pyarrow",
+                              batch_size=131072) \
+        .groupby("_bucket").map_groups(funnel, batch_format="pyarrow")
+
+    def merge(t: pa.Table) -> pa.Table:
+        return pa.table({c: pa.array(
+            [int(pc.sum(t[c]).as_py() or 0)], pa.int64())
+            for c in t.column_names})
+
+    return driver_merge(partials, merge,
+                        schema=pa.schema([(f"n_step{i + 1}", pa.int64())
+                                          for i in range(len(steps))]))

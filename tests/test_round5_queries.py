@@ -27,7 +27,8 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         "events_props_ksum_by_type", "events_first_last_by_user",
         "docs_bigram_topk", "docs_lang_source_except",
         "docs_lang_source_intersect", "events_stddev_by_type",
-        "pages_byte_stats_by_lang", "sites_pagerank"]
+        "pages_byte_stats_by_lang", "sites_pagerank",
+        "events_funnel"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -73,7 +74,8 @@ def test_empty_tables_round5_queries(ray_session, tmp_path):
         # (997 base-rank rows, matching its SQL mirror's nodes CTE);
         # everything else must be zero rows.
         limit = {"forecast_revenue_delta": 1, "promo_revenue_pct": 1,
-                 "sites_pagerank": 997}.get(name, 0)
+                 "sites_pagerank": 997,
+                 "events_funnel": 1}.get(name, 0)
         assert n <= limit, name
 
 
@@ -168,6 +170,34 @@ def test_pagerank_fixed_tiny_graph(ray_session):
     # determinism under different blocking
     t2 = pagerank_fixed(edges.repartition(1), 3, iters=1, scale=scale)
     assert t2.equals(t)
+
+
+def test_funnel_ordering_semantics(ray_session, tmp_path):
+    """Out-of-order steps must NOT count: a user whose purchase precedes
+    their first view completes step 1 only; same-timestamp qualifies."""
+    import pyarrow.parquet as pq
+
+    from h3ray.pipelines.relational import events_funnel
+
+    ts = pa.array([100, 200, 300,      # u1: view, click, purchase (full)
+                   500, 400, 300,      # u2: view@500 after purchase@300
+                   700, 700,           # u3: view and click same instant
+                   900],               # u4: click only (no view)
+                  type=pa.timestamp("us"))
+    t = pa.table({
+        "event_id": pa.array(range(9), pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2, 2, 2, 3, 3, 4], pa.int64()),
+        "ts": ts,
+        "event_type": ["view", "click", "purchase",
+                       "view", "click", "purchase",
+                       "view", "click", "click"],
+        "value": pa.array([0.0] * 9),
+        "props": ["{}"] * 9})
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = events_funnel(str(tmp_path))
+    row = out.to_pylist()[0]
+    # u1 full; u2 view only (click@400 < view@500); u3 view+click (==ts)
+    assert row == {"n_step1": 3, "n_step2": 2, "n_step3": 1}
 
 
 def test_bigram_topk_tokenization_edges(ray_session):
