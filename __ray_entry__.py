@@ -3494,6 +3494,15 @@ def _events_funnel(sf_dir: str):
     return events_funnel(sf_dir)
 
 
+def _events_weekly_retention(sf_dir: str):
+    """Cohort retention matrix: distinct users per (first-activity week,
+    week offset) — pipelines.relational.events_weekly_retention (one
+    user-hash exchange, integer epoch-week arithmetic)."""
+    from h3ray.pipelines.relational import events_weekly_retention
+
+    return events_weekly_retention(sf_dir)
+
+
 def _sites_pagerank(sf_dir: str):
     """3-iteration PageRank over the synthetic site link graph (edge per
     document: mix64(doc_id)%997 -> mix64(doc_id+3)%997, self-loops
@@ -3603,6 +3612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_byte_stats_by_lang": _pages_byte_stats_by_lang,
         "sites_pagerank": _sites_pagerank,
         "events_funnel": _events_funnel,
+        "events_weekly_retention": _events_weekly_retention,
         # --- round-5 wave: TPC-H Q2/Q6/Q8/Q9/Q10/Q14/Q20 shapes ---
         "forecast_revenue_delta": _forecast_revenue_delta,
         "promo_revenue_pct": _promo_revenue_pct,
@@ -3755,6 +3765,7 @@ _WINDOW_FIRST = [
     "docs_bigram_topk", "docs_lang_source_except",
     "docs_lang_source_intersect", "events_stddev_by_type",
     "pages_byte_stats_by_lang", "sites_pagerank", "events_funnel",
+    "events_weekly_retention",
     # (0) round-5 wave: the seven new TPC-H shapes (Q2/Q6/Q8/Q9/Q10/
     # Q14/Q20 adaptations) — never driver-checked before this round.
     "forecast_revenue_delta", "promo_revenue_pct", "nation_market_share",
@@ -4409,6 +4420,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_chars < 300
         """,
         "sites_pagerank": _pagerank_oracle(),
+        "events_weekly_retention": """
+            WITH uw AS (
+              SELECT DISTINCT user_id,
+                     CAST(epoch_us(ts) AS BIGINT) // 604800000000 AS wk
+              FROM events
+            ), c AS (
+              SELECT user_id, MIN(wk) AS w0 FROM uw GROUP BY user_id
+            )
+            SELECT c.w0 AS cohort_week,
+                   uw.wk - c.w0 AS week_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM uw JOIN c ON uw.user_id = c.user_id
+            GROUP BY 1, 2
+        """,
         "events_funnel": """
             WITH a AS (
               SELECT user_id, MIN(ts) AS t1 FROM events

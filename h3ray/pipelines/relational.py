@@ -609,3 +609,67 @@ def events_funnel(sf_dir: str, steps=("view", "click", "purchase"),
     return driver_merge(partials, merge,
                         schema=pa.schema([(f"n_step{i + 1}", pa.int64())
                                           for i in range(len(steps))]))
+
+
+def events_weekly_retention(sf_dir: str,
+                            num_buckets: int | None = None) -> pa.Table:
+    """Cohort retention: users grouped by first-activity week (cohort),
+    counted once per (cohort, week-offset) they were active in.
+
+    Weeks are integer epoch-week indices (epoch_us // 604800e6 — floor
+    division, matching SQL exactly). One user-hash exchange co-locates
+    each user's events; inside each bucket the per-user first week and
+    the distinct (user, week) pairs are np.unique / minimum.at segment
+    reductions, and the bucket emits bounded (cohort, offset, count)
+    partials — integer counts, blocking-independent."""
+    from ..ops.reduce import driver_merge
+
+    nb = num_buckets or _default_buckets()
+    week_us = 604800_000_000
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_bucket", pa.array((uid % nb).astype(np.int32)))
+
+    def retention(group: pa.Table) -> pa.Table:
+        empty = pa.table({"cohort_week": pa.array([], pa.int64()),
+                          "week_offset": pa.array([], pa.int64()),
+                          "n_users": pa.array([], pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        wk = group["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // week_us
+        uniq, inv = np.unique(u, return_inverse=True)
+        w0 = np.full(uniq.shape[0], np.iinfo(np.int64).max,
+                     dtype=np.int64)
+        np.minimum.at(w0, inv, wk)
+        # distinct (user, week) pairs via composite: normalize weeks to
+        # [0, span) first so the packing never collides or overflows
+        wmin = wk.min()
+        span = int(wk.max() - wmin) + 1
+        comp = np.unique(inv.astype(np.int64) * span + (wk - wmin))
+        pu = comp // span
+        pw = comp % span + wmin
+        cohort = w0[pu]
+        offset = pw - cohort                   # >= 0 by construction
+        okey, cnt = np.unique(cohort * span + offset, return_counts=True)
+        return pa.table({"cohort_week": okey // span,
+                         "week_offset": okey % span,
+                         "n_users": cnt.astype(np.int64)})
+
+    partials = ds.map_batches(bucket, batch_format="pyarrow",
+                              batch_size=131072) \
+        .groupby("_bucket").map_groups(retention, batch_format="pyarrow")
+
+    def merge(t: pa.Table) -> pa.Table:
+        return t.group_by(["cohort_week", "week_offset"]).aggregate(
+            [("n_users", "sum")]) \
+            .rename_columns(["cohort_week", "week_offset", "n_users"])
+
+    return driver_merge(partials, merge,
+                        schema=pa.schema([("cohort_week", pa.int64()),
+                                          ("week_offset", pa.int64()),
+                                          ("n_users", pa.int64())]))

@@ -28,7 +28,7 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         "docs_bigram_topk", "docs_lang_source_except",
         "docs_lang_source_intersect", "events_stddev_by_type",
         "pages_byte_stats_by_lang", "sites_pagerank",
-        "events_funnel"]
+        "events_funnel", "events_weekly_retention"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -198,6 +198,34 @@ def test_funnel_ordering_semantics(ray_session, tmp_path):
     row = out.to_pylist()[0]
     # u1 full; u2 view only (click@400 < view@500); u3 view+click (==ts)
     assert row == {"n_step1": 3, "n_step2": 2, "n_step3": 1}
+
+
+def test_weekly_retention_semantics(ray_session, tmp_path):
+    """Users count once per (cohort, offset) week regardless of how many
+    events they fired in it; cohort = first-activity week."""
+    import pyarrow.parquet as pq
+
+    from h3ray.pipelines.relational import events_weekly_retention
+
+    wk = 604800_000_000
+    ts = pa.array([0, 1, wk, 3 * wk,      # u1: weeks 0,0,1,3
+                   wk, wk + 5,            # u2: week 1 twice (cohort 1)
+                   0],                    # u3: week 0 only
+                  type=pa.timestamp("us"))
+    t = pa.table({
+        "event_id": pa.array(range(7), pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 3], pa.int64()),
+        "ts": ts,
+        "event_type": ["view"] * 7,
+        "value": pa.array([0.0] * 7),
+        "props": ["{}"] * 7})
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = events_weekly_retention(str(tmp_path))
+    got = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+           for r in out.to_pylist()}
+    assert got == {(0, 0): 2,   # u1 + u3 in their cohort week
+                   (0, 1): 1, (0, 3): 1,   # u1 returns in weeks 1 and 3
+                   (1, 0): 1}              # u2 cohort week 1, once
 
 
 def test_bigram_topk_tokenization_edges(ray_session):
