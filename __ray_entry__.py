@@ -3494,6 +3494,19 @@ def _events_funnel(sf_dir: str):
     return events_funnel(sf_dir)
 
 
+def _docs_bigram_familiarity(sf_dir: str):
+    """LM-lite per-document quality score: mean global frequency of the
+    doc's bigrams (text.analysis.bigram_familiarity — vocab-bounded
+    count pass, then a broadcast zero-shuffle scoring pass)."""
+    import ray.data as rd
+
+    from h3ray.text.analysis import bigram_familiarity
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return bigram_familiarity(ds, "text", "doc_id")
+
+
 def _events_weekly_retention(sf_dir: str):
     """Cohort retention matrix: distinct users per (first-activity week,
     week offset) — pipelines.relational.events_weekly_retention (one
@@ -3613,6 +3626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sites_pagerank": _sites_pagerank,
         "events_funnel": _events_funnel,
         "events_weekly_retention": _events_weekly_retention,
+        "docs_bigram_familiarity": _docs_bigram_familiarity,
         # --- round-5 wave: TPC-H Q2/Q6/Q8/Q9/Q10/Q14/Q20 shapes ---
         "forecast_revenue_delta": _forecast_revenue_delta,
         "promo_revenue_pct": _promo_revenue_pct,
@@ -3765,7 +3779,7 @@ _WINDOW_FIRST = [
     "docs_bigram_topk", "docs_lang_source_except",
     "docs_lang_source_intersect", "events_stddev_by_type",
     "pages_byte_stats_by_lang", "sites_pagerank", "events_funnel",
-    "events_weekly_retention",
+    "events_weekly_retention", "docs_bigram_familiarity",
     # (0) round-5 wave: the seven new TPC-H shapes (Q2/Q6/Q8/Q9/Q10/
     # Q14/Q20 adaptations) — never driver-checked before this round.
     "forecast_revenue_delta", "promo_revenue_pct", "nation_market_share",
@@ -4420,6 +4434,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_chars < 300
         """,
         "sites_pagerank": _pagerank_oracle(),
+        "docs_bigram_familiarity": """
+            WITH toks AS (
+              SELECT doc_id, unnest(l) AS tok,
+                     generate_subscripts(l, 1) AS pos
+              FROM (SELECT doc_id,
+                           regexp_extract_all(text, '\\S+') AS l
+                    FROM documents)
+            ), bg AS (
+              SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+              FROM toks a JOIN toks b
+                ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            ), gc AS (
+              SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM bg GROUP BY 1, 2
+            )
+            SELECT bg.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(gc.cnt) AS BIGINT) AS cnt_sum,
+                   CAST(SUM(gc.cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS familiarity
+            FROM bg JOIN gc USING (w1, w2)
+            GROUP BY bg.doc_id
+        """,
         "events_weekly_retention": """
             WITH uw AS (
               SELECT DISTINCT user_id,

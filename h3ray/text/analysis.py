@@ -455,3 +455,90 @@ def tfidf_top_terms(ds, *, id_col: str = "doc_id", text_col: str = "text",
                          "df": df[keep].astype(np.int64)})
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
+def _doc_bigrams(texts) -> tuple:
+    """(doc_row, bigram StringArray) for one batch of texts: positional
+    consecutive-pair gather off the trim+split token ListArray — shared
+    by bigram_topk's explode and the familiarity scorer."""
+    la = pc.split_pattern_regex(pc.utf8_trim_whitespace(texts), r"\s+")
+    if isinstance(la, pa.ChunkedArray):
+        la = la.combine_chunks()
+    flat = la.values
+    offsets = la.offsets.to_numpy().astype(np.int64)
+    n = len(flat)
+    if n == 0:
+        return (np.empty(0, dtype=np.int64),
+                pa.array([], type=pa.string()))
+    mask = np.ones(n, dtype=bool)
+    mask[np.maximum(offsets[1:] - 1, 0)] = False
+    idx = np.flatnonzero(mask)
+    row_of = np.repeat(np.arange(len(la), dtype=np.int64),
+                       offsets[1:] - offsets[:-1])
+    left = flat.take(pa.array(idx))
+    right = flat.take(pa.array(idx + 1))
+    big = pc.binary_join_element_wise(left, right, "\x1f")
+    ok = pc.and_(pc.not_equal(left, ""),
+                 pc.not_equal(right, "")).to_numpy(zero_copy_only=False)
+    return row_of[idx][ok], big.filter(pa.array(ok))
+
+
+def bigram_familiarity(ds, text_col: str = "text",
+                       id_col: str = "doc_id"):
+    """LM-lite document quality scoring: how 'familiar' each document's
+    bigrams are relative to the whole corpus.
+
+    Pass 1 builds the global bigram count table (batch-local combiners,
+    one vocabulary-bounded groupby — the TF-IDF df discipline; vocab
+    must be bounded, same assumption as top_terms). Pass 2 broadcasts
+    the sorted (bigram, count) arrays via ray.put and scores every doc
+    zero-shuffle: per batch, the doc's bigrams look up their global
+    counts with one searchsorted, and familiarity = cnt_sum / n_bigrams
+    is a single IEEE division of exact int64 sums (SQL-identical).
+    Docs with fewer than two tokens emit no row, like the SQL mirror's
+    join. Returns a Dataset (id_col, n_bigrams, cnt_sum, familiarity)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..ops.reduce import driver_merge
+
+    def explode(batch: pa.Table) -> pa.Table:
+        _, big = _doc_bigrams(batch[text_col])
+        uniq, counts = np.unique(
+            big.to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"bigram": pa.array(uniq, type=pa.string()),
+                         "cnt": counts.astype(np.int64)})
+
+    counts = driver_merge(
+        ds.map_batches(explode, batch_format="pyarrow",
+                       batch_size=32768)
+        .groupby("bigram").aggregate(Sum("cnt", alias_name="cnt")),
+        lambda t: t,
+        schema=pa.schema([("bigram", pa.string()), ("cnt", pa.int64())]))
+    vocab = np.asarray(counts["bigram"].to_numpy(zero_copy_only=False),
+                       dtype=np.str_)
+    order = np.argsort(vocab)
+    state = ray.put((vocab[order],
+                     counts["cnt"].to_numpy()[order].astype(np.int64)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab_s, cnt_s = ray.get(state)
+        rows, big = _doc_bigrams(batch[text_col])
+        key = np.asarray(big.to_numpy(zero_copy_only=False),
+                         dtype=np.str_)
+        n_docs = batch.num_rows
+        nb = np.bincount(rows, minlength=n_docs).astype(np.int64)
+        csum = np.zeros(n_docs, dtype=np.int64)
+        if key.shape[0] and vocab_s.shape[0]:
+            pos = np.minimum(np.searchsorted(vocab_s, key),
+                             vocab_s.shape[0] - 1)
+            hit = vocab_s[pos] == key  # always true for same-corpus scans
+            np.add.at(csum, rows[hit], cnt_s[pos[hit]])
+        keep = nb > 0
+        fam = csum[keep].astype(np.float64) / nb[keep].astype(np.float64)
+        return pa.table({id_col: batch[id_col].filter(pa.array(keep)),
+                         "n_bigrams": nb[keep], "cnt_sum": csum[keep],
+                         "familiarity": fam})
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          batch_size=32768)

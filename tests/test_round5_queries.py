@@ -28,7 +28,8 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         "docs_bigram_topk", "docs_lang_source_except",
         "docs_lang_source_intersect", "events_stddev_by_type",
         "pages_byte_stats_by_lang", "sites_pagerank",
-        "events_funnel", "events_weekly_retention"]
+        "events_funnel", "events_weekly_retention",
+        "docs_bigram_familiarity"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
