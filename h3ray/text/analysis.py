@@ -196,27 +196,7 @@ def bigram_topk(ds, text_col: str = "text", k: int = 100):
     from ..ops.skew import _desc_sort_key
 
     def explode(batch: pa.Table) -> pa.Table:
-        la = pc.split_pattern_regex(
-            pc.utf8_trim_whitespace(batch[text_col]), r"\s+")
-        if isinstance(la, pa.ChunkedArray):
-            la = la.combine_chunks()
-        flat = la.values  # aligned with offsets (texts are non-null)
-        offsets = la.offsets.to_numpy()
-        n = len(flat)
-        if n == 0:
-            return pa.table({"bigram": pa.array([], pa.string()),
-                             "cnt": pa.array([], pa.int64())})
-        # every position except each doc's last token starts a bigram
-        mask = np.ones(n, dtype=bool)
-        mask[np.maximum(offsets[1:] - 1, 0)] = False
-        idx = np.flatnonzero(mask)
-        left = flat.take(pa.array(idx))
-        right = flat.take(pa.array(idx + 1))
-        # an empty doc trims+splits to [""]: its lone empty token never
-        # pairs, but guard against empties pairing across malformed input
-        big = pc.binary_join_element_wise(left, right, "\x1f")
-        ok = pc.and_(pc.not_equal(left, ""), pc.not_equal(right, ""))
-        big = big.filter(ok)
+        _, big = _doc_bigrams(batch[text_col])
         uniq, counts = np.unique(
             big.to_numpy(zero_copy_only=False), return_counts=True)
         return pa.table({"bigram": pa.array(uniq, type=pa.string()),
