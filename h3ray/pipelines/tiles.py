@@ -82,6 +82,12 @@ def compact_cells_dataset(cells_ds, cell_col: str = "cell",
 
         return rd.from_arrow(driver_merge(distinct, final_compact))
 
+    # NOTE (round-5 measured): scoping a small target_max_block_size here
+    # (the ngram_jaccard_pairs trick) makes this path 2.3x SLOWER, not
+    # faster — the build-time context covers the whole fused plan
+    # including the upstream encode, which drowns in tiny blocks. The
+    # per-bucket compact is cheap (np.unique + bit math) so the 128 MiB
+    # packing is not the bottleneck here; the sort exchange is.
     def local_compact(group: pa.Table) -> pa.Table:
         cells = bits.as_i64(group[cell_col].to_numpy(zero_copy_only=False))
         out = hierarchy.compact(np.unique(cells))
