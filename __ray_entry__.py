@@ -3494,6 +3494,40 @@ def _events_funnel(sf_dir: str):
     return events_funnel(sf_dir)
 
 
+def _orders_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((status), (priority)) — arbitrary-subset
+    lattice aggregation from ONE finest-granularity combiner pass
+    (ops.reduce.grouping_sets_counts, the rollup/cube generalization)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import grouping_sets_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderstatus", "o_orderpriority",
+                                  "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = np.floor(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        return pa.table({"o_orderstatus": batch["o_orderstatus"],
+                         "o_orderpriority": batch["o_orderpriority"],
+                         "cents": v})
+
+    from h3ray.ops.join import seed_schema
+
+    prepped = seed_schema(
+        ds.map_batches(cents, batch_format="pyarrow",
+                       batch_size=131072),
+        pa.schema([("o_orderstatus", pa.string()),
+                   ("o_orderpriority", pa.string()),
+                   ("cents", pa.int64())]))
+    return grouping_sets_counts(
+        prepped, ["o_orderstatus", "o_orderpriority"],
+        [("o_orderstatus",), ("o_orderpriority",)], "cents")
+
+
 def _docs_bigram_familiarity(sf_dir: str):
     """LM-lite per-document quality score: mean global frequency of the
     doc's bigrams (text.analysis.bigram_familiarity — vocab-bounded
@@ -3627,6 +3661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": _events_funnel,
         "events_weekly_retention": _events_weekly_retention,
         "docs_bigram_familiarity": _docs_bigram_familiarity,
+        "orders_grouping_sets": _orders_grouping_sets,
         # --- round-5 wave: TPC-H Q2/Q6/Q8/Q9/Q10/Q14/Q20 shapes ---
         "forecast_revenue_delta": _forecast_revenue_delta,
         "promo_revenue_pct": _promo_revenue_pct,
@@ -3780,6 +3815,7 @@ _WINDOW_FIRST = [
     "docs_lang_source_intersect", "events_stddev_by_type",
     "pages_byte_stats_by_lang", "sites_pagerank", "events_funnel",
     "events_weekly_retention", "docs_bigram_familiarity",
+    "orders_grouping_sets",
     # (0) round-5 wave: the seven new TPC-H shapes (Q2/Q6/Q8/Q9/Q10/
     # Q14/Q20 adaptations) — never driver-checked before this round.
     "forecast_revenue_delta", "promo_revenue_pct", "nation_market_share",
@@ -4434,6 +4470,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_chars < 300
         """,
         "sites_pagerank": _pagerank_oracle(),
+        "orders_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS num_rows,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sum_value
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """,
         "docs_bigram_familiarity": """
             WITH toks AS (
               SELECT doc_id, unnest(l) AS tok,

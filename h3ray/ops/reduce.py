@@ -491,3 +491,75 @@ def cube_counts(ds, col_a: str, col_b: str, value_col: str,
     return driver_merge(ds.map_batches(partial, batch_format="pyarrow",
                                        batch_size=131072), merge,
                         schema=_lattice_partial_schema(ds, col_a, col_b))
+
+
+def grouping_sets_counts(ds, cols: list[str], sets: list[tuple],
+                         value_col: str, count_col: str = "num_rows",
+                         sum_col: str = "sum_value") -> pa.Table:
+    """GROUP BY GROUPING SETS over arbitrary column subsets — the general
+    form of rollup_counts / cube_counts: ONE combiner pass at the finest
+    (all-cols) granularity, then every requested set is an algebraic
+    re-aggregation of those partials on the driver (raw rows are seen
+    once; excluded columns emit NULL, as in SQL). Same caveats as the
+    lattice siblings: group columns must be non-null (actual NULLs would
+    conflate with the set markers); an empty input yields the ()-grouping
+    row (COUNT 0 / SUM NULL) only if () is among `sets`."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    cols = list(cols)
+    sets = [tuple(s) for s in sets]
+    for s in sets:
+        unknown = set(s) - set(cols)
+        if unknown:
+            raise ValueError(f"set {s} names unknown columns {unknown}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({**{c: batch[c] for c in cols},
+                      "_v": pc.cast(batch[value_col], pa.int64())})
+        g = t.group_by(cols).aggregate([([], "count_all"), ("_v", "sum")])
+        return g.rename_columns(cols + ["_n", "_s"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        fine = t.group_by(cols).aggregate([("_n", "sum"), ("_s", "sum")]) \
+            .rename_columns(cols + ["_n", "_s"])
+        types = {c: fine[c].type for c in cols}
+        pieces = []
+        for s in sets:
+            if s:
+                g = fine.group_by(list(s)).aggregate(
+                    [("_n", "sum"), ("_s", "sum")]) \
+                    .rename_columns(list(s) + ["_n", "_s"])
+            else:
+                n_tot = int(pc.sum(fine["_n"]).as_py() or 0)
+                s_tot = pc.sum(fine["_s"]).as_py() if n_tot else None
+                g = pa.table({"_n": pa.array([n_tot], pa.int64()),
+                              "_s": pa.array([s_tot], pa.int64())})
+            arrays, names = [], []
+            for c in cols:
+                names.append(c)
+                if c in s:
+                    arrays.append(g[c])
+                else:
+                    arrays.append(pa.array([None] * g.num_rows,
+                                           type=types[c]))
+            arrays += [pc.cast(g["_n"], pa.int64()),
+                       pc.cast(g["_s"], pa.int64())]
+            names += [count_col, sum_col]
+            pieces.append(pa.table(dict(zip(names, arrays))))
+        return pa.concat_tables(pieces)
+
+    sch = ds.schema(fetch_if_missing=True)
+    if sch is None:
+        raise ValueError("grouping_sets_counts needs an input with a known "
+                         "schema; seed an empty mapped input with "
+                         "ops.join.seed_schema first")
+    base = getattr(sch, "base_schema", None)
+    if base is None:
+        base = pa.schema(list(zip(sch.names, sch.types)))
+    pschema = pa.schema([pa.field(c, base.field(c).type) for c in cols]
+                        + [pa.field("_n", pa.int64()),
+                           pa.field("_s", pa.int64())])
+    return driver_merge(ds.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=131072), merge,
+                        schema=pschema)

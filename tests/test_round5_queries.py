@@ -29,7 +29,7 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         "docs_lang_source_intersect", "events_stddev_by_type",
         "pages_byte_stats_by_lang", "sites_pagerank",
         "events_funnel", "events_weekly_retention",
-        "docs_bigram_familiarity"]
+        "docs_bigram_familiarity", "orders_grouping_sets"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -171,6 +171,33 @@ def test_pagerank_fixed_tiny_graph(ray_session):
     # determinism under different blocking
     t2 = pagerank_fixed(edges.repartition(1), 3, iters=1, scale=scale)
     assert t2.equals(t)
+
+
+def test_grouping_sets_matches_rollup_pieces(ray_session):
+    """Arbitrary sets over a tiny table: the (a) and (b) marginals plus
+    the () total must equal hand-computed aggregates; empty input emits
+    the ()-row only when () is requested."""
+    import ray.data as rd
+
+    from h3ray.ops.reduce import grouping_sets_counts
+
+    ds = rd.from_arrow(pa.table({
+        "a": ["x", "x", "y"], "b": ["p", "q", "p"],
+        "v": [1, 2, 4]})).repartition(2)
+    t = grouping_sets_counts(ds, ["a", "b"],
+                             [("a",), ("b",), ()], "v")
+    rows = {(r["a"], r["b"]): (r["num_rows"], r["sum_value"])
+            for r in t.to_pylist()}
+    assert rows == {("x", None): (2, 3), ("y", None): (1, 4),
+                    (None, "p"): (2, 5), (None, "q"): (1, 2),
+                    (None, None): (3, 7)}
+    e = rd.from_arrow(pa.table({"a": pa.array([], pa.string()),
+                                "b": pa.array([], pa.string()),
+                                "v": pa.array([], pa.int64())}))
+    te = grouping_sets_counts(e, ["a", "b"], [("a",), ()], "v")
+    rows_e = {(r["a"], r["b"]): (r["num_rows"], r["sum_value"])
+              for r in te.to_pylist()}
+    assert rows_e == {(None, None): (0, None)}
 
 
 def test_funnel_ordering_semantics(ray_session, tmp_path):
