@@ -3639,6 +3639,282 @@ def _events_stddev_by_type(sf_dir: str):
     return grouped_var_exact(ds, "event_type", "value", scale=100)
 
 
+def _events_transition_counts(sf_dir: str):
+    """Markov / clickstream transition matrix: COUNT(*) per
+    (LAG(event_type), event_type) pair over (PARTITION BY user_id ORDER
+    BY ts, event_id). One bucketed window exchange; each reducer emits at
+    most |event_types|^2 partial rows (dictionary-coded bincount, see
+    ops.window.partitioned_transitions), so the driver merge is bounded
+    by the type-vocabulary square regardless of event volume."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.ops.window import partitioned_transitions
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+    pairs = partitioned_transitions(ds, "user_id", "ts", "event_type",
+                                    tiebreak_col="event_id",
+                                    prev_col="prev_type")
+
+    def merge(t: pa.Table) -> pa.Table:
+        return t.group_by(["prev_type", "event_type"]) \
+            .aggregate([("n", "sum")]) \
+            .rename_columns(["prev_type", "event_type", "n"])
+
+    return driver_merge(pairs, merge, schema=pa.schema(
+        [("prev_type", pa.string()), ("event_type", pa.string()),
+         ("n", pa.int64())]))
+
+
+def _events_session_stats(sf_dir: str):
+    """Session-length distribution: the sessionization op (30-min
+    inactivity gap, pipelines.relational.user_sessions) composed with a
+    bounded rollup — per session size, how many sessions and their total
+    wall-clock span. Session rows are already tiny (one per session);
+    the combiner shrinks them to |session sizes| partials per batch."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.pipelines import relational as rel
+
+    sessions = rel.user_sessions(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        span = pc.subtract(batch["end_epoch"], batch["start_epoch"])
+        t = pa.table({"num_events": batch["num_events"],
+                      "n_sessions": pa.array([1] * batch.num_rows,
+                                             pa.int64()),
+                      "total_span_s": span.cast(pa.int64())})
+        return t.group_by("num_events").aggregate(
+            [("n_sessions", "sum"), ("total_span_s", "sum")]) \
+            .rename_columns(["num_events", "n_sessions", "total_span_s"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        return t.group_by("num_events").aggregate(
+            [("n_sessions", "sum"), ("total_span_s", "sum")]) \
+            .rename_columns(["num_events", "n_sessions", "total_span_s"])
+
+    return driver_merge(
+        sessions.map_batches(partial, batch_format="pyarrow",
+                             batch_size=131072),
+        merge,
+        schema=pa.schema([("num_events", pa.int64()),
+                          ("n_sessions", pa.int64()),
+                          ("total_span_s", pa.int64())]))
+
+
+def _emb_dominant_dims(sf_dir: str):
+    """Per-(label, dominant dimension) vector counts: which coordinate
+    carries the largest |value| of each embedding (ties -> lowest index,
+    matching the oracle's ROW_NUMBER ORDER BY abs DESC, idx ASC).
+    Components quantize to floor(v*4096+0.5) int64 first so the argmax
+    compares exact integers — no float-comparison drift vs SQL. One
+    vectorized reshape+argmax per batch over the flattened Arrow list
+    buffer; partials are bounded by |labels| x dim."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding", "label"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "label": pa.array([], batch.schema.field("label").type),
+            "dom_dim": pa.array([], pa.int64()),
+            "n_vecs": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        col = batch["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = np.diff(col.offsets.to_numpy().astype(np.int64))
+        if not (lens == lens[0]).all() or lens[0] == 0:
+            raise ValueError("embedding dim must be fixed and non-zero")
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        q = np.floor(flat * 4096.0 + 0.5).astype(np.int64)
+        dom = np.argmax(np.abs(q).reshape(-1, lens[0]), axis=1) + 1
+        t = pa.table({"label": batch["label"],
+                      "dom_dim": pa.array(dom.astype(np.int64)),
+                      "n_vecs": pa.array(
+                          np.ones(batch.num_rows, np.int64))})
+        return t.group_by(["label", "dom_dim"]).aggregate(
+            [("n_vecs", "sum")]) \
+            .rename_columns(["label", "dom_dim", "n_vecs"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        return t.group_by(["label", "dom_dim"]).aggregate(
+            [("n_vecs", "sum")]) \
+            .rename_columns(["label", "dom_dim", "n_vecs"])
+
+    return driver_merge(ds.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=32768), merge,
+                        schema=pa.schema([("label", pa.int32()),
+                                          ("dom_dim", pa.int64()),
+                                          ("n_vecs", pa.int64())]))
+
+
+def _docs_char_class_stats(sf_dir: str):
+    """Per-source character-class totals (digits / ASCII uppercase /
+    spaces / total chars): the writing-style profile a corpus QA pass
+    computes. All four counters are single-pass Arrow kernels
+    (count_substring[_regex], utf8_length) — no Python over rows — and
+    the partial table is bounded by |sources|."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch["text"]
+        tbl = pa.table({
+            "source": batch["source"],
+            "n_docs": pa.array([1] * batch.num_rows, pa.int64()),
+            "n_chars": pc.utf8_length(t).cast(pa.int64()),
+            "n_digits": pc.count_substring_regex(t, "[0-9]")
+            .cast(pa.int64()),
+            "n_upper": pc.count_substring_regex(t, "[A-Z]")
+            .cast(pa.int64()),
+            "n_spaces": pc.count_substring(t, " ").cast(pa.int64())})
+        return tbl.group_by("source").aggregate(
+            [("n_docs", "sum"), ("n_chars", "sum"), ("n_digits", "sum"),
+             ("n_upper", "sum"), ("n_spaces", "sum")]) \
+            .rename_columns(["source", "n_docs", "n_chars", "n_digits",
+                             "n_upper", "n_spaces"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        return t.group_by("source").aggregate(
+            [("n_docs", "sum"), ("n_chars", "sum"), ("n_digits", "sum"),
+             ("n_upper", "sum"), ("n_spaces", "sum")]) \
+            .rename_columns(["source", "n_docs", "n_chars", "n_digits",
+                             "n_upper", "n_spaces"])
+
+    return driver_merge(ds.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=32768), merge,
+                        schema=pa.schema(
+                            [("source", pa.string()),
+                             ("n_docs", pa.int64()),
+                             ("n_chars", pa.int64()),
+                             ("n_digits", pa.int64()),
+                             ("n_upper", pa.int64()),
+                             ("n_spaces", pa.int64())]))
+
+
+def _orders_cumulative_revenue(sf_dir: str):
+    """Running monthly revenue per order priority (cumulative window SUM
+    shape): combiner collapses orders to (priority, month) cent totals
+    inside map_batches — bounded by |priorities| x |months| — and the
+    prefix sum runs on that tiny merged table at the driver (a
+    distributed scan would be waste below millions of groups; the
+    unbounded-key running total lives in ops.scan)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderpriority", "o_orderdate",
+                                  "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[M]")
+        month = np.datetime_as_string(d)
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"o_orderpriority": batch["o_orderpriority"],
+                      "month": pa.array(month),
+                      "cents": pa.array(cents)})
+        return t.group_by(["o_orderpriority", "month"]).aggregate(
+            [("cents", "sum")]) \
+            .rename_columns(["o_orderpriority", "month", "cents"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_orderpriority", "month"]).aggregate(
+            [("cents", "sum")]) \
+            .rename_columns(["o_orderpriority", "month", "cents"])
+        prio = g["o_orderpriority"].to_numpy(zero_copy_only=False)
+        mon = g["month"].to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((mon, prio))
+        c = np.cumsum(cents[order])
+        p_sorted = prio[order]
+        new_p = np.ones(p_sorted.shape[0], dtype=bool)
+        new_p[1:] = p_sorted[1:] != p_sorted[:-1]
+        base = np.zeros_like(c)
+        starts = np.flatnonzero(new_p)
+        base[starts] = c[starts] - cents[order][starts]
+        cum = c - np.maximum.accumulate(base)
+        out = np.empty_like(cum)
+        out[order] = cum
+        return pa.table({"o_orderpriority": g["o_orderpriority"],
+                         "month": g["month"],
+                         "cum_revenue_cents": pa.array(out)})
+
+    return driver_merge(ds.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=65536), merge,
+                        schema=pa.schema(
+                            [("o_orderpriority", pa.string()),
+                             ("month", pa.string()),
+                             ("cents", pa.int64())]))
+
+
+def _events_quartile_stats(sf_dir: str):
+    """NTILE(4) per event_type by (value, event_id) rolled up to per
+    (type, quartile) count + exact cent sums: the distribution-window
+    engine (ops.window rank family) composing into a bounded aggregate —
+    the window exchange is the only shuffle; partials are |types| x 4."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.ops.window import window_rank
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    w = window_rank(ds, "event_type", "value", tiebreak_col="event_id",
+                    ntile=4)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch["event_type"],
+                      "quartile": batch["ntile_4"],
+                      "n": pa.array(np.ones(batch.num_rows, np.int64)),
+                      "sum_cents": pa.array(cents)})
+        return t.group_by(["event_type", "quartile"]).aggregate(
+            [("n", "sum"), ("sum_cents", "sum")]) \
+            .rename_columns(["event_type", "quartile", "n", "sum_cents"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        return t.group_by(["event_type", "quartile"]).aggregate(
+            [("n", "sum"), ("sum_cents", "sum")]) \
+            .rename_columns(["event_type", "quartile", "n", "sum_cents"])
+
+    return driver_merge(w.map_batches(partial, batch_format="pyarrow",
+                                      batch_size=131072), merge,
+                        schema=pa.schema(
+                            [("event_type", pa.string()),
+                             ("quartile", pa.int64()),
+                             ("n", pa.int64()),
+                             ("sum_cents", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -3648,6 +3924,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 3: transition matrix, session distribution,
+        # --- dominant embedding dims, char-class profile, running
+        # --- revenue, NTILE rollup ---
+        "events_transition_counts": _events_transition_counts,
+        "events_session_stats": _events_session_stats,
+        "emb_dominant_dims": _emb_dominant_dims,
+        "docs_char_class_stats": _docs_char_class_stats,
+        "orders_cumulative_revenue": _orders_cumulative_revenue,
+        "events_quartile_stats": _events_quartile_stats,
         # --- round-5 wave 2: semi-structured extraction, corpus bigrams,
         # --- distinct set ops, exact grouped variance ---
         "events_props_ksum_by_type": _events_props_ksum_by_type,
@@ -3808,6 +4093,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # the stalest r02/r03-only evidence, (4) a few round-4 flagships kept for
 # regression coverage.
 _WINDOW_FIRST = [
+    # (0) round-5 wave 3: never driver-checked.
+    "events_transition_counts", "events_session_stats",
+    "emb_dominant_dims", "docs_char_class_stats",
+    "orders_cumulative_revenue", "events_quartile_stats",
     # (0) round-5 wave 2: semi-structured extraction, corpus bigrams,
     # distinct set ops, exact grouped variance.
     "events_props_ksum_by_type", "events_first_last_by_user",
@@ -4420,6 +4709,97 @@ def _kmeans_assign_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_transition_counts": """
+            WITH t AS (
+              SELECT event_type,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                         AS prev_type
+              FROM events)
+            SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM t WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        """,
+        "events_session_stats": """
+            WITH d AS (
+              SELECT user_id, ts,
+                     CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (
+                              PARTITION BY user_id ORDER BY ts)) > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events),
+            s AS (
+              SELECT user_id, ts,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING)
+                         AS session_id
+              FROM d),
+            sess AS (
+              SELECT user_id, session_id,
+                     CAST(COUNT(*) AS BIGINT) AS num_events,
+                     CAST(FLOOR(MAX(epoch(ts))) AS BIGINT)
+                       - CAST(FLOOR(MIN(epoch(ts))) AS BIGINT) AS span_s
+              FROM s GROUP BY user_id, session_id)
+            SELECT num_events,
+                   CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(span_s) AS BIGINT) AS total_span_s
+            FROM sess GROUP BY num_events
+        """,
+        "emb_dominant_dims": """
+            WITH e AS (
+              SELECT vec_id, label,
+                     CAST(floor(CAST(UNNEST(embedding) AS DOUBLE) * 4096
+                                + 0.5) AS BIGINT) AS qe,
+                     UNNEST(range(1, 1 + len(embedding))) AS idx
+              FROM embeddings),
+            r AS (
+              SELECT label, idx,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY abs(qe) DESC, idx ASC)
+                         AS rn
+              FROM e)
+            SELECT label, CAST(idx AS BIGINT) AS dom_dim,
+                   CAST(COUNT(*) AS BIGINT) AS n_vecs
+            FROM r WHERE rn = 1 GROUP BY label, idx
+        """,
+        "docs_char_class_stats": """
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+                   CAST(SUM(len(regexp_extract_all(text, '[0-9]')))
+                        AS BIGINT) AS n_digits,
+                   CAST(SUM(len(regexp_extract_all(text, '[A-Z]')))
+                        AS BIGINT) AS n_upper,
+                   CAST(SUM(length(text)
+                            - length(replace(text, ' ', '')))
+                        AS BIGINT) AS n_spaces
+            FROM documents GROUP BY source
+        """,
+        "orders_cumulative_revenue": """
+            WITH m AS (
+              SELECT o_orderpriority,
+                     strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                         AS month,
+                     SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                         AS cents
+              FROM orders GROUP BY 1, 2)
+            SELECT o_orderpriority, month,
+                   CAST(SUM(cents) OVER (PARTITION BY o_orderpriority
+                                         ORDER BY month) AS BIGINT)
+                       AS cum_revenue_cents
+            FROM m
+        """,
+        "events_quartile_stats": """
+            WITH t AS (
+              SELECT event_type, value,
+                     NTILE(4) OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS q4
+              FROM events)
+            SELECT event_type, CAST(q4 AS BIGINT) AS quartile,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM t GROUP BY event_type, q4
+        """,
         "events_props_ksum_by_type": """
             SELECT event_type,
                    CAST(SUM(TRY_CAST(regexp_extract(props,

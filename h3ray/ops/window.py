@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..io.pages import _mix64
 from .sample import _key_hash
@@ -224,6 +225,59 @@ def window_first_last(ds, part_col: str, order_col: str, value_col: str,
             out = out.append_column(nth_col,
                                     pa.array(out_nth, mask=~ok_n))
         return out
+
+    return _bucketed(ds, part_col, num_buckets).groupby("_bucket") \
+        .map_groups(fn, batch_format="pyarrow")
+
+
+def partitioned_transitions(ds, part_col: str, order_col: str,
+                            label_col: str, *, tiebreak_col: str,
+                            prev_col: str = "prev_label",
+                            count_col: str = "n",
+                            num_buckets: int | None = None):
+    """Adjacent-pair (LAG) label transition counts — the Markov-chain /
+    clickstream shape: COUNT(*) of (lag(label), label) pairs over
+    (PARTITION BY part_col ORDER BY order_col, tiebreak_col), first row
+    of each partition excluded (its lag is NULL in SQL).
+
+    Each reducer dictionary-encodes its labels, reads the lag as a
+    shifted gather on the sorted code array, and bincounts the composite
+    (prev_code * k + code) key — so a reducer emits at most |labels|^2
+    rows no matter how many events it saw. The caller folds those
+    partials with a tiny groupby/sum (ops.reduce.driver_merge fits: the
+    global result is bounded by the label-vocabulary square, not the
+    row count)."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["_bucket"])
+        lab_type = group.schema.field(label_col).type
+        empty = pa.table({
+            prev_col: pa.array([], lab_type),
+            label_col: pa.array([], lab_type),
+            count_col: pa.array([], pa.int64())})
+        n = group.num_rows
+        if n == 0:
+            return empty
+        order, _, new_seg, _, _ = _partition_order(
+            group, part_col, order_col, tiebreak_col, descending=False)
+        enc = pc.dictionary_encode(
+            group[label_col].combine_chunks()
+            if isinstance(group[label_col], pa.ChunkedArray)
+            else group[label_col])
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[order]
+        keep = ~new_seg                      # rows with an in-partition lag
+        if not keep.any():
+            return empty
+        k = len(enc.dictionary)
+        pair = codes[np.flatnonzero(keep) - 1] * k + codes[keep]
+        counts = np.bincount(pair, minlength=k * k)
+        hit = np.flatnonzero(counts)
+        dictionary = enc.dictionary
+        return pa.table({
+            prev_col: dictionary.take(pa.array(hit // k, pa.int64())),
+            label_col: dictionary.take(pa.array(hit % k, pa.int64())),
+            count_col: pa.array(counts[hit], pa.int64())})
 
     return _bucketed(ds, part_col, num_buckets).groupby("_bucket") \
         .map_groups(fn, batch_format="pyarrow")

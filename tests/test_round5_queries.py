@@ -29,7 +29,12 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         "docs_lang_source_intersect", "events_stddev_by_type",
         "pages_byte_stats_by_lang", "sites_pagerank",
         "events_funnel", "events_weekly_retention",
-        "docs_bigram_familiarity", "orders_grouping_sets"]
+        "docs_bigram_familiarity", "orders_grouping_sets",
+        # wave 3: transition matrix, session distribution, dominant
+        # embedding dims, char-class profile, running revenue, NTILE
+        "events_transition_counts", "events_session_stats",
+        "emb_dominant_dims", "docs_char_class_stats",
+        "orders_cumulative_revenue", "events_quartile_stats"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -47,6 +47,34 @@ def test_window_rank_matches_pandas(ray_session):
         assert (np.diff(srt.ntile_4.to_numpy()) >= 0).all()
 
 
+def test_partitioned_transitions_matches_pandas(ray_session):
+    from h3ray.ops.window import partitioned_transitions
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    df = pd.DataFrame({
+        "eid": np.arange(n, dtype=np.int64),
+        "part": rng.integers(0, 11, n).astype(np.int64),
+        "ord": rng.integers(0, 50, n).astype(np.int64),  # heavy ties
+        "lab": rng.choice(list("abcde"), n),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(6)
+    out = partitioned_transitions(ds, "part", "ord", "lab",
+                                  tiebreak_col="eid",
+                                  prev_col="prev_lab") \
+        .to_pandas().groupby(["prev_lab", "lab"], as_index=False)["n"] \
+        .sum().sort_values(["prev_lab", "lab"]).reset_index(drop=True)
+
+    s = df.sort_values(["part", "ord", "eid"])
+    prev = s.groupby("part")["lab"].shift(1)
+    exp = pd.DataFrame({"prev_lab": prev, "lab": s["lab"]}) \
+        .dropna().groupby(["prev_lab", "lab"], as_index=False) \
+        .size().rename(columns={"size": "n"}) \
+        .sort_values(["prev_lab", "lab"]).reset_index(drop=True)
+    exp["n"] = exp["n"].astype("int64")
+    pd.testing.assert_frame_equal(out, exp)
+
+
 def test_window_lag_lead_matches_pandas(ray_session):
     df = make_events(n=2000, n_parts=5, seed=29)
     # non-unique order values force the tiebreak
