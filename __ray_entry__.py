@@ -3915,6 +3915,204 @@ def _events_quartile_stats(sf_dir: str):
                              ("sum_cents", pa.int64())]))
 
 
+def _customer_order_gaps(sf_dir: str):
+    """Inter-order day-gap histogram (repeat-purchase cadence): LAG of
+    o_orderdate per customer, whole-day boundary diffs (epoch-day
+    floordiv = SQL date_diff('day') for positive epochs), rolled up to a
+    global gap histogram. The window exchange is the only shuffle; the
+    histogram partials are bounded by the date range in days."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.ops.window import window_lag_lead
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey",
+                                  "o_orderdate"])
+    w = window_lag_lead(ds, "o_custkey", "o_orderdate", "o_orderdate",
+                        tiebreak_col="o_orderkey", lag_col="prev_date")
+
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        valid = pc.is_valid(batch["prev_date"]).to_numpy(
+            zero_copy_only=False)
+        cur = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)[valid]
+        prev = batch["prev_date"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)[valid]
+        gap = cur // DAY_US - prev // DAY_US
+        t = pa.table({"gap_days": pa.array(gap),
+                      "n": pa.array(np.ones(gap.shape[0], np.int64))})
+        return t.group_by("gap_days").aggregate([("n", "sum")]) \
+            .rename_columns(["gap_days", "n"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        return t.group_by("gap_days").aggregate([("n", "sum")]) \
+            .rename_columns(["gap_days", "n"])
+
+    return driver_merge(w.map_batches(partial, batch_format="pyarrow",
+                                      batch_size=131072), merge,
+                        schema=pa.schema([("gap_days", pa.int64()),
+                                          ("n", pa.int64())]))
+
+
+def _events_dau(sf_dir: str):
+    """Daily active users: exact COUNT(DISTINCT user_id) per calendar
+    day. Two-level distinct (batch-local (day, user) collapse before the
+    shuffle, residual distinct groupby after) — the same exact-distinct
+    shape as events_distinct_users_by_type with a derived time key."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def batch_distinct(batch: pa.Table) -> pa.Table:
+        d = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]")
+        t = pa.table({"day": pa.array(np.datetime_as_string(d)),
+                      "user_id": batch["user_id"]})
+        return t.group_by(["day", "user_id"]).aggregate([])
+
+    from h3ray.ops.join import seed_schema
+
+    pairs = seed_schema(
+        ds.map_batches(batch_distinct, batch_format="pyarrow",
+                       batch_size=131072),
+        pa.schema([("day", pa.string()), ("user_id", pa.int64())]))
+    distinct = pairs.groupby(["day", "user_id"]).aggregate(
+        Count(alias_name="_dup"))
+    return distinct.groupby("day").aggregate(
+        Count(alias_name="num_users"))
+
+
+def _events_hour_profile(sf_dir: str):
+    """Per-(event_type, hour-of-day) activity profile: integer
+    floordiv/mod on the microsecond epoch mirrors EXTRACT(hour) for
+    positive epochs; counts + exact cent sums, |types| x 24 partials."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    HOUR_US = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        hour = (us // HOUR_US) % 24
+        cents = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch["event_type"],
+                      "hour": pa.array(hour),
+                      "n": pa.array(np.ones(us.shape[0], np.int64)),
+                      "sum_cents": pa.array(cents)})
+        return t.group_by(["event_type", "hour"]).aggregate(
+            [("n", "sum"), ("sum_cents", "sum")]) \
+            .rename_columns(["event_type", "hour", "n", "sum_cents"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        return t.group_by(["event_type", "hour"]).aggregate(
+            [("n", "sum"), ("sum_cents", "sum")]) \
+            .rename_columns(["event_type", "hour", "n", "sum_cents"])
+
+    return driver_merge(ds.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=131072), merge,
+                        schema=pa.schema(
+                            [("event_type", pa.string()),
+                             ("hour", pa.int64()),
+                             ("n", pa.int64()),
+                             ("sum_cents", pa.int64())]))
+
+
+def _events_mad_by_type(sf_dir: str):
+    """Median absolute deviation per event type — the robust-dispersion
+    composition: exact interpolated median per type (two-pass selection
+    engine), medians broadcast into a zero-shuffle |value - med| kernel,
+    then a second exact median over the deviations. Both interpolations
+    are the same IEEE expressions as PERCENTILE_CONT, so the result
+    value-hash-matches SQL."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.quantile import grouped_percentiles_cont
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    med = grouped_percentiles_cont(ds, "event_type", "value", [0.5],
+                                   ["med"])
+    med = med.to_pandas() if hasattr(med, "to_pandas") else med
+    if len(med) == 0:       # empty input: no types, typed empty result
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "mad_value": pa.array([], pa.float64())})
+    med = med.sort_values("event_type")
+    types = med["event_type"].to_numpy()
+    med_v = med["med"].to_numpy()
+
+    def absdev(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(types, et)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": batch["event_type"],
+                         "absdev": pa.array(np.abs(v - med_v[pos]))})
+
+    dev = ds.map_batches(absdev, batch_format="pyarrow",
+                         batch_size=131072)
+    out = grouped_percentiles_cont(dev, "event_type", "absdev", [0.5],
+                                   ["mad_value"])
+    return out
+
+
+def _docs_len_histogram(sf_dir: str):
+    """Per-(lang, 100-char length bucket) document histogram — the
+    corpus length-distribution QA chart; pure integer floordiv keys,
+    |langs| x |buckets| partials."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False)
+        t = pa.table({"lang": batch["lang"],
+                      "len_bucket": pa.array(nc // 100),
+                      "n_docs": pa.array(np.ones(nc.shape[0], np.int64)),
+                      "sum_chars": pa.array(nc.astype(np.int64))})
+        return t.group_by(["lang", "len_bucket"]).aggregate(
+            [("n_docs", "sum"), ("sum_chars", "sum")]) \
+            .rename_columns(["lang", "len_bucket", "n_docs", "sum_chars"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        return t.group_by(["lang", "len_bucket"]).aggregate(
+            [("n_docs", "sum"), ("sum_chars", "sum")]) \
+            .rename_columns(["lang", "len_bucket", "n_docs", "sum_chars"])
+
+    return driver_merge(ds.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=131072), merge,
+                        schema=pa.schema(
+                            [("lang", pa.string()),
+                             ("len_bucket", pa.int64()),
+                             ("n_docs", pa.int64()),
+                             ("sum_chars", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -3924,6 +4122,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 4: order cadence, DAU, hour profile, MAD,
+        # --- length histogram ---
+        "customer_order_gaps": _customer_order_gaps,
+        "events_dau": _events_dau,
+        "events_hour_profile": _events_hour_profile,
+        "events_mad_by_type": _events_mad_by_type,
+        "docs_len_histogram": _docs_len_histogram,
         # --- round-5 wave 3: transition matrix, session distribution,
         # --- dominant embedding dims, char-class profile, running
         # --- revenue, NTILE rollup ---
@@ -4093,6 +4298,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # the stalest r02/r03-only evidence, (4) a few round-4 flagships kept for
 # regression coverage.
 _WINDOW_FIRST = [
+    # (0) round-5 wave 4: never driver-checked.
+    "customer_order_gaps", "events_dau", "events_hour_profile",
+    "events_mad_by_type", "docs_len_histogram",
     # (0) round-5 wave 3: never driver-checked.
     "events_transition_counts", "events_session_stats",
     "emb_dominant_dims", "docs_char_class_stats",
@@ -4709,6 +4917,48 @@ def _kmeans_assign_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "customer_order_gaps": """
+            WITH t AS (
+              SELECT date_diff('day',
+                         LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey),
+                         o_orderdate) AS gap_days
+              FROM orders)
+            SELECT CAST(gap_days AS BIGINT) AS gap_days,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM t WHERE gap_days IS NOT NULL GROUP BY gap_days
+        """,
+        "events_dau": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS num_users
+            FROM events GROUP BY day
+        """,
+        "events_hour_profile": """
+            SELECT event_type,
+                   CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM events GROUP BY event_type, hour
+        """,
+        "events_mad_by_type": """
+            WITH med AS (
+              SELECT event_type,
+                     PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY value)
+                         AS med
+              FROM events GROUP BY event_type)
+            SELECT e.event_type,
+                   PERCENTILE_CONT(0.5) WITHIN GROUP (
+                       ORDER BY abs(e.value - m.med)) AS mad_value
+            FROM events e JOIN med m USING (event_type)
+            GROUP BY e.event_type
+        """,
+        "docs_len_histogram": """
+            SELECT lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang, len_bucket
+        """,
         "events_transition_counts": """
             WITH t AS (
               SELECT event_type,

@@ -34,7 +34,10 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # embedding dims, char-class profile, running revenue, NTILE
         "events_transition_counts", "events_session_stats",
         "emb_dominant_dims", "docs_char_class_stats",
-        "orders_cumulative_revenue", "events_quartile_stats"]
+        "orders_cumulative_revenue", "events_quartile_stats",
+        # wave 4: order cadence, DAU, hour profile, MAD, length histogram
+        "customer_order_gaps", "events_dau", "events_hour_profile",
+        "events_mad_by_type", "docs_len_histogram"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
