@@ -4113,6 +4113,24 @@ def _docs_len_histogram(sf_dir: str):
                              ("sum_chars", pa.int64())]))
 
 
+def _events_sketch_quantiles(sf_dir: str):
+    """ONE-PASS approximate p50/p90 per event type from the mergeable
+    bottom-k sample sketch (ops.sketch.bottomk_quantiles, k=2048) — the
+    single-scan alternative to the exact two-pass selection engine. The
+    sketch is deterministic (sample membership = k smallest
+    mix64(event_id) per type, blocking-independent), so a SQL mirror
+    that ranks by the same hash reproduces the estimate bit-for-bit:
+    an approximate operator with an EXACT differential oracle."""
+    import ray.data as rd
+
+    from h3ray.ops.sketch import bottomk_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    return bottomk_quantiles(ds, "event_type", "value", "event_id",
+                             [0.5, 0.9], ["p50_est", "p90_est"], k=2048)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -4123,7 +4141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     d = {
         # --- round-5 wave 4: order cadence, DAU, hour profile, MAD,
-        # --- length histogram ---
+        # --- length histogram, bottom-k quantile sketch ---
+        "events_sketch_quantiles": _events_sketch_quantiles,
         "customer_order_gaps": _customer_order_gaps,
         "events_dau": _events_dau,
         "events_hour_profile": _events_hour_profile,
@@ -4299,6 +4318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # regression coverage.
 _WINDOW_FIRST = [
     # (0) round-5 wave 4: never driver-checked.
+    "events_sketch_quantiles",
     "customer_order_gaps", "events_dau", "events_hour_profile",
     "events_mad_by_type", "docs_len_histogram",
     # (0) round-5 wave 3: never driver-checked.
@@ -4915,8 +4935,37 @@ def _kmeans_assign_oracle() -> str:
     """
 
 
+def _sketch_quantiles_oracle() -> str:
+    """SQL mirror of _events_sketch_quantiles: rank every event by the
+    same splitmix64 finalizer over event_id (h3ray.io.pages._mix64 —
+    identical chain to the pagerank/pages oracles), keep the k=2048
+    smallest per type, PERCENTILE_CONT over the sample. The sketch is
+    deterministic, so this reproduces the estimate bit-for-bit."""
+    a = _sql_mulmod("xor(x0, x0 >> 30)", 0xBF58476D1CE4E5B9)
+    b = _sql_mulmod("xor(x1, x1 >> 27)", 0x94D049BB133111EB)
+    return f"""
+        WITH h0 AS (
+          SELECT event_type, value, CAST(event_id AS UBIGINT) AS x0
+          FROM events),
+        h1 AS (SELECT event_type, value, {a} AS x1 FROM h0),
+        h2 AS (SELECT event_type, value, {b} AS x2 FROM h1),
+        s AS (
+          SELECT event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY xor(x2, x2 >> 31)) AS rn
+          FROM h2)
+        SELECT event_type,
+               PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY value)
+                   AS p50_est,
+               PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY value)
+                   AS p90_est
+        FROM s WHERE rn <= 2048 GROUP BY event_type
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_sketch_quantiles": _sketch_quantiles_oracle(),
         "customer_order_gaps": """
             WITH t AS (
               SELECT date_diff('day',

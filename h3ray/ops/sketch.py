@@ -210,3 +210,89 @@ def cm_topk(ds, value_col: str, k: int = 20,
 
     return driver_merge(ds.map_batches(estimate, batch_format="pyarrow",
                                        batch_size=131072), final)
+
+
+# --- Bottom-k quantile sketch --------------------------------------------
+
+def _bottomk_select(key_np: np.ndarray, h: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the <= k rows with smallest hash per key (vectorized:
+    one lexsort + segment-relative ranks)."""
+    order = np.lexsort((h, key_np))
+    ks = key_np[order]
+    n = ks.shape[0]
+    new_seg = np.ones(n, dtype=bool)
+    new_seg[1:] = ks[1:] != ks[:-1]
+    seg_start = np.flatnonzero(new_seg)
+    seg_of = np.cumsum(new_seg) - 1
+    pos = np.arange(n) - seg_start[seg_of]
+    return order[pos < k]
+
+
+def bottomk_quantiles(ds, key_col: str, value_col: str, id_col: str,
+                      qs: list[float], out_cols: list[str],
+                      k: int = 2048) -> pa.Table:
+    """ONE-PASS approximate grouped quantiles from a mergeable bottom-k
+    sample — the sketch alternative to the exact two-pass selection
+    engine in ops/quantile (which must scan the data twice and, for
+    PERCENTILE_CONT, ship per-key candidate neighborhoods).
+
+    The sketch is a uniform-without-replacement row sample: rank every
+    row by _mix64(row id) and keep the k smallest per key. Bottom-k sets
+    merge associatively (merge = union -> keep k smallest), so the
+    combiner emits <= |keys| x k rows per batch and the tree root merges
+    them exactly — DETERMINISTIC under any blocking/partitioning because
+    the hash depends only on the (unique) row id, never on arrival
+    order. Quantile estimates interpolate at q*(m-1) within the sorted
+    sample (the PERCENTILE_CONT formula applied to the sample); rank
+    error is O(1/sqrt(k)) ~ 2.2% at the default k=2048, each key's
+    sketch is 16k bytes.
+
+    Bounded-key-space shape (driver_merge root, like hll_distinct): for
+    unbounded key spaces, hash-bucket the partials and run the same
+    merge per bucket (the grouped-quantile merge path)."""
+    from .reduce import driver_merge
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key_np = batch[key_col].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        # int64 bit-view: full-range uint64 columns break Ray exchanges.
+        h = _mix64(ids.astype(np.int64).view(np.uint64)) \
+            .view(np.int64) ^ np.int64(-(1 << 63))
+        keep = _bottomk_select(key_np, h, k)
+        vals = batch[value_col].to_numpy(zero_copy_only=False)
+        return pa.table({key_col: pa.array(key_np[keep]),
+                         "_h": pa.array(h[keep]),
+                         "_v": pa.array(vals[keep])})
+
+    def merge(t: pa.Table) -> pa.Table:
+        key_np = t[key_col].to_numpy(zero_copy_only=False)
+        h = t["_h"].to_numpy(zero_copy_only=False)
+        keep = _bottomk_select(key_np, h, k)
+        keys_kept = key_np[keep]
+        vals = t["_v"].to_numpy(zero_copy_only=False)[keep]
+        ukeys, inv = np.unique(keys_kept, return_inverse=True)
+        cols = {key_col: pa.array(ukeys)}
+        ests = np.empty((len(qs), ukeys.shape[0]), dtype=np.float64)
+        for i in range(ukeys.shape[0]):
+            sample = np.sort(vals[inv == i].astype(np.float64))
+            m = sample.shape[0]
+            for j, q in enumerate(qs):
+                # PERCENTILE_CONT's exact expression (same FP op order as
+                # ops/quantile and the DuckDB mirror): lo + frac*(hi-lo).
+                p = q * (m - 1)
+                lo = sample[int(np.floor(p))]
+                hi = sample[int(np.ceil(p))]
+                ests[j, i] = lo + (p - np.floor(p)) * (hi - lo)
+        for j, name in enumerate(out_cols):
+            cols[name] = pa.array(ests[j])
+        return pa.Table.from_pydict(cols)
+
+    ds_schema = ds.schema()
+    base = getattr(ds_schema, "base_schema", ds_schema)
+    key_type = base.field(key_col).type if base is not None else pa.string()
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072),
+        merge,
+        schema=pa.schema([(key_col, key_type), ("_h", pa.int64()),
+                          ("_v", pa.float64())]))

@@ -37,7 +37,8 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         "orders_cumulative_revenue", "events_quartile_stats",
         # wave 4: order cadence, DAU, hour profile, MAD, length histogram
         "customer_order_gaps", "events_dau", "events_hour_profile",
-        "events_mad_by_type", "docs_len_histogram"]
+        "events_mad_by_type", "docs_len_histogram",
+        "events_sketch_quantiles"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

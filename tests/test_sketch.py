@@ -78,3 +78,61 @@ def test_hll_empty_and_register_validation(ray_session):
     # Saturated registers: raw branch, enormous but finite.
     assert estimate_from_registers(
         np.full(M, RHO_MAX, dtype=np.int8)) > 10 ** 9
+
+
+def test_bottomk_quantiles_accuracy(ray_session):
+    from h3ray.ops.sketch import bottomk_quantiles
+
+    rng = np.random.default_rng(11)
+    n = 60000
+    tbl = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "k": pa.array(np.repeat(["x", "y", "z"], n // 3)),
+        "v": pa.array(np.concatenate([
+            rng.normal(10, 2, n // 3),          # gaussian
+            rng.exponential(5, n // 3),          # skewed
+            rng.uniform(-1, 1, n // 3)])),       # uniform
+    })
+    out = bottomk_quantiles(rd.from_arrow(tbl).repartition(8), "k", "v",
+                            "id", [0.5, 0.9], ["p50", "p90"], k=2048)
+    df = out.to_pandas().set_index("k")
+    import pandas as pd
+    full = tbl.to_pandas()
+    for key, grp in full.groupby("k"):
+        v = np.sort(grp["v"].to_numpy())
+        for q, col in [(0.5, "p50"), (0.9, "p90")]:
+            est = df.loc[key, col]
+            # rank of the estimate within the TRUE distribution must sit
+            # within ~5 standard errors of q (se ~ sqrt(q(1-q)/2048)).
+            rank = np.searchsorted(v, est) / v.shape[0]
+            se = np.sqrt(q * (1 - q) / 2048)
+            assert abs(rank - q) <= 5 * se, (key, col, rank)
+
+
+def test_bottomk_quantiles_partition_invariance_and_empty(ray_session):
+    from h3ray.ops.sketch import bottomk_quantiles
+
+    rng = np.random.default_rng(5)
+    n = 9000
+    tbl = pa.table({
+        "id": pa.array(rng.permutation(n).astype(np.int64)),
+        "k": pa.array(rng.choice(["a", "b"], n)),
+        "v": pa.array(rng.normal(0, 1, n)),
+    })
+    outs = []
+    for parts in (1, 4, 13):
+        out = bottomk_quantiles(rd.from_arrow(tbl).repartition(parts),
+                                "k", "v", "id", [0.25, 0.75],
+                                ["q1", "q3"], k=512)
+        outs.append(out.to_pandas().sort_values("k").reset_index(drop=True))
+    # bit-identical under any blocking: membership depends only on
+    # mix64(id), never on arrival order.
+    assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
+
+    empty = pa.table({"id": pa.array([], pa.int64()),
+                      "k": pa.array([], pa.string()),
+                      "v": pa.array([], pa.float64())})
+    out = bottomk_quantiles(rd.from_arrow(empty), "k", "v", "id",
+                            [0.5], ["p50"], k=16)
+    assert out.num_rows == 0
+    assert out.column_names == ["k", "p50"]
