@@ -4113,6 +4113,23 @@ def _docs_len_histogram(sf_dir: str):
                              ("sum_chars", pa.int64())]))
 
 
+def _h3_zonal_stats(sf_dir: str):
+    """Raster -> vector zonal statistics: a deterministic synthetic
+    0.5-degree world raster (720x360 pixels, value = mix64(pix) % 1000)
+    aggregates to per-H3-cell (count, sum, max) at res 3 — the
+    raster->cells half of raster<->vector tiling. Combiner-first: each
+    batch pre-reduces to unique cells before anything leaves the task.
+    No SQL oracle (latLngToCell is not SQL-expressible); exactness is
+    pinned by tests/test_raster.py against a single-pass local NumPy
+    reference over all pixels. sf_dir is unused: the raster is
+    scale-independent by construction."""
+    from h3ray.pipelines import raster
+
+    W, H = 720, 360
+    return raster.zonal_stats(raster.synthetic_raster(W, H), res=3,
+                              width=W, height=H)
+
+
 def _events_sketch_quantiles(sf_dir: str):
     """ONE-PASS approximate p50/p90 per event type from the mergeable
     bottom-k sample sketch (ops.sketch.bottomk_quantiles, k=2048) — the
@@ -4299,6 +4316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "h3_cell_edges": _h3_cell_edges,
         "h3_cell_vertexes": _h3_cell_vertexes,
         "h3_cell_boundaries": _h3_cell_boundaries,
+        "h3_zonal_stats": _h3_zonal_stats,
     }
     # The driver's correctness sweep checks a 50-entry prefix window.
     # _WINDOW_FIRST pins that window to (a) everything NEW this round and
