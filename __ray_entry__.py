@@ -4113,6 +4113,199 @@ def _docs_len_histogram(sf_dir: str):
                              ("sum_chars", pa.int64())]))
 
 
+def _supplier_acctbal_quartiles(sf_dir: str):
+    """Per-nation supplier account-balance quartiles: the 25-row nation
+    map broadcasts (one sorted-key gather per batch — never a shuffle
+    for a dimension table), then the exact two-pass selection engine
+    computes PERCENTILE_CONT q1/med/q3 per nation name."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from h3ray.ops.quantile import grouped_percentiles_cont
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    nk = nation["n_nationkey"].to_numpy().astype(np.int64)
+    order = np.argsort(nk)
+    nk = nk[order]
+    nnames = nation["n_name"].to_numpy(zero_copy_only=False)[order]
+
+    ds = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                         columns=["s_nationkey", "s_acctbal"])
+
+    def add_name(batch: pa.Table) -> pa.Table:
+        k = batch["s_nationkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(nk, k) if nk.shape[0] else \
+            np.zeros(k.shape[0], np.int64)
+        pos = np.minimum(pos, max(nk.shape[0] - 1, 0))
+        hit = nk[pos] == k if nk.shape[0] else np.zeros(k.shape[0], bool)
+        t = pa.table({"n_name": pa.array(nnames[pos].astype(object),
+                                         pa.string()),
+                      "s_acctbal": batch["s_acctbal"]})
+        return t.filter(pa.array(hit))
+
+    named = ds.map_batches(add_name, batch_format="pyarrow",
+                           batch_size=131072)
+    out = grouped_percentiles_cont(named, "n_name", "s_acctbal",
+                                   [0.25, 0.5, 0.75],
+                                   ["q1", "med", "q3"])
+    return out
+
+
+def _customer_mktseg_nation_matrix(sf_dir: str):
+    """Customer count + exact acctbal cent totals per (nation name,
+    market segment): broadcast dimension lookup, |nations| x |segments|
+    combiner."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    nk = nation["n_nationkey"].to_numpy().astype(np.int64)
+    order = np.argsort(nk)
+    nk = nk[order]
+    nnames = nation["n_name"].to_numpy(zero_copy_only=False)[order]
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_nationkey", "c_mktsegment",
+                                  "c_acctbal"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        if nk.shape[0] == 0:
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "c_mktsegment": pa.array([], pa.string()),
+                             "n_customers": pa.array([], pa.int64()),
+                             "acctbal_cents": pa.array([], pa.int64())})
+        pos = np.minimum(np.searchsorted(nk, k), nk.shape[0] - 1)
+        hit = nk[pos] == k
+        cents = np.floor(
+            batch["c_acctbal"].to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"n_name": pa.array(nnames[pos].astype(object),
+                                         pa.string()),
+                      "c_mktsegment": batch["c_mktsegment"],
+                      "n_customers": pa.array(
+                          np.ones(k.shape[0], np.int64)),
+                      "acctbal_cents": pa.array(cents)}) \
+            .filter(pa.array(hit))
+        return t.group_by(["n_name", "c_mktsegment"]).aggregate(
+            [("n_customers", "sum"), ("acctbal_cents", "sum")]) \
+            .rename_columns(["n_name", "c_mktsegment", "n_customers",
+                             "acctbal_cents"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        return t.group_by(["n_name", "c_mktsegment"]).aggregate(
+            [("n_customers", "sum"), ("acctbal_cents", "sum")]) \
+            .rename_columns(["n_name", "c_mktsegment", "n_customers",
+                             "acctbal_cents"])
+
+    return driver_merge(ds.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=131072), merge,
+                        schema=pa.schema(
+                            [("n_name", pa.string()),
+                             ("c_mktsegment", pa.string()),
+                             ("n_customers", pa.int64()),
+                             ("acctbal_cents", pa.int64())]))
+
+
+def _lineitem_monthly_discount(sf_dir: str):
+    """Per ship-month discount/quantity profile: exact basis-point and
+    centi-quantity integer sums, |months|-bounded combiner — the
+    seasonality QA query over the biggest table."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_shipdate", "l_discount",
+                                  "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = batch["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[M]")
+        month = np.datetime_as_string(m)
+        disc_bp = np.floor(
+            batch["l_discount"].to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5).astype(np.int64)
+        qty = np.floor(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"month": pa.array(month),
+                      "n": pa.array(np.ones(m.shape[0], np.int64)),
+                      "sum_disc_bp": pa.array(disc_bp),
+                      "sum_qty_c": pa.array(qty)})
+        return t.group_by("month").aggregate(
+            [("n", "sum"), ("sum_disc_bp", "sum"), ("sum_qty_c", "sum")]) \
+            .rename_columns(["month", "n", "sum_disc_bp", "sum_qty_c"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        return t.group_by("month").aggregate(
+            [("n", "sum"), ("sum_disc_bp", "sum"), ("sum_qty_c", "sum")]) \
+            .rename_columns(["month", "n", "sum_disc_bp", "sum_qty_c"])
+
+    return driver_merge(ds.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=131072), merge,
+                        schema=pa.schema(
+                            [("month", pa.string()),
+                             ("n", pa.int64()),
+                             ("sum_disc_bp", pa.int64()),
+                             ("sum_qty_c", pa.int64())]))
+
+
+def _part_type_price_stats(sf_dir: str):
+    """Per part type: count and min/max/sum retail price in exact cents
+    — catalog profiling, |types|-bounded combiner."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_type", "p_retailprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["p_retailprice"].to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"p_type": batch["p_type"],
+                      "n_parts": pa.array(
+                          np.ones(cents.shape[0], np.int64)),
+                      "min_cents": pa.array(cents),
+                      "max_cents": pa.array(cents),
+                      "sum_cents": pa.array(cents)})
+        return t.group_by("p_type").aggregate(
+            [("n_parts", "sum"), ("min_cents", "min"),
+             ("max_cents", "max"), ("sum_cents", "sum")]) \
+            .rename_columns(["p_type", "n_parts", "min_cents",
+                             "max_cents", "sum_cents"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        return t.group_by("p_type").aggregate(
+            [("n_parts", "sum"), ("min_cents", "min"),
+             ("max_cents", "max"), ("sum_cents", "sum")]) \
+            .rename_columns(["p_type", "n_parts", "min_cents",
+                             "max_cents", "sum_cents"])
+
+    return driver_merge(ds.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=131072), merge,
+                        schema=pa.schema(
+                            [("p_type", pa.string()),
+                             ("n_parts", pa.int64()),
+                             ("min_cents", pa.int64()),
+                             ("max_cents", pa.int64()),
+                             ("sum_cents", pa.int64())]))
+
+
 def _h3_zonal_stats(sf_dir: str):
     """Raster -> vector zonal statistics: a deterministic synthetic
     0.5-degree world raster (720x360 pixels, value = mix64(pix) % 1000)
@@ -4157,6 +4350,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 5: dimension-broadcast profiles ---
+        "supplier_acctbal_quartiles": _supplier_acctbal_quartiles,
+        "customer_mktseg_nation_matrix": _customer_mktseg_nation_matrix,
+        "lineitem_monthly_discount": _lineitem_monthly_discount,
+        "part_type_price_stats": _part_type_price_stats,
         # --- round-5 wave 4: order cadence, DAU, hour profile, MAD,
         # --- length histogram, bottom-k quantile sketch ---
         "events_sketch_quantiles": _events_sketch_quantiles,
@@ -4335,7 +4533,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # the stalest r02/r03-only evidence, (4) a few round-4 flagships kept for
 # regression coverage.
 _WINDOW_FIRST = [
-    # (0) round-5 wave 4: never driver-checked.
+    # (0) round-5 waves 4-5: never driver-checked.
+    "supplier_acctbal_quartiles", "customer_mktseg_nation_matrix",
+    "lineitem_monthly_discount", "part_type_price_stats",
     "events_sketch_quantiles",
     "customer_order_gaps", "events_dau", "events_hour_profile",
     "events_mad_by_type", "docs_len_histogram",
@@ -4983,6 +5183,45 @@ def _sketch_quantiles_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "supplier_acctbal_quartiles": """
+            SELECT n_name,
+                   PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY s_acctbal)
+                       AS q1,
+                   PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY s_acctbal)
+                       AS med,
+                   PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY s_acctbal)
+                       AS q3
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "customer_mktseg_nation_matrix": """
+            SELECT n_name, c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS acctbal_cents
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name, c_mktsegment
+        """,
+        "lineitem_monthly_discount": """
+            SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m')
+                       AS month,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_disc_bp,
+                   CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_qty_c
+            FROM lineitem GROUP BY month
+        """,
+        "part_type_price_stats": """
+            SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(MIN(CAST(floor(p_retailprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS min_cents,
+                   CAST(MAX(CAST(floor(p_retailprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS max_cents,
+                   CAST(SUM(CAST(floor(p_retailprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM part GROUP BY p_type
+        """,
         "events_sketch_quantiles": _sketch_quantiles_oracle(),
         "customer_order_gaps": """
             WITH t AS (

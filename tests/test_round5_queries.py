@@ -38,7 +38,10 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 4: order cadence, DAU, hour profile, MAD, length histogram
         "customer_order_gaps", "events_dau", "events_hour_profile",
         "events_mad_by_type", "docs_len_histogram",
-        "events_sketch_quantiles"]
+        "events_sketch_quantiles",
+        # wave 5: dimension-broadcast profiles
+        "supplier_acctbal_quartiles", "customer_mktseg_nation_matrix",
+        "lineitem_monthly_discount", "part_type_price_stats"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
