@@ -4341,6 +4341,273 @@ def _events_sketch_quantiles(sf_dir: str):
                              [0.5, 0.9], ["p50_est", "p90_est"], k=2048)
 
 
+def _shipping_priority_topk(sf_dir: str):
+    """TPC-H Q3 shape (shippriority column absent, o_orderpriority stands
+    in): top-10 undelivered BUILDING-segment orders by open revenue.
+    Customer keys for the segment broadcast via ray.put (searchsorted
+    membership probe, no shuffle); lineitem pre-aggregates open cents per
+    orderkey inside batches, so the one orderkey exchange (hash_join vs
+    the filtered orders side) moves partial sums; top-10 on the merged
+    root with the oracle's exact tie-break (revenue desc, date, key)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from h3ray.ops.join import hash_join, seed_schema
+    from h3ray.ops.reduce import driver_merge
+
+    cut_day = (np.datetime64("1998-01-01") - np.datetime64("1970-01-01")) \
+        .astype(np.int64)
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    ckeys = np.sort(cust.filter(
+        pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
+        .to_numpy().astype(np.int64))
+    ck_ref = ray.put(ckeys)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"])
+
+    def ord_prep(batch: pa.Table) -> pa.Table:
+        ck = ray.get(ck_ref)
+        day = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        okey = batch["o_orderkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        oc = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        if ck.shape[0]:
+            pos = np.minimum(np.searchsorted(ck, oc), ck.shape[0] - 1)
+            sel = (ck[pos] == oc) & (day < cut_day)
+        else:
+            sel = np.zeros(okey.shape[0], dtype=bool)
+        return pa.table({"o_orderkey": okey[sel],
+                         "o_date_day": day[sel],
+                         "o_orderpriority":
+                             batch["o_orderpriority"].filter(
+                                 pa.array(sel))})
+
+    ord_side = seed_schema(
+        orders.map_batches(ord_prep, batch_format="pyarrow",
+                           batch_size=131072),
+        pa.schema([("o_orderkey", pa.int64()), ("o_date_day", pa.int64()),
+                   ("o_orderpriority", pa.string())]))
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"])
+
+    def line_prep(batch: pa.Table) -> pa.Table:
+        day = batch["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        sel = day > cut_day
+        lo = batch["l_orderkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[sel]
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[sel]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[sel]
+        cents = np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64)
+        uniq, inv = np.unique(lo, return_inverse=True)
+        acc = np.zeros(uniq.shape[0], dtype=np.int64)
+        np.add.at(acc, inv, cents)
+        return pa.table({"l_orderkey": uniq, "cents": acc})
+
+    li_p = seed_schema(
+        line.map_batches(line_prep, batch_format="pyarrow",
+                         batch_size=131072),
+        pa.schema([("l_orderkey", pa.int64()), ("cents", pa.int64())]))
+    joined = hash_join(li_p, ord_side, "l_orderkey", "o_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lo = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        cents = batch["cents"].to_numpy(zero_copy_only=False)
+        uniq, first, inv = np.unique(lo, return_index=True,
+                                     return_inverse=True)
+        acc = np.zeros(uniq.shape[0], dtype=np.int64)
+        np.add.at(acc, inv, cents)
+        return pa.table({
+            "l_orderkey": uniq, "cents": acc,
+            "o_date_day": batch["o_date_day"].take(
+                pa.array(first.astype(np.int64))),
+            "o_orderpriority": batch["o_orderpriority"].take(
+                pa.array(first.astype(np.int64)))})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_orderkey", "o_date_day", "o_orderpriority"]) \
+            .aggregate([("cents", "sum")])
+        g = pa.table({"l_orderkey": g["l_orderkey"],
+                      "revenue_cents": g["cents_sum"],
+                      "o_date_day": g["o_date_day"],
+                      "o_orderpriority": g["o_orderpriority"]})
+        g = g.sort_by([("revenue_cents", "descending"),
+                       ("o_date_day", "ascending"),
+                       ("l_orderkey", "ascending")])
+        return g.slice(0, 10)
+
+    return driver_merge(
+        joined.map_batches(partial, batch_format="pyarrow"), merge,
+        schema=pa.schema([("l_orderkey", pa.int64()),
+                          ("cents", pa.int64()),
+                          ("o_date_day", pa.int64()),
+                          ("o_orderpriority", pa.string())]))
+
+
+def _late_priority_lines(sf_dir: str):
+    """TPC-H Q12 shape (no commit/receipt dates in this schema): per
+    l_linestatus, how many 1997-1998 lines shipped >90 days after their
+    order was placed, split by URGENT/HIGH vs lower order priority.
+    Lineitem rows carry only (orderkey, status code, ship day) into the
+    one orderkey exchange; priority lives on the orders side; the joined
+    batches reduce to a 2x2 integer count table."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.join import hash_join, seed_schema
+    from h3ray.ops.reduce import driver_merge
+
+    lo_day = (np.datetime64("1997-01-01") - np.datetime64("1970-01-01")) \
+        .astype(np.int64)
+    hi_day = (np.datetime64("1999-01-01") - np.datetime64("1970-01-01")) \
+        .astype(np.int64)
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_linestatus",
+                                    "l_shipdate"])
+
+    def line_prep(batch: pa.Table) -> pa.Table:
+        day = batch["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        sel = (day >= lo_day) & (day < hi_day)
+        st = batch["l_linestatus"].to_numpy(zero_copy_only=False)[sel]
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)[sel],
+            "st_code": (st == "O").astype(np.int64),
+            "ship_day": day[sel]})
+
+    li_p = seed_schema(
+        line.map_batches(line_prep, batch_format="pyarrow",
+                         batch_size=131072),
+        pa.schema([("l_orderkey", pa.int64()), ("st_code", pa.int64()),
+                   ("ship_day", pa.int64())]))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"])
+
+    def ord_prep(batch: pa.Table) -> pa.Table:
+        day = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        pri = batch["o_orderpriority"].to_numpy(zero_copy_only=False)
+        is_high = ((pri == "1-URGENT") | (pri == "2-HIGH")) \
+            .astype(np.int64)
+        return pa.table({"o_orderkey": batch["o_orderkey"].to_numpy(
+                             zero_copy_only=False).astype(np.int64),
+                         "o_day": day, "is_high": is_high})
+
+    ord_side = seed_schema(
+        orders.map_batches(ord_prep, batch_format="pyarrow",
+                           batch_size=131072),
+        pa.schema([("o_orderkey", pa.int64()), ("o_day", pa.int64()),
+                   ("is_high", pa.int64())]))
+    joined = hash_join(li_p, ord_side, "l_orderkey", "o_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        late = (batch["ship_day"].to_numpy(zero_copy_only=False)
+                - batch["o_day"].to_numpy(zero_copy_only=False)) > 90
+        st = batch["st_code"].to_numpy(zero_copy_only=False)[late]
+        hi = batch["is_high"].to_numpy(zero_copy_only=False)[late]
+        acc = np.zeros(4, dtype=np.int64)
+        np.add.at(acc, st * 2 + hi, 1)
+        return pa.table({"slot": np.arange(4, dtype=np.int64),
+                         "cnt": acc})
+
+    def merge(t: pa.Table) -> pa.Table:
+        acc = np.zeros(4, dtype=np.int64)
+        np.add.at(acc, t["slot"].to_numpy(zero_copy_only=False),
+                  t["cnt"].to_numpy(zero_copy_only=False))
+        # SQL's GROUP BY emits no row for a status with zero late lines.
+        keep = np.flatnonzero(acc[1::2] + acc[0::2])
+        return pa.table({
+            "l_linestatus": pa.array(
+                np.array(["F", "O"])[keep], pa.string()),
+            "high_late_count": pa.array(acc[1::2][keep], pa.int64()),
+            "low_late_count": pa.array(acc[0::2][keep], pa.int64())})
+
+    return driver_merge(
+        joined.map_batches(partial, batch_format="pyarrow"), merge,
+        schema=pa.schema([("slot", pa.int64()), ("cnt", pa.int64())]))
+
+
+def _events_mg_heavy_users(sf_dir: str):
+    """Exact eps-heavy-hitters (users with > 1/140 of all events) via a
+    Misra-Gries sketch + exact verification pass (ops.sketch
+    .mg_heavy_hitters): the one-extra-pass alternative to a full
+    per-user groupby when the key space is unbounded — only <= k
+    candidate keys ever cross the wire. k=512 >= threshold_den-1
+    guarantees the candidate superset, so the result is EXACT and
+    hash-checked against a plain HAVING mirror."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from h3ray.ops.sketch import mg_heavy_hitters
+
+    total = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    return mg_heavy_hitters(
+        lambda: rd.read_parquet(f"{sf_dir}/events.parquet",
+                                columns=["user_id"]),
+        "user_id", k=512, total_rows=total, threshold_den=140)
+
+
+def _docs_ttr(sf_dir: str):
+    """Per-document type-token ratio inputs: whitespace token count and
+    DISTINCT token count (lexical diversity — a standard web-text
+    quality signal). One Arrow split_pattern_regex per batch; per-doc
+    distinct counts come from a single (parent, token-hash) lexsort over
+    the flattened values — no Python loop, no shuffle (each doc lives
+    inside one batch). Distinctness is computed on the 64-bit content
+    hash (url_hash64): exact unless two distinct tokens of one document
+    collide in 64 bits."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.io.pages import url_hash64
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.cast(batch["text"], pa.string()), pattern=r"\s+")
+        flat = pc.list_flatten(toks).combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        h = url_hash64(flat).view(np.int64)[nonempty]
+        parent = parent[nonempty]
+        n_docs = batch.num_rows
+        n_tokens = np.bincount(parent, minlength=n_docs).astype(np.int64)
+        order = np.lexsort((h, parent))
+        ps, hs = parent[order], h[order]
+        new = np.ones(ps.shape[0], dtype=bool)
+        new[1:] = (ps[1:] != ps[:-1]) | (hs[1:] != hs[:-1])
+        n_types = np.bincount(ps[new], minlength=n_docs).astype(np.int64)
+        keep = n_tokens > 0
+        return pa.table({
+            "doc_id": batch["doc_id"].filter(pa.array(keep)),
+            "n_tokens": n_tokens[keep], "n_types": n_types[keep]})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=32768)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -4350,6 +4617,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 6: Q3/Q12 shapes, Misra-Gries exact heavy
+        # --- hitters, per-doc type-token ratio ---
+        "shipping_priority_topk": _shipping_priority_topk,
+        "late_priority_lines": _late_priority_lines,
+        "events_mg_heavy_users": _events_mg_heavy_users,
+        "docs_ttr": _docs_ttr,
         # --- round-5 wave 5: dimension-broadcast profiles ---
         "supplier_acctbal_quartiles": _supplier_acctbal_quartiles,
         "customer_mktseg_nation_matrix": _customer_mktseg_nation_matrix,
@@ -4533,6 +4806,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # the stalest r02/r03-only evidence, (4) a few round-4 flagships kept for
 # regression coverage.
 _WINDOW_FIRST = [
+    # (0) round-5 wave 6: never driver-checked.
+    "shipping_priority_topk", "late_priority_lines",
+    "events_mg_heavy_users", "docs_ttr",
     # (0) round-5 waves 4-5: never driver-checked.
     "supplier_acctbal_quartiles", "customer_mktseg_nation_matrix",
     "lineitem_monthly_discount", "part_type_price_stats",
@@ -5183,6 +5459,57 @@ def _sketch_quantiles_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "shipping_priority_topk": """
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                       * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS revenue_cents,
+                   CAST(DATEDIFF('day', DATE '1970-01-01',
+                                 CAST(o_orderdate AS DATE)) AS BIGINT)
+                       AS o_date_day,
+                   o_orderpriority
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < DATE '1998-01-01'
+              AND l_shipdate > DATE '1998-01-01'
+            GROUP BY l_orderkey, o_date_day, o_orderpriority
+            ORDER BY revenue_cents DESC, o_date_day, l_orderkey
+            LIMIT 10
+        """,
+        "late_priority_lines": """
+            SELECT l_linestatus,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_late_count,
+                   CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS low_late_count
+            FROM lineitem, orders
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate >= DATE '1997-01-01'
+              AND l_shipdate < DATE '1999-01-01'
+              AND DATEDIFF('day', CAST(o_orderdate AS DATE),
+                           CAST(l_shipdate AS DATE)) > 90
+            GROUP BY l_linestatus
+        """,
+        "events_mg_heavy_users": """
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM events GROUP BY user_id
+            HAVING COUNT(*) * 140 > (SELECT COUNT(*) FROM events)
+        """,
+        "docs_ttr": r"""
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(DISTINCT term) AS BIGINT) AS n_types
+            FROM (SELECT doc_id,
+                         unnest(regexp_split_to_array(text, '\s+')) AS term
+                  FROM documents)
+            WHERE term <> ''
+            GROUP BY doc_id
+        """,
         "supplier_acctbal_quartiles": """
             SELECT n_name,
                    PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY s_acctbal)

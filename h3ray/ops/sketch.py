@@ -296,3 +296,102 @@ def bottomk_quantiles(ds, key_col: str, value_col: str, id_col: str,
         merge,
         schema=pa.schema([(key_col, key_type), ("_h", pa.int64()),
                           ("_v", pa.float64())]))
+
+
+def _mg_compress(keys: np.ndarray, cnts: np.ndarray,
+                 k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Misra-Gries compression to <= k counters: subtract the (k+1)-th
+    largest count from every counter and keep the strictly-positive
+    survivors. Error added per compression <= that pivot, and summed
+    over all merges stays <= (n - sum(kept)) / (k+1) (Agarwal et al.,
+    Mergeable Summaries, PODS'12)."""
+    if keys.shape[0] <= k:
+        return keys, cnts
+    pivot = np.partition(cnts, cnts.shape[0] - (k + 1))[cnts.shape[0]
+                                                        - (k + 1)]
+    keep = cnts > pivot
+    return keys[keep], cnts[keep] - pivot
+
+
+def mg_heavy_hitters(ds_factory, value_col: str, *, k: int,
+                     total_rows: int, threshold_den: int) -> pa.Table:
+    """EXACT heavy hitters (count * threshold_den > total_rows) via a
+    two-pass Misra-Gries sketch + verification — the scale path for
+    "which keys exceed an eps-fraction of a 100-TB stream" when the key
+    space is unbounded and a full groupby count would shuffle everything.
+
+    Pass 1 keeps a k-counter MG summary per batch (exact per-batch
+    counts, then `_mg_compress`); the driver root merges all partials by
+    summing counters and compressing once more. The merged summary
+    over-approximates: every key with true count > n/(k+1) survives, so
+    with k+1 >= threshold_den the candidate set is a SUPERSET of the
+    answer. Pass 2 re-streams the input counting ONLY the (broadcast)
+    candidates exactly, and the integer filter cnt * den > n makes the
+    result exact — hash-checkable against a plain SQL HAVING mirror.
+
+    `ds_factory` is a zero-arg callable returning a fresh Dataset over
+    the same input (each pass executes its own plan; at 100 TB the
+    candidate set after pass 1 is <= k keys, so pass 2 broadcasts a tiny
+    sorted array and its combiner emits <= k rows per batch).
+    """
+    import ray
+
+    from .reduce import driver_merge
+
+    if k + 1 < threshold_den:
+        raise ValueError("MG superset guarantee needs k+1 >= threshold_den")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        keys, cnts = np.unique(v, return_counts=True)
+        keys, cnts = _mg_compress(keys, cnts.astype(np.int64), k)
+        return pa.table({value_col: pa.array(keys), "_cnt": pa.array(cnts)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        c = t["_cnt"].to_numpy(zero_copy_only=False)
+        keys, inv = np.unique(v, return_inverse=True)
+        acc = np.zeros(keys.shape[0], dtype=np.int64)
+        np.add.at(acc, inv, c)
+        keys, acc = _mg_compress(keys, acc, k)
+        return pa.table({value_col: pa.array(keys), "_cnt": pa.array(acc)})
+
+    ds = ds_factory()
+    ds_schema = ds.schema()
+    base = getattr(ds_schema, "base_schema", ds_schema)
+    key_type = base.field(value_col).type if base is not None else pa.int64()
+    cand = driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=131072),
+        merge,
+        schema=pa.schema([(value_col, key_type), ("_cnt", pa.int64())]))
+    cand_keys = np.sort(cand[value_col].to_numpy(zero_copy_only=False))
+    cand_ref = ray.put(cand_keys)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ck = ray.get(cand_ref)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        if ck.shape[0] == 0 or v.shape[0] == 0:
+            return pa.table({"_idx": pa.array([], pa.int64()),
+                             "_cnt": pa.array([], pa.int64())})
+        pos = np.minimum(np.searchsorted(ck, v), ck.shape[0] - 1)
+        sel = ck[pos] == v
+        acc = np.zeros(ck.shape[0], dtype=np.int64)
+        np.add.at(acc, pos[sel], 1)
+        nz = np.flatnonzero(acc)
+        return pa.table({"_idx": pa.array(nz.astype(np.int64)),
+                         "_cnt": pa.array(acc[nz])})
+
+    def vmerge(t: pa.Table) -> pa.Table:
+        idx = t["_idx"].to_numpy(zero_copy_only=False)
+        c = t["_cnt"].to_numpy(zero_copy_only=False)
+        acc = np.zeros(cand_keys.shape[0], dtype=np.int64)
+        np.add.at(acc, idx, c)
+        hot = acc * threshold_den > total_rows
+        return pa.table({value_col: pa.array(cand_keys[hot]),
+                         "n_rows": pa.array(acc[hot])})
+
+    return driver_merge(
+        ds_factory().map_batches(verify, batch_format="pyarrow",
+                                 batch_size=131072),
+        vmerge,
+        schema=pa.schema([("_idx", pa.int64()), ("_cnt", pa.int64())]))

@@ -41,7 +41,10 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         "events_sketch_quantiles",
         # wave 5: dimension-broadcast profiles
         "supplier_acctbal_quartiles", "customer_mktseg_nation_matrix",
-        "lineitem_monthly_discount", "part_type_price_stats"]
+        "lineitem_monthly_discount", "part_type_price_stats",
+        # wave 6: Q3/Q12 shapes, Misra-Gries exact heavy hitters, TTR
+        "shipping_priority_topk", "late_priority_lines",
+        "events_mg_heavy_users", "docs_ttr"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -136,3 +136,66 @@ def test_bottomk_quantiles_partition_invariance_and_empty(ray_session):
                             [0.5], ["p50"], k=16)
     assert out.num_rows == 0
     assert out.column_names == ["k", "p50"]
+
+
+def test_mg_compress_superset_guarantee():
+    """Merged Misra-Gries candidates must contain every key with true
+    count > n/(k+1), under adversarial chunking."""
+    import numpy as np
+
+    from h3ray.ops.sketch import _mg_compress
+
+    rng = np.random.default_rng(7)
+    # Zipf-ish stream: a few hot keys over a huge cold tail.
+    hot = np.repeat(np.arange(5), [4000, 3000, 2000, 1500, 900])
+    cold = rng.integers(100, 100000, 20000)
+    stream = np.concatenate([hot, cold])
+    rng.shuffle(stream)
+    k = 32
+    n = stream.shape[0]
+    # simulate per-batch partials + one driver merge
+    parts = np.array_split(stream, 13)
+    keys = np.zeros(0, dtype=np.int64)
+    cnts = np.zeros(0, dtype=np.int64)
+    for p in parts:
+        u, c = np.unique(p, return_counts=True)
+        u, c = _mg_compress(u, c.astype(np.int64), k)
+        keys = np.concatenate([keys, u])
+        cnts = np.concatenate([cnts, c])
+    u, inv = np.unique(keys, return_inverse=True)
+    acc = np.zeros(u.shape[0], dtype=np.int64)
+    np.add.at(acc, inv, cnts)
+    cand, _ = _mg_compress(u, acc, k)
+    true_u, true_c = np.unique(stream, return_counts=True)
+    heavy = true_u[true_c > n // (k + 1)]
+    assert np.isin(heavy, cand).all()
+    assert cand.shape[0] <= k
+
+
+def test_mg_heavy_hitters_exact_vs_numpy(ray_session, tmp_path):
+    """mg_heavy_hitters returns EXACTLY the keys with cnt*den > n, with
+    exact counts, on a high-cardinality skewed stream that forces
+    compression."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from h3ray.ops.sketch import mg_heavy_hitters
+
+    rng = np.random.default_rng(11)
+    hot = np.repeat(np.arange(8), 700)
+    cold = rng.integers(1000, 40000, 30000)
+    stream = np.concatenate([hot, cold]).astype(np.int64)
+    rng.shuffle(stream)
+    path = tmp_path / "s.parquet"
+    pq.write_table(pa.table({"k": stream}), path)
+    n = stream.shape[0]
+    den = 100
+    out = mg_heavy_hitters(
+        lambda: rd.read_parquet(str(path)).repartition(7),
+        "k", k=256, total_rows=n, threshold_den=den)
+    got = {r["k"]: r["n_rows"] for r in out.to_pylist()}
+    u, c = np.unique(stream, return_counts=True)
+    want = {int(a): int(b) for a, b in zip(u, c) if b * den > n}
+    assert got == want and len(want) >= 5
