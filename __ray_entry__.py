@@ -4608,6 +4608,264 @@ def _docs_ttr(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=32768)
 
 
+def _part_value_concentration(sf_dir: str):
+    """TPC-H Q11 shape (no partsupp table; lineitem revenue stands in for
+    supply value): parts whose total revenue exceeds the all-parts
+    average, i.e. revenue * n_parts > total_revenue — the
+    scalar-subquery-in-HAVING pattern. One combiner pass produces exact
+    per-partkey cents partials; the part key space is dimension-bounded,
+    so a single driver root merges, derives the global scalar (total and
+    distinct-part count) from the merged table itself, and filters —
+    no second pass over the fact table, no shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64)
+        uniq, inv = np.unique(p, return_inverse=True)
+        acc = np.zeros(uniq.shape[0], dtype=np.int64)
+        np.add.at(acc, inv, cents)
+        return pa.table({"l_partkey": uniq, "revenue_cents": acc})
+
+    def merge(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].to_numpy(zero_copy_only=False)
+        c = t["revenue_cents"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(p, return_inverse=True)
+        acc = np.zeros(uniq.shape[0], dtype=np.int64)
+        np.add.at(acc, inv, c)
+        # Python ints: n_parts * total_cents could pass 2^63 at scale.
+        total = int(acc.sum())
+        n = int(uniq.shape[0])
+        hot = np.array([int(v) * n > total for v in acc], dtype=bool)
+        return pa.table({"l_partkey": uniq[hot],
+                         "revenue_cents": acc[hot]})
+
+    return driver_merge(
+        li.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("l_partkey", pa.int64()),
+                          ("revenue_cents", pa.int64())]))
+
+
+def _brand_type_supplier_counts(sf_dir: str):
+    """TPC-H Q16 shape (no partsupp / s_comment; lineitem supplies the
+    part-supplier relation and negative account balance stands in for
+    the complaints blocklist): COUNT(DISTINCT supplier) per (brand,
+    type), excluding blocklisted suppliers. Both small sides broadcast
+    via ray.put (sorted-searchsorted membership / gather); per-batch
+    distinct-(combo, suppkey) combiner collapses the fact stream to
+    dimension-bounded pairs before the single driver-root merge — no
+    shuffle, and the anti-join never materializes."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_acctbal"])
+    bad = np.sort(sup.filter(pc.less(sup["s_acctbal"], 0.0))["s_suppkey"]
+                  .to_numpy().astype(np.int64))
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_type"])
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    order = np.argsort(pk)
+    pk = pk[order]
+    brands, bcode = np.unique(
+        part["p_brand"].to_numpy(zero_copy_only=False)[order],
+        return_inverse=True)
+    types, tcode = np.unique(
+        part["p_type"].to_numpy(zero_copy_only=False)[order],
+        return_inverse=True)
+    n_types = types.shape[0]
+    combo = (bcode * n_types + tcode).astype(np.int64)
+    side_ref = ray.put((bad, pk, combo))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        bad_k, keys, comb = ray.get(side_ref)
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = batch["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if keys.shape[0] == 0:
+            return pa.table({"combo": pa.array([], pa.int64()),
+                             "suppkey": pa.array([], pa.int64())})
+        pos = np.minimum(np.searchsorted(keys, p), keys.shape[0] - 1)
+        sel = keys[pos] == p
+        if bad_k.shape[0]:
+            bp = np.minimum(np.searchsorted(bad_k, s), bad_k.shape[0] - 1)
+            sel &= bad_k[bp] != s
+        u = np.unique(np.stack([comb[pos[sel]], s[sel]], axis=1), axis=0)
+        return pa.table({"combo": u[:, 0], "suppkey": u[:, 1]})
+
+    def merge(t: pa.Table) -> pa.Table:
+        c = t["combo"].to_numpy(zero_copy_only=False)
+        s = t["suppkey"].to_numpy(zero_copy_only=False)
+        u = np.unique(np.stack([c, s], axis=1), axis=0)
+        uniq, counts = np.unique(u[:, 0], return_counts=True)
+        return pa.table({
+            "p_brand": pa.array(brands[uniq // n_types], pa.string()),
+            "p_type": pa.array(types[uniq % n_types], pa.string()),
+            "supplier_cnt": counts.astype(np.int64)})
+
+    return driver_merge(
+        li.map_batches(pairs, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("combo", pa.int64()),
+                          ("suppkey", pa.int64())]))
+
+
+def _docs_bigram_pmi(sf_dir: str):
+    """Top-100 bigram collocations by a PMI-style lift ratio
+    (c_xy * n_tokens) / (c_x * c_y), min count 5 — tokenizer/phrase
+    mining shape. One pass emits BOTH unigram and bigram batch-local
+    partials in a single vocabulary-bounded table (bigram keys joined
+    with \\x1f, below any \\S char); the driver root merges counts,
+    joins each bigram to its endpoint unigram counts with two
+    searchsorted gathers, and ranks. The ratio is one float64 division
+    of exactly-representable int64 products (documented < 2^53 at this
+    corpus scale), so the SQL mirror is bit-identical."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.ops.skew import _desc_sort_key
+    from h3ray.text.analysis import _doc_bigrams
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, big = _doc_bigrams(batch["text"])
+        bu, bc = np.unique(big.to_numpy(zero_copy_only=False),
+                           return_counts=True)
+        la = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), r"\s+")
+        flat = pc.list_flatten(la)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        tu, tc = np.unique(flat.to_numpy(zero_copy_only=False),
+                           return_counts=True)
+        return pa.table({
+            "key": pa.array(np.concatenate([tu, bu]), pa.string()),
+            "is_bigram": np.concatenate(
+                [np.zeros(tu.shape[0], np.int64),
+                 np.ones(bu.shape[0], np.int64)]),
+            "cnt": np.concatenate([tc, bc]).astype(np.int64)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False)
+        isb = t["is_bigram"].to_numpy(zero_copy_only=False).astype(bool)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(
+            np.char.add(np.where(isb, "b\x1f", "u\x1f"), key.astype(str)),
+            return_inverse=True)
+        acc = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(acc, inv, cnt)
+        is_bi = np.char.startswith(uk.astype(str), "b\x1f")
+        toks = np.array([k[2:] for k in uk[~is_bi]], dtype=object)
+        tcnt = acc[~is_bi]
+        n_tokens = int(tcnt.sum())
+        bigs = uk[is_bi]
+        bcnt = acc[is_bi]
+        keep = bcnt >= 5
+        bigs, bcnt = bigs[keep], bcnt[keep]
+        if bigs.shape[0] == 0:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "c_xy": pa.array([], pa.int64()),
+                             "ratio": pa.array([], pa.float64())})
+        w1 = np.array([b[2:].split("\x1f")[0] for b in bigs], dtype=object)
+        w2 = np.array([b[2:].split("\x1f")[1] for b in bigs], dtype=object)
+        toks_s = toks.astype(str)
+        c_x = tcnt[np.searchsorted(toks_s, w1.astype(str))]
+        c_y = tcnt[np.searchsorted(toks_s, w2.astype(str))]
+        ratio = (bcnt * np.int64(n_tokens)).astype(np.float64) \
+            / (c_x * c_y).astype(np.float64)
+        order = np.lexsort((w2.astype(str), w1.astype(str),
+                            _desc_sort_key(ratio)))[:100]
+        return pa.table({"w1": pa.array(w1[order], pa.string()),
+                         "w2": pa.array(w2[order], pa.string()),
+                         "c_xy": pa.array(bcnt[order], pa.int64()),
+                         "ratio": pa.array(ratio[order], pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=32768), merge,
+        schema=pa.schema([("key", pa.string()),
+                          ("is_bigram", pa.int64()),
+                          ("cnt", pa.int64())]))
+
+
+def _docs_source_lang_simpson(sf_dir: str):
+    """Per-source language diversity: Gini-Simpson index
+    1 - sum_l(c_l^2)/n^2 over the source's lang histogram — corpus-mix
+    monitoring shape. (source, lang) is dimension-bounded, so a
+    per-batch count combiner plus one driver root suffices; the index
+    is one float64 division of exact Python-int products (n^2 can pass
+    2^63 on a web corpus), mirrored verbatim in the SQL oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch["source"].to_numpy(zero_copy_only=False).astype(str)
+        l = batch["lang"].to_numpy(zero_copy_only=False).astype(str)
+        uk, inv = np.unique(np.char.add(np.char.add(s, "\x1f"), l),
+                            return_inverse=True)
+        acc = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(acc, inv, 1)
+        return pa.table({"sl": pa.array(uk, pa.string()), "cnt": acc})
+
+    def merge(t: pa.Table) -> pa.Table:
+        sl = t["sl"].to_numpy(zero_copy_only=False).astype(str)
+        c = t["cnt"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(sl, return_inverse=True)
+        acc = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(acc, inv, c)
+        src = np.array([k.split("\x1f")[0] for k in uk], dtype=object)
+        us, sinv = np.unique(src.astype(str), return_inverse=True)
+        out_n, out_simp = [], []
+        for i in range(us.shape[0]):
+            cs = acc[sinv == i]
+            n = int(cs.sum())
+            ss = int((cs.astype(object) ** 2).sum())
+            out_n.append(n)
+            out_simp.append(float(n * n - ss) / float(n * n))
+        return pa.table({"source": pa.array(us, pa.string()),
+                         "n_docs": pa.array(out_n, pa.int64()),
+                         "simpson": pa.array(out_simp, pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("sl", pa.string()), ("cnt", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -4617,6 +4875,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 7: Q11/Q16 shapes, bigram PMI collocations,
+        # --- per-source language diversity ---
+        "part_value_concentration": _part_value_concentration,
+        "brand_type_supplier_counts": _brand_type_supplier_counts,
+        "docs_bigram_pmi": _docs_bigram_pmi,
+        "docs_source_lang_simpson": _docs_source_lang_simpson,
         # --- round-5 wave 6: Q3/Q12 shapes, Misra-Gries exact heavy
         # --- hitters, per-doc type-token ratio ---
         "shipping_priority_topk": _shipping_priority_topk,
@@ -4806,6 +5070,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # the stalest r02/r03-only evidence, (4) a few round-4 flagships kept for
 # regression coverage.
 _WINDOW_FIRST = [
+    # (0) round-5 wave 7: never driver-checked.
+    "part_value_concentration", "brand_type_supplier_counts",
+    "docs_bigram_pmi", "docs_source_lang_simpson",
     # (0) round-5 wave 6: never driver-checked.
     "shipping_priority_topk", "late_priority_lines",
     "events_mg_heavy_users", "docs_ttr",
@@ -5459,6 +5726,61 @@ def _sketch_quantiles_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "part_value_concentration": """
+            WITH pr AS (
+              SELECT l_partkey,
+                     CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                         * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS revenue_cents
+              FROM lineitem GROUP BY l_partkey)
+            SELECT l_partkey, revenue_cents FROM pr
+            WHERE revenue_cents * (SELECT COUNT(*) FROM pr)
+                  > (SELECT SUM(revenue_cents) FROM pr)
+        """,
+        "brand_type_supplier_counts": """
+            SELECT p_brand, p_type,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type
+        """,
+        "docs_bigram_pmi": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(l) AS tok,
+                     generate_subscripts(l, 1) AS pos
+              FROM (SELECT doc_id,
+                           regexp_extract_all(text, '\S+') AS l
+                    FROM documents)
+            ),
+            uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM toks GROUP BY tok),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+            bi AS (SELECT a.tok AS w1, b.tok AS w2,
+                          CAST(COUNT(*) AS BIGINT) AS c_xy
+                   FROM toks a JOIN toks b
+                     ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                   GROUP BY 1, 2)
+            SELECT w1, w2, c_xy,
+                   CAST(c_xy * n.n AS DOUBLE)
+                       / CAST(u1.c * u2.c AS DOUBLE) AS ratio
+            FROM bi, n
+            JOIN uni u1 ON u1.tok = w1
+            JOIN uni u2 ON u2.tok = w2
+            WHERE c_xy >= 5
+            ORDER BY ratio DESC, w1, w2
+            LIMIT 100
+        """,
+        "docs_source_lang_simpson": """
+            WITH sl AS (SELECT source, lang,
+                               CAST(COUNT(*) AS BIGINT) AS c
+                        FROM documents GROUP BY source, lang)
+            SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+                   CAST(SUM(c) * SUM(c) - SUM(c * c) AS DOUBLE)
+                       / CAST(SUM(c) * SUM(c) AS DOUBLE) AS simpson
+            FROM sl GROUP BY source
+        """,
         "shipping_priority_topk": """
             SELECT l_orderkey,
                    CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)

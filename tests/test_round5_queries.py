@@ -44,7 +44,10 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         "lineitem_monthly_discount", "part_type_price_stats",
         # wave 6: Q3/Q12 shapes, Misra-Gries exact heavy hitters, TTR
         "shipping_priority_topk", "late_priority_lines",
-        "events_mg_heavy_users", "docs_ttr"]
+        "events_mg_heavy_users", "docs_ttr",
+        # wave 7: Q11/Q16 shapes, bigram PMI, lang diversity
+        "part_value_concentration", "brand_type_supplier_counts",
+        "docs_bigram_pmi", "docs_source_lang_simpson"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
