@@ -4866,6 +4866,90 @@ def _docs_source_lang_simpson(sf_dir: str):
         schema=pa.schema([("sl", pa.string()), ("cnt", pa.int64())]))
 
 
+def _events_purchase_followups(sf_dir: str):
+    """Big-big RANGE (interval) self-join: for every purchase event, how
+    many same-user events fire within the following hour
+    (ops.window.interval_followup_count). The only data movement is one
+    user-hash exchange of (user, int64 ts, flag, event_id); each bucket
+    resolves all of its users with a single lexsort + two vectorized
+    searchsorted probes on a packed (user, ts) key — no per-row loop, no
+    all-pairs blowup. SQL mirror: LEFT self-join with an exclusive /
+    inclusive BETWEEN window."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.window import interval_followup_count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts_us": us,
+            "is_purchase": (batch["event_type"].to_numpy(
+                zero_copy_only=False) == "purchase").astype(np.int64)})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             batch_size=131072)
+    return interval_followup_count(
+        prepped, "user_id", "ts_us", "is_purchase", ["event_id"],
+        window=3_600_000_000)
+
+
+def _sites_triangle_count(sf_dir: str):
+    """Exact triangle count of the synthetic site link graph (same
+    mix64-derived edges as sites_pagerank, undirected simple view):
+    batch-local distinct-edge combiners collapse the document stream to
+    the graph-order-bounded edge set, then one driver-root wedge check
+    (ops.graph.triangle_count). 3-way self-join SQL mirror."""
+    from h3ray.ops.graph import triangle_count
+
+    return triangle_count(_sites_edges_ds(sf_dir), 997)
+
+
+def _sites_degree_hist(sf_dir: str):
+    """Degree distribution of the undirected site link graph: how many
+    sites have each observed degree (ops.graph.degree_histogram).
+    Distinct-edge combiners + one bincount at the driver root."""
+    from h3ray.ops.graph import degree_histogram
+
+    return degree_histogram(_sites_edges_ds(sf_dir), 997)
+
+
+def _sites_edges_ds(sf_dir: str):
+    """The synthetic site link graph as an edge Dataset (one directed
+    edge per document, self-loops dropped) — shared by pagerank,
+    triangle count and degree histogram."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.io.pages import _mix64
+    from h3ray.ops.join import seed_schema
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        src = (_mix64(did) % np.uint64(997)).astype(np.int64)
+        dst = (_mix64(did + np.uint64(3))
+               % np.uint64(997)).astype(np.int64)
+        keep = src != dst
+        return pa.table({"src": src[keep], "dst": dst[keep]})
+
+    return seed_schema(
+        ds.map_batches(edges, batch_format="pyarrow", batch_size=131072),
+        pa.schema([("src", pa.int64()), ("dst", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -4875,6 +4959,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 8: big-big range join, graph triangles /
+        # --- degree distribution ---
+        "events_purchase_followups": _events_purchase_followups,
+        "sites_triangle_count": _sites_triangle_count,
+        "sites_degree_hist": _sites_degree_hist,
         # --- round-5 wave 7: Q11/Q16 shapes, bigram PMI collocations,
         # --- per-source language diversity ---
         "part_value_concentration": _part_value_concentration,
@@ -5070,6 +5159,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # the stalest r02/r03-only evidence, (4) a few round-4 flagships kept for
 # regression coverage.
 _WINDOW_FIRST = [
+    # (0) round-5 wave 8: never driver-checked.
+    "events_purchase_followups", "sites_triangle_count",
+    "sites_degree_hist",
     # (0) round-5 wave 7: never driver-checked.
     "part_value_concentration", "brand_type_supplier_counts",
     "docs_bigram_pmi", "docs_source_lang_simpson",
@@ -5246,29 +5338,14 @@ def _sql_mulmod(x: str, c: int) -> str:
             f" % 18446744073709551616 AS UBIGINT)")
 
 
-def _pagerank_oracle() -> str:
-    """SQL mirror of _sites_pagerank: the same mix64-derived edge list,
-    outdegrees, and THREE chained integer fixed-point power iterations
-    ((15*base)//100 + (85*SUM(r//od))//100, floor division throughout —
-    identical to the numpy ints, so the hash matches exactly)."""
+def _sites_edges_cte() -> str:
+    """Shared CTE chain deriving the synthetic site link graph edges
+    (mix64(doc_id)%997 -> mix64(doc_id+3)%997, self-loops dropped)
+    bit-exactly in SQL — used by the pagerank / triangle / degree
+    oracles."""
     c1, c2 = 13787848793156543929, 10723151780598845931
-    base = "(1000000000000 // 997)"
-
-    def it(prev_rank_expr: str, join_prev: str) -> str:
-        return f"""
-          SELECT n.site,
-                 (15 * {base}) // 100
-                 + (85 * COALESCE(SUM({prev_rank_expr} // o.od), 0))
-                   // 100 AS r
-          FROM nodes n
-          LEFT JOIN edges e ON e.dst = n.site
-          LEFT JOIN outdeg o ON o.src = e.src
-          {join_prev}
-          GROUP BY n.site
-        """
-
     return f"""
-        WITH _d AS (
+        _d AS (
           SELECT CAST(doc_id AS UBIGINT) AS a0,
                  CAST(doc_id AS UBIGINT) + 3 AS b0
           FROM documents
@@ -5285,7 +5362,31 @@ def _pagerank_oracle() -> str:
                  CAST(xor(b2, b2 >> 31) % 997 AS BIGINT) AS dst
           FROM _m2
           WHERE xor(a2, a2 >> 31) % 997 != xor(b2, b2 >> 31) % 997
-        ), nodes AS (
+        )"""
+
+
+def _pagerank_oracle() -> str:
+    """SQL mirror of _sites_pagerank: the same mix64-derived edge list,
+    outdegrees, and THREE chained integer fixed-point power iterations
+    ((15*base)//100 + (85*SUM(r//od))//100, floor division throughout —
+    identical to the numpy ints, so the hash matches exactly)."""
+    base = "(1000000000000 // 997)"
+
+    def it(prev_rank_expr: str, join_prev: str) -> str:
+        return f"""
+          SELECT n.site,
+                 (15 * {base}) // 100
+                 + (85 * COALESCE(SUM({prev_rank_expr} // o.od), 0))
+                   // 100 AS r
+          FROM nodes n
+          LEFT JOIN edges e ON e.dst = n.site
+          LEFT JOIN outdeg o ON o.src = e.src
+          {join_prev}
+          GROUP BY n.site
+        """
+
+    return f"""
+        WITH {_sites_edges_cte()}, nodes AS (
           SELECT CAST(unnest(range(997)) AS BIGINT) AS site
         ), outdeg AS (
           SELECT src, CAST(COUNT(*) AS BIGINT) AS od
@@ -5726,6 +5827,41 @@ def _sketch_quantiles_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_purchase_followups": """
+            SELECT e1.event_id, e1.user_id,
+                   CAST(COUNT(e2.event_id) AS BIGINT) AS followup_cnt
+            FROM events e1 LEFT JOIN events e2
+              ON e2.user_id = e1.user_id
+             AND epoch_us(e2.ts) > epoch_us(e1.ts)
+             AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 3600000000
+            WHERE e1.event_type = 'purchase'
+            GROUP BY e1.event_id, e1.user_id
+        """,
+        "sites_triangle_count": f"""
+            WITH {_sites_edges_cte()}, ue AS (
+              SELECT DISTINCT LEAST(src, dst) AS u,
+                              GREATEST(src, dst) AS v
+              FROM edges
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM ue e1
+            JOIN ue e2 ON e2.u = e1.v
+            JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        "sites_degree_hist": f"""
+            WITH {_sites_edges_cte()}, ue AS (
+              SELECT DISTINCT LEAST(src, dst) AS u,
+                              GREATEST(src, dst) AS v
+              FROM edges
+            ), deg AS (
+              SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+              FROM (SELECT u AS node FROM ue
+                    UNION ALL SELECT v FROM ue)
+              GROUP BY node
+            )
+            SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+            FROM deg GROUP BY degree
+        """,
         "part_value_concentration": """
             WITH pr AS (
               SELECT l_partkey,

@@ -88,3 +88,80 @@ def pagerank_fixed(edges_ds, num_nodes: int, *, src_col: str = "src",
 
     return pa.table({"site": np.arange(num_nodes, dtype=np.int64),
                      "pr_fixed": rank})
+
+
+def _distinct_undirected(edges_ds, num_nodes: int, src_col: str,
+                         dst_col: str) -> np.ndarray:
+    """Collapse an edge Dataset to the DISTINCT undirected edge set as a
+    sorted packed-int64 array (u * num_nodes + v, u < v). Batch-local
+    canonicalize+unique combiners shrink the stream before the one
+    driver root; the result is graph-order bounded (same contract as
+    pagerank_fixed's rank vector — site/domain graphs, not social
+    graphs)."""
+    from .reduce import driver_merge
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        return pa.table({"e": np.unique(u * num_nodes + v)})
+
+    t = driver_merge(
+        edges_ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=131072),
+        lambda t: pa.table({"e": np.unique(
+            t["e"].to_numpy(zero_copy_only=False))}),
+        schema=pa.schema([("e", pa.int64())]))
+    return t["e"].to_numpy(zero_copy_only=False)
+
+
+def triangle_count(edges_ds, num_nodes: int, *, src_col: str = "src",
+                   dst_col: str = "dst") -> pa.Table:
+    """EXACT triangle count of the undirected simple graph underlying an
+    edge Dataset (self-loops dropped, direction and multiplicity
+    ignored). Returns a 1-row pa.Table (n_triangles int64).
+
+    The distinct undirected edge set is graph-order bounded, so the
+    wedge check runs at the driver root: for each pivot node a (lowest
+    vertex of the triangle), enumerate pairs (b, c) of its
+    higher-numbered neighbors and probe the packed edge set with one
+    searchsorted — each triangle a<b<c is found exactly once at pivot
+    a. O(sum_a deg_plus(a)^2) wedges, vectorized per pivot. A web-scale
+    social graph would partition wedges by pivot; site graphs never
+    need it."""
+    e = _distinct_undirected(edges_ds, num_nodes, src_col, dst_col)
+    u = e // num_nodes
+    v = e % num_nodes
+    total = 0
+    if e.shape[0] == 0:
+        return pa.table({"n_triangles": pa.array([0], pa.int64())})
+    seg = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+    ends = np.r_[seg[1:], u.shape[0]]
+    for s0, s1 in zip(seg, ends):
+        nbrs = v[s0:s1]           # already sorted ascending within a
+        if nbrs.shape[0] < 2:
+            continue
+        bi, ci = np.triu_indices(nbrs.shape[0], k=1)
+        probe = nbrs[bi] * num_nodes + nbrs[ci]
+        pos = np.searchsorted(e, probe)
+        pos = np.minimum(pos, e.shape[0] - 1)
+        total += int((e[pos] == probe).sum())
+    return pa.table({"n_triangles": pa.array([total], pa.int64())})
+
+
+def degree_histogram(edges_ds, num_nodes: int, *, src_col: str = "src",
+                     dst_col: str = "dst") -> pa.Table:
+    """Degree distribution of the undirected simple graph: for each
+    observed degree, how many nodes have it (degree-0 nodes excluded —
+    they never appear in the edge set, mirroring SQL over the edge
+    relation). Returns pa.Table (degree int64, n_nodes int64)."""
+    e = _distinct_undirected(edges_ds, num_nodes, src_col, dst_col)
+    deg = np.bincount(e // num_nodes, minlength=num_nodes) \
+        + np.bincount(e % num_nodes, minlength=num_nodes)
+    deg = deg[deg > 0]
+    dv, cnt = np.unique(deg, return_counts=True)
+    return pa.table({"degree": dv.astype(np.int64),
+                     "n_nodes": cnt.astype(np.int64)})

@@ -281,3 +281,64 @@ def partitioned_transitions(ds, part_col: str, order_col: str,
 
     return _bucketed(ds, part_col, num_buckets).groupby("_bucket") \
         .map_groups(fn, batch_format="pyarrow")
+
+
+def interval_followup_count(ds, part_col: str, ts_col: str,
+                            mark_col: str, id_cols: list[str], *,
+                            window: int,
+                            num_buckets: int | None = None):
+    """Big-big RANGE (interval) self-join, counting form: for every row
+    with `mark_col` != 0, count partition rows whose `ts_col` lies in
+    (t, t + window] — "events within the hour after each purchase".
+
+    Both sides are the same big Dataset, so the broadcast
+    `range_join_stage` doesn't apply; instead rows co-locate by ONE
+    partition-key hash exchange (the only movement — each row carries
+    just the key, int64 timestamp, mark flag and id columns), and each
+    bucket resolves every contained partition with a single lexsort +
+    two vectorized searchsorted calls. Composite (partition, ts) order
+    is packed into one int64 key: pidx * span + (ts - min), where span
+    covers the bucket's full timestamp range + window + 2, so a probe at
+    key + window can NEVER cross into the next partition — a loud guard
+    refuses buckets where the packing would overflow (distinct
+    partitions per bucket x span >= 2^63; raise num_buckets).
+
+    Returns id_cols + (part_col,) + followup_cnt for marked rows only.
+    SQL mirror: LEFT self-join on the partition key with ts BETWEEN
+    exclusive/inclusive bounds, GROUP BY the marked row's ids.
+    """
+    def fn(group: pa.Table) -> pa.Table:
+        parts = group[part_col].to_numpy(zero_copy_only=False)
+        ts = group[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mark = group[mark_col].to_numpy(zero_copy_only=False) != 0
+        n = ts.shape[0]
+        if n == 0:
+            return pa.table(
+                {**{c: group[c].slice(0, 0) for c in id_cols},
+                 part_col: group[part_col].slice(0, 0),
+                 "followup_cnt": pa.array([], pa.int64())})
+        _, pidx = np.unique(parts, return_inverse=True)
+        tmin = ts.min()
+        span = np.int64(ts.max() - tmin) + np.int64(window) + 2
+        npart = int(pidx.max()) + 1
+        if npart * int(span) >= 2 ** 63:
+            raise ValueError(
+                "interval_followup_count: packed key overflow "
+                f"({npart} partitions x span {int(span)}); raise "
+                "num_buckets so each bucket holds fewer partitions")
+        key = pidx.astype(np.int64) * span + (ts - tmin)
+        order = np.argsort(key, kind="stable")
+        skey = key[order]
+        m = np.flatnonzero(mark)
+        lo = np.searchsorted(skey, key[m], side="right")
+        hi = np.searchsorted(skey, key[m] + np.int64(window),
+                             side="right")
+        cnt = (hi - lo).astype(np.int64)
+        take = pa.array(m.astype(np.int64))
+        return pa.table(
+            {**{c: group[c].take(take) for c in id_cols},
+             part_col: group[part_col].take(take),
+             "followup_cnt": cnt})
+
+    return _bucketed(ds, part_col, num_buckets) \
+        .groupby("_bucket").map_groups(fn, batch_format="pyarrow")

@@ -1,0 +1,146 @@
+"""Property tests for the round-5 wave-8 ops: exact graph analytics
+(triangle count, degree histogram) and the big-big interval self-join
+(interval_followup_count) — each checked against a brute-force local
+reference on randomized inputs, under repartitioning."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _edges_ds(src, dst, nparts=5):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "src": src.astype(np.int64),
+        "dst": dst.astype(np.int64)})).repartition(nparts)
+
+
+def _brute_triangles(src, dst, n):
+    und = set()
+    for s, d in zip(src.tolist(), dst.tolist()):
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+    adj = {i: set() for i in range(n)}
+    for u, v in und:
+        adj[u].add(v)
+        adj[v].add(u)
+    t = 0
+    for u, v in und:
+        t += sum(1 for w in adj[u] & adj[v] if w > v and u < v)
+    return t
+
+
+def test_triangle_count_matches_brute_force(ray_session):
+    from h3ray.ops.graph import triangle_count
+
+    rng = np.random.default_rng(5)
+    n = 40
+    src = rng.integers(0, n, 600)
+    dst = rng.integers(0, n, 600)
+    out = triangle_count(_edges_ds(src, dst), n)
+    assert out["n_triangles"][0].as_py() == _brute_triangles(src, dst, n)
+
+
+def test_triangle_count_empty_and_partition_invariant(ray_session):
+    from h3ray.ops.graph import triangle_count
+
+    # self-loops only -> zero triangles, no crash
+    loops = np.arange(10)
+    out = triangle_count(_edges_ds(loops, loops), 10)
+    assert out["n_triangles"][0].as_py() == 0
+    rng = np.random.default_rng(9)
+    src = rng.integers(0, 25, 300)
+    dst = rng.integers(0, 25, 300)
+    a = triangle_count(_edges_ds(src, dst, 1), 25)
+    b = triangle_count(_edges_ds(src, dst, 11), 25)
+    assert a["n_triangles"][0].as_py() == b["n_triangles"][0].as_py()
+
+
+def test_degree_histogram_matches_numpy(ray_session):
+    from h3ray.ops.graph import degree_histogram
+
+    rng = np.random.default_rng(2)
+    n = 30
+    src = rng.integers(0, n, 400)
+    dst = rng.integers(0, n, 400)
+    out = degree_histogram(_edges_ds(src, dst), n)
+    und = {(min(s, d), max(s, d))
+           for s, d in zip(src.tolist(), dst.tolist()) if s != d}
+    deg = np.zeros(n, dtype=np.int64)
+    for u, v in und:
+        deg[u] += 1
+        deg[v] += 1
+    deg = deg[deg > 0]
+    want = dict(zip(*np.unique(deg, return_counts=True)))
+    got = {r["degree"]: r["n_nodes"] for r in out.to_pylist()}
+    assert got == {int(k): int(v) for k, v in want.items()}
+
+
+def _followups_brute(uid, ts, mark, window):
+    out = {}
+    for i in np.flatnonzero(mark):
+        out[i] = int(np.sum((uid == uid[i]) & (ts > ts[i])
+                            & (ts <= ts[i] + window)))
+    return out
+
+
+def test_interval_followup_count_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from h3ray.ops.window import interval_followup_count
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    uid = rng.integers(0, 60, n)
+    ts = rng.integers(0, 100_000, n)
+    mark = (rng.random(n) < 0.25).astype(np.int64)
+    ds = rd.from_arrow(pa.table({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": uid.astype(np.int64),
+        "ts_us": ts.astype(np.int64),
+        "m": mark})).repartition(9)
+    out = interval_followup_count(ds, "user_id", "ts_us", "m",
+                                  ["event_id"], window=500)
+    got = {r["event_id"]: r["followup_cnt"] for r in out.take_all()}
+    want = _followups_brute(uid, ts, mark, 500)
+    assert got == {int(k): v for k, v in want.items()}
+    assert len(got) == int(mark.sum())
+
+
+def test_interval_followup_duplicate_ts_and_empty(ray_session):
+    import ray.data as rd
+
+    from h3ray.ops.window import interval_followup_count
+
+    # duplicate timestamps: window is EXCLUSIVE at t, inclusive at
+    # t+window, so a same-instant row never counts itself or its twins
+    t = pa.table({"event_id": np.arange(4, dtype=np.int64),
+                  "user_id": np.array([1, 1, 1, 1], dtype=np.int64),
+                  "ts_us": np.array([10, 10, 10, 20], dtype=np.int64),
+                  "m": np.array([1, 1, 1, 0], dtype=np.int64)})
+    out = interval_followup_count(rd.from_arrow(t), "user_id", "ts_us",
+                                  "m", ["event_id"], window=15)
+    got = {r["event_id"]: r["followup_cnt"] for r in out.take_all()}
+    assert got == {0: 1, 1: 1, 2: 1}
+    empty = rd.from_arrow(t.slice(0, 0))
+    out2 = interval_followup_count(empty, "user_id", "ts_us", "m",
+                                   ["event_id"], window=15)
+    assert out2.count() == 0
+
+
+def test_interval_followup_overflow_guard(ray_session):
+    import ray.data as rd
+
+    from h3ray.ops.window import interval_followup_count
+
+    # span ~2^62 x 4 partitions overflows the packed key -> loud refusal
+    t = pa.table({"event_id": np.arange(4, dtype=np.int64),
+                  "user_id": np.arange(4, dtype=np.int64),
+                  "ts_us": np.array([0, 2 ** 62, 1, 2], dtype=np.int64),
+                  "m": np.ones(4, dtype=np.int64)})
+    with pytest.raises((ValueError, Exception)) as ei:
+        interval_followup_count(
+            rd.from_arrow(t), "user_id", "ts_us", "m", ["event_id"],
+            window=10, num_buckets=1).count()
+    assert "overflow" in str(ei.value) or "num_buckets" in str(ei.value)

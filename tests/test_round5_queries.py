@@ -47,7 +47,10 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         "events_mg_heavy_users", "docs_ttr",
         # wave 7: Q11/Q16 shapes, bigram PMI, lang diversity
         "part_value_concentration", "brand_type_supplier_counts",
-        "docs_bigram_pmi", "docs_source_lang_simpson"]
+        "docs_bigram_pmi", "docs_source_lang_simpson",
+        # wave 8: big-big range join, graph triangles / degrees
+        "events_purchase_followups", "sites_triangle_count",
+        "sites_degree_hist"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -92,8 +95,10 @@ def test_empty_tables_round5_queries(ray_session, tmp_path):
         # (one NULL row); pagerank is defined on the full fixed node set
         # (997 base-rank rows, matching its SQL mirror's nodes CTE);
         # everything else must be zero rows.
+        # sites_triangle_count: COUNT(*) over zero wedges is one 0-row,
+        # exactly like its SQL mirror
         limit = {"forecast_revenue_delta": 1, "promo_revenue_pct": 1,
-                 "sites_pagerank": 997,
+                 "sites_pagerank": 997, "sites_triangle_count": 1,
                  "events_funnel": 1}.get(name, 0)
         assert n <= limit, name
 
