@@ -4922,6 +4922,215 @@ def _sites_degree_hist(sf_dir: str):
     return degree_histogram(_sites_edges_ds(sf_dir), 997)
 
 
+def _events_type_cooccurrence(sf_dir: str):
+    """Unordered event-type co-occurrence matrix: for every type pair
+    t1 < t2, how many users emitted both (market-basket / feature
+    co-activation shape). Batch-local distinct (user, typecode) pairs
+    are the only thing that crosses the one user-hash exchange; each
+    bucket ORs its users' codes into bitmasks and emits ≤ 2^|types|
+    (mask, count) partials, so the driver root sees a few dozen rows
+    regardless of event volume. Type codes come from a first
+    vocab-bounded pass; a loud guard refuses > 20 distinct types (the
+    bitmask lattice is the design's boundedness assumption)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from h3ray.io.pages import _mix64
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.ops.sample import _key_hash
+    from h3ray.ops.skew import default_num_buckets
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def type_partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch["event_type"].to_numpy(zero_copy_only=False))
+        return pa.table({"t": pa.array(u.astype(object), pa.string())})
+
+    types_t = driver_merge(
+        ds.map_batches(type_partial, batch_format="pyarrow",
+                       batch_size=131072),
+        lambda t: pa.table({"t": pa.array(np.unique(
+            t["t"].to_numpy(zero_copy_only=False)).astype(object),
+            pa.string())}),
+        schema=pa.schema([("t", pa.string())]))
+    types = np.sort(types_t["t"].to_numpy(zero_copy_only=False)
+                    .astype(str))
+    if types.shape[0] > 20:
+        raise ValueError("type_cooccurrence: bitmask design needs "
+                         f"<= 20 distinct types, saw {types.shape[0]}")
+    types_ref = ray.put(types)
+    nb = default_num_buckets()
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        tl = ray.get(types_ref)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        code = np.searchsorted(
+            tl, batch["event_type"].to_numpy(zero_copy_only=False)
+            .astype(str)).astype(np.int64)
+        u = np.unique(uid * np.int64(len(tl)) + code)
+        return pa.table({
+            "user_id": u // len(tl), "code": u % len(tl),
+            "_bucket": (_mix64((u // len(tl)).astype(np.uint64))
+                        % np.uint64(nb)).astype(np.int32)})
+
+    def masks(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        code = group["code"].to_numpy(zero_copy_only=False)
+        _, inv = np.unique(uid, return_inverse=True)
+        nmask = np.zeros(inv.max() + 1 if inv.shape[0] else 0,
+                         dtype=np.int64)
+        np.bitwise_or.at(nmask, inv, np.int64(1) << code)
+        mu, mc = np.unique(nmask, return_counts=True)
+        return pa.table({"mask": mu, "n": mc.astype(np.int64)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        m = t["mask"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        k = types.shape[0]
+        t1o, t2o, cnt = [], [], []
+        for i in range(k):
+            for j in range(i + 1, k):
+                both = (m & (1 << i)).astype(bool) \
+                    & (m & (1 << j)).astype(bool)
+                c = int(n[both].sum())
+                if c:
+                    t1o.append(types[i])
+                    t2o.append(types[j])
+                    cnt.append(c)
+        return pa.table({"t1": pa.array(t1o, pa.string()),
+                         "t2": pa.array(t2o, pa.string()),
+                         "n_users": pa.array(cnt, pa.int64())})
+
+    bucketed = ds.map_batches(pair_partial, batch_format="pyarrow",
+                              batch_size=131072) \
+        .groupby("_bucket").map_groups(masks, batch_format="pyarrow")
+    return driver_merge(
+        bucketed, merge,
+        schema=pa.schema([("mask", pa.int64()), ("n", pa.int64())]))
+
+
+def _signup_purchase_gap(sf_dir: str):
+    """Per-user signup-to-first-purchase latency (conversion-time
+    shape): gap_us = min(purchase ts >= first signup ts) - first signup
+    ts, for users with both. One user-hash exchange of (user, int64 ts,
+    kind flags); each bucket resolves all its users with vectorized
+    minimum.at reductions — first-signup per user, then the conditional
+    min over purchases at/after it — no per-user Python, no sort."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.io.pages import _mix64
+    from h3ray.ops.skew import default_num_buckets
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    nb = default_num_buckets()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "signup") | (et == "purchase")
+        us = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)[keep]
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[keep]
+        return pa.table({
+            "user_id": uid, "ts_us": us,
+            "is_signup": (et[keep] == "signup").astype(np.int64),
+            "_bucket": (_mix64(uid.astype(np.uint64))
+                        % np.uint64(nb)).astype(np.int32)})
+
+    def resolve(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False)
+        sig = group["is_signup"].to_numpy(zero_copy_only=False) \
+            .astype(bool)
+        users, inv = np.unique(uid, return_inverse=True)
+        k = users.shape[0]
+        if k == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "gap_us": pa.array([], pa.int64())})
+        big = np.int64(2 ** 62)
+        s0 = np.full(k, big, dtype=np.int64)
+        np.minimum.at(s0, inv[sig], ts[sig])
+        pi = ~sig
+        ok = pi & (ts >= s0[inv])
+        p0 = np.full(k, big, dtype=np.int64)
+        np.minimum.at(p0, inv[ok], ts[ok])
+        have = (s0 < big) & (p0 < big)
+        return pa.table({"user_id": users[have],
+                         "gap_us": (p0 - s0)[have]})
+
+    return ds.map_batches(prep, batch_format="pyarrow",
+                          batch_size=131072) \
+        .groupby("_bucket").map_groups(resolve, batch_format="pyarrow")
+
+
+def _docs_hapax_stats(sf_dir: str):
+    """Per-language vocabulary statistics: total tokens, distinct types,
+    hapax legomena count (corpus frequency exactly 1 within the lang)
+    and the hapax rate — OOV-risk / corpus-health signal for tokenizer
+    training. (lang, token) is vocabulary-bounded, so batch count
+    partials + one driver root suffice; the rate is a single float64
+    division of exact int64 sums, mirrored verbatim in SQL."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        la = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.cast(batch["text"], pa.string())),
+            r"\s+")
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        flat = la.values
+        row_of = np.repeat(
+            np.arange(len(la), dtype=np.int64),
+            np.diff(la.offsets.to_numpy().astype(np.int64)))
+        ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        toks = flat.to_numpy(zero_copy_only=False)[ok].astype(str)
+        langs = batch["lang"].to_numpy(zero_copy_only=False) \
+            .astype(str)[row_of[ok]]
+        key = np.char.add(np.char.add(langs, "\x1f"), toks)
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"lt": pa.array(uk.astype(object), pa.string()),
+                         "cnt": cnt.astype(np.int64)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        lt = t["lt"].to_numpy(zero_copy_only=False).astype(str)
+        c = t["cnt"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(lt, return_inverse=True)
+        acc = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(acc, inv, c)
+        lang = np.array([k.split("\x1f")[0] for k in uk], dtype=object)
+        ul, linv = np.unique(lang.astype(str), return_inverse=True)
+        n_tok = np.zeros(ul.shape[0], dtype=np.int64)
+        np.add.at(n_tok, linv, acc)
+        n_typ = np.bincount(linv, minlength=ul.shape[0]).astype(np.int64)
+        n_hap = np.bincount(linv[acc == 1],
+                            minlength=ul.shape[0]).astype(np.int64)
+        return pa.table({
+            "lang": pa.array(ul, pa.string()),
+            "n_tokens": n_tok, "n_types": n_typ, "n_hapax": n_hap,
+            "hapax_rate": n_hap.astype(np.float64)
+            / n_tok.astype(np.float64)})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=32768), merge,
+        schema=pa.schema([("lt", pa.string()), ("cnt", pa.int64())]))
+
+
 def _sites_edges_ds(sf_dir: str):
     """The synthetic site link graph as an edge Dataset (one directed
     edge per document, self-loops dropped) — shared by pagerank,
@@ -4959,6 +5168,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 9: type co-occurrence, conversion latency,
+        # --- per-lang vocabulary health ---
+        "events_type_cooccurrence": _events_type_cooccurrence,
+        "signup_purchase_gap": _signup_purchase_gap,
+        "docs_hapax_stats": _docs_hapax_stats,
         # --- round-5 wave 8: big-big range join, graph triangles /
         # --- degree distribution ---
         "events_purchase_followups": _events_purchase_followups,
@@ -5159,6 +5373,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # the stalest r02/r03-only evidence, (4) a few round-4 flagships kept for
 # regression coverage.
 _WINDOW_FIRST = [
+    # (0) round-5 wave 9: never driver-checked.
+    "events_type_cooccurrence", "signup_purchase_gap",
+    "docs_hapax_stats",
     # (0) round-5 wave 8: never driver-checked.
     "events_purchase_followups", "sites_triangle_count",
     "sites_degree_hist",
@@ -5827,6 +6044,43 @@ def _sketch_quantiles_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_type_cooccurrence": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS t1, b.event_type AS t2,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM ut a JOIN ut b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        """,
+        "signup_purchase_gap": """
+            WITH s AS (
+              SELECT user_id, MIN(epoch_us(ts)) AS s0
+              FROM events WHERE event_type = 'signup' GROUP BY user_id
+            ), p AS (
+              SELECT e.user_id, MIN(epoch_us(e.ts)) AS p0
+              FROM events e JOIN s ON s.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.s0
+              GROUP BY e.user_id
+            )
+            SELECT p.user_id, CAST(p.p0 - s.s0 AS BIGINT) AS gap_us
+            FROM p JOIN s ON s.user_id = p.user_id
+        """,
+        "docs_hapax_stats": r"""
+            WITH tk AS (
+              SELECT lang, unnest(regexp_extract_all(text, '\S+')) AS tok
+              FROM documents
+            ), c AS (
+              SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+              FROM tk GROUP BY lang, tok
+            )
+            SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_hapax,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(SUM(c) AS DOUBLE) AS hapax_rate
+            FROM c GROUP BY lang
+        """,
         "events_purchase_followups": """
             SELECT e1.event_id, e1.user_id,
                    CAST(COUNT(e2.event_id) AS BIGINT) AS followup_cnt

@@ -50,7 +50,10 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         "docs_bigram_pmi", "docs_source_lang_simpson",
         # wave 8: big-big range join, graph triangles / degrees
         "events_purchase_followups", "sites_triangle_count",
-        "sites_degree_hist"]
+        "sites_degree_hist",
+        # wave 9: type co-occurrence, conversion gap, hapax stats
+        "events_type_cooccurrence", "signup_purchase_gap",
+        "docs_hapax_stats"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
