@@ -285,6 +285,19 @@ def run_benchmarks() -> dict:
             best = min(best, time.time() - t0)
         timings["product_type_profit"] = best
 
+    # 5f. Round-5 wave-8 representative: the big-big interval self-join
+    # (one user-hash exchange + packed-key searchsorted per bucket) —
+    # the repo's range-join primitive. Min-of-reps per convention.
+    if want("purchase_followups"):
+        import __ray_entry__ as _entry5
+
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            _entry5._events_purchase_followups(SF_DIR).count()
+            best = min(best, time.time() - t0)
+        timings["purchase_followups"] = best
+
     curation_stages: dict[str, float] = {}
     if want("curation_pipeline"):
         # The flagship composed pipeline (quality filter -> decontaminate
