@@ -5131,6 +5131,99 @@ def _docs_hapax_stats(sf_dir: str):
         schema=pa.schema([("lt", pa.string()), ("cnt", pa.int64())]))
 
 
+def _docs_global_rank(sf_dir: str):
+    """GLOBAL (unpartitioned) window function: ROW_NUMBER() OVER (ORDER
+    BY n_chars DESC, doc_id) across the whole corpus — the distributed
+    total-order ranking the partitioned window family can't express
+    (one partition = one reducer = a funnel). The sort order packs into
+    one ascending unique int64 key ((2^20-1-n_chars) << 40 | doc_id,
+    loud guards on both ranges); rank = ops.scan.global_exclusive_cumsum
+    of ones over that key + 1 — two passes, key-RANGE buckets, never a
+    global sort. bucket_width 2^30 slices each length class by high
+    doc_id bits so one hot length can't overload a reducer."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.scan import global_exclusive_cumsum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if did.shape[0]:
+            if int(nc.max()) >= (1 << 20) or int(nc.min()) < 0:
+                raise ValueError("global_rank: n_chars outside [0, 2^20)")
+            if int(did.max()) >= (1 << 40) or int(did.min()) < 0:
+                raise ValueError("global_rank: doc_id outside [0, 2^40)")
+        key = (((1 << 20) - 1 - nc) << 40) | did
+        return pa.table({"_key": key, "_one": np.ones_like(key),
+                         "doc_id": did, "n_chars": nc})
+
+    ranked = global_exclusive_cumsum(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=131072),
+        "_key", "_one", out_col="_excl", bucket_width=1 << 30)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        rn = batch["_excl"].to_numpy(zero_copy_only=False) + 1
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_chars": batch["n_chars"],
+                         "rn": rn.astype(np.int64)})
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+def _orders_pareto_share(sf_dir: str):
+    """Revenue concentration (Pareto) curve: per-customer revenue plus
+    the running cumulative total in (revenue DESC, custkey) order — the
+    "top x% of customers hold y% of revenue" table. Exact per-custkey
+    cent combiners; the customer key space is dimension-bounded, so the
+    merged root sorts once and takes one exact int64 cumsum (an
+    unbounded ranking would ride global_exclusive_cumsum instead, as
+    docs_global_rank does)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.ops.skew import _desc_sort_key
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.floor(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        uniq, inv = np.unique(ck, return_inverse=True)
+        acc = np.zeros(uniq.shape[0], dtype=np.int64)
+        np.add.at(acc, inv, cents)
+        return pa.table({"o_custkey": uniq, "revenue_cents": acc})
+
+    def merge(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        c = t["revenue_cents"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(ck, return_inverse=True)
+        acc = np.zeros(uniq.shape[0], dtype=np.int64)
+        np.add.at(acc, inv, c)
+        order = np.lexsort((uniq, _desc_sort_key(acc)))
+        return pa.table({"o_custkey": uniq[order],
+                         "revenue_cents": acc[order],
+                         "cum_cents": np.cumsum(acc[order])
+                         .astype(np.int64)})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("o_custkey", pa.int64()),
+                          ("revenue_cents", pa.int64())]))
+
+
 def _sites_edges_ds(sf_dir: str):
     """The synthetic site link graph as an edge Dataset (one directed
     edge per document, self-loops dropped) — shared by pagerank,
@@ -5168,6 +5261,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 10: global window function, Pareto curve ---
+        "docs_global_rank": _docs_global_rank,
+        "orders_pareto_share": _orders_pareto_share,
         # --- round-5 wave 9: type co-occurrence, conversion latency,
         # --- per-lang vocabulary health ---
         "events_type_cooccurrence": _events_type_cooccurrence,
@@ -5373,6 +5469,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # the stalest r02/r03-only evidence, (4) a few round-4 flagships kept for
 # regression coverage.
 _WINDOW_FIRST = [
+    # (0) round-5 wave 10: never driver-checked.
+    "docs_global_rank", "orders_pareto_share",
     # (0) round-5 wave 9: never driver-checked.
     "events_type_cooccurrence", "signup_purchase_gap",
     "docs_hapax_stats",
@@ -6044,6 +6142,25 @@ def _sketch_quantiles_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "docs_global_rank": """
+            SELECT doc_id, n_chars,
+                   CAST(ROW_NUMBER() OVER
+                        (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn
+            FROM documents
+        """,
+        "orders_pareto_share": """
+            WITH cr AS (
+              SELECT o_custkey,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS revenue_cents
+              FROM orders GROUP BY o_custkey)
+            SELECT o_custkey, revenue_cents,
+                   CAST(SUM(revenue_cents) OVER
+                        (ORDER BY revenue_cents DESC, o_custkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS BIGINT) AS cum_cents
+            FROM cr
+        """,
         "events_type_cooccurrence": """
             WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
             SELECT a.event_type AS t1, b.event_type AS t2,

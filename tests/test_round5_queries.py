@@ -53,7 +53,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         "sites_degree_hist",
         # wave 9: type co-occurrence, conversion gap, hapax stats
         "events_type_cooccurrence", "signup_purchase_gap",
-        "docs_hapax_stats"]
+        "docs_hapax_stats",
+        # wave 10: global window function, Pareto curve
+        "docs_global_rank", "orders_pareto_share"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
