@@ -5224,6 +5224,245 @@ def _orders_pareto_share(sf_dir: str):
                           ("revenue_cents", pa.int64())]))
 
 
+def _events_value_trend_by_type(sf_dir: str):
+    """Per-type least-squares trend of event value over time (drift
+    monitoring shape): slope of value-cents on seconds-since-2024-01-01,
+    via ops.reduce.grouped_regr_slope_exact — exact int64 moment
+    combiners (the 2024 offset keeps x*x chunk sums inside int64),
+    Python-bigint root, ONE final IEEE division. The SQL mirror computes
+    the identical expression from HUGEINT sums (not REGR_SLOPE, whose
+    float accumulation is order-dependent)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import grouped_regr_slope_exact
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        x = us // 1_000_000 - 1_704_067_200
+        y = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                     * 100 + 0.5).astype(np.int64)
+        return pa.table({"event_type": batch["event_type"],
+                         "x": x, "y": y})
+
+    return grouped_regr_slope_exact(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       batch_size=131072),
+        "event_type", "x", "y", out_col="slope")
+
+
+def _events_max_streak(sf_dir: str):
+    """Longest run of CONSECUTIVE active days per user — the
+    gaps-and-islands shape (SQL's day - ROW_NUMBER() grouping trick).
+    Batch-local distinct (user, epoch-day) pairs are the only exchange
+    payload; each user-hash bucket takes one lexsort, dedups, detects
+    day+1 runs with a shifted comparison, and max-reduces segment
+    lengths per user — no per-user Python, no window materialization."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.io.pages import _mix64
+    from h3ray.ops.skew import default_num_buckets
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    nb = default_num_buckets()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        day = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+        u = np.unique(np.stack([uid, day], axis=1), axis=0)
+        return pa.table({
+            "user_id": u[:, 0], "day": u[:, 1],
+            "_bucket": (_mix64(u[:, 0].astype(np.uint64))
+                        % np.uint64(nb)).astype(np.int32)})
+
+    def streaks(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        day = group["day"].to_numpy(zero_copy_only=False)
+        if uid.shape[0] == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "max_streak": pa.array([], pa.int64())})
+        order = np.lexsort((day, uid))
+        u, d = uid[order], day[order]
+        keep = np.ones(u.shape[0], dtype=bool)
+        keep[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+        u, d = u[keep], d[keep]
+        # a new streak starts at a user change or a day gap > 1
+        new = np.ones(u.shape[0], dtype=bool)
+        new[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)
+        seg = np.cumsum(new) - 1
+        lens = np.bincount(seg)
+        users, uinv = np.unique(u[new], return_inverse=True)
+        best = np.zeros(users.shape[0], dtype=np.int64)
+        np.maximum.at(best, uinv, lens)
+        return pa.table({"user_id": users, "max_streak": best})
+
+    return ds.map_batches(prep, batch_format="pyarrow",
+                          batch_size=131072) \
+        .groupby("_bucket").map_groups(streaks, batch_format="pyarrow")
+
+
+def _events_top_outliers(sf_dir: str):
+    """Top-5 outlier events per type by |value − type mean| — anomaly
+    surfacing with EXACT ranking: since the type's (n, sum) are
+    constants, ranking by |v − s/n| equals ranking by the exact integer
+    |n·v_cents − s|, so no float mean/σ ever forms and the top-k cut is
+    bit-portable. Pass 1: (n, s) per type via bounded combiners; pass 2:
+    broadcast (n, s), per-block segmented top-5 partials (≤ 5·|types|
+    rows per block), driver-root re-rank. Tie-break (dev DESC, event_id
+    ASC) mirrors the SQL window exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.ops.skew import _desc_sort_key
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        v = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                     * 100 + 0.5).astype(np.int64)
+        u, inv = np.unique(et, return_inverse=True)
+        n = np.bincount(inv, minlength=u.shape[0]).astype(np.int64)
+        s = np.zeros(u.shape[0], dtype=np.int64)
+        np.add.at(s, inv, v)
+        return pa.table({"event_type": pa.array(u.astype(object),
+                                                pa.string()),
+                         "_n": n, "_s": s})
+
+    stats = driver_merge(
+        ds.map_batches(stat_partial, batch_format="pyarrow",
+                       batch_size=131072),
+        lambda t: t.group_by("event_type").aggregate(
+            [("_n", "sum"), ("_s", "sum")])
+        .rename_columns(["event_type", "_n", "_s"]),
+        schema=pa.schema([("event_type", pa.string()),
+                          ("_n", pa.int64()), ("_s", pa.int64())]))
+    types = stats["event_type"].to_numpy(zero_copy_only=False).astype(str)
+    order = np.argsort(types)
+    side = (types[order],
+            stats["_n"].to_numpy(zero_copy_only=False)[order],
+            stats["_s"].to_numpy(zero_copy_only=False)[order])
+    side_ref = ray.put(side)
+
+    def topk(batch: pa.Table) -> pa.Table:
+        tl, n, s = ray.get(side_ref)
+        et = batch["event_type"].to_numpy(zero_copy_only=False) \
+            .astype(str)
+        code = np.searchsorted(tl, et)
+        v = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                     * 100 + 0.5).astype(np.int64)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        dev = np.abs(n[code] * v - s[code])
+        o = np.lexsort((eid, _desc_sort_key(dev), code))
+        code, dev, eid, v = code[o], dev[o], eid[o], v[o]
+        new = np.ones(code.shape[0], dtype=bool)
+        new[1:] = code[1:] != code[:-1]
+        rank = np.arange(code.shape[0]) \
+            - np.maximum.accumulate(np.where(
+                new, np.arange(code.shape[0]), 0))
+        keep = rank < 5
+        return pa.table({
+            "event_id": eid[keep],
+            "event_type": pa.array(tl[code[keep]], pa.string()),
+            "value_cents": v[keep], "dev": dev[keep]})
+
+    def merge(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False).astype(str)
+        dev = t["dev"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((eid, _desc_sort_key(dev), et))
+        et, dev, eid = et[o], dev[o], eid[o]
+        vc = t["value_cents"].to_numpy(zero_copy_only=False)[o]
+        new = np.ones(et.shape[0], dtype=bool)
+        new[1:] = et[1:] != et[:-1]
+        rank = np.arange(et.shape[0]) \
+            - np.maximum.accumulate(np.where(
+                new, np.arange(et.shape[0]), 0))
+        keep = rank < 5
+        return pa.table({"event_id": eid[keep],
+                         "event_type": pa.array(et[keep].astype(object),
+                                                pa.string()),
+                         "value_cents": vc[keep], "dev": dev[keep]})
+
+    return driver_merge(
+        ds.map_batches(topk, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("event_id", pa.int64()),
+                          ("event_type", pa.string()),
+                          ("value_cents", pa.int64()),
+                          ("dev", pa.int64())]))
+
+
+def _lang_source_jaccard(sf_dir: str):
+    """Pairwise Jaccard similarity between languages over their source
+    sets (corpus-composition comparison): J = |A∩B| / |A∪B| per lang
+    pair, exact. Distinct (lang, source) pairs — dimension-bounded —
+    come from batch combiners; the root builds per-lang source bitsets
+    and computes all pairs with integer popcounts + ONE IEEE division
+    each. SQL mirror: distinct-pair self-join + the same exact-int
+    division."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        l = batch["lang"].to_numpy(zero_copy_only=False).astype(str)
+        s = batch["source"].to_numpy(zero_copy_only=False).astype(str)
+        uk = np.unique(np.char.add(np.char.add(l, "\x1f"), s))
+        return pa.table({"ls": pa.array(uk.astype(object), pa.string())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        ls = np.unique(t["ls"].to_numpy(zero_copy_only=False)
+                       .astype(str))
+        langs = np.array([k.split("\x1f")[0] for k in ls], dtype=object)
+        srcs = np.array([k.split("\x1f")[1] for k in ls], dtype=object)
+        ul, linv = np.unique(langs.astype(str), return_inverse=True)
+        us, sinv = np.unique(srcs.astype(str), return_inverse=True)
+        sets = [set(sinv[linv == i].tolist())
+                for i in range(ul.shape[0])]
+        l1o, l2o, inter, union, jac = [], [], [], [], []
+        for i in range(ul.shape[0]):
+            for j in range(i + 1, ul.shape[0]):
+                it = len(sets[i] & sets[j])
+                un = len(sets[i] | sets[j])
+                l1o.append(ul[i])
+                l2o.append(ul[j])
+                inter.append(it)
+                union.append(un)
+                jac.append(float(it) / float(un) if un else None)
+        return pa.table({
+            "l1": pa.array(l1o, pa.string()),
+            "l2": pa.array(l2o, pa.string()),
+            "n_common": pa.array(inter, pa.int64()),
+            "n_union": pa.array(union, pa.int64()),
+            "jaccard": pa.array(jac, pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("ls", pa.string())]))
+
+
 def _sites_edges_ds(sf_dir: str):
     """The synthetic site link graph as an edge Dataset (one directed
     edge per document, self-loops dropped) — shared by pagerank,
@@ -5261,6 +5500,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 12: exact outlier top-k, lang-pair Jaccard ---
+        "events_top_outliers": _events_top_outliers,
+        "lang_source_jaccard": _lang_source_jaccard,
+        # --- round-5 wave 11: exact regression slope, gaps-and-islands ---
+        "events_value_trend_by_type": _events_value_trend_by_type,
+        "events_max_streak": _events_max_streak,
         # --- round-5 wave 10: global window function, Pareto curve ---
         "docs_global_rank": _docs_global_rank,
         "orders_pareto_share": _orders_pareto_share,
@@ -5469,6 +5714,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # the stalest r02/r03-only evidence, (4) a few round-4 flagships kept for
 # regression coverage.
 _WINDOW_FIRST = [
+    # (0) round-5 wave 12: never driver-checked.
+    "events_top_outliers", "lang_source_jaccard",
+    # (0) round-5 wave 11: never driver-checked.
+    "events_value_trend_by_type", "events_max_streak",
     # (0) round-5 wave 10: never driver-checked.
     "docs_global_rank", "orders_pareto_share",
     # (0) round-5 wave 9: never driver-checked.
@@ -6142,6 +6391,86 @@ def _sketch_quantiles_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_top_outliers": """
+            WITH st AS (
+              SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS s
+              FROM events GROUP BY event_type
+            ), r AS (
+              SELECT e.event_id, e.event_type,
+                     CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)
+                         AS value_cents,
+                     CAST(ABS(st.n * CAST(FLOOR(e.value * 100 + 0.5)
+                                          AS BIGINT) - st.s) AS BIGINT)
+                         AS dev,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY e.event_type
+                       ORDER BY ABS(st.n * CAST(FLOOR(e.value * 100 + 0.5)
+                                                AS BIGINT) - st.s) DESC,
+                                e.event_id) AS rn
+              FROM events e JOIN st ON st.event_type = e.event_type
+            )
+            SELECT event_id, event_type, value_cents, dev
+            FROM r WHERE rn <= 5
+        """,
+        "lang_source_jaccard": """
+            WITH ls AS (SELECT DISTINCT lang, source FROM documents),
+            p AS (
+              SELECT a.lang AS l1, b.lang AS l2,
+                     CAST(COUNT(*) AS BIGINT) AS n_common
+              FROM ls a JOIN ls b
+                ON a.source = b.source AND a.lang < b.lang
+              GROUP BY 1, 2
+            ), c AS (
+              SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+              FROM ls GROUP BY lang
+            )
+            SELECT c1.lang AS l1, c2.lang AS l2,
+                   CAST(COALESCE(p.n_common, 0) AS BIGINT) AS n_common,
+                   CAST(c1.n + c2.n - COALESCE(p.n_common, 0) AS BIGINT)
+                       AS n_union,
+                   CAST(COALESCE(p.n_common, 0) AS DOUBLE)
+                       / CAST(c1.n + c2.n - COALESCE(p.n_common, 0)
+                              AS DOUBLE) AS jaccard
+            FROM c c1 JOIN c c2 ON c1.lang < c2.lang
+            LEFT JOIN p ON p.l1 = c1.lang AND p.l2 = c2.lang
+        """,
+        "events_value_trend_by_type": """
+            WITH m AS (
+              SELECT event_type,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(x * x) AS sxx, SUM(x * y) AS sxy
+              FROM (SELECT event_type,
+                           CAST(epoch_us(ts) // 1000000 - 1704067200
+                                AS BIGINT) AS x,
+                           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+                    FROM events)
+              GROUP BY event_type)
+            SELECT event_type,
+                   CASE WHEN n * sxx - sx * sx <= 0 THEN NULL
+                        ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE)
+                   END AS slope
+            FROM m
+        """,
+        "events_max_streak": """
+            WITH d AS (
+              SELECT DISTINCT user_id,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+              FROM events
+            ), g AS (
+              SELECT user_id, day,
+                     day - ROW_NUMBER() OVER
+                           (PARTITION BY user_id ORDER BY day) AS grp
+              FROM d
+            )
+            SELECT user_id, CAST(MAX(cnt) AS BIGINT) AS max_streak
+            FROM (SELECT user_id, grp, COUNT(*) AS cnt
+                  FROM g GROUP BY user_id, grp)
+            GROUP BY user_id
+        """,
         "docs_global_rank": """
             SELECT doc_id, n_chars,
                    CAST(ROW_NUMBER() OVER

@@ -209,25 +209,12 @@ def unpivot(ds, id_col: str, value_cols: list,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def grouped_corr_exact(ds, key_col: str, x_col: str, y_col: str,
-                       out_col: str = "corr",
-                       chunk_rows: int = 4096) -> pa.Table:
-    """Exact per-key Pearson correlation of two INTEGER columns.
-
-    Float summation is grouping-dependent (numpy pairwise vs SQL
-    sequential differ in the last bits), so the moments are accumulated as
-    EXACT integers instead: per-batch combiners emit int64 partial sums
-    (n, sx, sy, sxx, syy, sxy) over <= chunk_rows row slices (4096 rows
-    keeps x*x sums under int64 even at 1e7-magnitude inputs), the driver
-    tree-root merges them in arbitrary-precision Python ints, and the only
-    float ops are the FINAL formula
-        corr = (n*sxy - sx*sy) / (sqrt(n*sxx - sx^2) * sqrt(n*syy - sy^2))
-    on exact-integer operands — one rounding per operand, then IEEE
-    mul/div/sqrt, bit-identical to a SQL engine computing the same
-    expression from HUGEINT sums. Keys with zero variance emit NULL.
-    Returns pa.Table (key_col, out_col)."""
-    import math
-
+def _moment_partial_fn(key_col: str, x_col: str, y_col: str,
+                       chunk_rows: int):
+    """Per-batch chunked int64 bivariate moment combiner — emits exact
+    (n, sx, sy, sxx, syy, sxy) partials per key over <= chunk_rows row
+    slices (4096 keeps x*x sums under int64 at 1e7-magnitude inputs).
+    Shared by grouped_corr_exact and grouped_regr_slope_exact."""
     import numpy as np
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -264,8 +251,67 @@ def grouped_corr_exact(ds, key_col: str, x_col: str, y_col: str,
                          "_sxx": a[:, 3], "_syy": a[:, 4],
                          "_sxy": a[:, 5]})
 
-    partials = ds.map_batches(partial, batch_format="pyarrow",
-                              batch_size=131072)
+    return partial
+
+
+def grouped_regr_slope_exact(ds, key_col: str, x_col: str, y_col: str,
+                             out_col: str = "slope",
+                             chunk_rows: int = 4096) -> pa.Table:
+    """Exact per-key least-squares slope of INTEGER y on INTEGER x:
+        slope = (n*sxy - sx*sy) / (n*sxx - sx^2)
+    Same exact-integer-moments design as grouped_corr_exact (shared
+    combiner); numerator and denominator are arbitrary-precision Python
+    ints at the root, so the ONLY float op is one IEEE division of two
+    exactly-rounded operands — bit-identical to a SQL engine computing
+    the same expression from HUGEINT sums (NOT to REGR_SLOPE, whose
+    internal accumulation is float). Keys with zero x-variance emit
+    NULL. Returns pa.Table (key_col, out_col)."""
+    partials = ds.map_batches(
+        _moment_partial_fn(key_col, x_col, y_col, chunk_rows),
+        batch_format="pyarrow", batch_size=131072)
+
+    def merge(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if len(df) == 0:
+            return pa.table({key_col: pa.array([], pa.string()),
+                             out_col: pa.array([], pa.float64())})
+        for c in ("_n", "_sx", "_sy", "_sxx", "_syy", "_sxy"):
+            df[c] = df[c].astype(object)
+        g = df.groupby(key_col, sort=True, as_index=False).sum()
+        vals = []
+        for _, r in g.iterrows():
+            n, sx, sy = int(r["_n"]), int(r["_sx"]), int(r["_sy"])
+            num = n * int(r["_sxy"]) - sx * sy
+            den = n * int(r["_sxx"]) - sx * sx
+            vals.append(None if den <= 0 else float(num) / float(den))
+        return pa.table({key_col: pa.array(g[key_col].tolist()),
+                         out_col: pa.array(vals, type=pa.float64())})
+
+    return driver_merge(partials, merge)
+
+
+def grouped_corr_exact(ds, key_col: str, x_col: str, y_col: str,
+                       out_col: str = "corr",
+                       chunk_rows: int = 4096) -> pa.Table:
+    """Exact per-key Pearson correlation of two INTEGER columns.
+
+    Float summation is grouping-dependent (numpy pairwise vs SQL
+    sequential differ in the last bits), so the moments are accumulated as
+    EXACT integers instead: per-batch combiners emit int64 partial sums
+    (n, sx, sy, sxx, syy, sxy) over <= chunk_rows row slices (4096 rows
+    keeps x*x sums under int64 even at 1e7-magnitude inputs), the driver
+    tree-root merges them in arbitrary-precision Python ints, and the only
+    float ops are the FINAL formula
+        corr = (n*sxy - sx*sy) / (sqrt(n*sxx - sx^2) * sqrt(n*syy - sy^2))
+    on exact-integer operands — one rounding per operand, then IEEE
+    mul/div/sqrt, bit-identical to a SQL engine computing the same
+    expression from HUGEINT sums. Keys with zero variance emit NULL.
+    Returns pa.Table (key_col, out_col)."""
+    import math
+
+    partials = ds.map_batches(
+        _moment_partial_fn(key_col, x_col, y_col, chunk_rows),
+        batch_format="pyarrow", batch_size=131072)
 
     def merge(t: pa.Table) -> pa.Table:
         df = t.to_pandas()

@@ -55,7 +55,11 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         "events_type_cooccurrence", "signup_purchase_gap",
         "docs_hapax_stats",
         # wave 10: global window function, Pareto curve
-        "docs_global_rank", "orders_pareto_share"]
+        "docs_global_rank", "orders_pareto_share",
+        # wave 11: exact regression slope, gaps-and-islands streaks
+        "events_value_trend_by_type", "events_max_streak",
+        # wave 12: exact outlier top-k, lang-pair source Jaccard
+        "events_top_outliers", "lang_source_jaccard"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
