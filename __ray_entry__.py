@@ -5463,6 +5463,139 @@ def _lang_source_jaccard(sf_dir: str):
         schema=pa.schema([("ls", pa.string())]))
 
 
+def _part_brand_price_iqr_outliers(sf_dir: str):
+    """Parts priced outside the k×IQR Tukey fences of their brand — the
+    box-plot outlier rule as a distributed filter (inner k=0.5 fences:
+    the synthetic uniform prices have no 1.5×IQR tail, and a non-empty
+    result is what makes the hash check informative). Exact
+    PERCENTILE_CONT quartiles per brand from the two-pass selection
+    engine (|brands| rows), fences computed with the SQL mirror's exact
+    float op order (q1 − 0.5·(q3−q1), q3 + 0.5·(q3−q1)), broadcast into
+    one zero-shuffle comparison kernel per batch."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.quantile import grouped_percentiles_cont
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand",
+                                  "p_retailprice"])
+    q = grouped_percentiles_cont(
+        ds, "p_brand", "p_retailprice", [0.25, 0.75], ["q1", "q3"]) \
+        .to_pandas()
+    if len(q):
+        q = q.sort_values("p_brand")
+        brands = q["p_brand"].to_numpy()
+        q1 = q["q1"].to_numpy()
+        q3 = q["q3"].to_numpy()
+    else:  # empty input: quantile table has no rows (nor columns)
+        brands = np.array([], dtype=object)
+        q1 = q3 = np.array([], dtype=np.float64)
+    lo = q1 - 0.5 * (q3 - q1)
+    hi = q3 + 0.5 * (q3 - q1)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        if brands.shape[0] == 0:
+            empty = batch.slice(0, 0)
+            return pa.table({"p_partkey": empty["p_partkey"],
+                             "p_brand": empty["p_brand"],
+                             "p_retailprice": empty["p_retailprice"]})
+        b = batch["p_brand"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(brands, b)
+        v = batch["p_retailprice"].to_numpy(zero_copy_only=False)
+        keep = (v < lo[pos]) | (v > hi[pos])
+        sel = pa.array(keep)
+        return pa.table({"p_partkey": batch["p_partkey"].filter(sel),
+                         "p_brand": batch["p_brand"].filter(sel),
+                         "p_retailprice":
+                             batch["p_retailprice"].filter(sel)})
+
+    from h3ray.ops.join import seed_schema
+
+    return seed_schema(
+        ds.map_batches(flag, batch_format="pyarrow", batch_size=131072),
+        pa.schema([("p_partkey", pa.int64()), ("p_brand", pa.string()),
+                   ("p_retailprice", pa.float64())]))
+
+
+def _supplier_nation_herfindahl(sf_dir: str):
+    """Per-nation Herfindahl-Hirschman revenue-concentration index over
+    suppliers: HHI = Σᵢ shareᵢ² = Σcᵢ² / (Σcᵢ)² on exact supplier
+    revenue cents. Per-suppkey cent combiners (supplier is a dimension);
+    the root maps suppliers to nations with one sorted gather and forms
+    the index from Python bigints (cᵢ² passes 2⁶³ on a real corpus) with
+    ONE IEEE division — bit-identical to SQL on HUGEINT sums."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    skeys = sup["s_suppkey"].to_numpy().astype(np.int64)
+    order = np.argsort(skeys)
+    skeys = skeys[order]
+    snat = sup["s_nationkey"].to_numpy().astype(np.int64)[order]
+    nkeys = nat["n_nationkey"].to_numpy().astype(np.int64)
+    nnames = nat["n_name"].to_numpy(zero_copy_only=False)
+    norder = np.argsort(nkeys)
+    nkeys, nnames = nkeys[norder], nnames[norder]
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_suppkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64)
+        uniq, inv = np.unique(sk, return_inverse=True)
+        acc = np.zeros(uniq.shape[0], dtype=np.int64)
+        np.add.at(acc, inv, cents)
+        return pa.table({"l_suppkey": uniq, "c": acc})
+
+    def merge(t: pa.Table) -> pa.Table:
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(sk, return_inverse=True)
+        acc = np.zeros(uniq.shape[0], dtype=np.int64)
+        np.add.at(acc, inv, c)
+        if skeys.shape[0] == 0 or uniq.shape[0] == 0:
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "n_suppliers": pa.array([], pa.int64()),
+                             "hhi": pa.array([], pa.float64())})
+        pos = np.minimum(np.searchsorted(skeys, uniq), skeys.shape[0] - 1)
+        hit = skeys[pos] == uniq
+        nid = snat[pos[hit]]
+        cs = acc[hit]
+        un, ninv = np.unique(nid, return_inverse=True)
+        names, counts, hhi = [], [], []
+        for i in range(un.shape[0]):
+            vals = [int(v) for v in cs[ninv == i]]
+            s = sum(vals)
+            ss = sum(v * v for v in vals)
+            np_pos = np.searchsorted(nkeys, un[i])
+            names.append(str(nnames[np_pos]))
+            counts.append(len(vals))
+            hhi.append(float(ss) / float(s * s) if s else None)
+        return pa.table({"n_name": pa.array(names, pa.string()),
+                         "n_suppliers": pa.array(counts, pa.int64()),
+                         "hhi": pa.array(hhi, pa.float64())})
+
+    return driver_merge(
+        li.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("l_suppkey", pa.int64()),
+                          ("c", pa.int64())]))
+
+
 def _sites_edges_ds(sf_dir: str):
     """The synthetic site link graph as an edge Dataset (one directed
     edge per document, self-loops dropped) — shared by pagerank,
@@ -5500,6 +5633,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 13: Tukey-fence outliers, Herfindahl index ---
+        "part_brand_price_iqr_outliers": _part_brand_price_iqr_outliers,
+        "supplier_nation_herfindahl": _supplier_nation_herfindahl,
         # --- round-5 wave 12: exact outlier top-k, lang-pair Jaccard ---
         "events_top_outliers": _events_top_outliers,
         "lang_source_jaccard": _lang_source_jaccard,
@@ -5714,6 +5850,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # the stalest r02/r03-only evidence, (4) a few round-4 flagships kept for
 # regression coverage.
 _WINDOW_FIRST = [
+    # (0) round-5 wave 13: never driver-checked.
+    "part_brand_price_iqr_outliers", "supplier_nation_herfindahl",
     # (0) round-5 wave 12: never driver-checked.
     "events_top_outliers", "lang_source_jaccard",
     # (0) round-5 wave 11: never driver-checked.
@@ -6391,6 +6529,37 @@ def _sketch_quantiles_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "part_brand_price_iqr_outliers": """
+            WITH q AS (
+              SELECT p_brand,
+                     PERCENTILE_CONT(0.25) WITHIN GROUP
+                         (ORDER BY p_retailprice) AS q1,
+                     PERCENTILE_CONT(0.75) WITHIN GROUP
+                         (ORDER BY p_retailprice) AS q3
+              FROM part GROUP BY p_brand)
+            SELECT p_partkey, p.p_brand, p_retailprice
+            FROM part p JOIN q ON q.p_brand = p.p_brand
+            WHERE p_retailprice < q.q1 - 0.5 * (q.q3 - q.q1)
+               OR p_retailprice > q.q3 + 0.5 * (q.q3 - q.q1)
+        """,
+        "supplier_nation_herfindahl": """
+            WITH sr AS (
+              SELECT l_suppkey,
+                     CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                         * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS c
+              FROM lineitem GROUP BY l_suppkey
+            ), sn AS (
+              SELECT s_suppkey, n_name
+              FROM supplier JOIN nation ON n_nationkey = s_nationkey
+            )
+            SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                   CAST(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT))
+                        AS DOUBLE)
+                       / CAST(SUM(c) * SUM(c) AS DOUBLE) AS hhi
+            FROM sr JOIN sn ON sn.s_suppkey = sr.l_suppkey
+            GROUP BY n_name
+        """,
         "events_top_outliers": """
             WITH st AS (
               SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

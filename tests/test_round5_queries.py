@@ -59,7 +59,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 11: exact regression slope, gaps-and-islands streaks
         "events_value_trend_by_type", "events_max_streak",
         # wave 12: exact outlier top-k, lang-pair source Jaccard
-        "events_top_outliers", "lang_source_jaccard"]
+        "events_top_outliers", "lang_source_jaccard",
+        # wave 13: Tukey-fence outliers, Herfindahl concentration
+        "part_brand_price_iqr_outliers", "supplier_nation_herfindahl"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
