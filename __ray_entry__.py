@@ -5596,6 +5596,89 @@ def _supplier_nation_herfindahl(sf_dir: str):
                           ("c", pa.int64())]))
 
 
+def _events_session_paths(sf_dir: str):
+    """Top-20 session-opening clickstream paths: the first <= 3 event
+    types of every session (30-min inactivity gap, the repo's standard
+    sessionization), joined with '>', counted corpus-wide. One user-hash
+    exchange; each bucket sessionizes with the LAG/SUM-identical gap
+    rule, builds every session's path with three vectorized string
+    gathers (no per-session Python), and emits |types|^<=3-bounded
+    (path, count) partials; the root sums and takes the top-20 with the
+    SQL mirror's (count DESC, path ASC) tie-break. Event order inside a
+    session is (ts, event_id) in BOTH engines, so ties are
+    deterministic."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.io.pages import _mix64
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.ops.skew import _desc_sort_key, default_num_buckets
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+    nb = default_num_buckets()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        us = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "user_id": uid, "ts_us": us,
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+            "_bucket": (_mix64(uid.astype(np.uint64))
+                        % np.uint64(nb)).astype(np.int32)})
+
+    def paths(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        et = group["event_type"].to_numpy(zero_copy_only=False) \
+            .astype(str)
+        n = uid.shape[0]
+        if n == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n_sessions": pa.array([], pa.int64())})
+        order = np.lexsort((eid, ts, uid))
+        u, t, y = uid[order], ts[order], et[order]
+        new = np.ones(n, dtype=bool)
+        new[1:] = (u[1:] != u[:-1]) | (t[1:] - t[:-1] > 1_800_000_000)
+        ss = np.flatnonzero(new)
+        length = np.diff(np.r_[ss, n])
+        t1 = y[ss]
+        i2 = np.minimum(ss + 1, n - 1)
+        i3 = np.minimum(ss + 2, n - 1)
+        t2 = np.where(length >= 2, np.char.add(">", y[i2]), "")
+        t3 = np.where(length >= 3, np.char.add(">", y[i3]), "")
+        path = np.char.add(np.char.add(t1, t2), t3)
+        up, cnt = np.unique(path, return_counts=True)
+        return pa.table({"path": pa.array(up.astype(object),
+                                          pa.string()),
+                         "n_sessions": cnt.astype(np.int64)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        p = t["path"].to_numpy(zero_copy_only=False).astype(str)
+        c = t["n_sessions"].to_numpy(zero_copy_only=False)
+        up, inv = np.unique(p, return_inverse=True)
+        acc = np.zeros(up.shape[0], dtype=np.int64)
+        np.add.at(acc, inv, c)
+        order = np.lexsort((up, _desc_sort_key(acc)))[:20]
+        return pa.table({"path": pa.array(up[order].astype(object),
+                                          pa.string()),
+                         "n_sessions": acc[order]})
+
+    bucketed = ds.map_batches(prep, batch_format="pyarrow",
+                              batch_size=131072) \
+        .groupby("_bucket").map_groups(paths, batch_format="pyarrow")
+    return driver_merge(
+        bucketed, merge,
+        schema=pa.schema([("path", pa.string()),
+                          ("n_sessions", pa.int64())]))
+
+
 def _sites_edges_ds(sf_dir: str):
     """The synthetic site link graph as an edge Dataset (one directed
     edge per document, self-loops dropped) — shared by pagerank,
@@ -5633,6 +5716,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 14: session-opening clickstream paths ---
+        "events_session_paths": _events_session_paths,
         # --- round-5 wave 13: Tukey-fence outliers, Herfindahl index ---
         "part_brand_price_iqr_outliers": _part_brand_price_iqr_outliers,
         "supplier_nation_herfindahl": _supplier_nation_herfindahl,
@@ -5850,6 +5935,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # the stalest r02/r03-only evidence, (4) a few round-4 flagships kept for
 # regression coverage.
 _WINDOW_FIRST = [
+    # (0) round-5 wave 14: never driver-checked.
+    "events_session_paths",
     # (0) round-5 wave 13: never driver-checked.
     "part_brand_price_iqr_outliers", "supplier_nation_herfindahl",
     # (0) round-5 wave 12: never driver-checked.
@@ -6529,6 +6616,35 @@ def _sketch_quantiles_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_session_paths": """
+            WITH d AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (
+                              PARTITION BY user_id
+                              ORDER BY ts, event_id)) > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+            ), s AS (
+              SELECT user_id, ts, event_id, event_type,
+                     SUM(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM d
+            ), r AS (
+              SELECT user_id, sid, event_type,
+                     ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                        ORDER BY ts, event_id) AS rn
+              FROM s
+            ), p AS (
+              SELECT user_id, sid,
+                     STRING_AGG(event_type, '>' ORDER BY rn) AS path
+              FROM r WHERE rn <= 3 GROUP BY user_id, sid
+            )
+            SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+            FROM p GROUP BY path
+            ORDER BY n_sessions DESC, path
+            LIMIT 20
+        """,
         "part_brand_price_iqr_outliers": """
             WITH q AS (
               SELECT p_brand,

@@ -61,7 +61,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 12: exact outlier top-k, lang-pair source Jaccard
         "events_top_outliers", "lang_source_jaccard",
         # wave 13: Tukey-fence outliers, Herfindahl concentration
-        "part_brand_price_iqr_outliers", "supplier_nation_herfindahl"]
+        "part_brand_price_iqr_outliers", "supplier_nation_herfindahl",
+        # wave 14: session-opening clickstream paths
+        "events_session_paths"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
