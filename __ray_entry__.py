@@ -40,6 +40,20 @@ def _h3_cell_counts(sf_dir: str):
                               parent_res=2)
 
 
+def _h3_count_pyramid(sf_dir: str):
+    """Multi-resolution H3 count pyramid (map-tile zoom aggregation):
+    counts at res 0/2/4/6 from ONE res-7 encode pass — parent chains
+    walked per batch with the O(1) bit kernel, all levels' bounded
+    partials merged at a single driver root (pipelines/geotag.py
+    count_pyramid). H3 math: no SQL oracle; pytest proves each level
+    equals an independent per-level recompute."""
+    from h3ray.io import pages as pio
+    from h3ray.pipelines import geotag
+
+    return geotag.count_pyramid(pio.pages_from_documents(sf_dir),
+                                res=7, levels=(0, 2, 4, 6))
+
+
 def _h3_geotag_cells(sf_dir: str):
     from h3ray.io import pages as pio
     from h3ray.pipelines import geotag
@@ -5718,6 +5732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     d = {
         # --- round-5 wave 14: session-opening clickstream paths ---
         "events_session_paths": _events_session_paths,
+        "h3_count_pyramid": _h3_count_pyramid,
         # --- round-5 wave 13: Tukey-fence outliers, Herfindahl index ---
         "part_brand_price_iqr_outliers": _part_brand_price_iqr_outliers,
         "supplier_nation_herfindahl": _supplier_nation_herfindahl,

@@ -146,3 +146,66 @@ def ring_smoothed_counts(pages_ds, res: int = 5, k: int = 1,
         Sum("partial_smooth", alias_name="smoothed_pages"),
         Sum("partial_self", alias_name="num_pages"))
     return agg.select_columns(["cell", "num_pages", "smoothed_pages"])
+
+
+def count_pyramid(pages_ds, res: int = 7,
+                  levels: tuple[int, ...] = (0, 2, 4, 6),
+                  batch_size: int = 32768):
+    """Multi-resolution page-count pyramid in ONE encode pass: each batch
+    encodes once at `res`, walks the parent chain to every requested
+    coarser level with the O(1) bit kernel, and emits (res, cell, count)
+    partials for all levels together — the map-tile aggregation shape
+    (zoom pyramid) without re-scanning the corpus per level. Cells ship
+    as int64 bit-views (uint64 shuffle keys degrade Ray's sort path);
+    every level's key space is bounded by the coarsest data extent, so
+    one driver root merges the whole pyramid."""
+    from ..kernels import bits
+
+    ds = geotag_cells(pages_ds, res=res, parent_res=min(levels),
+                      keep_cols=("url",), batch_size=batch_size)
+    col = f"cell_r{res}"
+    lvls = sorted(set(levels))
+    if lvls and lvls[-1] >= res:
+        raise ValueError(f"levels must be coarser than res={res}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cells = batch[col].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        out_r, out_c, out_n = [], [], []
+        for lv in lvls:
+            par = bits.cell_to_parent(cells, lv)
+            uniq, cnt = np.unique(par, return_counts=True)
+            out_r.append(np.full(uniq.shape[0], lv, dtype=np.int64))
+            out_c.append(uniq.view(np.int64))
+            out_n.append(cnt.astype(np.int64))
+        return pa.table({
+            "res": np.concatenate(out_r) if out_r
+            else np.array([], np.int64),
+            "cell": np.concatenate(out_c) if out_c
+            else np.array([], np.int64),
+            "num_pages": np.concatenate(out_n) if out_n
+            else np.array([], np.int64)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        r = t["res"].to_numpy(zero_copy_only=False)
+        c = t["cell"].to_numpy(zero_copy_only=False)
+        n = t["num_pages"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, r))
+        rs, cs, ns = r[order], c[order], n[order]
+        new = np.ones(rs.shape[0], dtype=bool)
+        if rs.shape[0]:
+            new[1:] = (rs[1:] != rs[:-1]) | (cs[1:] != cs[:-1])
+        seg = np.cumsum(new) - 1 if rs.shape[0] else np.array([], np.int64)
+        acc = np.bincount(seg, weights=ns).astype(np.int64) \
+            if rs.shape[0] else np.array([], np.int64)
+        keep = np.flatnonzero(new)
+        return pa.table({"res": rs[keep], "cell": cs[keep],
+                         "num_pages": acc})
+
+    from ..ops.reduce import driver_merge
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("res", pa.int64()), ("cell", pa.int64()),
+                          ("num_pages", pa.int64())]))

@@ -144,3 +144,32 @@ def test_interval_followup_overflow_guard(ray_session):
             rd.from_arrow(t), "user_id", "ts_us", "m", ["event_id"],
             window=10, num_buckets=1).count()
     assert "overflow" in str(ei.value) or "num_buckets" in str(ei.value)
+
+
+def test_count_pyramid_matches_per_level_recompute(ray_session):
+    """Every pyramid level must equal an independent local recompute:
+    encode all pages once, parent-walk per level, unique-count."""
+    import numpy as np
+
+    from h3ray.io import pages as pio
+    from h3ray.kernels import bits
+    from h3ray.pipelines import geotag
+
+    sf = "/root/testdata/sf0.001"
+    out = geotag.count_pyramid(pio.pages_from_documents(sf), res=7,
+                               levels=(0, 2, 4, 6))
+    got = {}
+    for r in out.to_pylist():
+        got[(r["res"], r["cell"])] = r["num_pages"]
+
+    full = geotag.geotag_cells(pio.pages_from_documents(sf), res=7,
+                               parent_res=0) \
+        .select_columns(["cell_r7"]).take_all()
+    cells = np.array([r["cell_r7"] for r in full]).astype(np.uint64)
+    want = {}
+    for lv in (0, 2, 4, 6):
+        par = bits.cell_to_parent(cells, lv).view(np.int64)
+        u, c = np.unique(par, return_counts=True)
+        for a, b in zip(u.tolist(), c.tolist()):
+            want[(lv, int(a))] = int(b)
+    assert got == want and len(want) > 4
