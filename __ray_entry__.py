@@ -5693,6 +5693,153 @@ def _events_session_paths(sf_dir: str):
                           ("n_sessions", pa.int64())]))
 
 
+def _docs_token_len_hist(sf_dir: str):
+    """Corpus token-length histogram per language (tokenizer length
+    statistics): one Arrow split + utf8_length per batch over the FLAT
+    token values, lang repeated by list offsets — (lang, length)-bounded
+    count combiner, one driver root, no Python over tokens."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        la = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.cast(batch["text"], pa.string())),
+            r"\s+")
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        flat = la.values
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        row_of = np.repeat(
+            np.arange(len(la), dtype=np.int64),
+            np.diff(la.offsets.to_numpy().astype(np.int64)))
+        ok = lens > 0
+        langs = batch["lang"].to_numpy(zero_copy_only=False) \
+            .astype(str)[row_of[ok]]
+        lens = lens[ok]
+        ul, linv = np.unique(langs, return_inverse=True)
+        # composite (lang, len) bincount: lens are tiny (< 2^20 guard)
+        if lens.shape[0] and int(lens.max()) >= (1 << 20):
+            raise ValueError("token length >= 2^20?")
+        key = linv.astype(np.int64) * (1 << 20) + lens
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "lang": pa.array(ul[(uk >> 20)].astype(object), pa.string()),
+            "tok_len": uk & ((1 << 20) - 1),
+            "n": cnt.astype(np.int64)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        lang = t["lang"].to_numpy(zero_copy_only=False).astype(str)
+        ln = t["tok_len"].to_numpy(zero_copy_only=False)
+        c = t["n"].to_numpy(zero_copy_only=False)
+        key = np.char.add(np.char.add(lang, "\x1f"),
+                          ln.astype(np.int64).astype(str))
+        uk, inv = np.unique(key, return_inverse=True)
+        acc = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(acc, inv, c)
+        out_l = np.array([k.split("\x1f")[0] for k in uk], dtype=object)
+        out_n = np.array([int(k.split("\x1f")[1]) for k in uk],
+                         dtype=np.int64)
+        return pa.table({"lang": pa.array(out_l, pa.string()),
+                         "tok_len": out_n, "n": acc})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=32768), merge,
+        schema=pa.schema([("lang", pa.string()),
+                          ("tok_len", pa.int64()), ("n", pa.int64())]))
+
+
+def _events_interarrival_hist(sf_dir: str):
+    """Per-type inter-arrival latency histogram in exact log2
+    microsecond buckets: gap = same-(user, type) LAG over (ts,
+    event_id) order; bucket = floor(log2(gap_us)) computed EXACTLY on
+    both sides (engine: searchsorted over the 2^k table; SQL:
+    length(bin(gap)) − 1 — no float log anywhere). Zero-gap ties are
+    excluded by both. One user-hash exchange of 4 int columns; each
+    bucket takes one lexsort and a shifted diff."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.io.pages import _mix64
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.ops.skew import default_num_buckets
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+    nb = default_num_buckets()
+    powers = 2 ** np.arange(63, dtype=np.int64)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        us = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "user_id": uid, "ts_us": us,
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+            "_bucket": (_mix64(uid.astype(np.uint64))
+                        % np.uint64(nb)).astype(np.int32)})
+
+    def gaps(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        et = group["event_type"].to_numpy(zero_copy_only=False) \
+            .astype(str)
+        n = uid.shape[0]
+        if n == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "log2_bucket": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        _, tcode = np.unique(et, return_inverse=True)
+        order = np.lexsort((eid, ts, tcode, uid))
+        u, tc, t = uid[order], tcode[order], ts[order]
+        same = np.zeros(n, dtype=bool)
+        same[1:] = (u[1:] == u[:-1]) & (tc[1:] == tc[:-1])
+        gap = np.zeros(n, dtype=np.int64)
+        gap[1:] = t[1:] - t[:-1]
+        sel = same & (gap > 0)
+        bucket = np.searchsorted(powers, gap[sel], side="right") - 1
+        ets = et[order][sel]
+        uk, inv = np.unique(
+            np.char.add(np.char.add(ets, "\x1f"), bucket.astype(str)),
+            return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "event_type": pa.array(
+                [k.split("\x1f")[0] for k in uk], pa.string()),
+            "log2_bucket": np.array(
+                [int(k.split("\x1f")[1]) for k in uk], dtype=np.int64),
+            "n": cnt})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "log2_bucket"]).aggregate(
+            [("n", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "log2_bucket": g["log2_bucket"],
+                         "n": g["n_sum"]})
+
+    bucketed = ds.map_batches(prep, batch_format="pyarrow",
+                              batch_size=131072) \
+        .groupby("_bucket").map_groups(gaps, batch_format="pyarrow")
+    return driver_merge(
+        bucketed, merge,
+        schema=pa.schema([("event_type", pa.string()),
+                          ("log2_bucket", pa.int64()),
+                          ("n", pa.int64())]))
+
+
 def _sites_edges_ds(sf_dir: str):
     """The synthetic site link graph as an edge Dataset (one directed
     edge per document, self-loops dropped) — shared by pagerank,
@@ -5730,6 +5877,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 15: token lengths, log2 inter-arrival ---
+        "docs_token_len_hist": _docs_token_len_hist,
+        "events_interarrival_hist": _events_interarrival_hist,
         # --- round-5 wave 14: session-opening clickstream paths ---
         "events_session_paths": _events_session_paths,
         "h3_count_pyramid": _h3_count_pyramid,
@@ -5950,6 +6100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # the stalest r02/r03-only evidence, (4) a few round-4 flagships kept for
 # regression coverage.
 _WINDOW_FIRST = [
+    # (0) round-5 wave 15: never driver-checked.
+    "docs_token_len_hist", "events_interarrival_hist",
     # (0) round-5 wave 14: never driver-checked.
     "events_session_paths",
     # (0) round-5 wave 13: never driver-checked.
@@ -6631,6 +6783,27 @@ def _sketch_quantiles_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "docs_token_len_hist": r"""
+            SELECT lang, CAST(LENGTH(tok) AS BIGINT) AS tok_len,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT lang,
+                         unnest(regexp_extract_all(text, '\S+')) AS tok
+                  FROM documents)
+            GROUP BY lang, tok_len
+        """,
+        "events_interarrival_hist": """
+            WITH g AS (
+              SELECT event_type,
+                     epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                         PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id) AS gap
+              FROM events)
+            SELECT event_type,
+                   CAST(LENGTH(BIN(gap)) - 1 AS BIGINT) AS log2_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM g WHERE gap > 0
+            GROUP BY 1, 2
+        """,
         "events_session_paths": """
             WITH d AS (
               SELECT user_id, ts, event_id, event_type,

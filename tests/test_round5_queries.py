@@ -63,7 +63,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 13: Tukey-fence outliers, Herfindahl concentration
         "part_brand_price_iqr_outliers", "supplier_nation_herfindahl",
         # wave 14: session-opening clickstream paths
-        "events_session_paths"]
+        "events_session_paths",
+        # wave 15: token lengths, log2 inter-arrival latency
+        "docs_token_len_hist", "events_interarrival_hist"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
