@@ -5840,6 +5840,182 @@ def _events_interarrival_hist(sf_dir: str):
                           ("n", pa.int64())]))
 
 
+def _parts_bought_together(sf_dir: str):
+    """Market-basket pair mining: top-20 part pairs co-occurring in the
+    most orders. Within-order pair generation is linear in data (order
+    sizes are bounded), fully vectorized (repeat + run-offset
+    arithmetic, no Python over orders); pairs pack into one int64
+    (a·2³² + b, a < b, loud 2³¹ guard) so the one pair-key groupby
+    shuffles integers; per-block top-k partials bound the driver root at
+    k rows per block. The orderkey exchange itself moves only (order,
+    part) distinct pairs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from h3ray.io.pages import _mix64
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.ops.skew import _desc_sort_key, default_num_buckets
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    nb = default_num_buckets()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        o = batch["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if p.shape[0] and (int(p.max()) >= (1 << 31) or int(p.min()) < 0):
+            raise ValueError("partkey outside [0, 2^31): repack pairs")
+        u = np.unique(np.stack([o, p], axis=1), axis=0)
+        return pa.table({
+            "o": u[:, 0], "p": u[:, 1],
+            "_bucket": (_mix64(u[:, 0].astype(np.uint64))
+                        % np.uint64(nb)).astype(np.int32)})
+
+    def pairs(group: pa.Table) -> pa.Table:
+        o = group["o"].to_numpy(zero_copy_only=False)
+        p = group["p"].to_numpy(zero_copy_only=False)
+        n = o.shape[0]
+        if n == 0:
+            return pa.table({"pair": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        order = np.lexsort((p, o))
+        os, ps = o[order], p[order]
+        keep = np.ones(n, dtype=bool)
+        keep[1:] = (os[1:] != os[:-1]) | (ps[1:] != ps[:-1])
+        os, ps = os[keep], ps[keep]
+        m = os.shape[0]
+        new = np.ones(m, dtype=bool)
+        new[1:] = os[1:] != os[:-1]
+        seg_start = np.maximum.accumulate(
+            np.where(new, np.arange(m), 0))
+        seg_id = np.cumsum(new) - 1
+        seg_len = np.bincount(seg_id)
+        # row at local pos k pairs with the (L-1-k) later rows of its run
+        reps = (seg_len[seg_id] - 1
+                - (np.arange(m) - seg_start)).astype(np.int64)
+        left = np.repeat(np.arange(m), reps)
+        run0 = np.repeat(np.cumsum(reps) - reps, reps)
+        right = left + 1 + (np.arange(left.shape[0]) - run0)
+        key = ps[left] * (np.int64(1) << 32) + ps[right]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"pair": uk, "cnt": cnt.astype(np.int64)})
+
+    summed = li.map_batches(prep, batch_format="pyarrow",
+                            batch_size=131072) \
+        .groupby("_bucket").map_groups(pairs, batch_format="pyarrow") \
+        .groupby("pair").aggregate(Sum("cnt", alias_name="cnt"))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        cnt = batch["cnt"].to_numpy(zero_copy_only=False)
+        pr = batch["pair"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pr, _desc_sort_key(cnt)))[:20]
+        return batch.take(pa.array(order))
+
+    top = driver_merge(
+        summed.map_batches(block_topk, batch_format="pyarrow"),
+        block_topk,
+        schema=pa.schema([("pair", pa.int64()), ("cnt", pa.int64())]))
+    pr = top["pair"].to_numpy(zero_copy_only=False)
+    return pa.table({"p1": pr >> 32, "p2": pr & ((1 << 32) - 1),
+                     "n_orders": top["cnt"]})
+
+
+def _events_sliding_distinct_users(sf_dir: str):
+    """SLIDING-window COUNT DISTINCT: for every hour with events, how
+    many distinct users were active in the trailing 24 hours. Distinct
+    counts don't sum across hourly slices, so the exact scale path is
+    interval algebra instead of a 24-way union: each user's active
+    hours merge into maximal covered windows (next_h <= prev_h + 23
+    extends), contributing +1/−1 boundary deltas; deltas are
+    time-range-bounded, so one driver cumsum reconstructs every
+    window's exact distinct count — users never shuffle twice, nothing
+    is recounted per window. SQL mirror: BETWEEN self-join + COUNT
+    DISTINCT."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.io.pages import _mix64
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.ops.skew import default_num_buckets
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    nb = default_num_buckets()
+    W = 24
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        h = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // 3_600_000_000
+        u = np.unique(np.stack([uid, h], axis=1), axis=0)
+        return pa.table({
+            "user_id": u[:, 0], "h": u[:, 1],
+            "_bucket": (_mix64(u[:, 0].astype(np.uint64))
+                        % np.uint64(nb)).astype(np.int32)})
+
+    def deltas(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        h = group["h"].to_numpy(zero_copy_only=False)
+        n = uid.shape[0]
+        if n == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "delta": pa.array([], pa.int64()),
+                             "present": pa.array([], pa.int64())})
+        order = np.lexsort((h, uid))
+        u, hs = uid[order], h[order]
+        keep = np.ones(n, dtype=bool)
+        keep[1:] = (u[1:] != u[:-1]) | (hs[1:] != hs[:-1])
+        u, hs = u[keep], hs[keep]
+        # a covered run [a, b+W-1] ends when the next active hour of the
+        # same user starts a NEW window (gap > W-1) or the user changes
+        new = np.ones(u.shape[0], dtype=bool)
+        new[1:] = (u[1:] != u[:-1]) | (hs[1:] - hs[:-1] > W - 1)
+        starts = hs[new]
+        end_mask = np.roll(new, -1)
+        end_mask[-1] = True
+        ends = hs[end_mask] + W  # exclusive boundary of [a, b+W-1]
+        bh = np.concatenate([starts, ends])
+        bd = np.concatenate([np.ones(starts.shape[0], np.int64),
+                             -np.ones(ends.shape[0], np.int64)])
+        ub, inv = np.unique(bh, return_inverse=True)
+        acc = np.zeros(ub.shape[0], dtype=np.int64)
+        np.add.at(acc, inv, bd)
+        ph = np.unique(hs)
+        return pa.table({
+            "h": np.concatenate([ub, ph]),
+            "delta": np.concatenate([acc,
+                                     np.zeros(ph.shape[0], np.int64)]),
+            "present": np.concatenate([np.zeros(ub.shape[0], np.int64),
+                                       np.ones(ph.shape[0], np.int64)])})
+
+    def merge(t: pa.Table) -> pa.Table:
+        h = t["h"].to_numpy(zero_copy_only=False)
+        d = t["delta"].to_numpy(zero_copy_only=False)
+        pr = t["present"].to_numpy(zero_copy_only=False)
+        uh, inv = np.unique(h, return_inverse=True)
+        acc = np.zeros(uh.shape[0], dtype=np.int64)
+        np.add.at(acc, inv, d)
+        pres = np.zeros(uh.shape[0], dtype=np.int64)
+        np.add.at(pres, inv, pr)
+        run = np.cumsum(acc)
+        sel = pres > 0
+        return pa.table({"h": uh[sel], "n_users": run[sel]})
+
+    bucketed = ds.map_batches(prep, batch_format="pyarrow",
+                              batch_size=131072) \
+        .groupby("_bucket").map_groups(deltas, batch_format="pyarrow")
+    return driver_merge(
+        bucketed, merge,
+        schema=pa.schema([("h", pa.int64()), ("delta", pa.int64()),
+                          ("present", pa.int64())]))
+
+
 def _sites_edges_ds(sf_dir: str):
     """The synthetic site link graph as an edge Dataset (one directed
     edge per document, self-loops dropped) — shared by pagerank,
@@ -5877,6 +6053,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 16: market-basket pairs, sliding distinct ---
+        "parts_bought_together": _parts_bought_together,
+        "events_sliding_distinct_users": _events_sliding_distinct_users,
         # --- round-5 wave 15: token lengths, log2 inter-arrival ---
         "docs_token_len_hist": _docs_token_len_hist,
         "events_interarrival_hist": _events_interarrival_hist,
@@ -6100,6 +6279,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # the stalest r02/r03-only evidence, (4) a few round-4 flagships kept for
 # regression coverage.
 _WINDOW_FIRST = [
+    # (0) round-5 wave 16: never driver-checked.
+    "parts_bought_together", "events_sliding_distinct_users",
     # (0) round-5 wave 15: never driver-checked.
     "docs_token_len_hist", "events_interarrival_hist",
     # (0) round-5 wave 14: never driver-checked.
@@ -6783,6 +6964,29 @@ def _sketch_quantiles_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "parts_bought_together": """
+            WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM lineitem)
+            SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM lp a JOIN lp b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            ORDER BY n_orders DESC, p1, p2
+            LIMIT 20
+        """,
+        "events_sliding_distinct_users": """
+            WITH uh AS (
+              SELECT DISTINCT user_id,
+                     CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h
+              FROM events
+            ), w AS (SELECT DISTINCT h FROM uh)
+            SELECT w.h, CAST(COUNT(DISTINCT u.user_id) AS BIGINT)
+                       AS n_users
+            FROM w JOIN uh u ON u.h BETWEEN w.h - 23 AND w.h
+            GROUP BY w.h
+        """,
         "docs_token_len_hist": r"""
             SELECT lang, CAST(LENGTH(tok) AS BIGINT) AS tok_len,
                    CAST(COUNT(*) AS BIGINT) AS n

@@ -65,7 +65,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 14: session-opening clickstream paths
         "events_session_paths",
         # wave 15: token lengths, log2 inter-arrival latency
-        "docs_token_len_hist", "events_interarrival_hist"]
+        "docs_token_len_hist", "events_interarrival_hist",
+        # wave 16: market-basket pairs, sliding 24h distinct users
+        "parts_bought_together", "events_sliding_distinct_users"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
