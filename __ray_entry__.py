@@ -6016,6 +6016,101 @@ def _events_sliding_distinct_users(sf_dir: str):
                           ("present", pa.int64())]))
 
 
+def _events_p50_disc_by_type(sf_dir: str):
+    """PERCENTILE_DISC(0.5) per type — the pure order-statistic median
+    (no interpolation, the returned value is an actual data point, so
+    the comparison is float-arithmetic-free end to end). Rides the same
+    exact two-pass selection engine as the CONT family
+    (ops.quantile.grouped_percentiles_disc)."""
+    import ray.data as rd
+
+    from h3ray.ops.quantile import grouped_percentiles_disc
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return grouped_percentiles_disc(ds, "event_type", "value",
+                                    [0.5], ["p50_disc"])
+
+
+def _brand_qty_weighted_price(sf_dir: str):
+    """Quantity-weighted average extended price per brand: the exact
+    weighted mean SUM(qty·price_cents)/SUM(qty) — both sums are int64
+    combiner partials (part→brand broadcast, never a shuffle), merged as
+    Python bigints at the root, ONE IEEE division; bit-identical to SQL
+    on HUGEINT sums (SQL's own AVG/weighted-AVG float accumulation is
+    order-dependent and NOT mirrorable)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    order = np.argsort(pk)
+    pk = pk[order]
+    brands, bcode = np.unique(
+        part["p_brand"].to_numpy(zero_copy_only=False)[order],
+        return_inverse=True)
+    side_ref = ray.put((pk, bcode.astype(np.int64)))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys, code = ray.get(side_ref)
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if keys.shape[0] == 0:
+            return pa.table({"b": pa.array([], pa.int64()),
+                             "wv": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        pos = np.minimum(np.searchsorted(keys, p), keys.shape[0] - 1)
+        sel = keys[pos] == p
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[sel]
+        cents = np.floor(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[sel] * 100 + 0.5).astype(np.int64)
+        b = code[pos[sel]]
+        nb = brands.shape[0]
+        wv = np.zeros(nb, dtype=np.int64)
+        w = np.zeros(nb, dtype=np.int64)
+        np.add.at(wv, b, qty * cents)
+        np.add.at(w, b, qty)
+        nz = np.flatnonzero(w)
+        return pa.table({"b": nz.astype(np.int64), "wv": wv[nz],
+                         "w": w[nz]})
+
+    def merge(t: pa.Table) -> pa.Table:
+        b = t["b"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(b, return_inverse=True)
+        # Python ints: Σ(qty·cents) passes 2^63 on a real corpus
+        wv = [0] * uniq.shape[0]
+        w = [0] * uniq.shape[0]
+        tv = t["wv"].to_numpy(zero_copy_only=False)
+        tw = t["w"].to_numpy(zero_copy_only=False)
+        for i, g in enumerate(inv):
+            wv[g] += int(tv[i])
+            w[g] += int(tw[i])
+        return pa.table({
+            "p_brand": pa.array([str(brands[u]) for u in uniq],
+                                pa.string()),
+            "sum_qty": pa.array(w, pa.int64()),
+            "wavg_price_cents": pa.array(
+                [float(a) / float(q) if q else None
+                 for a, q in zip(wv, w)], pa.float64())})
+
+    return driver_merge(
+        li.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("b", pa.int64()), ("wv", pa.int64()),
+                          ("w", pa.int64())]))
+
+
 def _sites_edges_ds(sf_dir: str):
     """The synthetic site link graph as an edge Dataset (one directed
     edge per document, self-loops dropped) — shared by pagerank,
@@ -6053,6 +6148,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 17: PERCENTILE_DISC, exact weighted mean ---
+        "events_p50_disc_by_type": _events_p50_disc_by_type,
+        "brand_qty_weighted_price": _brand_qty_weighted_price,
         # --- round-5 wave 16: market-basket pairs, sliding distinct ---
         "parts_bought_together": _parts_bought_together,
         "events_sliding_distinct_users": _events_sliding_distinct_users,
@@ -6279,6 +6377,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # the stalest r02/r03-only evidence, (4) a few round-4 flagships kept for
 # regression coverage.
 _WINDOW_FIRST = [
+    # (0) round-5 wave 17: never driver-checked.
+    "events_p50_disc_by_type", "brand_qty_weighted_price",
     # (0) round-5 wave 16: never driver-checked.
     "parts_bought_together", "events_sliding_distinct_users",
     # (0) round-5 wave 15: never driver-checked.
@@ -6964,6 +7064,23 @@ def _sketch_quantiles_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_p50_disc_by_type": """
+            SELECT event_type,
+                   PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY value)
+                       AS p50_disc
+            FROM events GROUP BY event_type
+        """,
+        "brand_qty_weighted_price": """
+            WITH j AS (
+              SELECT p_brand, CAST(l_quantity AS BIGINT) AS q,
+                     CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                         AS c
+              FROM lineitem JOIN part ON p_partkey = l_partkey)
+            SELECT p_brand, CAST(SUM(q) AS BIGINT) AS sum_qty,
+                   CAST(SUM(q * c) AS DOUBLE) / CAST(SUM(q) AS DOUBLE)
+                       AS wavg_price_cents
+            FROM j GROUP BY p_brand
+        """,
         "parts_bought_together": """
             WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey
                         FROM lineitem)

@@ -67,7 +67,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 15: token lengths, log2 inter-arrival latency
         "docs_token_len_hist", "events_interarrival_hist",
         # wave 16: market-basket pairs, sliding 24h distinct users
-        "parts_bought_together", "events_sliding_distinct_users"]
+        "parts_bought_together", "events_sliding_distinct_users",
+        # wave 17: PERCENTILE_DISC, exact weighted mean
+        "events_p50_disc_by_type", "brand_qty_weighted_price"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
