@@ -54,6 +54,67 @@ def _h3_count_pyramid(sf_dir: str):
                                 res=7, levels=(0, 2, 4, 6))
 
 
+def _h3_cell_quality(sf_dir: str):
+    """The north-star composition end-to-end: geotag each url's
+    extracted text into H3 cells and aggregate TEXT-QUALITY signals per
+    res-4 cell — pages per cell plus exact integer char / word /
+    stopword-hit sums (counts, not float ratios, so the rollup is
+    blocking-independent). One encode pass (text rides along), Arrow
+    regex count kernels, per-cell combiner, one bounded driver root.
+    H3-keyed: no SQL oracle; pytest proves equality with a local
+    whole-corpus recompute."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from h3ray.io import pages as pio
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.pipelines import geotag
+    from h3ray.text.analysis import _STOPWORDS
+
+    stop_all = set().union(*_STOPWORDS.values())
+    stop_pat = r"(?i)\b(?:" + "|".join(sorted(stop_all)) + r")\b"
+
+    ds = geotag.geotag_cells(pio.pages_from_documents(sf_dir), res=7,
+                             parent_res=4, keep_cols=("url", "text"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cells = batch["parent_r4"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64).view(np.int64)
+        text = batch["text"]
+        nc = pc.utf8_length(text).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nw = pc.count_substring_regex(text, r"\S+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = pc.count_substring_regex(text, stop_pat) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(cells, return_inverse=True)
+        m = uniq.shape[0]
+        acc = np.zeros((m, 4), dtype=np.int64)
+        np.add.at(acc[:, 0], inv, 1)
+        np.add.at(acc[:, 1], inv, nc)
+        np.add.at(acc[:, 2], inv, nw)
+        np.add.at(acc[:, 3], inv, ns)
+        return pa.table({"cell": uniq, "n_pages": acc[:, 0],
+                         "sum_chars": acc[:, 1], "sum_words": acc[:, 2],
+                         "sum_stop": acc[:, 3]})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("cell").aggregate(
+            [("n_pages", "sum"), ("sum_chars", "sum"),
+             ("sum_words", "sum"), ("sum_stop", "sum")])
+        return g.rename_columns(["cell", "n_pages", "sum_chars",
+                                 "sum_words", "sum_stop"])
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=32768), merge,
+        schema=pa.schema([("cell", pa.int64()), ("n_pages", pa.int64()),
+                          ("sum_chars", pa.int64()),
+                          ("sum_words", pa.int64()),
+                          ("sum_stop", pa.int64())]))
+
+
 def _h3_geotag_cells(sf_dir: str):
     from h3ray.io import pages as pio
     from h3ray.pipelines import geotag
@@ -6160,6 +6221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-5 wave 14: session-opening clickstream paths ---
         "events_session_paths": _events_session_paths,
         "h3_count_pyramid": _h3_count_pyramid,
+        "h3_cell_quality": _h3_cell_quality,
         # --- round-5 wave 13: Tukey-fence outliers, Herfindahl index ---
         "part_brand_price_iqr_outliers": _part_brand_price_iqr_outliers,
         "supplier_nation_herfindahl": _supplier_nation_herfindahl,

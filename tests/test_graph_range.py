@@ -173,3 +173,48 @@ def test_count_pyramid_matches_per_level_recompute(ray_session):
         for a, b in zip(u.tolist(), c.tolist()):
             want[(lv, int(a))] = int(b)
     assert got == want and len(want) > 4
+
+
+def test_h3_cell_quality_matches_local_recompute(ray_session):
+    """The geo x text-quality rollup must equal a local whole-corpus
+    recompute (encode + regex counts + per-cell sums)."""
+    import re
+    import sys
+    from pathlib import Path
+
+    import numpy as np
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import __ray_entry__ as entry
+    from h3ray.io import pages as pio
+    from h3ray.kernels import bits
+    from h3ray.pipelines import geotag
+    from h3ray.text.analysis import _STOPWORDS
+
+    sf = "/root/testdata/sf0.001"
+    out = entry._h3_cell_quality(sf)
+    got = {r["cell"]: (r["n_pages"], r["sum_chars"], r["sum_words"],
+                       r["sum_stop"]) for r in out.to_pylist()}
+
+    rows = geotag.geotag_cells(pio.pages_from_documents(sf), res=7,
+                               parent_res=4,
+                               keep_cols=("url", "text")) \
+        .select_columns(["parent_r4", "text"]).take_all()
+    stop_all = set().union(*_STOPWORDS.values())
+    pat = re.compile(r"(?i)\b(?:" + "|".join(sorted(stop_all)) + r")\b")
+    want = {}
+    for r in rows:
+        c = int(np.uint64(r["parent_r4"]).astype(np.uint64)
+                .view(np.int64))
+        t = r["text"]
+        n = want.setdefault(c, [0, 0, 0, 0])
+        n[0] += 1
+        n[1] += len(t)
+        n[2] += len(re.findall(r"\S+", t))
+        n[3] += len(pat.findall(t))
+    assert got == {k: tuple(v) for k, v in want.items()}
+    assert len(got) > 3
+    # every cell key must be a valid res-4 H3 index
+    cells = np.array(sorted(got), dtype=np.int64).view(np.uint64)
+    assert bool(bits.is_valid_cell(cells).all())
+    assert (bits.get_resolution(cells) == 4).all()
