@@ -6200,6 +6200,40 @@ def _sites_edges_ds(sf_dir: str):
         pa.schema([("src", pa.int64()), ("dst", pa.int64())]))
 
 
+def _sites_bfs_hops(sf_dir: str):
+    """Multi-source directed BFS over the synthetic site link graph:
+    minimum hop count from seed sites {0, 13, 500} to every reachable
+    site (ops.graph.bfs_hops — frontier broadcast per round, edges
+    never shuffle, one edge-Dataset pass per round). Hop counts are
+    exact integers → bit-identical under any blocking; the oracle is
+    the same BFS as a DuckDB recursive CTE over the mirrored edge
+    list."""
+    from h3ray.ops.graph import bfs_hops
+
+    return bfs_hops(_sites_edges_ds(sf_dir), 997, [0, 13, 500])
+
+
+def _docs_inverted_postings(sf_dir: str):
+    """Inverted index over the documents corpus
+    (text.analysis.inverted_postings): per term with document
+    frequency in [2, 4·ndocs//5], the df and the ascending
+    comma-joined doc_id posting list. Two passes: a
+    vocabulary-bounded df combiner admits the band and broadcasts it
+    (ray.put) so stopword posting floods never reach the exchange;
+    pass 2 ships only (term_id, doc_id) INT pairs into hash-bucketed
+    run-detection reducers. The df band is integer arithmetic
+    (4*n//5) so the SQL oracle mirrors it exactly."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from h3ray.text.analysis import inverted_postings
+
+    ndocs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return inverted_postings(ds, min_df=2, max_df=(4 * ndocs) // 5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -6209,6 +6243,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 18: multi-source BFS, inverted index ---
+        "sites_bfs_hops": _sites_bfs_hops,
+        "docs_inverted_postings": _docs_inverted_postings,
         # --- round-5 wave 17: PERCENTILE_DISC, exact weighted mean ---
         "events_p50_disc_by_type": _events_p50_disc_by_type,
         "brand_qty_weighted_price": _brand_qty_weighted_price,
@@ -6439,6 +6476,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # the stalest r02/r03-only evidence, (4) a few round-4 flagships kept for
 # regression coverage.
 _WINDOW_FIRST = [
+    # (0) round-5 wave 18: never driver-checked.
+    "sites_bfs_hops", "docs_inverted_postings",
     # (0) round-5 wave 17: never driver-checked.
     "events_p50_disc_by_type", "brand_qty_weighted_price",
     # (0) round-5 wave 16: never driver-checked.
@@ -7417,6 +7456,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
             FROM deg GROUP BY degree
+        """,
+        # BFS as a recursive CTE: UNION-dedup bounds the walk, the
+        # hops < 64 cap mirrors bfs_hops max_rounds (the engine RAISES
+        # if the frontier is still alive past it, so both sides agree).
+        "sites_bfs_hops": f"""
+            WITH RECURSIVE {_sites_edges_cte()}, walk(site, hops) AS (
+              SELECT CAST(s.site AS BIGINT), CAST(0 AS BIGINT)
+              FROM (VALUES (0), (13), (500)) s(site)
+              UNION
+              SELECT e.dst, w.hops + 1
+              FROM walk w JOIN edges e ON e.src = w.site
+              WHERE w.hops < 64
+            )
+            SELECT site, CAST(MIN(hops) AS BIGINT) AS hops
+            FROM walk GROUP BY site
+        """,
+        "docs_inverted_postings": r"""
+            WITH tk AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\S+')) AS term
+              FROM documents
+            ), td AS (
+              SELECT DISTINCT term, doc_id FROM tk
+            ), dfs AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+              FROM td GROUP BY term
+            )
+            SELECT d.term, d.df,
+                   string_agg(CAST(t.doc_id AS VARCHAR), ','
+                              ORDER BY t.doc_id) AS postings
+            FROM dfs d JOIN td t ON t.term = d.term
+            WHERE d.df >= 2
+              AND d.df <= (4 * (SELECT COUNT(*) FROM documents)) // 5
+            GROUP BY d.term, d.df
         """,
         "part_value_concentration": """
             WITH pr AS (

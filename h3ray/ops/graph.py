@@ -165,3 +165,67 @@ def degree_histogram(edges_ds, num_nodes: int, *, src_col: str = "src",
     dv, cnt = np.unique(deg, return_counts=True)
     return pa.table({"degree": dv.astype(np.int64),
                      "n_nodes": cnt.astype(np.int64)})
+
+
+def bfs_hops(edges_ds, num_nodes: int, seeds, *, src_col: str = "src",
+             dst_col: str = "dst", max_rounds: int = 64) -> pa.Table:
+    """Multi-source DIRECTED BFS: minimum hop count from any seed to
+    every reachable node. Returns pa.Table (site int64, hops int64) for
+    reached nodes only (seeds at 0), sorted by site.
+
+    The iterative-frontier-expansion primitive (the third iterative
+    graph shape next to pagerank_fixed's power iteration and
+    dedup's pointer doubling): per round the CURRENT frontier is
+    broadcast as a boolean mask (ray.put once, read per task), each
+    edge batch emits the distinct destinations its frontier sources
+    reach, and the bounded per-round candidate set merges at a driver
+    root — edges never leave their blocks, exactly one pass over the
+    edge Dataset per round, rounds = seed eccentricity. Hop counts are
+    exact integers, so the result is bit-identical under any blocking
+    and carries a recursive-CTE SQL oracle. Same bounded-node contract
+    as pagerank_fixed; a social-scale graph would swap the broadcast
+    for a frontier-edge hash join per round.
+
+    The edge Dataset's plan re-executes each round (Ray lineage) —
+    checkpoint upstream first if edge derivation is expensive.
+    """
+    import ray
+
+    from .reduce import driver_merge
+
+    seeds = np.unique(np.asarray(list(seeds), dtype=np.int64))
+    if seeds.size and (seeds.min() < 0 or seeds.max() >= num_nodes):
+        raise ValueError("bfs_hops: seed outside [0, num_nodes)")
+    INF = np.iinfo(np.int64).max
+    dist = np.full(num_nodes, INF, dtype=np.int64)
+    dist[seeds] = 0
+    frontier = seeds
+    schema = pa.schema([("site", pa.int64())])
+    for rnd in range(1, max_rounds + 1):
+        if frontier.size == 0:
+            break
+        mask = np.zeros(num_nodes, dtype=bool)
+        mask[frontier] = True
+        ref = ray.put(mask)
+
+        def reached_partial(batch: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            src = batch[src_col].to_numpy(zero_copy_only=False)
+            dst = batch[dst_col].to_numpy(zero_copy_only=False)
+            return pa.table({"site": np.unique(dst[m[src]])})
+
+        t = driver_merge(
+            edges_ds.map_batches(reached_partial, batch_format="pyarrow",
+                                 batch_size=131072),
+            lambda t: pa.table({"site": np.unique(
+                t["site"].to_numpy(zero_copy_only=False))}),
+            schema=schema)
+        cand = t["site"].to_numpy(zero_copy_only=False)
+        frontier = cand[dist[cand] == INF]
+        dist[frontier] = rnd
+    else:
+        if frontier.size:
+            raise RuntimeError(
+                f"bfs_hops: frontier alive after {max_rounds} rounds")
+    reached = np.flatnonzero(dist != INF).astype(np.int64)
+    return pa.table({"site": reached, "hops": dist[reached]})

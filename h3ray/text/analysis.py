@@ -522,3 +522,121 @@ def bigram_familiarity(ds, text_col: str = "text",
 
     return ds.map_batches(score, batch_format="pyarrow",
                           batch_size=32768)
+
+
+def _term_doc_pairs(batch: pa.Table, text_col: str,
+                    doc_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """DISTINCT (term, doc_id) pairs of one batch (whitespace tokens,
+    lowercased, empties dropped) as aligned (terms str, doc_ids int64)
+    arrays. A document is one row, so batch-local distinct IS global
+    distinct — no cross-batch dedup needed downstream."""
+    toks = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]), r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    did = np.repeat(batch[doc_col].to_numpy(zero_copy_only=False)
+                    .astype(np.int64), lens)
+    flat = pc.list_flatten(toks)
+    terms = flat.to_numpy(zero_copy_only=False)
+    keep = terms != ""
+    terms, did = terms[keep], did[keep]
+    if terms.shape[0] == 0:
+        return terms, did
+    order = np.lexsort((did, terms))
+    t2, d2 = terms[order], did[order]
+    new = np.ones(t2.shape[0], dtype=bool)
+    new[1:] = (t2[1:] != t2[:-1]) | (d2[1:] != d2[:-1])
+    return t2[new], d2[new]
+
+
+def inverted_postings(ds, text_col: str = "text", doc_col: str = "doc_id",
+                      min_df: int = 5, max_df: int = 60,
+                      num_buckets: int = 32):
+    """Inverted-index builder: for every term whose document frequency
+    falls in [min_df, max_df], the sorted posting list of doc ids (as a
+    comma-joined string) plus its df. Returns a Dataset
+    (term str, df int64, postings str).
+
+    Two passes so HOT TERMS NEVER SHUFFLE: pass 1 computes df per term
+    with the vocabulary-bounded combiner shape (batch-distinct counts ->
+    groupby sum -> bounded driver root), the admitted [min_df, max_df]
+    vocabulary broadcasts once via ray.put as a sorted array; pass 2
+    re-scans, keeps only admitted pairs (searchsorted membership), and
+    shuffles (term_id int, doc_id) INT pairs — strings and stopword
+    posting floods ('the' x every doc) are both pruned before the
+    exchange, which moves at most max_df x |admitted| rows. Posting
+    lists assemble in hash-bucketed reducers (lexsort + run detection,
+    the dedup.py reducer shape — never a per-term tiny group).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..ops.join import seed_schema
+    from ..ops.reduce import driver_merge
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        terms, _ = _term_doc_pairs(batch, text_col, doc_col)
+        uniq, counts = np.unique(terms, return_counts=True)
+        return pa.table({"term": pa.array(uniq, type=pa.string()),
+                         "df": counts.astype(np.int64)})
+
+    dft = driver_merge(
+        ds.map_batches(df_partial, batch_format="pyarrow",
+                       batch_size=32768)
+        .groupby("term").aggregate(Sum("df", alias_name="df")),
+        lambda t: t,
+        schema=pa.schema([("term", pa.string()), ("df", pa.int64())]))
+    df = dft["df"].to_numpy(zero_copy_only=False)
+    adm = (df >= min_df) & (df <= max_df)
+    vocab = np.sort(np.asarray(
+        dft["term"].to_numpy(zero_copy_only=False)[adm], dtype=np.str_))
+    state = ray.put(vocab)
+
+    pair_schema = pa.schema([("tid", pa.int64()), ("doc_id", pa.int64())])
+    out_schema = pa.schema([("term", pa.string()), ("df", pa.int64()),
+                            ("postings", pa.string())])
+
+    def admitted_pairs(batch: pa.Table) -> pa.Table:
+        v = ray.get(state)
+        terms, did = _term_doc_pairs(batch, text_col, doc_col)
+        if terms.shape[0] == 0 or v.shape[0] == 0:
+            return pair_schema.empty_table()
+        key = np.asarray(terms, dtype=np.str_)
+        pos = np.minimum(np.searchsorted(v, key), v.shape[0] - 1)
+        hit = v[pos] == key
+        return pa.table({"tid": pos[hit].astype(np.int64),
+                         "doc_id": did[hit]})
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        tid = batch["tid"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        return batch.append_column("_bucket", pa.array(
+            (_mix64(tid) % np.uint64(num_buckets)).astype(np.int32)))
+
+    def build(group: pa.Table) -> pa.Table:
+        tid = group["tid"].to_numpy(zero_copy_only=False)
+        did = group["doc_id"].to_numpy(zero_copy_only=False)
+        if tid.shape[0] == 0:
+            return out_schema.empty_table()
+        v = ray.get(state)
+        order = np.lexsort((did, tid))
+        t2, d2 = tid[order], did[order]
+        starts = np.flatnonzero(np.r_[True, t2[1:] != t2[:-1]])
+        ends = np.r_[starts[1:], t2.shape[0]]
+        terms = [str(v[t2[s0]]) for s0 in starts]
+        dfs = (ends - starts).astype(np.int64)
+        posts = [",".join(map(str, d2[s0:s1]))
+                 for s0, s1 in zip(starts, ends)]
+        return pa.table({"term": pa.array(terms, type=pa.string()),
+                         "df": dfs,
+                         "postings": pa.array(posts, type=pa.string())})
+
+    pairs = seed_schema(
+        ds.map_batches(admitted_pairs, batch_format="pyarrow",
+                       batch_size=32768), pair_schema)
+    return seed_schema(
+        pairs.map_batches(bucket, batch_format="pyarrow",
+                          batch_size=65536)
+        .groupby("_bucket").map_groups(build, batch_format="pyarrow"),
+        out_schema)

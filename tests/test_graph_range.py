@@ -218,3 +218,57 @@ def test_h3_cell_quality_matches_local_recompute(ray_session):
     cells = np.array(sorted(got), dtype=np.int64).view(np.uint64)
     assert bool(bits.is_valid_cell(cells).all())
     assert (bits.get_resolution(cells) == 4).all()
+
+
+def _brute_bfs(src, dst, n, seeds):
+    from collections import deque
+
+    adj = {}
+    for s, d in zip(src.tolist(), dst.tolist()):
+        adj.setdefault(s, set()).add(d)
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def test_bfs_hops_matches_brute_force(ray_session):
+    from h3ray.ops.graph import bfs_hops
+
+    rng = np.random.default_rng(11)
+    n = 60
+    src = rng.integers(0, n, 150)
+    dst = rng.integers(0, n, 150)
+    seeds = [0, 7, 41]
+    for nparts in (1, 7):
+        out = bfs_hops(_edges_ds(src, dst, nparts), n, seeds)
+        got = dict(zip(out["site"].to_pylist(), out["hops"].to_pylist()))
+        assert got == _brute_bfs(src, dst, n, seeds)
+
+
+def test_bfs_hops_directed_chain_and_guards(ray_session):
+    from h3ray.ops.graph import bfs_hops
+
+    # directed chain 0->1->2->3: hops follow edge direction only
+    src = np.array([0, 1, 2])
+    dst = np.array([1, 2, 3])
+    out = bfs_hops(_edges_ds(src, dst, 2), 4, [0])
+    assert out["site"].to_pylist() == [0, 1, 2, 3]
+    assert out["hops"].to_pylist() == [0, 1, 2, 3]
+    # BFS from the sink reaches only itself (no reverse traversal)
+    out = bfs_hops(_edges_ds(src, dst, 2), 4, [3])
+    assert out["site"].to_pylist() == [3]
+    # seed out of range
+    with pytest.raises(ValueError):
+        bfs_hops(_edges_ds(src, dst, 1), 4, [4])
+    # a chain longer than max_rounds fails loudly, never silently
+    n = 9
+    src = np.arange(n - 1)
+    dst = np.arange(1, n)
+    with pytest.raises(RuntimeError):
+        bfs_hops(_edges_ds(src, dst, 2), n, [0], max_rounds=3)

@@ -98,3 +98,36 @@ def test_normalize_stage(ray_session):
         normalize_stage(), batch_format="pyarrow") \
         .to_pandas().sort_values("doc_id")
     assert list(out.text) == ["hello world x", "a"]
+
+
+def test_inverted_postings_matches_reference(ray_session):
+    """Posting lists == a pure-Python inverted index (distinct terms per
+    doc, df band inclusive, doc ids ascending), under repartitioning."""
+    from h3ray.text.analysis import inverted_postings
+
+    docs = ["the cat sat", "the dog", "cat CAT cat", "", "dog the cat",
+            "bird", "the the the"]
+    tbl = pa.table({"doc_id": list(range(len(docs))), "text": docs})
+
+    ref = {}
+    for i, text in enumerate(docs):
+        for t in set(text.lower().split()):
+            ref.setdefault(t, []).append(i)
+    band = {t: ds for t, ds in ref.items() if 2 <= len(ds) <= 4}
+
+    for nparts in (1, 5):
+        out = inverted_postings(
+            rd.from_arrow(tbl).repartition(nparts),
+            min_df=2, max_df=4, num_buckets=3).to_pandas()
+        got = {r.term: (r.df, r.postings) for r in out.itertuples()}
+        assert got == {t: (len(ds), ",".join(map(str, sorted(ds))))
+                       for t, ds in band.items()}
+
+
+def test_inverted_postings_empty_band(ray_session):
+    from h3ray.text.analysis import inverted_postings
+
+    tbl = pa.table({"doc_id": [0, 1], "text": ["a b", "c d"]})
+    out = inverted_postings(rd.from_arrow(tbl), min_df=2, max_df=5)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"term", "df", "postings"}
