@@ -6234,6 +6234,56 @@ def _docs_inverted_postings(sf_dir: str):
     return inverted_postings(ds, min_df=2, max_df=(4 * ndocs) // 5)
 
 
+def _part_price_size_skyline(sf_dir: str):
+    """Pareto front of the part catalog: parts for which no other part
+    is both cheaper-or-equal and larger-or-equal (one strict) —
+    minimize retail price (exact cents), maximize size
+    (ops.reduce.skyline_2d: block-local skyline, survivors-only
+    exchange, one root skyline). NOT EXISTS dominance SQL mirror."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import skyline_2d
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_size",
+                                  "p_retailprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["p_retailprice"].to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "p_partkey": batch["p_partkey"],
+            "price_cents": cents,
+            "p_size": batch["p_size"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+
+    from h3ray.ops.join import seed_schema
+    prepped = seed_schema(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=131072),
+        pa.schema([("p_partkey", pa.int64()),
+                   ("price_cents", pa.int64()),
+                   ("p_size", pa.int64())]))
+    return skyline_2d(prepped, "p_partkey", "price_cents", "p_size")
+
+
+def _customer_cohort_retention(sf_dir: str):
+    """Cohort-retention matrix over orders: distinct customers from
+    each first-order-month cohort still ordering k months later
+    (ops.reduce.cohort_counts — distinct packed (cust,month) int pairs
+    are the only exchange; cohorts + offsets derived at a bounded
+    root)."""
+    import ray.data as rd
+
+    from h3ray.ops.reduce import cohort_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderdate"])
+    return cohort_counts(ds, "o_custkey", "o_orderdate")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -6243,6 +6293,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 19: Pareto-front skyline, cohort retention ---
+        "part_price_size_skyline": _part_price_size_skyline,
+        "customer_cohort_retention": _customer_cohort_retention,
         # --- round-5 wave 18: multi-source BFS, inverted index ---
         "sites_bfs_hops": _sites_bfs_hops,
         "docs_inverted_postings": _docs_inverted_postings,
@@ -6476,6 +6529,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # the stalest r02/r03-only evidence, (4) a few round-4 flagships kept for
 # regression coverage.
 _WINDOW_FIRST = [
+    # (0) round-5 wave 19: never driver-checked.
+    "part_price_size_skyline", "customer_cohort_retention",
     # (0) round-5 wave 18: never driver-checked.
     "sites_bfs_hops", "docs_inverted_postings",
     # (0) round-5 wave 17: never driver-checked.
@@ -7471,6 +7526,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT site, CAST(MIN(hops) AS BIGINT) AS hops
             FROM walk GROUP BY site
+        """,
+        "part_price_size_skyline": """
+            WITH t AS (
+              SELECT p_partkey,
+                     CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                         AS price_cents,
+                     CAST(p_size AS BIGINT) AS p_size
+              FROM part
+            )
+            SELECT p_partkey, price_cents, p_size FROM t p1
+            WHERE NOT EXISTS (
+              SELECT 1 FROM t p2
+              WHERE p2.price_cents <= p1.price_cents
+                AND p2.p_size >= p1.p_size
+                AND (p2.price_cents < p1.price_cents
+                     OR p2.p_size > p1.p_size))
+        """,
+        "customer_cohort_retention": """
+            WITH act AS (
+              SELECT DISTINCT o_custkey,
+                     date_trunc('month', o_orderdate) AS am
+              FROM orders
+            ), fo AS (
+              SELECT o_custkey, MIN(am) AS cm FROM act GROUP BY o_custkey
+            )
+            SELECT strftime(f.cm, '%Y-%m') AS cohort_month,
+                   CAST(datediff('month', f.cm, a.am) AS BIGINT)
+                       AS month_k,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM act a JOIN fo f ON f.o_custkey = a.o_custkey
+            GROUP BY 1, 2
         """,
         "docs_inverted_postings": r"""
             WITH tk AS (

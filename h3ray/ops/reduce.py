@@ -609,3 +609,122 @@ def grouping_sets_counts(ds, cols: list[str], sets: list[tuple],
     return driver_merge(ds.map_batches(partial, batch_format="pyarrow",
                                        batch_size=131072), merge,
                         schema=pschema)
+
+
+def _skyline_mask(lo, hi):
+    """Boolean survivor mask of the 2-D skyline (minimize lo, maximize
+    hi) over exact int64 arrays. A point survives iff no other point has
+    lo' <= lo AND hi' >= hi with at least one strict — exact duplicates
+    all survive (nothing strictly beats them). One lexsort + one prefix
+    max, O(n log n), fully deterministic."""
+    import numpy as np
+
+    n = lo.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((-hi, lo))          # lo asc, hi desc within lo
+    lo_s, hi_s = lo[order], hi[order]
+    new = np.r_[True, lo_s[1:] != lo_s[:-1]]
+    gidx = np.cumsum(new) - 1
+    gmax = hi_s[new]                       # per-lo-group max hi
+    prev = np.r_[np.iinfo(np.int64).min,
+                 np.maximum.accumulate(gmax)[:-1]]
+    keep_s = (hi_s == gmax[gidx]) & (gmax[gidx] > prev[gidx])
+    mask = np.zeros(n, dtype=bool)
+    mask[order] = keep_s
+    return mask
+
+
+def skyline_2d(ds, id_col: str, min_col: str, max_col: str) -> pa.Table:
+    """Distributed 2-D skyline (Pareto front): the rows for which no
+    other row is <= on min_col AND >= on max_col with one strict
+    inequality. Returns a pa.Table (id_col, min_col, max_col), int64
+    throughout, sorted by id.
+
+    Block-local skyline inside map_batches, then one skyline over the
+    union of block survivors at the driver root — correct because every
+    global skyline point survives its own block's skyline and dominance
+    is transitive, so the union contains the global front. The exchange
+    moves only block survivors (O(log n) expected per block on
+    independently-distributed dimensions); a deliberately
+    anti-correlated corpus whose front IS the dataset would need a
+    two-level grid-partitioned merge instead — out of scope here and
+    loudly visible as a fat root if it ever happens."""
+    import numpy as np
+
+    cols = [id_col, min_col, max_col]
+    schema = pa.schema([(c, pa.int64()) for c in cols])
+
+    def local(batch: pa.Table) -> pa.Table:
+        lo = batch[min_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        hi = batch[max_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        mask = _skyline_mask(lo, hi)
+        return pa.table({
+            id_col: batch[id_col].to_numpy(zero_copy_only=False)
+            .astype(np.int64)[mask],
+            min_col: lo[mask], max_col: hi[mask]})
+
+    def merge(t: pa.Table) -> pa.Table:
+        lo = t[min_col].to_numpy(zero_copy_only=False)
+        hi = t[max_col].to_numpy(zero_copy_only=False)
+        mask = _skyline_mask(lo, hi)
+        ids = t[id_col].to_numpy(zero_copy_only=False)[mask]
+        order = np.argsort(ids, kind="stable")
+        return pa.table({id_col: ids[order],
+                         min_col: lo[mask][order],
+                         max_col: hi[mask][order]})
+
+    return driver_merge(ds.map_batches(local, batch_format="pyarrow",
+                                       batch_size=131072), merge,
+                        schema=schema)
+
+
+def cohort_counts(ds, user_col: str, month_col: str) -> pa.Table:
+    """Cohort-retention matrix: for every (first-active month, month
+    offset k) pair, how many distinct users from that cohort were active
+    k months later. Input needs a user int column and a timestamp
+    column; returns (cohort_month str 'YYYY-MM', month_k int64,
+    n_customers int64).
+
+    Batch-local DISTINCT (user, month) pairs packed into one int64
+    (user * 2^16 + months-since-1970) are the only exchange; the root
+    deduplicates the bounded |users| x |months| pair space, derives each
+    user's cohort with one run-detection pass over the pack-sorted
+    array (monotone packing => sorted by (user, month)), and bincounts
+    (cohort, k). No shuffle, no per-user groups."""
+    import numpy as np
+
+    pair_schema = pa.schema([("k", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = batch[user_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = batch[month_col].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[M]").astype(np.int64)
+        if (m < 0).any() or (m >= 65536).any():
+            raise ValueError("cohort_counts: month outside 1970..7432")
+        return pa.table({"k": np.unique(u * 65536 + m)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        k = np.unique(t["k"].to_numpy(zero_copy_only=False))
+        if k.shape[0] == 0:
+            return pa.table({"cohort_month": pa.array([], pa.string()),
+                             "month_k": pa.array([], pa.int64()),
+                             "n_customers": pa.array([], pa.int64())})
+        u = k >> 16
+        m = k & 65535
+        first = np.r_[True, u[1:] != u[:-1]]
+        cohort = m[first][np.cumsum(first) - 1]
+        off = m - cohort
+        ck, counts = np.unique(cohort * 65536 + off, return_counts=True)
+        cm = (ck >> 16).astype("datetime64[M]")
+        return pa.table({
+            "cohort_month": pa.array(np.datetime_as_string(cm)),
+            "month_k": (ck & 65535).astype(np.int64),
+            "n_customers": counts.astype(np.int64)})
+
+    return driver_merge(ds.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=131072), merge,
+                        schema=pair_schema)

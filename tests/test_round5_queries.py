@@ -69,7 +69,11 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 16: market-basket pairs, sliding 24h distinct users
         "parts_bought_together", "events_sliding_distinct_users",
         # wave 17: PERCENTILE_DISC, exact weighted mean
-        "events_p50_disc_by_type", "brand_qty_weighted_price"]
+        "events_p50_disc_by_type", "brand_qty_weighted_price",
+        # wave 18: multi-source BFS, df-banded inverted index
+        "sites_bfs_hops", "docs_inverted_postings",
+        # wave 19: Pareto-front skyline, cohort retention
+        "part_price_size_skyline", "customer_cohort_retention"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -116,9 +120,11 @@ def test_empty_tables_round5_queries(ray_session, tmp_path):
         # everything else must be zero rows.
         # sites_triangle_count: COUNT(*) over zero wedges is one 0-row,
         # exactly like its SQL mirror
+        # sites_bfs_hops: zero edges still reach the 3 seeds at hop 0,
+        # exactly like the recursive CTE's anchor rows
         limit = {"forecast_revenue_delta": 1, "promo_revenue_pct": 1,
                  "sites_pagerank": 997, "sites_triangle_count": 1,
-                 "events_funnel": 1}.get(name, 0)
+                 "events_funnel": 1, "sites_bfs_hops": 3}.get(name, 0)
         assert n <= limit, name
 
 
@@ -308,3 +314,69 @@ def test_bigram_topk_tokenization_edges(ray_session):
     t = bigram_topk(ds, "text", k=10)
     got = {(r["w1"], r["w2"]): r["cnt"] for r in t.to_pylist()}
     assert got == {("a", "b"): 2, ("b", "c"): 2}
+
+
+def test_skyline_2d_matches_brute_force(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from h3ray.ops.reduce import skyline_2d
+
+    rng = np.random.default_rng(5)
+    n = 400
+    lo = rng.integers(0, 40, n)          # coarse -> guaranteed ties
+    hi = rng.integers(0, 40, n)
+    ids = np.arange(n)
+    brute = {int(i) for i in ids
+             if not any((lo[j] <= lo[i]) and (hi[j] >= hi[i])
+                        and (lo[j] < lo[i] or hi[j] > hi[i])
+                        for j in range(n))}
+    tbl = pa.table({"id": ids, "lo": lo, "hi": hi})
+    for nparts in (1, 6):
+        out = skyline_2d(rd.from_arrow(tbl).repartition(nparts),
+                         "id", "lo", "hi")
+        assert set(out["id"].to_pylist()) == brute
+        assert out["id"].to_pylist() == sorted(out["id"].to_pylist())
+
+
+def test_skyline_2d_duplicates_all_survive(ray_session):
+    import ray.data as rd
+
+    from h3ray.ops.reduce import skyline_2d
+
+    # two identical optimal points + one dominated
+    tbl = pa.table({"id": [1, 2, 3], "lo": [5, 5, 9], "hi": [7, 7, 7]})
+    out = skyline_2d(rd.from_arrow(tbl).repartition(2), "id", "lo", "hi")
+    assert out["id"].to_pylist() == [1, 2]
+
+
+def test_cohort_counts_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from h3ray.ops.reduce import cohort_counts
+
+    rng = np.random.default_rng(7)
+    n = 500
+    users = rng.integers(0, 40, n)
+    days = rng.integers(0, 900, n)
+    ts = (np.datetime64("2021-01-01") + days.astype("timedelta64[D]")) \
+        .astype("datetime64[us]")
+    tbl = pa.table({"u": users.astype(np.int64), "ts": ts})
+
+    df = pd.DataFrame({"u": users, "m": ts.astype("datetime64[M]")})
+    act = df.drop_duplicates()
+    fo = act.groupby("u")["m"].min().rename("cm")
+    j = act.join(fo, on="u")
+    j["k"] = ((j.m.dt.year - j.cm.dt.year) * 12
+              + (j.m.dt.month - j.cm.dt.month))
+    exp = j.groupby([j.cm.dt.strftime("%Y-%m"), "k"]).size()
+
+    for nparts in (1, 5):
+        out = cohort_counts(rd.from_arrow(tbl).repartition(nparts),
+                            "u", "ts").to_pandas()
+        got = {(r.cohort_month, r.month_k): r.n_customers
+               for r in out.itertuples()}
+        assert got == {(cm, int(k)): int(v)
+                       for (cm, k), v in exp.items()}
