@@ -6269,6 +6269,38 @@ def _part_price_size_skyline(sf_dir: str):
     return skyline_2d(prepped, "p_partkey", "price_cents", "p_size")
 
 
+def _events_ohlc_daily(sf_dir: str):
+    """Daily OHLC candles per event type (ops.reduce.ohlc_daily):
+    open = MIN value at the day's earliest ts (deterministic tie rule),
+    close = MAX value at the latest, plus low/high/count. Values move
+    only through comparisons — no float arithmetic — so the window-
+    function SQL mirror hashes exactly."""
+    import ray.data as rd
+
+    from h3ray.ops.reduce import ohlc_daily
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    t = ohlc_daily(ds, "event_type", "ts", "value")
+    return t.rename_columns(["event_type", "day", "open", "high",
+                             "low", "close", "n_events"])
+
+
+def _emb_label_cohesion(sf_dir: str):
+    """Per-label embedding cluster cohesion: exact mean pairwise dot
+    product within each label WITHOUT a pairwise pass
+    (pipelines.ann.label_cohesion — micro-int sums identity
+    ||Σv||² − Σ||v||², Python-bigint root, one IEEE division; HUGEINT
+    SQL mirror)."""
+    import ray.data as rd
+
+    from h3ray.pipelines.ann import label_cohesion
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+    return label_cohesion(ds)
+
+
 def _customer_cohort_retention(sf_dir: str):
     """Cohort-retention matrix over orders: distinct customers from
     each first-order-month cohort still ordering k months later
@@ -6293,6 +6325,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 20: OHLC candles, embedding cohesion ---
+        "events_ohlc_daily": _events_ohlc_daily,
+        "emb_label_cohesion": _emb_label_cohesion,
         # --- round-5 wave 19: Pareto-front skyline, cohort retention ---
         "part_price_size_skyline": _part_price_size_skyline,
         "customer_cohort_retention": _customer_cohort_retention,
@@ -6529,6 +6564,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # the stalest r02/r03-only evidence, (4) a few round-4 flagships kept for
 # regression coverage.
 _WINDOW_FIRST = [
+    # (0) round-5 wave 20: never driver-checked.
+    "events_ohlc_daily", "emb_label_cohesion",
     # (0) round-5 wave 19: never driver-checked.
     "part_price_size_skyline", "customer_cohort_retention",
     # (0) round-5 wave 18: never driver-checked.
@@ -7526,6 +7563,53 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT site, CAST(MIN(hops) AS BIGINT) AS hops
             FROM walk GROUP BY site
+        """,
+        "events_ohlc_daily": """
+            WITH w AS (
+              SELECT event_type,
+                     strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                     value, ts,
+                     MIN(ts) OVER (PARTITION BY event_type,
+                                   date_trunc('day', ts)) AS mn,
+                     MAX(ts) OVER (PARTITION BY event_type,
+                                   date_trunc('day', ts)) AS mx
+              FROM events
+            )
+            SELECT event_type, day,
+                   MIN(CASE WHEN ts = mn THEN value END) AS open,
+                   MAX(value) AS high,
+                   MIN(value) AS low,
+                   MAX(CASE WHEN ts = mx THEN value END) AS close,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM w GROUP BY event_type, day
+        """,
+        "emb_label_cohesion": """
+            WITH el AS (
+              SELECT CAST(label AS BIGINT) AS label,
+                     CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                                * 1000000 + 0.5) AS BIGINT) AS micro,
+                     unnest(range(1, len(embedding) + 1)) AS dim,
+                     vec_id
+              FROM embeddings
+            ), dimsum AS (
+              SELECT label, dim, CAST(SUM(micro) AS HUGEINT) AS s
+              FROM el GROUP BY label, dim
+            ), norm2 AS (
+              SELECT label, SUM(s * s) AS nrm FROM dimsum GROUP BY label
+            ), per AS (
+              SELECT label,
+                     CAST(SUM(CAST(micro AS HUGEINT) * micro) AS HUGEINT)
+                         AS sq,
+                     COUNT(DISTINCT vec_id) AS n
+              FROM el GROUP BY label
+            )
+            SELECT p.label, CAST(p.n AS BIGINT) AS n_vecs,
+                   CASE WHEN p.n < 2 THEN NULL
+                        ELSE CAST(n2.nrm - p.sq AS DOUBLE)
+                             / CAST(p.n * (p.n - 1)
+                                    * CAST(1000000000000 AS HUGEINT)
+                                    AS DOUBLE) END AS mean_pair_dot
+            FROM per p JOIN norm2 n2 ON n2.label = p.label
         """,
         "part_price_size_skyline": """
             WITH t AS (

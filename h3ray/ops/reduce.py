@@ -728,3 +728,124 @@ def cohort_counts(ds, user_col: str, month_col: str) -> pa.Table:
     return driver_merge(ds.map_batches(partial, batch_format="pyarrow",
                                        batch_size=131072), merge,
                         schema=pair_schema)
+
+
+def ohlc_daily(ds, key_col: str, ts_col: str, value_col: str) -> pa.Table:
+    """Daily OHLC candles per key: per (key, day) the open (MIN value
+    among rows at the earliest timestamp — a deterministic, SQL-mirrorable
+    tie rule), close (MAX value at the latest timestamp), low, high and
+    row count. Returns (key, day 'YYYY-MM-DD', open, high, low, close
+    float64, n_events int64).
+
+    Combiner shape: each batch collapses to one candle per (key, day)
+    (candle merge is associative — compare timestamps, then apply the
+    tie rule on equal boundaries), so the root merges |keys| x |days|
+    bounded partials. Values only move through MIN/MAX comparisons —
+    no float arithmetic ever happens, so float64 passes through
+    bit-exactly."""
+    import numpy as np
+
+    INT_MIN = np.iinfo(np.int64).min
+
+    def candles(key, day, ts, val, n_in):
+        """One candle row per (key, day) from per-row (or per-partial
+        boundary) data; n_in sums into n_events."""
+        import numpy as np
+
+        comp = np.char.add(np.char.add(key.astype(np.str_), "\x1f"), day)
+        uniq, inv = np.unique(comp, return_inverse=True)
+        m = uniq.shape[0]
+        mn_ts = np.full(m, np.iinfo(np.int64).max, np.int64)
+        mx_ts = np.full(m, INT_MIN, np.int64)
+        np.minimum.at(mn_ts, inv, ts)
+        np.maximum.at(mx_ts, inv, ts)
+        lo = np.full(m, np.inf)
+        hi = np.full(m, -np.inf)
+        np.minimum.at(lo, inv, val)
+        np.maximum.at(hi, inv, val)
+        op = np.full(m, np.inf)
+        cl = np.full(m, -np.inf)
+        at_mn = ts == mn_ts[inv]
+        at_mx = ts == mx_ts[inv]
+        np.minimum.at(op, inv[at_mn], val[at_mn])
+        np.maximum.at(cl, inv[at_mx], val[at_mx])
+        n = np.zeros(m, np.int64)
+        np.add.at(n, inv, n_in)
+        k_out = np.array([u.split("\x1f", 1)[0] for u in uniq.tolist()])
+        d_out = np.array([u.split("\x1f", 1)[1] for u in uniq.tolist()])
+        return k_out, d_out, mn_ts, mx_ts, op, hi, lo, cl, n
+
+    out_fields = [("key", pa.string()), ("day", pa.string()),
+                  ("mn_ts", pa.int64()), ("mx_ts", pa.int64()),
+                  ("open", pa.float64()), ("high", pa.float64()),
+                  ("low", pa.float64()), ("close", pa.float64()),
+                  ("n_events", pa.int64())]
+    pschema = pa.schema(out_fields)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts64 = batch[ts_col].to_numpy(zero_copy_only=False)
+        day = np.datetime_as_string(ts64.astype("datetime64[D]"))
+        ts = ts64.astype("datetime64[us]").astype(np.int64)
+        val = batch[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        key = batch[key_col].to_numpy(zero_copy_only=False)
+        k, d, mn, mx, op, hi, lo, cl, n = candles(
+            key, day, ts, val, np.ones(ts.shape[0], np.int64))
+        return pa.table(dict(zip(
+            [f[0] for f in out_fields],
+            [pa.array(k, pa.string()), pa.array(d, pa.string()),
+             mn, mx, op, hi, lo, cl, n])))
+
+    def merge(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False)
+        day = t["day"].to_numpy(zero_copy_only=False)
+        if key.shape[0] == 0:
+            return pa.table({
+                "key": pa.array([], pa.string()),
+                "day": pa.array([], pa.string()),
+                "open": pa.array([], pa.float64()),
+                "high": pa.array([], pa.float64()),
+                "low": pa.array([], pa.float64()),
+                "close": pa.array([], pa.float64()),
+                "n_events": pa.array([], pa.int64())})
+        # re-run the candle combine over partial boundary rows: each
+        # partial candle contributes its open at mn_ts and its close at
+        # mx_ts; min/max/count fold directly
+        mn = t["mn_ts"].to_numpy(zero_copy_only=False)
+        mx = t["mx_ts"].to_numpy(zero_copy_only=False)
+        op = t["open"].to_numpy(zero_copy_only=False)
+        cl = t["close"].to_numpy(zero_copy_only=False)
+        lo = t["low"].to_numpy(zero_copy_only=False)
+        hi = t["high"].to_numpy(zero_copy_only=False)
+        n = t["n_events"].to_numpy(zero_copy_only=False)
+        comp = np.char.add(np.char.add(key.astype(np.str_), "\x1f"),
+                           day.astype(np.str_))
+        uniq, inv = np.unique(comp, return_inverse=True)
+        m = uniq.shape[0]
+        gmn = np.full(m, np.iinfo(np.int64).max, np.int64)
+        gmx = np.full(m, INT_MIN, np.int64)
+        np.minimum.at(gmn, inv, mn)
+        np.maximum.at(gmx, inv, mx)
+        glo = np.full(m, np.inf)
+        ghi = np.full(m, -np.inf)
+        np.minimum.at(glo, inv, lo)
+        np.maximum.at(ghi, inv, hi)
+        gop = np.full(m, np.inf)
+        gcl = np.full(m, -np.inf)
+        sel_mn = mn == gmn[inv]
+        sel_mx = mx == gmx[inv]
+        np.minimum.at(gop, inv[sel_mn], op[sel_mn])
+        np.maximum.at(gcl, inv[sel_mx], cl[sel_mx])
+        gn = np.zeros(m, np.int64)
+        np.add.at(gn, inv, n)
+        k_out = [u.split("\x1f", 1)[0] for u in uniq.tolist()]
+        d_out = [u.split("\x1f", 1)[1] for u in uniq.tolist()]
+        return pa.table({
+            "key": pa.array(k_out, pa.string()),
+            "day": pa.array(d_out, pa.string()),
+            "open": gop, "high": ghi, "low": glo, "close": gcl,
+            "n_events": gn})
+
+    return driver_merge(ds.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=131072), merge,
+                        schema=pschema)

@@ -661,3 +661,84 @@ def kmeans_assign(ds, centroids: np.ndarray, *, id_col: str = "vec_id",
 
     return ds.select_columns([id_col, emb_col]).map_batches(
         fn, batch_format="pyarrow", batch_size=8192)
+
+
+def label_cohesion(ds, *, label_col: str = "label",
+                   emb_col: str = "embedding") -> pa.Table:
+    """Per-label cluster cohesion: the exact mean pairwise dot product
+    <v_i, v_j> over all ordered pairs i != j within each label, via the
+    sums identity sum_{i!=j}<v_i,v_j> = ||sum_i v_i||^2 - sum_i ||v_i||^2
+    — NO pairwise pass ever runs. Returns (label int64, n_vecs int64,
+    mean_pair_dot float64; NULL when n < 2).
+
+    Exactness contract (the centroids_by_label shape): elements quantize
+    to micro-int64 (order-free integer sums), each batch collapses to
+    |labels| x dim partial rows + per-label (n, sum of squared norms),
+    the bounded root squares the per-dim sums as PYTHON BIGINTS (a
+    5000-vector label's S_d^2 passes 2^63) and performs ONE IEEE
+    division by n(n-1)*10^12 — bit-identical to a HUGEINT SQL mirror."""
+    from ..ops.reduce import driver_merge
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _embedding_matrix(batch, emb_col, dtype=np.float64)
+        micro = np.floor(x * 1_000_000 + 0.5).astype(np.int64)
+        lab = batch[label_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        labs, inv = np.unique(lab, return_inverse=True)
+        d = micro.shape[1]
+        acc = np.zeros((labs.shape[0], d), dtype=np.int64)
+        np.add.at(acc, inv, micro)
+        counts = np.bincount(inv, minlength=labs.shape[0]) \
+            .astype(np.int64)
+        sq = np.zeros(labs.shape[0], dtype=np.int64)
+        np.add.at(sq, inv, np.einsum("ij,ij->i", micro, micro))
+        # per-label (n, sum_sq) ride along repeated per dim; the merge
+        # reads them from the dim==1 rows only, so repetition is safe
+        return pa.table({
+            "label": np.repeat(labs, d),
+            "dim": np.tile(np.arange(1, d + 1, dtype=np.int64),
+                           labs.shape[0]),
+            "sum_micro": acc.reshape(-1),
+            "sum_sq": np.repeat(sq, d),
+            "n_vecs": np.repeat(counts, d)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "n_vecs": pa.array([], pa.int64()),
+                             "mean_pair_dot": pa.array([], pa.float64())})
+        g = t.group_by(["label", "dim"]).aggregate([("sum_micro", "sum")])
+        lab = g["label"].to_numpy(zero_copy_only=False)
+        s = g["sum_micro_sum"].to_numpy(zero_copy_only=False)
+        first = t.filter(pc.equal(t["dim"], 1)) \
+            .group_by("label").aggregate([("sum_sq", "sum"),
+                                          ("n_vecs", "sum")])
+        labs = first["label"].to_numpy(zero_copy_only=False)
+        sq = first["sum_sq_sum"].to_numpy(zero_copy_only=False)
+        n = first["n_vecs_sum"].to_numpy(zero_copy_only=False)
+        order = np.argsort(labs, kind="stable")
+        labs, sq, n = labs[order], sq[order], n[order]
+        norm2 = {int(k): 0 for k in labs}
+        for k, v in zip(lab.tolist(), s.tolist()):
+            norm2[k] += v * v                     # Python bigints
+        out = []
+        for k, q, c in zip(labs.tolist(), sq.tolist(), n.tolist()):
+            if c < 2:
+                out.append(None)
+            else:
+                num = norm2[k] - q
+                out.append(float(num)
+                           / float(c * (c - 1) * 1_000_000_000_000))
+        return pa.table({"label": pa.array(labs.tolist(), pa.int64()),
+                         "n_vecs": pa.array(n.tolist(), pa.int64()),
+                         "mean_pair_dot": pa.array(out, pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=65536), merge,
+        schema=pa.schema([("label", pa.int64()), ("dim", pa.int64()),
+                          ("sum_micro", pa.int64()),
+                          ("sum_sq", pa.int64()),
+                          ("n_vecs", pa.int64())]))

@@ -73,7 +73,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 18: multi-source BFS, df-banded inverted index
         "sites_bfs_hops", "docs_inverted_postings",
         # wave 19: Pareto-front skyline, cohort retention
-        "part_price_size_skyline", "customer_cohort_retention"]
+        "part_price_size_skyline", "customer_cohort_retention",
+        # wave 20: OHLC candles, embedding cluster cohesion
+        "events_ohlc_daily", "emb_label_cohesion"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -380,3 +382,90 @@ def test_cohort_counts_matches_pandas(ray_session):
                for r in out.itertuples()}
         assert got == {(cm, int(k)): int(v)
                        for (cm, k), v in exp.items()}
+
+
+def test_ohlc_daily_matches_pandas_with_ties(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from h3ray.ops.reduce import ohlc_daily
+
+    rng = np.random.default_rng(13)
+    n = 600
+    # coarse second grid -> guaranteed duplicate timestamps per key/day
+    secs = rng.integers(0, 3 * 86400, n) // 7200 * 7200
+    ts = (np.datetime64("2023-05-01") + secs.astype("timedelta64[s]")) \
+        .astype("datetime64[us]")
+    key = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    val = rng.integers(-50, 50, n).astype(np.float64) / 4.0
+    tbl = pa.table({"k": key, "ts": ts, "v": val})
+
+    exp = {}
+    for i in range(n):
+        kd = (key[i], str(ts[i].astype("datetime64[D]")))
+        mn, mx, op, cl, lo, hi, c = exp.get(
+            kd, (ts[i], ts[i], val[i], val[i], val[i], val[i], 0))
+        if ts[i] < mn:
+            mn, op = ts[i], val[i]
+        elif ts[i] == mn:
+            op = min(op, val[i])
+        if ts[i] > mx:
+            mx, cl = ts[i], val[i]
+        elif ts[i] == mx:
+            cl = max(cl, val[i])
+        exp[kd] = (mn, mx, op, cl, min(lo, val[i]), max(hi, val[i]),
+                   c + 1)
+
+    for nparts in (1, 6):
+        out = ohlc_daily(rd.from_arrow(tbl).repartition(nparts),
+                         "k", "ts", "v").to_pandas()
+        got = {(r.key, r.day): (r.open, r.close, r.low, r.high,
+                                r.n_events)
+               for r in out.itertuples()}
+        assert got == {kd: (op, cl, lo, hi, c)
+                       for kd, (mn, mx, op, cl, lo, hi, c)
+                       in exp.items()}
+
+
+def test_label_cohesion_matches_pairwise_brute_force(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from h3ray.pipelines.ann import label_cohesion
+
+    rng = np.random.default_rng(17)
+    n, d = 120, 8
+    emb = rng.normal(size=(n, d)).astype(np.float32) / 3.0
+    lab = rng.integers(0, 4, n)
+    lab[lab == 3] = 2          # make label 3 vanish
+    lab[0] = 3                 # ...and re-add it as a singleton
+    tbl = pa.table({"vec_id": np.arange(n, dtype=np.int64),
+                    "label": lab.astype(np.int32),
+                    "embedding": [e.tolist() for e in emb]})
+
+    micro = np.floor(emb.astype(np.float64) * 1e6 + 0.5)
+    exp = {}
+    for g in np.unique(lab):
+        rows = micro[lab == g]
+        m = rows.shape[0]
+        if m < 2:
+            exp[int(g)] = (m, None)
+            continue
+        gram = rows @ rows.T
+        num = gram.sum() - np.trace(gram)
+        exp[int(g)] = (m, float(num) / float(m * (m - 1) * 1e12))
+
+    for nparts in (1, 5):
+        out = label_cohesion(
+            rd.from_arrow(tbl).repartition(nparts)).to_pandas()
+        got = {int(r.label): (int(r.n_vecs),
+                              None if pd.isna(r.mean_pair_dot)
+                              else r.mean_pair_dot)
+               for r in out.itertuples()}
+        for g, (m, c) in exp.items():
+            gm, gc = got[g]
+            assert gm == m
+            if c is None:
+                assert gc is None
+            else:
+                assert abs(gc - c) < 1e-9
