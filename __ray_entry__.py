@@ -6269,6 +6269,37 @@ def _part_price_size_skyline(sf_dir: str):
     return skyline_2d(prepped, "p_partkey", "price_cents", "p_size")
 
 
+def _events_trailing_7d(sf_dir: str):
+    """RANGE-framed trailing 7-day value sum per event type at each
+    active day (ops.window.trailing_day_sum): exact cents, bounded
+    (type, day) partials, one prefix-sum root — the
+    `RANGE BETWEEN INTERVAL 6 DAYS PRECEDING` SQL window shape."""
+    import ray.data as rd
+
+    from h3ray.ops.window import trailing_day_sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    t = trailing_day_sum(ds, "event_type", "ts", "value", days=7)
+    return t.rename_columns(["event_type", "day", "day_cents",
+                             "trail_cents"])
+
+
+def _emb_top_dot_pairs(sf_dir: str):
+    """Global top-20 most-similar embedding pairs by EXACT micro-int
+    inner product (pipelines.ann.top_dot_pairs): block-pair fan-out
+    with per-task top-k, total (dot DESC, id_a, id_b) order — the one
+    similarity-search query whose scores hash-match SQL exactly
+    (every partial sum < 2^53, see the kernel docstring)."""
+    import ray.data as rd
+
+    from h3ray.pipelines.ann import top_dot_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return top_dot_pairs(ds, k=20)
+
+
 def _events_ohlc_daily(sf_dir: str):
     """Daily OHLC candles per event type (ops.reduce.ohlc_daily):
     open = MIN value at the day's earliest ts (deterministic tie rule),
@@ -6325,6 +6356,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 21: RANGE-frame trailing sums, exact top-k
+        # --- inner-product pairs ---
+        "events_trailing_7d": _events_trailing_7d,
+        "emb_top_dot_pairs": _emb_top_dot_pairs,
         # --- round-5 wave 20: OHLC candles, embedding cohesion ---
         "events_ohlc_daily": _events_ohlc_daily,
         "emb_label_cohesion": _emb_label_cohesion,
@@ -6564,6 +6599,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # the stalest r02/r03-only evidence, (4) a few round-4 flagships kept for
 # regression coverage.
 _WINDOW_FIRST = [
+    # (0) round-5 wave 21: never driver-checked.
+    "events_trailing_7d", "emb_top_dot_pairs",
     # (0) round-5 wave 20: never driver-checked.
     "events_ohlc_daily", "emb_label_cohesion",
     # (0) round-5 wave 19: never driver-checked.
@@ -7563,6 +7600,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT site, CAST(MIN(hops) AS BIGINT) AS hops
             FROM walk GROUP BY site
+        """,
+        "events_trailing_7d": """
+            WITH d AS (
+              SELECT event_type, date_trunc('day', ts) AS dday,
+                     CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS day_cents
+              FROM events GROUP BY 1, 2
+            )
+            SELECT event_type,
+                   strftime(dday, '%Y-%m-%d') AS day, day_cents,
+                   CAST(SUM(day_cents) OVER (
+                       PARTITION BY event_type ORDER BY dday
+                       RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS trail_cents
+            FROM d
+        """,
+        "emb_top_dot_pairs": """
+            WITH m AS (
+              SELECT vec_id,
+                     CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                                * 1000000 + 0.5) AS BIGINT) AS micro,
+                     unnest(range(1, len(embedding) + 1)) AS dim
+              FROM embeddings
+            ), dots AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     CAST(SUM(a.micro * b.micro) AS BIGINT) AS dot
+              FROM m a JOIN m b ON a.dim = b.dim
+                                AND a.vec_id < b.vec_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, dot FROM dots
+            ORDER BY dot DESC, id_a, id_b LIMIT 20
         """,
         "events_ohlc_daily": """
             WITH w AS (

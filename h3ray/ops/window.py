@@ -342,3 +342,65 @@ def interval_followup_count(ds, part_col: str, ts_col: str,
 
     return _bucketed(ds, part_col, num_buckets) \
         .groupby("_bucket").map_groups(fn, batch_format="pyarrow")
+
+
+def trailing_day_sum(ds, key_col: str, ts_col: str, value_col: str,
+                     *, days: int = 7) -> pa.Table:
+    """Time-RANGE-framed trailing sum: per (key, day), the exact-cent
+    sum of value over the trailing `days`-day window (current day plus
+    days-1 preceding), evaluated at each day the key is active — the
+    RANGE BETWEEN INTERVAL frame SQL shape. Returns (key str, day
+    'YYYY-MM-DD', day_cents int64, trail_cents int64).
+
+    Two-level: batches collapse to |keys| x |days|-bounded (key, day,
+    cents) partials (pure Arrow group_by, zero shuffle), the root
+    prefix-sums each key's day series once and answers every window
+    with two searchsorted lookups — O(rows) at the root, no per-window
+    rescan, no float arithmetic anywhere."""
+    import numpy as np
+
+    pschema = pa.schema([("key", pa.string()), ("day", pa.int64()),
+                         ("cents", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = batch[ts_col].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        cents = np.floor(
+            batch[value_col].to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"key": batch[key_col], "day": day, "cents": cents})
+        return t.group_by(["key", "day"]).aggregate([("cents", "sum")]) \
+            .rename_columns(["key", "day", "cents"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["key", "day"]).aggregate([("cents", "sum")])
+        key = g["key"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        cents = g["cents_sum"].to_numpy(zero_copy_only=False)
+        if key.shape[0] == 0:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "day": pa.array([], pa.string()),
+                             "day_cents": pa.array([], pa.int64()),
+                             "trail_cents": pa.array([], pa.int64())})
+        order = np.lexsort((day, key.astype(np.str_)))
+        key, day, cents = key[order], day[order], cents[order]
+        trail = np.empty(cents.shape[0], dtype=np.int64)
+        starts = np.flatnonzero(
+            np.r_[True, key[1:] != key[:-1]]).tolist()
+        ends = starts[1:] + [key.shape[0]]
+        for s, e in zip(starts, ends):
+            d = day[s:e]
+            pref = np.r_[0, np.cumsum(cents[s:e])]
+            lo = np.searchsorted(d, d - (days - 1), side="left")
+            trail[s:e] = pref[np.arange(1, e - s + 1)] - pref[lo]
+        return pa.table({
+            "key": pa.array(key.tolist(), pa.string()),
+            "day": pa.array(np.datetime_as_string(
+                day.astype("datetime64[D]"))),
+            "day_cents": cents, "trail_cents": trail})
+
+    from .reduce import driver_merge
+
+    return driver_merge(ds.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=131072), merge,
+                        schema=pschema)

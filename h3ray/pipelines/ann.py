@@ -742,3 +742,83 @@ def label_cohesion(ds, *, label_col: str = "label",
                           ("sum_micro", pa.int64()),
                           ("sum_sq", pa.int64()),
                           ("n_vecs", pa.int64())]))
+
+
+def top_dot_pairs(ds, *, k: int = 20, id_col: str = "vec_id",
+                  emb_col: str = "embedding", num_cpus: float = 1.0,
+                  target_block_rows: int = 16384,
+                  max_blocks: int = 256) -> pa.Table:
+    """Global top-k most-similar embedding pairs by EXACT inner product
+    (id_a < id_b, micro-int64 units): the cosine_dup_pairs block-pair
+    fan-out, but each task keeps only ITS top-k and the tiny
+    (B(B+1)/2) x k partial set merges at the driver — the full pair
+    matrix never materializes anywhere.
+
+    Exactness: elements quantize to micro-int64; the float64 BLAS
+    matmul is bit-exact here because every product (<= 1e12) and every
+    64-term partial sum (<= 6.4e13) sits far below 2^53, so the result
+    casts back to the true integer dot regardless of summation order —
+    which is what makes a HUGEINT-free SQL mirror hash-match. Ordering
+    (dot DESC, id_a, id_b) is total, so boundary ties are
+    deterministic. Same max_blocks guard as the exact-threshold path.
+    """
+    import ray
+    import ray.data as rd
+
+    out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                            ("dot", pa.int64())])
+
+    blocks = ds.select_columns([id_col, emb_col]) \
+        .map_batches(lambda b: b, batch_format="pyarrow",
+                     batch_size=target_block_rows).to_arrow_refs()
+    if len(blocks) > max_blocks:
+        raise ValueError(
+            f"top_dot_pairs is the exact O(N^2) path: {len(blocks)} "
+            f"blocks exceed max_blocks={max_blocks}; use the LSH family "
+            "at this corpus size or raise max_blocks deliberately.")
+
+    def micro_block(tbl):
+        if isinstance(tbl, pa.RecordBatch):
+            tbl = pa.Table.from_batches([tbl])
+        # an empty input Dataset yields schema-less blocks (Ray drops
+        # the mapped schema on empty inputs) — treat as an empty block
+        if tbl.num_rows == 0 or id_col not in tbl.schema.names:
+            return np.empty(0, np.int64), np.empty((0, 0))
+        m = _embedding_matrix(tbl, emb_col, dtype=np.float64)
+        return (tbl[id_col].to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                np.floor(m * 1_000_000 + 0.5))
+
+    def topk_of(a, b, dot):
+        order = np.lexsort((b, a, -dot))[:k]
+        return pa.table({"id_a": a[order], "id_b": b[order],
+                         "dot": dot[order]})
+
+    @ray.remote(num_cpus=num_cpus)
+    def pair_task(ta, tb, same: bool) -> pa.Table:
+        ids_a, ma = micro_block(ta)
+        ids_b, mb = micro_block(tb)
+        if ids_a.size == 0 or ids_b.size == 0:
+            return out_schema.empty_table()
+        dots = (ma @ mb.T).astype(np.int64)
+        if same:
+            keep = ids_a[:, None] < ids_b[None, :]
+        else:
+            keep = ids_a[:, None] != ids_b[None, :]
+        r, c = np.nonzero(keep)
+        a, b = ids_a[r], ids_b[c]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        return topk_of(lo, hi, dots[r, c])
+
+    refs = [pair_task.remote(blocks[i], blocks[j], i == j)
+            for i in range(len(blocks)) for j in range(i, len(blocks))]
+    from ..ops.reduce import driver_merge
+
+    def merge(t: pa.Table) -> pa.Table:
+        return topk_of(t["id_a"].to_numpy(zero_copy_only=False),
+                       t["id_b"].to_numpy(zero_copy_only=False),
+                       t["dot"].to_numpy(zero_copy_only=False))
+
+    return driver_merge(rd.from_arrow_refs(refs), merge,
+                        schema=out_schema)

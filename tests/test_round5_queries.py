@@ -75,7 +75,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 19: Pareto-front skyline, cohort retention
         "part_price_size_skyline", "customer_cohort_retention",
         # wave 20: OHLC candles, embedding cluster cohesion
-        "events_ohlc_daily", "emb_label_cohesion"]
+        "events_ohlc_daily", "emb_label_cohesion",
+        # wave 21: RANGE-frame trailing sums, exact top-k dot pairs
+        "events_trailing_7d", "emb_top_dot_pairs"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -469,3 +471,72 @@ def test_label_cohesion_matches_pairwise_brute_force(ray_session):
                 assert gc is None
             else:
                 assert abs(gc - c) < 1e-9
+
+
+def test_trailing_day_sum_matches_pandas(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from h3ray.ops.window import trailing_day_sum
+
+    rng = np.random.default_rng(19)
+    n = 500
+    days = rng.integers(0, 30, n)       # gaps + repeats
+    ts = (np.datetime64("2024-02-10") + days.astype("timedelta64[D]")
+          + rng.integers(0, 86400, n).astype("timedelta64[s]")) \
+        .astype("datetime64[us]")
+    key = np.array(["x", "y"])[rng.integers(0, 2, n)]
+    val = rng.integers(-400, 400, n) / 100.0
+    tbl = pa.table({"k": key, "ts": ts, "v": val})
+
+    cents = np.floor(val * 100 + 0.5).astype(np.int64)
+    day = ts.astype("datetime64[D]")
+    exp = {}
+    for g in ("x", "y"):
+        sel = key == g
+        for d in np.unique(day[sel]):
+            in_day = sel & (day == d)
+            in_win = sel & (day <= d) & (day > d - 7)
+            exp[(g, str(d))] = (int(cents[in_day].sum()),
+                                int(cents[in_win].sum()))
+
+    for nparts in (1, 6):
+        out = trailing_day_sum(rd.from_arrow(tbl).repartition(nparts),
+                               "k", "ts", "v", days=7).to_pandas()
+        got = {(r.key, r.day): (r.day_cents, r.trail_cents)
+               for r in out.itertuples()}
+        assert got == exp
+
+
+def test_top_dot_pairs_matches_brute_force(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from h3ray.pipelines.ann import top_dot_pairs
+
+    rng = np.random.default_rng(23)
+    n, d = 90, 6
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    tbl = pa.table({"vec_id": np.arange(n, dtype=np.int64),
+                    "embedding": [e.tolist() for e in emb]})
+
+    micro = np.floor(emb.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    dots = micro @ micro.T
+    cand = [(int(dots[i, j]), i, j)
+            for i in range(n) for j in range(i + 1, n)]
+    cand.sort(key=lambda t: (-t[0], t[1], t[2]))
+    exp = [(i, j, dt) for dt, i, j in cand[:15]]
+
+    for block_rows in (200, 25):        # single-block and multi-block
+        out = top_dot_pairs(
+            rd.from_arrow(tbl).repartition(3), k=15,
+            target_block_rows=block_rows)
+        got = list(zip(out["id_a"].to_pylist(),
+                       out["id_b"].to_pylist(),
+                       out["dot"].to_pylist()))
+        assert got == exp
+
+    # empty corpus -> schema-stable empty result
+    out = top_dot_pairs(rd.from_arrow(tbl.schema.empty_table()), k=5)
+    assert out.num_rows == 0
+    assert out.schema.names == ["id_a", "id_b", "dot"]
