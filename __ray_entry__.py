@@ -6269,6 +6269,38 @@ def _part_price_size_skyline(sf_dir: str):
     return skyline_2d(prepped, "p_partkey", "price_cents", "p_size")
 
 
+def _events_gap_filled(sf_dir: str):
+    """Calendar resample + forward fill per event type
+    (ops.window.gap_fill_daily): one row per calendar day in each
+    type's active span, gap days carrying the latest preceding day's
+    exact-cent sum and was_gap=1 — the time-series densification
+    operator. SQL mirror: per-key generate_series + ASOF JOIN."""
+    import ray.data as rd
+
+    from h3ray.ops.window import gap_fill_daily
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    t = gap_fill_daily(ds, "event_type", "ts", "value")
+    return t.rename_columns(["event_type", "day", "cents", "was_gap"])
+
+
+def _events_partition_fingerprints(sf_dir: str):
+    """Anti-entropy table fingerprints (ops.reduce.table_fingerprint):
+    per mix64-hash bucket, the row count and XOR-fold of all key
+    hashes — order/blocking/retry-invariant, so two runs or two
+    replicas of a 10^12-row table agree iff every one of the 64
+    fingerprint rows matches, and a mismatch localizes to a bucket.
+    bit_xor SQL mirror over the same mix64 chain."""
+    import ray.data as rd
+
+    from h3ray.ops.reduce import table_fingerprint
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id"])
+    return table_fingerprint(ds, "event_id", num_buckets=64)
+
+
 def _events_trailing_7d(sf_dir: str):
     """RANGE-framed trailing 7-day value sum per event type at each
     active day (ops.window.trailing_day_sum): exact cents, bounded
@@ -6356,6 +6388,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 22: calendar gap-fill, table fingerprints ---
+        "events_gap_filled": _events_gap_filled,
+        "events_partition_fingerprints": _events_partition_fingerprints,
         # --- round-5 wave 21: RANGE-frame trailing sums, exact top-k
         # --- inner-product pairs ---
         "events_trailing_7d": _events_trailing_7d,
@@ -6599,6 +6634,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # the stalest r02/r03-only evidence, (4) a few round-4 flagships kept for
 # regression coverage.
 _WINDOW_FIRST = [
+    # (0) round-5 wave 22: never driver-checked.
+    "events_gap_filled", "events_partition_fingerprints",
     # (0) round-5 wave 21: never driver-checked.
     "events_trailing_7d", "emb_top_dot_pairs",
     # (0) round-5 wave 20: never driver-checked.
@@ -6803,6 +6840,20 @@ def _sql_mulmod(x: str, c: int) -> str:
             f" % 4294967296 * 4294967296"
             f" + CAST({x} & 4294967295 AS HUGEINT) * {c}::HUGEINT)"
             f" % 18446744073709551616 AS UBIGINT)")
+
+
+def _mix64_cte(src_select: str) -> str:
+    """CTE chain applying the engine's _mix64 (splitmix64 finalizer,
+    same constants/shifts as io.pages._mix64) to the UBIGINT column
+    `x0` of `src_select`; exposes CTE `hashed(h UBIGINT)`."""
+    c1, c2 = 13787848793156543929, 10723151780598845931
+    return f"""
+        _x0 AS ({src_select}),
+        _x1 AS (SELECT {_sql_mulmod('xor(x0, x0 >> 30)', c1)} AS x1
+                FROM _x0),
+        _x2 AS (SELECT {_sql_mulmod('xor(x1, x1 >> 27)', c2)} AS x2
+                FROM _x1),
+        hashed AS (SELECT xor(x2, x2 >> 31) AS h FROM _x2)"""
 
 
 def _sites_edges_cte() -> str:
@@ -7600,6 +7651,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT site, CAST(MIN(hops) AS BIGINT) AS hops
             FROM walk GROUP BY site
+        """,
+        "events_gap_filled": """
+            WITH d AS (
+              SELECT event_type, date_trunc('day', ts) AS dday,
+                     CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM events GROUP BY 1, 2
+            ), r AS (
+              SELECT event_type,
+                     unnest(generate_series(MIN(dday), MAX(dday),
+                                            INTERVAL 1 DAY)) AS dday
+              FROM d GROUP BY event_type
+            )
+            SELECT r.event_type,
+                   strftime(r.dday, '%Y-%m-%d') AS day,
+                   d.cents,
+                   CAST(d.dday <> r.dday AS BIGINT) AS was_gap
+            FROM r ASOF JOIN d
+              ON d.event_type = r.event_type AND r.dday >= d.dday
+        """,
+        "events_partition_fingerprints": f"""
+            WITH {_mix64_cte(
+                "SELECT CAST(event_id AS UBIGINT) AS x0 FROM events")}
+            SELECT CAST(h % 64 AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(CASE WHEN bit_xor(h)
+                                  >= 9223372036854775808::UBIGINT
+                        THEN CAST(bit_xor(h) AS HUGEINT)
+                             - 18446744073709551616::HUGEINT
+                        ELSE CAST(bit_xor(h) AS HUGEINT) END
+                        AS BIGINT) AS xor_fp
+            FROM hashed GROUP BY 1
         """,
         "events_trailing_7d": """
             WITH d AS (

@@ -849,3 +849,49 @@ def ohlc_daily(ds, key_col: str, ts_col: str, value_col: str) -> pa.Table:
     return driver_merge(ds.map_batches(partial, batch_format="pyarrow",
                                        batch_size=131072), merge,
                         schema=pschema)
+
+
+def table_fingerprint(ds, key_col: str, num_buckets: int = 64) -> pa.Table:
+    """Per-hash-bucket table fingerprint for cross-run/anti-entropy
+    data validation: bucket = mix64(key) % num_buckets, with the
+    bucket's row count and the XOR-fold of all its mix64 hashes.
+    XOR is commutative+associative, so the fingerprint is
+    order/blocking/retry-invariant — two runs (or two replicas) agree
+    iff every bucket row matches, and a mismatch localizes the damage
+    to one bucket. Returns (bucket, n_rows, xor_fp int64 bit-view)."""
+    import numpy as np
+
+    from ..io.pages import _mix64
+
+    schema = pa.schema([("bucket", pa.int64()), ("n_rows", pa.int64()),
+                        ("xor_fp", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        h = _mix64(k)
+        b = (h % np.uint64(num_buckets)).astype(np.int64)
+        acc = np.zeros(num_buckets, dtype=np.uint64)
+        np.bitwise_xor.at(acc, b, h)
+        n = np.bincount(b, minlength=num_buckets).astype(np.int64)
+        nz = np.flatnonzero(n)
+        return pa.table({"bucket": nz.astype(np.int64), "n_rows": n[nz],
+                         "xor_fp": acc[nz].view(np.int64)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        if b.shape[0] == 0:
+            return schema.empty_table()
+        fp = t["xor_fp"].to_numpy(zero_copy_only=False)
+        n = t["n_rows"].to_numpy(zero_copy_only=False)
+        acc = np.zeros(num_buckets, dtype=np.int64)
+        np.bitwise_xor.at(acc, b, fp)       # int64 xor == uint64 xor
+        cnt = np.zeros(num_buckets, dtype=np.int64)
+        np.add.at(cnt, b, n)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bucket": nz.astype(np.int64),
+                         "n_rows": cnt[nz], "xor_fp": acc[nz]})
+
+    return driver_merge(ds.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=131072), merge,
+                        schema=schema)

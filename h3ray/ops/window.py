@@ -404,3 +404,70 @@ def trailing_day_sum(ds, key_col: str, ts_col: str, value_col: str,
     return driver_merge(ds.map_batches(partial, batch_format="pyarrow",
                                        batch_size=131072), merge,
                         schema=pschema)
+
+
+def gap_fill_daily(ds, key_col: str, ts_col: str,
+                   value_col: str) -> pa.Table:
+    """Calendar resample + forward fill: per key, ONE row for EVERY
+    calendar day between that key's first and last active day; gap days
+    carry the latest preceding day's exact-cent sum and was_gap=1 —
+    the time-series densification step (SQL mirror: per-key
+    generate_series + ASOF JOIN). Returns (key str, day 'YYYY-MM-DD',
+    cents int64, was_gap int64).
+
+    Same bounded (key, day, cents) combiner as trailing_day_sum; the
+    root emits each key's dense range with one searchsorted gather —
+    the output is |keys| x |span-days| bounded, never row-count
+    bounded."""
+    import numpy as np
+
+    pschema = pa.schema([("key", pa.string()), ("day", pa.int64()),
+                         ("cents", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = batch[ts_col].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        cents = np.floor(
+            batch[value_col].to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"key": batch[key_col], "day": day, "cents": cents})
+        return t.group_by(["key", "day"]).aggregate([("cents", "sum")]) \
+            .rename_columns(["key", "day", "cents"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["key", "day"]).aggregate([("cents", "sum")])
+        key = g["key"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        cents = g["cents_sum"].to_numpy(zero_copy_only=False)
+        out_k, out_d, out_c, out_gap = [], [], [], []
+        if key.shape[0]:
+            order = np.lexsort((day, key.astype(np.str_)))
+            key, day, cents = key[order], day[order], cents[order]
+            starts = np.flatnonzero(
+                np.r_[True, key[1:] != key[:-1]]).tolist()
+            ends = starts[1:] + [key.shape[0]]
+            for s, e in zip(starts, ends):
+                d, c = day[s:e], cents[s:e]
+                rng = np.arange(d[0], d[-1] + 1, dtype=np.int64)
+                pos = np.searchsorted(d, rng, side="right") - 1
+                out_k.append(np.repeat(key[s], rng.shape[0]))
+                out_d.append(rng)
+                out_c.append(c[pos])
+                out_gap.append((d[pos] != rng).astype(np.int64))
+        if not out_k:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "day": pa.array([], pa.string()),
+                             "cents": pa.array([], pa.int64()),
+                             "was_gap": pa.array([], pa.int64())})
+        return pa.table({
+            "key": pa.array(np.concatenate(out_k).tolist(), pa.string()),
+            "day": pa.array(np.datetime_as_string(
+                np.concatenate(out_d).astype("datetime64[D]"))),
+            "cents": np.concatenate(out_c),
+            "was_gap": np.concatenate(out_gap)})
+
+    from .reduce import driver_merge
+
+    return driver_merge(ds.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=131072), merge,
+                        schema=pschema)

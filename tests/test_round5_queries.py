@@ -77,7 +77,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 20: OHLC candles, embedding cluster cohesion
         "events_ohlc_daily", "emb_label_cohesion",
         # wave 21: RANGE-frame trailing sums, exact top-k dot pairs
-        "events_trailing_7d", "emb_top_dot_pairs"]
+        "events_trailing_7d", "emb_top_dot_pairs",
+        # wave 22: calendar gap-fill, anti-entropy fingerprints
+        "events_gap_filled", "events_partition_fingerprints"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -540,3 +542,73 @@ def test_top_dot_pairs_matches_brute_force(ray_session):
     out = top_dot_pairs(rd.from_arrow(tbl.schema.empty_table()), k=5)
     assert out.num_rows == 0
     assert out.schema.names == ["id_a", "id_b", "dot"]
+
+
+def test_gap_fill_daily_fills_and_flags(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from h3ray.ops.window import gap_fill_daily
+
+    ts = np.array(["2024-03-01T08:00", "2024-03-01T09:00",
+                   "2024-03-04T12:00", "2024-03-10T01:00",
+                   "2024-03-05T00:00"], dtype="datetime64[us]")
+    key = np.array(["a", "a", "a", "a", "b"])
+    val = np.array([1.00, 2.00, 4.00, 8.00, 5.00])
+    tbl = pa.table({"k": key, "ts": ts, "v": val})
+
+    for nparts in (1, 3):
+        out = gap_fill_daily(rd.from_arrow(tbl).repartition(nparts),
+                             "k", "ts", "v").to_pandas()
+        a = out[out.key == "a"].sort_values("day")
+        # dense calendar: 2024-03-01 .. 2024-03-10 inclusive
+        assert list(a.day) == [f"2024-03-{d:02d}" for d in range(1, 11)]
+        assert list(a.cents) == [300, 300, 300, 400, 400, 400, 400,
+                                 400, 400, 800]
+        assert list(a.was_gap) == [0, 1, 1, 0, 1, 1, 1, 1, 1, 0]
+        b = out[out.key == "b"]
+        assert list(b.day) == ["2024-03-05"]
+        assert list(b.cents) == [500]
+        assert list(b.was_gap) == [0]
+
+
+def test_table_fingerprint_invariance_and_sensitivity(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from h3ray.io.pages import _mix64
+    from h3ray.ops.reduce import table_fingerprint
+
+    rng = np.random.default_rng(29)
+    keys = rng.permutation(np.arange(3000, dtype=np.int64))
+    tbl = pa.table({"id": keys})
+
+    outs = []
+    for nparts in (1, 8):
+        t = table_fingerprint(rd.from_arrow(tbl).repartition(nparts),
+                              "id", num_buckets=16)
+        outs.append(sorted(zip(t["bucket"].to_pylist(),
+                               t["n_rows"].to_pylist(),
+                               t["xor_fp"].to_pylist())))
+    assert outs[0] == outs[1]                  # blocking-invariant
+    assert sum(n for _, n, _ in outs[0]) == 3000
+
+    # reference recompute
+    h = _mix64(keys.astype(np.uint64))
+    exp = {}
+    for b in range(16):
+        sel = h[(h % np.uint64(16)).astype(int) == b]
+        if sel.size:
+            exp[b] = (sel.size,
+                      int(np.bitwise_xor.reduce(sel).view(np.int64)))
+    assert {b: (n, f) for b, n, f in outs[0]} == exp
+
+    # dropping one row flips exactly its bucket's fingerprint
+    t2 = table_fingerprint(rd.from_arrow(tbl.slice(1)), "id",
+                           num_buckets=16)
+    got2 = {b: (n, f) for b, n, f in
+            zip(t2["bucket"].to_pylist(), t2["n_rows"].to_pylist(),
+                t2["xor_fp"].to_pylist())}
+    full = {b: (n, f) for b, n, f in outs[0]}
+    changed = [b for b in full if got2.get(b) != full[b]]
+    assert len(changed) == 1
