@@ -6269,6 +6269,51 @@ def _part_price_size_skyline(sf_dir: str):
     return skyline_2d(prepped, "p_partkey", "price_cents", "p_size")
 
 
+def _pages_fuzzy_url_pairs(sf_dir: str):
+    """Record-linkage fuzzy join over the pages table: same-domain url
+    pairs with Levenshtein distance <= 2 (ops.pairs.fuzzy_pairs_blocked
+    — within-blocking-key candidates only, DP vectorized over every
+    pair in a reducer at once; the kernel is differential-tested
+    against DuckDB's levenshtein on random variable-length strings)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from h3ray.io.pages import pages_from_documents
+    from h3ray.ops.join import seed_schema
+    from h3ray.ops.pairs import fuzzy_pairs_blocked
+
+    pages = pages_from_documents(sf_dir)
+
+    def keyed(batch):
+        url = batch["url"]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        return pa.table({
+            "domain": pc.utf8_slice_codeunits(url, 8, 25), "url": url})
+
+    ds = seed_schema(
+        pages.map_batches(keyed, batch_format="pyarrow",
+                          batch_size=65536),
+        pa.schema([("domain", pa.string()), ("url", pa.string())]))
+    out = fuzzy_pairs_blocked(ds, "domain", "url", max_dist=2)
+    return out.rename_columns(["domain", "url_a", "url_b", "dist"])
+
+
+def _events_moving_median_7d(sf_dir: str):
+    """Trailing 7-day moving MEDIAN (discrete, lower-middle — never
+    interpolated) of per-day cent sums per event type
+    (ops.window.moving_day_median); quantile_disc window SQL mirror."""
+    import ray.data as rd
+
+    from h3ray.ops.window import moving_day_median
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    t = moving_day_median(ds, "event_type", "ts", "value", days=7)
+    return t.rename_columns(["event_type", "day", "day_cents",
+                             "med_cents"])
+
+
 def _events_gap_filled(sf_dir: str):
     """Calendar resample + forward fill per event type
     (ops.window.gap_fill_daily): one row per calendar day in each
@@ -6388,6 +6433,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 23: fuzzy record linkage, moving median ---
+        "pages_fuzzy_url_pairs": _pages_fuzzy_url_pairs,
+        "events_moving_median_7d": _events_moving_median_7d,
         # --- round-5 wave 22: calendar gap-fill, table fingerprints ---
         "events_gap_filled": _events_gap_filled,
         "events_partition_fingerprints": _events_partition_fingerprints,
@@ -6634,6 +6682,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # the stalest r02/r03-only evidence, (4) a few round-4 flagships kept for
 # regression coverage.
 _WINDOW_FIRST = [
+    # (0) round-5 wave 23: never driver-checked.
+    "pages_fuzzy_url_pairs", "events_moving_median_7d",
     # (0) round-5 wave 22: never driver-checked.
     "events_gap_filled", "events_partition_fingerprints",
     # (0) round-5 wave 21: never driver-checked.
@@ -7200,6 +7250,37 @@ def _pages_domain_oracle() -> str:
     """
 
 
+def _fuzzy_url_pairs_oracle() -> str:
+    """SQL mirror of _pages_fuzzy_url_pairs: the pages_from_documents
+    url derivation, self-joined within domain, DuckDB levenshtein."""
+    mix_did = _sql_mulmod("xor(_d0, _d0 >> 30)", 13787848793156543929)
+    return f"""
+        WITH _d AS (
+          SELECT CAST(doc_id AS UBIGINT) AS _d0, doc_id FROM documents
+        ), _dm1 AS (
+          SELECT *, {mix_did} AS _d1 FROM _d
+        ), _dm2 AS (
+          SELECT *,
+                 {_sql_mulmod('xor(_d1, _d1 >> 27)', 10723151780598845931)}
+                 AS _d2
+          FROM _dm1
+        ), pages AS (
+          SELECT 'https://site'
+                 || lpad(CAST(xor(_d2, _d2 >> 31) % 997 AS VARCHAR), 5, '0')
+                 || '.example/' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+                 AS url
+          FROM _dm2
+        ), keyed AS (
+          SELECT substring(url, 9, 17) AS domain, url FROM pages
+        )
+        SELECT a.domain, a.url AS url_a, b.url AS url_b,
+               CAST(levenshtein(a.url, b.url) AS BIGINT) AS dist
+        FROM keyed a JOIN keyed b
+          ON b.domain = a.domain AND a.url < b.url
+        WHERE levenshtein(a.url, b.url) <= 2
+    """
+
+
 def _multimodal_oracle() -> str:
     """SQL mirror of the fake-codec ImageDecodeStage over
     pages_from_documents: url from mix64(doc_id), html =
@@ -7651,6 +7732,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT site, CAST(MIN(hops) AS BIGINT) AS hops
             FROM walk GROUP BY site
+        """,
+        "pages_fuzzy_url_pairs": _fuzzy_url_pairs_oracle(),
+        "events_moving_median_7d": """
+            WITH d AS (
+              SELECT event_type, date_trunc('day', ts) AS dday,
+                     CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS day_cents
+              FROM events GROUP BY 1, 2
+            )
+            SELECT event_type,
+                   strftime(dday, '%Y-%m-%d') AS day, day_cents,
+                   CAST(quantile_disc(day_cents, 0.5) OVER (
+                       PARTITION BY event_type ORDER BY dday
+                       RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS med_cents
+            FROM d
         """,
         "events_gap_filled": """
             WITH d AS (

@@ -471,3 +471,67 @@ def gap_fill_daily(ds, key_col: str, ts_col: str,
     return driver_merge(ds.map_batches(partial, batch_format="pyarrow",
                                        batch_size=131072), merge,
                         schema=pschema)
+
+
+def moving_day_median(ds, key_col: str, ts_col: str, value_col: str,
+                      *, days: int = 7) -> pa.Table:
+    """Moving windowed MEDIAN (discrete — the lower-middle order
+    statistic, no interpolation ever) of per-day exact-cent sums over a
+    trailing `days`-day RANGE frame per key. Returns (key, day,
+    day_cents, med_cents int64) — the quantile_disc(0.5) OVER (RANGE
+    INTERVAL) SQL shape.
+
+    Same bounded (key, day, cents) combiner as trailing_day_sum; the
+    root answers each window with one np.partition over its
+    searchsorted slice — windows are <= `days` wide, so root cost is
+    O(|keys| x |days-present| x days), independent of row count."""
+    import numpy as np
+
+    pschema = pa.schema([("key", pa.string()), ("day", pa.int64()),
+                         ("cents", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = batch[ts_col].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        cents = np.floor(
+            batch[value_col].to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"key": batch[key_col], "day": day, "cents": cents})
+        return t.group_by(["key", "day"]).aggregate([("cents", "sum")]) \
+            .rename_columns(["key", "day", "cents"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["key", "day"]).aggregate([("cents", "sum")])
+        key = g["key"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        cents = g["cents_sum"].to_numpy(zero_copy_only=False)
+        if key.shape[0] == 0:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "day": pa.array([], pa.string()),
+                             "day_cents": pa.array([], pa.int64()),
+                             "med_cents": pa.array([], pa.int64())})
+        order = np.lexsort((day, key.astype(np.str_)))
+        key, day, cents = key[order], day[order], cents[order]
+        med = np.empty(cents.shape[0], dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]]).tolist()
+        ends = starts[1:] + [key.shape[0]]
+        for s, e in zip(starts, ends):
+            d = day[s:e]
+            c = cents[s:e]
+            lo = np.searchsorted(d, d - (days - 1), side="left")
+            for i in range(e - s):
+                win = c[lo[i]: i + 1]
+                # lower-middle discrete median == quantile_disc(0.5)
+                med[s + i] = np.partition(win, (win.shape[0] - 1) // 2)[
+                    (win.shape[0] - 1) // 2]
+        return pa.table({
+            "key": pa.array(key.tolist(), pa.string()),
+            "day": pa.array(np.datetime_as_string(
+                day.astype("datetime64[D]"))),
+            "day_cents": cents, "med_cents": med})
+
+    from .reduce import driver_merge
+
+    return driver_merge(ds.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=131072), merge,
+                        schema=pschema)

@@ -79,7 +79,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 21: RANGE-frame trailing sums, exact top-k dot pairs
         "events_trailing_7d", "emb_top_dot_pairs",
         # wave 22: calendar gap-fill, anti-entropy fingerprints
-        "events_gap_filled", "events_partition_fingerprints"]
+        "events_gap_filled", "events_partition_fingerprints",
+        # wave 23: fuzzy record linkage, moving windowed median
+        "pages_fuzzy_url_pairs", "events_moving_median_7d"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -612,3 +614,91 @@ def test_table_fingerprint_invariance_and_sensitivity(ray_session):
     full = {b: (n, f) for b, n, f in outs[0]}
     changed = [b for b in full if got2.get(b) != full[b]]
     assert len(changed) == 1
+
+
+def test_levenshtein_kernel_matches_duckdb(ray_session):
+    import random
+
+    import numpy as np
+
+    from h3ray.ops.pairs import _levenshtein_matrix
+
+    con2 = duckdb.connect()
+    rng = random.Random(3)
+    pairs = [("".join(rng.choices("abc", k=rng.randint(0, 9))),
+              "".join(rng.choices("abc", k=rng.randint(0, 9))))
+             for _ in range(300)]
+    got = _levenshtein_matrix(np.array([p[0] for p in pairs]),
+                              np.array([p[1] for p in pairs]))
+    exp = [con2.execute("SELECT levenshtein(?, ?)", p).fetchone()[0]
+           for p in pairs]
+    assert got.tolist() == exp
+
+
+def test_fuzzy_pairs_blocked_matches_brute_force(ray_session):
+    import random
+
+    import numpy as np
+    import ray.data as rd
+
+    from h3ray.ops.pairs import _levenshtein_matrix, fuzzy_pairs_blocked
+
+    rng = random.Random(7)
+    rows = [(f"g{rng.randint(0, 6)}",
+             "".join(rng.choices("xyz", k=rng.randint(1, 6))))
+            for _ in range(120)]
+    tbl = pa.table({"grp": [r[0] for r in rows],
+                    "s": [r[1] for r in rows]})
+
+    def lev(a, b):
+        return int(_levenshtein_matrix(np.array([a]), np.array([b]))[0])
+
+    exp = set()
+    for i in range(len(rows)):
+        for j in range(len(rows)):
+            (ga, sa), (gb, sb) = rows[i], rows[j]
+            if ga == gb and sa < sb and lev(sa, sb) <= 1:
+                exp.add((ga, sa, sb, lev(sa, sb)))
+
+    for nparts in (1, 5):
+        out = fuzzy_pairs_blocked(
+            rd.from_arrow(tbl).repartition(nparts), "grp", "s",
+            max_dist=1, num_buckets=3).to_pandas()
+        got = {(r.key, r.str_a, r.str_b, r.dist)
+               for r in out.itertuples()}
+        assert got == exp
+
+
+def test_moving_day_median_matches_brute_force(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from h3ray.ops.window import moving_day_median
+
+    rng = np.random.default_rng(31)
+    n = 400
+    days = rng.integers(0, 25, n)
+    ts = (np.datetime64("2024-06-01") + days.astype("timedelta64[D]")) \
+        .astype("datetime64[us]")
+    key = np.array(["p", "q"])[rng.integers(0, 2, n)]
+    val = rng.integers(-300, 300, n) / 100.0
+    tbl = pa.table({"k": key, "ts": ts, "v": val})
+
+    cents = np.floor(val * 100 + 0.5).astype(np.int64)
+    exp = {}
+    for g in ("p", "q"):
+        sel = key == g
+        uds = np.unique(days[sel])
+        sums = {d: int(cents[sel & (days == d)].sum()) for d in uds}
+        for d in uds:
+            win = sorted(sums[x] for x in uds if d - 7 < x <= d)
+            exp[(g, str((np.datetime64("2024-06-01")
+                         + np.timedelta64(int(d), "D"))))] = \
+                (sums[d], win[(len(win) - 1) // 2])
+
+    for nparts in (1, 4):
+        out = moving_day_median(rd.from_arrow(tbl).repartition(nparts),
+                                "k", "ts", "v", days=7).to_pandas()
+        got = {(r.key, r.day): (r.day_cents, r.med_cents)
+               for r in out.itertuples()}
+        assert got == exp
