@@ -6269,6 +6269,124 @@ def _part_price_size_skyline(sf_dir: str):
     return skyline_2d(prepped, "p_partkey", "price_cents", "p_size")
 
 
+def _brand_weighted_median_price(sf_dir: str):
+    """Exact quantity-WEIGHTED median price per brand: the smallest
+    price whose cumulative quantity weight reaches half the brand's
+    total (2·cum >= total — the discrete weighted-median rule, never
+    interpolated). Complements the wave-17 weighted MEAN: this is the
+    robust version. Combiner emits per-(brand, price-cents) quantity
+    sums — bounded by the price DOMAIN, not the row count — and the
+    root answers each brand with one cumsum + argmax."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    order = np.argsort(pk)
+    pk = pk[order]
+    brands, bcode = np.unique(
+        part["p_brand"].to_numpy(zero_copy_only=False)[order],
+        return_inverse=True)
+    side_ref = ray.put((pk, bcode.astype(np.int64)))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys, code = ray.get(side_ref)
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if keys.shape[0] == 0:
+            return pa.table({"b": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64()),
+                             "qty": pa.array([], pa.int64())})
+        pos = np.minimum(np.searchsorted(keys, p), keys.shape[0] - 1)
+        sel = keys[pos] == p
+        cents = np.floor(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[sel] * 100 + 0.5).astype(np.int64)
+        qty = np.floor(batch["l_quantity"].to_numpy(
+            zero_copy_only=False)[sel] * 100 + 0.5).astype(np.int64)
+        t = pa.table({"b": code[pos[sel]], "cents": cents, "qty": qty})
+        return t.group_by(["b", "cents"]).aggregate([("qty", "sum")]) \
+            .rename_columns(["b", "cents", "qty"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["b", "cents"]).aggregate([("qty", "sum")])
+        b = g["b"].to_numpy(zero_copy_only=False)
+        if b.shape[0] == 0:
+            return pa.table({
+                "p_brand": pa.array([], pa.string()),
+                "wmedian_cents": pa.array([], pa.int64())})
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        qty = g["qty_sum"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((cents, b))
+        b, cents, qty = b[order], cents[order], qty[order]
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]]).tolist()
+        ends = starts[1:] + [b.shape[0]]
+        out_b, out_m = [], []
+        for s, e in zip(starts, ends):
+            cw = np.cumsum(qty[s:e])
+            i = int(np.argmax(2 * cw >= cw[-1]))
+            out_b.append(str(brands[b[s]]))
+            out_m.append(int(cents[s + i]))
+        return pa.table({"p_brand": pa.array(out_b, pa.string()),
+                         "wmedian_cents": pa.array(out_m, pa.int64())})
+
+    return driver_merge(
+        li.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("b", pa.int64()), ("cents", pa.int64()),
+                          ("qty", pa.int64())]))
+
+
+def _docs_term_dictionary(sf_dir: str):
+    """Deterministic term dictionary: dense 1-based ids over the sorted
+    corpus vocabulary with document frequencies — the string-interning
+    dimension-table build every downstream int-keyed stage relies on.
+    Vocabulary-bounded df combiner (one pass), ids assigned by ONE sort
+    at the root, so two runs always agree. ROW_NUMBER SQL mirror."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.text.analysis import _term_doc_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        terms, _ = _term_doc_pairs(batch, "text", "doc_id")
+        uniq, counts = np.unique(terms, return_counts=True)
+        return pa.table({"term": pa.array(uniq, type=pa.string()),
+                         "df": counts.astype(np.int64)})
+
+    def finish(t: pa.Table) -> pa.Table:
+        terms = t["term"].to_numpy(zero_copy_only=False)
+        df = t["df"].to_numpy(zero_copy_only=False)
+        order = np.argsort(terms.astype(np.str_), kind="stable")
+        return pa.table({
+            "term_id": np.arange(1, terms.shape[0] + 1,
+                                 dtype=np.int64),
+            "term": pa.array(terms[order], pa.string()),
+            "df": df[order]})
+
+    return driver_merge(
+        ds.map_batches(df_partial, batch_format="pyarrow",
+                       batch_size=32768)
+        .groupby("term").aggregate(Sum("df", alias_name="df")),
+        finish,
+        schema=pa.schema([("term", pa.string()), ("df", pa.int64())]))
+
+
 def _pages_fuzzy_url_pairs(sf_dir: str):
     """Record-linkage fuzzy join over the pages table: same-domain url
     pairs with Levenshtein distance <= 2 (ops.pairs.fuzzy_pairs_blocked
@@ -6433,6 +6551,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 24: weighted median, term dictionary ---
+        "brand_weighted_median_price": _brand_weighted_median_price,
+        "docs_term_dictionary": _docs_term_dictionary,
         # --- round-5 wave 23: fuzzy record linkage, moving median ---
         "pages_fuzzy_url_pairs": _pages_fuzzy_url_pairs,
         "events_moving_median_7d": _events_moving_median_7d,
@@ -6682,6 +6803,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # the stalest r02/r03-only evidence, (4) a few round-4 flagships kept for
 # regression coverage.
 _WINDOW_FIRST = [
+    # (0) round-5 wave 24: never driver-checked.
+    "brand_weighted_median_price", "docs_term_dictionary",
     # (0) round-5 wave 23: never driver-checked.
     "pages_fuzzy_url_pairs", "events_moving_median_7d",
     # (0) round-5 wave 22: never driver-checked.
@@ -7732,6 +7855,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT site, CAST(MIN(hops) AS BIGINT) AS hops
             FROM walk GROUP BY site
+        """,
+        "brand_weighted_median_price": """
+            WITH w AS (
+              SELECT p.p_brand,
+                     CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                         AS cents,
+                     CAST(SUM(CAST(floor(l_quantity * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS qty
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+              GROUP BY 1, 2
+            ), c AS (
+              SELECT p_brand, cents,
+                     SUM(qty) OVER (PARTITION BY p_brand ORDER BY cents)
+                         AS cw,
+                     SUM(qty) OVER (PARTITION BY p_brand) AS tw
+              FROM w
+            )
+            SELECT p_brand,
+                   CAST(MIN(cents) AS BIGINT) AS wmedian_cents
+            FROM c WHERE 2 * cw >= tw GROUP BY p_brand
+        """,
+        "docs_term_dictionary": r"""
+            WITH tk AS (
+              SELECT unnest(regexp_extract_all(lower(text), '\S+'))
+                         AS term,
+                     doc_id
+              FROM documents
+            ), c AS (
+              SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tk GROUP BY term
+            )
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY term) AS BIGINT)
+                       AS term_id,
+                   term, df
+            FROM c
         """,
         "pages_fuzzy_url_pairs": _fuzzy_url_pairs_oracle(),
         "events_moving_median_7d": """

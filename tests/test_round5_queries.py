@@ -81,7 +81,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 22: calendar gap-fill, anti-entropy fingerprints
         "events_gap_filled", "events_partition_fingerprints",
         # wave 23: fuzzy record linkage, moving windowed median
-        "pages_fuzzy_url_pairs", "events_moving_median_7d"]
+        "pages_fuzzy_url_pairs", "events_moving_median_7d",
+        # wave 24: exact weighted median, term dictionary
+        "brand_weighted_median_price", "docs_term_dictionary"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -702,3 +704,34 @@ def test_moving_day_median_matches_brute_force(ray_session):
         got = {(r.key, r.day): (r.day_cents, r.med_cents)
                for r in out.itertuples()}
         assert got == exp
+
+
+def test_weighted_median_rule_on_crafted_weights(ray_session, tmp_path):
+    """2*cum >= total picks the smallest qualifying price, including the
+    exact-half boundary; verified end-to-end through crafted parquet."""
+    import numpy as np
+
+    part = pa.table({"p_partkey": [1, 2, 3],
+                     "p_brand": ["B1", "B1", "B2"],
+                     "p_name": ["a", "b", "c"],
+                     "p_type": ["t", "t", "t"],
+                     "p_size": [1, 1, 1],
+                     "p_retailprice": [1.0, 1.0, 1.0]})
+    # B1: prices 10.00 w=1, 20.00 w=1 -> half=1 at 10.00 (boundary)
+    # B2: prices 5.00 w=1, 7.00 w=5 -> median 7.00
+    li = pa.table({"l_partkey": [1, 1, 3, 3],
+                   "l_quantity": [1.0, 1.0, 1.0, 5.0],
+                   "l_extendedprice": [10.0, 20.0, 5.0, 7.0]})
+    pq.write_table(part, tmp_path / "part.parquet")
+    pq.write_table(li, tmp_path / "lineitem.parquet")
+    out = entry.queries()["brand_weighted_median_price"](
+        str(tmp_path)).to_pandas()
+    got = dict(zip(out.p_brand, out.wmedian_cents))
+    assert got == {"B1": 1000, "B2": 700}
+
+
+def test_term_dictionary_ids_dense_and_sorted(ray_session):
+    out = entry.queries()["docs_term_dictionary"](SF).to_pandas()
+    assert list(out.term_id) == list(range(1, len(out) + 1))
+    assert list(out.term) == sorted(out.term)
+    assert (out.df >= 1).all()
