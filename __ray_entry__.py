@@ -6269,6 +6269,56 @@ def _part_price_size_skyline(sf_dir: str):
     return skyline_2d(prepped, "p_partkey", "price_cents", "p_size")
 
 
+def _order_alloc_by_qty(sf_dir: str):
+    """Largest-remainder financial proration: each order's total price
+    (exact cents) split across its lineitems proportional to quantity,
+    rounded so every order's allocations sum EXACTLY to its total
+    (ops.window.partitioned_allocate). Big-big hash join on orderkey,
+    then one bucketed lexsort ranks all remainders; window-function
+    SQL mirror (floor shares + ROW_NUMBER over remainders)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.join import hash_join, seed_schema
+    from h3ray.ops.window import partitioned_allocate
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey",
+                                  "l_quantity"])
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        q = np.floor(batch["l_quantity"].to_numpy(zero_copy_only=False)
+                     * 100 + 0.5).astype(np.int64)
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "l_partkey": batch["l_partkey"], "q": q})
+
+    ords = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_totalprice"])
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        t = np.floor(batch["o_totalprice"].to_numpy(zero_copy_only=False)
+                     * 100 + 0.5).astype(np.int64)
+        return pa.table({"o_orderkey": batch["o_orderkey"], "t": t})
+
+    j = hash_join(
+        seed_schema(li.map_batches(li_prep, batch_format="pyarrow",
+                                   batch_size=131072),
+                    pa.schema([("l_orderkey", pa.int64()),
+                               ("l_partkey", pa.int64()),
+                               ("q", pa.int64())])),
+        seed_schema(ords.map_batches(o_prep, batch_format="pyarrow",
+                                     batch_size=131072),
+                    pa.schema([("o_orderkey", pa.int64()),
+                               ("t", pa.int64())])),
+        "l_orderkey", "o_orderkey")
+    out = partitioned_allocate(j, "l_orderkey", "q", "t",
+                               tiebreak_col="l_partkey",
+                               out_col="alloc_cents")
+    return out.select_columns(["l_orderkey", "l_partkey",
+                               "alloc_cents"])
+
+
 def _brand_weighted_median_price(sf_dir: str):
     """Exact quantity-WEIGHTED median price per brand: the smallest
     price whose cumulative quantity weight reaches half the brand's
@@ -6551,6 +6601,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 25: largest-remainder proration ---
+        "order_alloc_by_qty": _order_alloc_by_qty,
         # --- round-5 wave 24: weighted median, term dictionary ---
         "brand_weighted_median_price": _brand_weighted_median_price,
         "docs_term_dictionary": _docs_term_dictionary,
@@ -6803,6 +6855,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # the stalest r02/r03-only evidence, (4) a few round-4 flagships kept for
 # regression coverage.
 _WINDOW_FIRST = [
+    # (0) round-5 wave 25: never driver-checked.
+    "order_alloc_by_qty",
     # (0) round-5 wave 24: never driver-checked.
     "brand_weighted_median_price", "docs_term_dictionary",
     # (0) round-5 wave 23: never driver-checked.
@@ -7855,6 +7909,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT site, CAST(MIN(hops) AS BIGINT) AS hops
             FROM walk GROUP BY site
+        """,
+        "order_alloc_by_qty": """
+            WITH li AS (
+              SELECT l_orderkey, l_partkey,
+                     CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q
+              FROM lineitem
+            ), j AS (
+              SELECT li.*,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS t
+              FROM li JOIN orders ON o_orderkey = l_orderkey
+            ), s AS (
+              SELECT *, SUM(q) OVER (PARTITION BY l_orderkey) AS ww
+              FROM j
+            ), b AS (
+              SELECT *, (t * q) // ww AS base, (t * q) % ww AS rem
+              FROM s
+            ), r AS (
+              SELECT *,
+                     t - SUM(base) OVER (PARTITION BY l_orderkey)
+                         AS extra,
+                     ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                        ORDER BY rem DESC, l_partkey)
+                         AS rk
+              FROM b
+            )
+            SELECT l_orderkey, l_partkey,
+                   CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END
+                        AS BIGINT) AS alloc_cents
+            FROM r
         """,
         "brand_weighted_median_price": """
             WITH w AS (

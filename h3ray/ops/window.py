@@ -535,3 +535,62 @@ def moving_day_median(ds, key_col: str, ts_col: str, value_col: str,
     return driver_merge(ds.map_batches(partial, batch_format="pyarrow",
                                        batch_size=131072), merge,
                         schema=pschema)
+
+
+def partitioned_allocate(ds, part_col: str, weight_col: str,
+                         total_col: str, *, tiebreak_col: str,
+                         out_col: str = "alloc",
+                         num_buckets: int | None = None):
+    """Largest-remainder proration: split each partition's integer
+    `total_col` across its rows proportionally to integer `weight_col`,
+    rounding so the per-partition allocations sum EXACTLY to the total
+    (the financial-allocation invariant floats can never give). Each
+    row gets floor(T*w/W); the T - sum(floors) leftover units go +1
+    each to the rows with the largest remainders (ties broken by
+    tiebreak_col ascending — but note two rows identical in
+    (remainder, tiebreak) are interchangeable, so the OUTPUT multiset
+    is deterministic regardless). Appends `out_col` int64.
+
+    Partitions hash-bucket into reducers (run detection inside); one
+    lexsort per bucket ranks every partition's remainders at once —
+    no per-partition Python. total_col must be constant within a
+    partition (a joined-in order total)."""
+    import numpy as np
+
+    def alloc(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return group.drop_columns(["_bucket"]) \
+                .append_column(out_col, pa.array([], pa.int64()))
+        parts = group[part_col].to_numpy(zero_copy_only=False)
+        w = group[weight_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        t = group[total_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        tb = group[tiebreak_col].to_numpy(zero_copy_only=False)
+        _, inv = np.unique(parts, return_inverse=True)
+        # per-partition weight sums
+        nseg = int(inv.max()) + 1
+        ww = np.zeros(nseg, dtype=np.int64)
+        np.add.at(ww, inv, w)
+        if (ww == 0).any():
+            # zero-weight partitions cannot be prorated
+            raise ValueError("partitioned_allocate: partition with "
+                             "zero total weight")
+        base = (t * w) // ww[inv]
+        rem = (t * w) % ww[inv]
+        fsum = np.zeros(nseg, dtype=np.int64)
+        np.add.at(fsum, inv, base)
+        extra = t - fsum[inv]           # per-row copy of its run's r
+        order = np.lexsort((tb, -rem, inv))
+        iv = inv[order]
+        seg_start = np.flatnonzero(np.r_[True, iv[1:] != iv[:-1]])
+        pos_in_seg = np.arange(iv.shape[0]) \
+            - seg_start[np.cumsum(np.r_[True, iv[1:] != iv[:-1]]) - 1]
+        bump_sorted = pos_in_seg < extra[order]
+        bump = np.zeros(iv.shape[0], dtype=np.int64)
+        bump[order] = bump_sorted
+        return group.drop_columns(["_bucket"]) \
+            .append_column(out_col, pa.array(base + bump))
+
+    return _bucketed(ds, part_col, num_buckets) \
+        .groupby("_bucket").map_groups(alloc, batch_format="pyarrow")

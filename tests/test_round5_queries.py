@@ -83,7 +83,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 23: fuzzy record linkage, moving windowed median
         "pages_fuzzy_url_pairs", "events_moving_median_7d",
         # wave 24: exact weighted median, term dictionary
-        "brand_weighted_median_price", "docs_term_dictionary"]
+        "brand_weighted_median_price", "docs_term_dictionary",
+        # wave 25: largest-remainder financial proration
+        "order_alloc_by_qty"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -735,3 +737,48 @@ def test_term_dictionary_ids_dense_and_sorted(ray_session):
     assert list(out.term_id) == list(range(1, len(out) + 1))
     assert list(out.term) == sorted(out.term)
     assert (out.df >= 1).all()
+
+
+def test_partitioned_allocate_exact_invariant(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from h3ray.ops.window import partitioned_allocate
+
+    rng = np.random.default_rng(37)
+    n = 800
+    part = rng.integers(0, 120, n).astype(np.int64)
+    w = rng.integers(1, 50, n).astype(np.int64)
+    totals = {p: int(rng.integers(1, 10_000))
+              for p in np.unique(part)}
+    t = np.array([totals[p] for p in part], dtype=np.int64)
+    tbl = pa.table({"p": part, "w": w, "t": t,
+                    "tb": np.arange(n, dtype=np.int64)})
+
+    for nparts in (1, 6):
+        out = partitioned_allocate(
+            rd.from_arrow(tbl).repartition(nparts), "p", "w", "t",
+            tiebreak_col="tb", num_buckets=4).to_pandas()
+        # invariant: per-partition allocations sum EXACTLY to the total
+        sums = out.groupby("p")["alloc"].sum().to_dict()
+        assert sums == totals
+        # every allocation within 1 unit of the exact proportional share
+        ww = out.groupby("p")["w"].sum().to_dict()
+        for r in out.itertuples():
+            exact = r.t * r.w / ww[r.p]
+            assert abs(r.alloc - exact) < 1.0 + 1e-9
+
+
+def test_partitioned_allocate_remainder_ranking(ray_session):
+    import ray.data as rd
+
+    from h3ray.ops.window import partitioned_allocate
+
+    # T=10 over weights (1,1,1): base 3 each, 1 leftover -> lowest
+    # tiebreak among equal remainders gets it
+    tbl = pa.table({"p": [1, 1, 1], "w": [1, 1, 1], "t": [10, 10, 10],
+                    "tb": [30, 10, 20]})
+    out = partitioned_allocate(
+        rd.from_arrow(tbl), "p", "w", "t",
+        tiebreak_col="tb").to_pandas().sort_values("tb")
+    assert list(out.alloc) == [4, 3, 3]   # tb=10 wins the leftover
