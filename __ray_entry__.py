@@ -6269,6 +6269,17 @@ def _part_price_size_skyline(sf_dir: str):
     return skyline_2d(prepped, "p_partkey", "price_cents", "p_size")
 
 
+def _events_session_concurrency(sf_dir: str):
+    """Concurrent-session curve (pipelines.relational.session_concurrency):
+    boundary sweep over the sessionized event stream (+1/-1 per-second
+    deltas), netted by one bounded groupby, levelled by the distributed
+    prefix scan — no global sort, bounded driver carry. The streaming
+    'how many users are on right now' curve, exact."""
+    from h3ray.pipelines.relational import session_concurrency
+
+    return session_concurrency(sf_dir)
+
+
 def _order_alloc_by_qty(sf_dir: str):
     """Largest-remainder financial proration: each order's total price
     (exact cents) split across its lineitems proportional to quantity,
@@ -6601,8 +6612,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
-        # --- round-5 wave 25: largest-remainder proration ---
+        # --- round-5 wave 25: largest-remainder proration,
+        # --- session-concurrency sweep ---
         "order_alloc_by_qty": _order_alloc_by_qty,
+        "events_session_concurrency": _events_session_concurrency,
         # --- round-5 wave 24: weighted median, term dictionary ---
         "brand_weighted_median_price": _brand_weighted_median_price,
         "docs_term_dictionary": _docs_term_dictionary,
@@ -6856,7 +6869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # regression coverage.
 _WINDOW_FIRST = [
     # (0) round-5 wave 25: never driver-checked.
-    "order_alloc_by_qty",
+    "order_alloc_by_qty", "events_session_concurrency",
     # (0) round-5 wave 24: never driver-checked.
     "brand_weighted_median_price", "docs_term_dictionary",
     # (0) round-5 wave 23: never driver-checked.
@@ -7909,6 +7922,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT site, CAST(MIN(hops) AS BIGINT) AS hops
             FROM walk GROUP BY site
+        """,
+        "events_session_concurrency": """
+            WITH d AS (
+              SELECT user_id, ts,
+                     CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (
+                              PARTITION BY user_id ORDER BY ts)) > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events),
+            s AS (
+              SELECT user_id, ts,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING)
+                         AS session_id
+              FROM d),
+            sess AS (
+              SELECT user_id, session_id,
+                     CAST(FLOOR(MIN(epoch(ts))) AS BIGINT) AS start_s,
+                     CAST(FLOOR(MAX(epoch(ts))) AS BIGINT) AS end_s
+              FROM s GROUP BY user_id, session_id),
+            b AS (
+              SELECT start_s AS epoch_s, 1 AS dd FROM sess
+              UNION ALL
+              SELECT end_s + 1, -1 FROM sess),
+            g AS (
+              SELECT epoch_s, CAST(SUM(dd) AS BIGINT) AS net_delta
+              FROM b GROUP BY epoch_s)
+            SELECT epoch_s, net_delta,
+                   CAST(SUM(net_delta) OVER (ORDER BY epoch_s)
+                        AS BIGINT) AS concurrent
+            FROM g
         """,
         "order_alloc_by_qty": """
             WITH li AS (

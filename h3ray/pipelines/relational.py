@@ -673,3 +673,58 @@ def events_weekly_retention(sf_dir: str,
                         schema=pa.schema([("cohort_week", pa.int64()),
                                           ("week_offset", pa.int64()),
                                           ("n_users", pa.int64())]))
+
+
+def session_concurrency(sf_dir: str, gap_s: int = 1800,
+                        num_buckets: int | None = None):
+    """Concurrent-session curve: for every second at which any session
+    starts or ends, how many sessions are live (inclusive [start, end]).
+    The boundary-sweep shape: sessions emit (+1 at start, -1 at end+1),
+    deltas pre-aggregate per second inside map_batches, one bounded
+    groupby nets them, and the distributed prefix scan
+    (ops.scan.global_exclusive_cumsum — two passes, bounded driver
+    carry, no global sort) turns net deltas into the running level.
+    Returns a Dataset (epoch_s, net_delta, concurrent), one row per
+    distinct boundary second.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..ops.join import seed_schema
+    from ..ops.scan import global_exclusive_cumsum
+
+    sessions = user_sessions(sf_dir, gap_s=gap_s,
+                             num_buckets=num_buckets)
+
+    def boundaries(batch: pa.Table) -> pa.Table:
+        s = batch["start_epoch"].to_numpy(zero_copy_only=False)
+        e = batch["end_epoch"].to_numpy(zero_copy_only=False)
+        t = np.concatenate([s, e + 1])
+        d = np.concatenate([np.ones(s.shape[0], np.int64),
+                            np.full(e.shape[0], -1, np.int64)])
+        ut, inv = np.unique(t, return_inverse=True)
+        acc = np.zeros(ut.shape[0], dtype=np.int64)
+        np.add.at(acc, inv, d)
+        return pa.table({"epoch_s": ut, "net_delta": acc})
+
+    netted = seed_schema(
+        sessions.map_batches(boundaries, batch_format="pyarrow",
+                             batch_size=131072),
+        pa.schema([("epoch_s", pa.int64()), ("net_delta", pa.int64())])) \
+        .groupby("epoch_s") \
+        .aggregate(Sum("net_delta", alias_name="net_delta"))
+
+    scanned = global_exclusive_cumsum(netted, "epoch_s", "net_delta",
+                                      out_col="_excl")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "epoch_s": batch["epoch_s"],
+            "net_delta": batch["net_delta"],
+            "concurrent": pc.add(batch["_excl"], batch["net_delta"])})
+
+    return seed_schema(
+        scanned.map_batches(finish, batch_format="pyarrow",
+                            batch_size=131072),
+        pa.schema([("epoch_s", pa.int64()), ("net_delta", pa.int64()),
+                   ("concurrent", pa.int64())]))

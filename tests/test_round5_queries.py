@@ -84,8 +84,8 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         "pages_fuzzy_url_pairs", "events_moving_median_7d",
         # wave 24: exact weighted median, term dictionary
         "brand_weighted_median_price", "docs_term_dictionary",
-        # wave 25: largest-remainder financial proration
-        "order_alloc_by_qty"]
+        # wave 25: largest-remainder proration, session concurrency
+        "order_alloc_by_qty", "events_session_concurrency"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -782,3 +782,15 @@ def test_partitioned_allocate_remainder_ranking(ray_session):
         rd.from_arrow(tbl), "p", "w", "t",
         tiebreak_col="tb").to_pandas().sort_values("tb")
     assert list(out.alloc) == [4, 3, 3]   # tb=10 wins the leftover
+
+
+def test_session_concurrency_invariants(ray_session):
+    out = entry.queries()["events_session_concurrency"](SF).to_pandas() \
+        .sort_values("epoch_s").reset_index(drop=True)
+    # the running level is a prefix sum of net deltas...
+    assert (out.concurrent == out.net_delta.cumsum()).all()
+    # ...never negative, and every session that opens eventually closes
+    assert (out.concurrent >= 0).all()
+    assert out.net_delta.sum() == 0
+    assert out.concurrent.iloc[-1] == 0
+    assert out.concurrent.max() > 0
