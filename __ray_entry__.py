@@ -6269,6 +6269,122 @@ def _part_price_size_skyline(sf_dir: str):
     return skyline_2d(prepped, "p_partkey", "price_cents", "p_size")
 
 
+def _ntile(order_vals: "np.ndarray", tiebreak: "np.ndarray",
+           k: int) -> "np.ndarray":
+    """SQL NTILE(k) with a deterministic (value, tiebreak) total order:
+    the first n%k tiles get ceil(n/k) rows, the rest floor(n/k)."""
+    import numpy as np
+
+    n = order_vals.shape[0]
+    rank = np.empty(n, dtype=np.int64)
+    rank[np.lexsort((tiebreak, order_vals))] = np.arange(n)
+    big = -(-n // k)            # ceil
+    small = n // k
+    n_big = n % k
+    cut = n_big * big
+    tile = np.where(rank < cut,
+                    rank // max(big, 1),
+                    n_big + (rank - cut) // max(small, 1))
+    return (tile + 1).astype(np.int64)
+
+
+def _customer_rfm_scores(sf_dir: str):
+    """RFM segmentation: per customer, NTILE(4) quartile codes for
+    recency (days since last order vs the corpus max date), frequency
+    (order count) and monetary (exact total cents), plus the combined
+    100r+10f+m code — the classic marketing scoring, made deterministic
+    by tiebreaking every NTILE on custkey. Per-customer combiner rows
+    are dimension-bounded (|customers|), so the three global rankings
+    run at the driver root with three lexsorts."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        cents = np.floor(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        t = pa.table({"c": batch["o_custkey"], "last_day": day,
+                      "freq": np.ones(day.shape[0], np.int64),
+                      "mon": cents})
+        return t.group_by("c").aggregate(
+            [("last_day", "max"), ("freq", "sum"), ("mon", "sum")]) \
+            .rename_columns(["c", "last_day", "freq", "mon"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("c").aggregate(
+            [("last_day", "max"), ("freq", "sum"), ("mon", "sum")])
+        c = g["c"].to_numpy(zero_copy_only=False)
+        if c.shape[0] == 0:
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "r_score": pa.array([], pa.int64()),
+                             "f_score": pa.array([], pa.int64()),
+                             "m_score": pa.array([], pa.int64()),
+                             "rfm": pa.array([], pa.int64())})
+        last = g["last_day_max"].to_numpy(zero_copy_only=False)
+        freq = g["freq_sum"].to_numpy(zero_copy_only=False)
+        mon = g["mon_sum"].to_numpy(zero_copy_only=False)
+        rec = last.max() - last
+        r = _ntile(rec, c, 4)
+        f = _ntile(freq, c, 4)
+        m = _ntile(mon, c, 4)
+        order = np.argsort(c, kind="stable")
+        return pa.table({"c_custkey": c[order],
+                         "r_score": r[order], "f_score": f[order],
+                         "m_score": m[order],
+                         "rfm": (100 * r + 10 * f + m)[order]})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("c", pa.int64()), ("last_day", pa.int64()),
+                          ("freq", pa.int64()), ("mon", pa.int64())]))
+
+
+def _lineitem_benford(sf_dir: str):
+    """First-significant-digit profile of lineitem prices (the
+    Benford's-law data-quality check): per digit 1-9, the row count —
+    digits derived by integer powers-of-10 searchsorted, never float
+    log10. 9-row bounded combiner."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice"])
+    pow10 = 10 ** np.arange(19, dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        cents = cents[cents > 0]
+        mag = np.searchsorted(pow10, cents, side="right") - 1
+        digit = cents // pow10[mag]
+        t = pa.table({"digit": digit,
+                      "n_rows": np.ones(digit.shape[0], np.int64)})
+        return t.group_by("digit").aggregate([("n_rows", "sum")]) \
+            .rename_columns(["digit", "n_rows"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        return t.group_by("digit").aggregate([("n_rows", "sum")]) \
+            .rename_columns(["digit", "n_rows"])
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("digit", pa.int64()),
+                          ("n_rows", pa.int64())]))
+
+
 def _events_session_concurrency(sf_dir: str):
     """Concurrent-session curve (pipelines.relational.session_concurrency):
     boundary sweep over the sessionized event stream (+1/-1 per-second
@@ -6612,6 +6728,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 26: RFM quartile scores, Benford profile ---
+        "customer_rfm_scores": _customer_rfm_scores,
+        "lineitem_benford": _lineitem_benford,
         # --- round-5 wave 25: largest-remainder proration,
         # --- session-concurrency sweep ---
         "order_alloc_by_qty": _order_alloc_by_qty,
@@ -6868,6 +6987,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # the stalest r02/r03-only evidence, (4) a few round-4 flagships kept for
 # regression coverage.
 _WINDOW_FIRST = [
+    # (0) round-5 wave 26: never driver-checked.
+    "customer_rfm_scores", "lineitem_benford",
     # (0) round-5 wave 25: never driver-checked.
     "order_alloc_by_qty", "events_session_concurrency",
     # (0) round-5 wave 24: never driver-checked.
@@ -7922,6 +8043,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT site, CAST(MIN(hops) AS BIGINT) AS hops
             FROM walk GROUP BY site
+        """,
+        "customer_rfm_scores": """
+            WITH per AS (
+              SELECT o_custkey,
+                     datediff('day', MAX(o_orderdate),
+                              (SELECT MAX(o_orderdate) FROM orders))
+                         AS rec,
+                     CAST(COUNT(*) AS BIGINT) AS freq,
+                     CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS mon
+              FROM orders GROUP BY o_custkey
+            ), s AS (
+              SELECT o_custkey AS c_custkey,
+                     CAST(NTILE(4) OVER (ORDER BY rec, o_custkey)
+                          AS BIGINT) AS r_score,
+                     CAST(NTILE(4) OVER (ORDER BY freq, o_custkey)
+                          AS BIGINT) AS f_score,
+                     CAST(NTILE(4) OVER (ORDER BY mon, o_custkey)
+                          AS BIGINT) AS m_score
+              FROM per
+            )
+            SELECT c_custkey, r_score, f_score, m_score,
+                   CAST(100 * r_score + 10 * f_score + m_score
+                        AS BIGINT) AS rfm
+            FROM s
+        """,
+        "lineitem_benford": """
+            SELECT CAST(substring(CAST(
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem
+            WHERE CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) > 0
+            GROUP BY 1
         """,
         "events_session_concurrency": """
             WITH d AS (

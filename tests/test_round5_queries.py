@@ -85,7 +85,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 24: exact weighted median, term dictionary
         "brand_weighted_median_price", "docs_term_dictionary",
         # wave 25: largest-remainder proration, session concurrency
-        "order_alloc_by_qty", "events_session_concurrency"]
+        "order_alloc_by_qty", "events_session_concurrency",
+        # wave 26: RFM quartile scores, Benford first-digit profile
+        "customer_rfm_scores", "lineitem_benford"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -794,3 +796,25 @@ def test_session_concurrency_invariants(ray_session):
     assert out.net_delta.sum() == 0
     assert out.concurrent.iloc[-1] == 0
     assert out.concurrent.max() > 0
+
+
+def test_ntile_matches_duckdb_all_shapes(ray_session):
+    """_ntile == SQL NTILE for every n in 1..25 and k in {2,3,4,7},
+    including n < k and uneven splits, with value ties broken by id."""
+    import numpy as np
+
+    from __ray_entry__ import _ntile
+
+    con2 = duckdb.connect()
+    rng = np.random.default_rng(41)
+    for n in range(1, 26):
+        vals = rng.integers(0, 5, n).astype(np.int64)   # heavy ties
+        ids = rng.permutation(n).astype(np.int64)
+        for k in (2, 3, 4, 7):
+            got = _ntile(vals, ids, k)
+            exp_by_id = dict(con2.execute(
+                "SELECT i, NTILE(?) OVER (ORDER BY v, i) FROM "
+                "(SELECT unnest(?) v, unnest(?) i)",
+                [k, vals.tolist(), ids.tolist()]).fetchall())
+            assert [exp_by_id[int(i)] for i in ids] == got.tolist(), \
+                (n, k)
