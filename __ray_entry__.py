@@ -6288,6 +6288,122 @@ def _ntile(order_vals: "np.ndarray", tiebreak: "np.ndarray",
     return (tile + 1).astype(np.int64)
 
 
+def _docs_lang_source_chi2(sf_dir: str):
+    """Chi-square independence profile of the (lang, source) matrix:
+    per cell the observed count and its exact-arithmetic chi²
+    contribution ((O·T − R·C)² / (R·C·T) — numerator and denominator
+    are PYTHON BIGINTS, then exactly two correctly-rounded casts and
+    ONE IEEE division, so the HUGEINT SQL mirror hashes bit-identically
+    despite the float output). Cell space is |langs| × |sources|
+    bounded; one combiner pass."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"lang": batch["lang"], "source": batch["source"],
+                      "observed": np.ones(batch.num_rows, np.int64)})
+        return t.group_by(["lang", "source"]).aggregate(
+            [("observed", "sum")]) \
+            .rename_columns(["lang", "source", "observed"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "source"]).aggregate(
+            [("observed", "sum")])
+        lang = g["lang"].to_pylist()
+        src = g["source"].to_pylist()
+        o = [int(x) for x in g["observed_sum"].to_pylist()]
+        tot = sum(o)
+        rr: dict = {}
+        cc: dict = {}
+        for la, so, n in zip(lang, src, o):
+            rr[la] = rr.get(la, 0) + n
+            cc[so] = cc.get(so, 0) + n
+        contrib = [float((n * tot - rr[la] * cc[so]) ** 2)
+                   / float(rr[la] * cc[so] * tot)
+                   for la, so, n in zip(lang, src, o)] if tot else []
+        order = sorted(range(len(o)), key=lambda i: (lang[i], src[i]))
+        return pa.table({
+            "lang": pa.array([lang[i] for i in order], pa.string()),
+            "source": pa.array([src[i] for i in order], pa.string()),
+            "observed": pa.array([o[i] for i in order], pa.int64()),
+            "chi2_contrib": pa.array([contrib[i] for i in order],
+                                     pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("lang", pa.string()),
+                          ("source", pa.string()),
+                          ("observed", pa.int64())]))
+
+
+def _monthly_top_revenue_days(sf_dir: str):
+    """Top-3 revenue days per ship-month INCLUDING ties (DENSE_RANK <= 3
+    — the tie-preserving top-k semantics plain LIMIT can't give). Exact
+    cent revenue per (month, day) from a day-bounded combiner; dense
+    ranks assigned at the root with one lexsort."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_shipdate", "l_extendedprice",
+                                  "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]")
+        cents = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1 - batch["l_discount"].to_numpy(zero_copy_only=False))
+            * 100 + 0.5).astype(np.int64)
+        t = pa.table({"day": d.astype(np.int64), "cents": cents})
+        return t.group_by("day").aggregate([("cents", "sum")]) \
+            .rename_columns(["day", "cents"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("day").aggregate([("cents", "sum")])
+        day = g["day"].to_numpy(zero_copy_only=False)
+        if day.shape[0] == 0:
+            return pa.table({"month": pa.array([], pa.string()),
+                             "day": pa.array([], pa.string()),
+                             "revenue_cents": pa.array([], pa.int64()),
+                             "rnk": pa.array([], pa.int64())})
+        cents = g["cents_sum"].to_numpy(zero_copy_only=False)
+        d64 = day.astype("datetime64[D]")
+        month = d64.astype("datetime64[M]").astype(np.int64)
+        order = np.lexsort((day, -cents, month))
+        m, c, d = month[order], cents[order], day[order]
+        new_m = np.r_[True, m[1:] != m[:-1]]
+        # dense rank within each month: bump on every revenue change
+        rnk = np.empty(m.shape[0], dtype=np.int64)
+        starts = np.flatnonzero(new_m).tolist()
+        ends = starts[1:] + [m.shape[0]]
+        for s, e in zip(starts, ends):
+            cc = c[s:e]
+            rnk[s:e] = np.cumsum(np.r_[True, cc[1:] != cc[:-1]])
+        keep = rnk <= 3
+        return pa.table({
+            "month": pa.array(np.datetime_as_string(
+                m[keep].astype("datetime64[M]"))),
+            "day": pa.array(np.datetime_as_string(
+                d[keep].astype("datetime64[D]"))),
+            "revenue_cents": c[keep], "rnk": rnk[keep]})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("day", pa.int64()), ("cents", pa.int64())]))
+
+
 def _customer_rfm_scores(sf_dir: str):
     """RFM segmentation: per customer, NTILE(4) quartile codes for
     recency (days since last order vs the corpus max date), frequency
@@ -6728,6 +6844,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 27: chi-square independence, tie-preserving
+        # --- top-k ---
+        "docs_lang_source_chi2": _docs_lang_source_chi2,
+        "monthly_top_revenue_days": _monthly_top_revenue_days,
         # --- round-5 wave 26: RFM quartile scores, Benford profile ---
         "customer_rfm_scores": _customer_rfm_scores,
         "lineitem_benford": _lineitem_benford,
@@ -6987,6 +7107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # the stalest r02/r03-only evidence, (4) a few round-4 flagships kept for
 # regression coverage.
 _WINDOW_FIRST = [
+    # (0) round-5 wave 27: never driver-checked.
+    "docs_lang_source_chi2", "monthly_top_revenue_days",
     # (0) round-5 wave 26: never driver-checked.
     "customer_rfm_scores", "lineitem_benford",
     # (0) round-5 wave 25: never driver-checked.
@@ -8043,6 +8165,46 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT site, CAST(MIN(hops) AS BIGINT) AS hops
             FROM walk GROUP BY site
+        """,
+        "docs_lang_source_chi2": """
+            WITH o AS (
+              SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS observed
+              FROM documents GROUP BY 1, 2
+            ), r AS (
+              SELECT lang, CAST(SUM(observed) AS HUGEINT) AS rr
+              FROM o GROUP BY lang
+            ), c AS (
+              SELECT source, CAST(SUM(observed) AS HUGEINT) AS cc
+              FROM o GROUP BY source
+            ), t AS (
+              SELECT CAST(SUM(observed) AS HUGEINT) AS tt FROM o
+            )
+            SELECT o.lang, o.source, o.observed,
+                   CAST((o.observed * tt - rr * cc)
+                        * (o.observed * tt - rr * cc) AS DOUBLE)
+                   / CAST(rr * cc * tt AS DOUBLE) AS chi2_contrib
+            FROM o JOIN r USING (lang) JOIN c USING (source)
+            CROSS JOIN t
+        """,
+        "monthly_top_revenue_days": """
+            WITH d AS (
+              SELECT date_trunc('day', l_shipdate) AS dday,
+                     CAST(SUM(CAST(FLOOR(l_extendedprice
+                                         * (1 - l_discount) * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT)
+                         AS revenue_cents
+              FROM lineitem GROUP BY 1
+            ), rk AS (
+              SELECT *,
+                     CAST(DENSE_RANK() OVER (
+                         PARTITION BY date_trunc('month', dday)
+                         ORDER BY revenue_cents DESC) AS BIGINT) AS rnk
+              FROM d
+            )
+            SELECT strftime(date_trunc('month', dday), '%Y-%m') AS month,
+                   strftime(dday, '%Y-%m-%d') AS day,
+                   revenue_cents, rnk
+            FROM rk WHERE rnk <= 3
         """,
         "customer_rfm_scores": """
             WITH per AS (

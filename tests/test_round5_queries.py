@@ -87,7 +87,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 25: largest-remainder proration, session concurrency
         "order_alloc_by_qty", "events_session_concurrency",
         # wave 26: RFM quartile scores, Benford first-digit profile
-        "customer_rfm_scores", "lineitem_benford"]
+        "customer_rfm_scores", "lineitem_benford",
+        # wave 27: chi-square independence, tie-preserving top-k
+        "docs_lang_source_chi2", "monthly_top_revenue_days"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -818,3 +820,28 @@ def test_ntile_matches_duckdb_all_shapes(ray_session):
                 [k, vals.tolist(), ids.tolist()]).fetchall())
             assert [exp_by_id[int(i)] for i in ids] == got.tolist(), \
                 (n, k)
+
+
+def test_chi2_contributions_sum_to_scipy_free_reference(ray_session):
+    """Sum of per-cell contributions == the chi-square statistic
+    recomputed locally from the contingency matrix (pure numpy)."""
+    import numpy as np
+
+    out = entry.queries()["docs_lang_source_chi2"](SF).to_pandas()
+    piv = out.pivot(index="lang", columns="source",
+                    values="observed").fillna(0).to_numpy()
+    tot = piv.sum()
+    exp = np.outer(piv.sum(1), piv.sum(0)) / tot
+    chi2 = ((piv - exp) ** 2 / exp)[piv > 0].sum()
+    assert abs(out.chi2_contrib.sum() - chi2) < 1e-6
+
+
+def test_monthly_top_days_tie_semantics(ray_session):
+    out = entry.queries()["monthly_top_revenue_days"](SF).to_pandas()
+    assert (out.rnk <= 3).all() and (out.rnk >= 1).all()
+    for m, g in out.groupby("month"):
+        g = g.sort_values(["rnk", "day"])
+        # dense: rank set is a prefix of 1,2,3; revenue non-increasing
+        assert set(g.rnk) == set(range(1, g.rnk.max() + 1))
+        rev_by_rank = g.groupby("rnk")["revenue_cents"].nunique()
+        assert (rev_by_rank == 1).all()
