@@ -298,6 +298,31 @@ def run_benchmarks() -> dict:
             best = min(best, time.time() - t0)
         timings["purchase_followups"] = best
 
+    # 5g. Round-5 session representatives: the heaviest new data movers —
+    # the largest-remainder proration (600k-row big-big join + bucketed
+    # grouped lexsort, consumed to completion) and the session-concurrency
+    # sweep (sessionize -> boundary net -> distributed prefix scan).
+    # Min-of-reps per convention.
+    if want("order_alloc"):
+        import __ray_entry__ as _entry6
+
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            _entry6._order_alloc_by_qty(SF_DIR).count()
+            best = min(best, time.time() - t0)
+        timings["order_alloc"] = best
+
+    if want("session_concurrency"):
+        import __ray_entry__ as _entry7
+
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            _entry7._events_session_concurrency(SF_DIR).count()
+            best = min(best, time.time() - t0)
+        timings["session_concurrency"] = best
+
     curation_stages: dict[str, float] = {}
     if want("curation_pipeline"):
         # The flagship composed pipeline (quality filter -> decontaminate

@@ -676,22 +676,29 @@ def events_weekly_retention(sf_dir: str,
 
 
 def session_concurrency(sf_dir: str, gap_s: int = 1800,
-                        num_buckets: int | None = None):
+                        num_buckets: int | None = None,
+                        bucket_width: int = 65536):
     """Concurrent-session curve: for every second at which any session
     starts or ends, how many sessions are live (inclusive [start, end]).
-    The boundary-sweep shape: sessions emit (+1 at start, -1 at end+1),
-    deltas pre-aggregate per second inside map_batches, one bounded
-    groupby nets them, and the distributed prefix scan
-    (ops.scan.global_exclusive_cumsum — two passes, bounded driver
-    carry, no global sort) turns net deltas into the running level.
     Returns a Dataset (epoch_s, net_delta, concurrent), one row per
     distinct boundary second.
-    """
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
+
+    Boundary-sweep shape, NATIVE-GROUPBY-FREE (the Ray groupby tax on
+    hundreds of thousands of tiny delta rows measured 19 s at sf0.1 —
+    vs ~2 s for this design): sessions emit batch-netted per-second
+    deltas, the tiny bounded delta set MATERIALIZES once (it is
+    consumed by both scan passes — without the lineage break the whole
+    sessionize groupby re-executes per pass), pass 1 driver-merges
+    per-time-range-bucket totals into exclusive carries, pass 2 groups
+    deltas by contiguous range bucket and nets + cumsums each bucket
+    in one vectorized reducer, adding its carry. Netting happens
+    INSIDE the reducers, so no global per-second aggregate ever
+    shuffles."""
+    import ray
+    import ray.data as rd
 
     from ..ops.join import seed_schema
-    from ..ops.scan import global_exclusive_cumsum
+    from ..ops.reduce import driver_merge
 
     sessions = user_sessions(sf_dir, gap_s=gap_s,
                              num_buckets=num_buckets)
@@ -705,26 +712,70 @@ def session_concurrency(sf_dir: str, gap_s: int = 1800,
         ut, inv = np.unique(t, return_inverse=True)
         acc = np.zeros(ut.shape[0], dtype=np.int64)
         np.add.at(acc, inv, d)
+        # zero-net seconds STAY: the output row set is "every distinct
+        # boundary second" (SQL GROUP BY keeps SUM()=0 rows)
         return pa.table({"epoch_s": ut, "net_delta": acc})
 
-    netted = seed_schema(
+    bschema = pa.schema([("epoch_s", pa.int64()),
+                         ("net_delta", pa.int64())])
+    # bounded by distinct boundary seconds per batch -- tiny; consumed
+    # twice below, so break lineage once here
+    bounds = seed_schema(
         sessions.map_batches(boundaries, batch_format="pyarrow",
                              batch_size=131072),
-        pa.schema([("epoch_s", pa.int64()), ("net_delta", pa.int64())])) \
-        .groupby("epoch_s") \
-        .aggregate(Sum("net_delta", alias_name="net_delta"))
+        bschema).materialize()
 
-    scanned = global_exclusive_cumsum(netted, "epoch_s", "net_delta",
-                                      out_col="_excl")
+    def tot_partial(batch: pa.Table) -> pa.Table:
+        t = batch["epoch_s"].to_numpy(zero_copy_only=False)
+        d = batch["net_delta"].to_numpy(zero_copy_only=False)
+        b = t // bucket_width
+        ub, inv = np.unique(b, return_inverse=True)
+        acc = np.zeros(ub.shape[0], dtype=np.int64)
+        np.add.at(acc, inv, d)
+        return pa.table({"_b": ub, "_s": acc})
 
-    def finish(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "epoch_s": batch["epoch_s"],
-            "net_delta": batch["net_delta"],
-            "concurrent": pc.add(batch["_excl"], batch["net_delta"])})
+    def tot_merge(t: pa.Table) -> pa.Table:
+        b = t["_b"].to_numpy(zero_copy_only=False)
+        s = t["_s"].to_numpy(zero_copy_only=False)
+        ub, inv = np.unique(b, return_inverse=True)
+        acc = np.zeros(ub.shape[0], dtype=np.int64)
+        np.add.at(acc, inv, s)
+        carry = np.r_[np.int64(0), np.cumsum(acc)[:-1]] \
+            if ub.size else np.empty(0, np.int64)
+        return pa.table({"_b": ub, "_carry": carry.astype(np.int64)})
+
+    totals = driver_merge(
+        bounds.map_batches(tot_partial, batch_format="pyarrow",
+                           batch_size=131072),
+        tot_merge,
+        schema=pa.schema([("_b", pa.int64()), ("_s", pa.int64())]))
+    carry_ref = ray.put((totals["_b"].to_numpy(),
+                         totals["_carry"].to_numpy()))
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        t = batch["epoch_s"].to_numpy(zero_copy_only=False)
+        return batch.append_column("_bucket",
+                                   pa.array(t // bucket_width))
+
+    def level(group: pa.Table) -> pa.Table:
+        buckets, carries = ray.get(carry_ref)
+        t = group["epoch_s"].to_numpy(zero_copy_only=False)
+        d = group["net_delta"].to_numpy(zero_copy_only=False)
+        if t.shape[0] == 0:
+            return pa.table({"epoch_s": pa.array([], pa.int64()),
+                             "net_delta": pa.array([], pa.int64()),
+                             "concurrent": pa.array([], pa.int64())})
+        ut, inv = np.unique(t, return_inverse=True)   # in-group netting
+        acc = np.zeros(ut.shape[0], dtype=np.int64)
+        np.add.at(acc, inv, d)
+        carry = carries[np.searchsorted(buckets, t[0] // bucket_width)]
+        level_v = np.cumsum(acc) + carry
+        return pa.table({"epoch_s": ut, "net_delta": acc,
+                         "concurrent": level_v})
 
     return seed_schema(
-        scanned.map_batches(finish, batch_format="pyarrow",
-                            batch_size=131072),
+        bounds.map_batches(bucketize, batch_format="pyarrow",
+                           batch_size=131072)
+        .groupby("_bucket").map_groups(level, batch_format="pyarrow"),
         pa.schema([("epoch_s", pa.int64()), ("net_delta", pa.int64()),
                    ("concurrent", pa.int64())]))
