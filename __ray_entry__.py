@@ -7101,13 +7101,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 # 50 names — the driver checks this prefix. Round-5 rotation policy
-# (VERDICT r4 item 5 + ADVICE): (1) everything changed this round, (2) the
-# queries never driver-checked in r1-r4 (two of the eight turned out to
-# carry latent oracle type bugs — rotation exists for exactly this), (3)
-# the stalest r02/r03-only evidence, (4) a few round-4 flagships kept for
-# regression coverage.
+# (VERDICT r4 item 5 + ADVICE): (1) everything changed this round LEADS —
+# the round-4 verdict's "done" bar for the two fixed oracles and the new
+# kmeans differential oracle is a green row in CORRECTNESS_r05, so they
+# must sit inside the 50-entry prefix; (2) the four rotation candidates
+# the verdict named; (3) the never-driver-checked round-5 queries,
+# newest waves first (the ~40 that overflow the prefix ride on the local
+# dtype-hardened sweep, 174 OK / 0 FAIL, + pytest); (4) stale-evidence
+# rotations and round-4 flagship regression keepers trail.
 _WINDOW_FIRST = [
-    # (0) round-5 wave 27: never driver-checked.
+    # (1) round-5 changed: the two round-4 hash-FAILs with fixed oracles
+    # (BIGINT casts), the two SUM(CASE) casts the hardened sweep caught,
+    # the new kmeans differential oracle + deterministic fit, multiprobe
+    # LSH + recall telemetry, the line_prep inner-join guard, and the
+    # rollup/cube empty-input semantics.
+    "docs_pack_assign", "docs_curation_pipeline", "lineitem_priority_counts",
+    "events_pivot_by_hour", "emb_kmeans_assign", "ann_topk_lsh",
+    "revenue_local_suppliers", "orders_cube", "lineitem_rollup",
+    # (2) rotation candidates the round-4 verdict named (r03-only evidence).
+    "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
+    "events_heavy_users",
+    # (3) round-5 wave 27: never driver-checked.
     "docs_lang_source_chi2", "monthly_top_revenue_days",
     # (0) round-5 wave 26: never driver-checked.
     "customer_rfm_scores", "lineitem_benford",
@@ -7178,20 +7192,13 @@ _WINDOW_FIRST = [
     "forecast_revenue_delta", "promo_revenue_pct", "nation_market_share",
     "product_type_profit", "returned_item_customers",
     "excess_parts_suppliers", "best_supplier_per_part",
-    # (1) round-5 changed: fixed oracles (BIGINT casts), new kmeans
-    # differential oracle + deterministic fit, multiprobe LSH, the
-    # line_prep inner-join guard, rollup/cube empty-input semantics.
-    "docs_pack_assign", "docs_curation_pipeline", "lineitem_priority_counts",
-    "events_pivot_by_hour", "emb_kmeans_assign", "ann_topk_lsh",
-    "revenue_local_suppliers", "orders_cube", "lineitem_rollup",
-    # (2) never driver-checked in any round
+    # (4) never driver-checked in any round
     "events_latest_per_user", "docs_langs_by_source", "events_profile",
     "emb_quantize_int8", "docs_mode_lang_by_source", "docs_counts_long",
     # (3) stalest driver evidence (r02)
     "simhash_fingerprints", "simhash_dup_pairs",
-    # (3) r03-only evidence, rotated back in (verdict-named first)
-    "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
-    "events_heavy_users", "lineitem_pricing_summary", "orders_by_mktsegment",
+    # (4) r03-only evidence, rotated back in
+    "lineitem_pricing_summary", "orders_by_mktsegment",
     "orders_by_nation_shuffle_join", "events_hourly_windows",
     "events_median_by_type", "events_p90_by_type",
     "customers_left_join_orders", "events_distinct_users_by_type",
