@@ -6288,6 +6288,149 @@ def _ntile(order_vals: "np.ndarray", tiebreak: "np.ndarray",
     return (tile + 1).astype(np.int64)
 
 
+def _nation_order_gini(sf_dir: str):
+    """Gini coefficient of customer lifetime order spend within each
+    nation (inequality-of-wallet profile): per-customer exact total
+    cents roll up in a combiner (the customer key space is the bounded
+    dimension side), the root buckets totals by nation via a broadcast
+    searchsorted against the customer table, sorts each nation's spend
+    vector ascending and evaluates the classic
+    G = sum_i (2i - n - 1) x_(i) / (n * sum x) with PYTHON BIGINTS —
+    two correctly-rounded casts and ONE IEEE division per nation, so
+    the HUGEINT SQL window mirror hashes bit-identically despite the
+    float output (tie order cannot matter: coefficient sums over equal
+    x values are permutation-invariant). Customers with no orders are
+    excluded (inner-join semantics, matching the mirror's JOIN)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust["c_custkey"].to_numpy().astype(np.int64)
+    order = np.argsort(ck)
+    ck = ck[order]
+    nk = cust["c_nationkey"].to_numpy().astype(np.int64)[order]
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.floor(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        t = pa.table({"ck": c, "cents": cents})
+        return t.group_by(["ck"]).aggregate([("cents", "sum")]) \
+            .rename_columns(["ck", "cents"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["ck"]).aggregate([("cents", "sum")])
+        c = g["ck"].to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            "c_nationkey": pa.array([], pa.int64()),
+            "num_customers": pa.array([], pa.int64()),
+            "gini": pa.array([], pa.float64())})
+        if c.shape[0] == 0 or ck.shape[0] == 0:
+            return empty
+        cents = g["cents_sum"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(ck, c), ck.shape[0] - 1)
+        sel = ck[pos] == c
+        nat, cents = nk[pos[sel]], cents[sel]
+        if nat.shape[0] == 0:
+            return empty
+        o = np.lexsort((cents, nat))
+        nat, cents = nat[o], cents[o]
+        starts = np.flatnonzero(np.r_[True, nat[1:] != nat[:-1]]).tolist()
+        ends = starts[1:] + [nat.shape[0]]
+        out_n, out_c, out_g = [], [], []
+        for s, e in zip(starts, ends):
+            xs = [int(x) for x in cents[s:e]]
+            n, tot = len(xs), sum(xs)
+            num = sum((2 * (i + 1) - n - 1) * x
+                      for i, x in enumerate(xs))
+            out_n.append(int(nat[s]))
+            out_c.append(n)
+            out_g.append(float(num) / float(n * tot)
+                         if n * tot else None)
+        return pa.table({
+            "c_nationkey": pa.array(out_n, pa.int64()),
+            "num_customers": pa.array(out_c, pa.int64()),
+            "gini": pa.array(out_g, pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("ck", pa.int64()), ("cents", pa.int64())]))
+
+
+def _events_daily_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of each type's daily event-count series
+    (seasonality / burstiness probe): the combiner emits
+    (type, epoch-day) count partials — bounded by the date domain, not
+    the row count — and the root computes, over each type's OBSERVED
+    days in ascending order,  r1 = sum(d_t d_{t+1}) / sum(d_t^2)  with
+    d_t = n*x_t - S (the n^2-scaled centered series; exact PYTHON
+    BIGINTS at any corpus scale, two correctly-rounded casts, ONE IEEE
+    division), so the HUGEINT SQL LEAD-window mirror hashes
+    bit-identically. Constant and singleton series emit NULL."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        t = pa.table({"event_type": batch["event_type"],
+                      "day": us // 86_400_000_000,
+                      "x": np.ones(batch.num_rows, np.int64)})
+        return t.group_by(["event_type", "day"]).aggregate(
+            [("x", "sum")]).rename_columns(["event_type", "day", "x"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "day"]).aggregate([("x", "sum")])
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        if et.shape[0] == 0:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "num_days": pa.array([], pa.int64()),
+                "autocorr_lag1": pa.array([], pa.float64())})
+        day = g["day"].to_numpy(zero_copy_only=False)
+        x = g["x_sum"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((day, et))
+        et, x = et[o], x[o]
+        starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]]).tolist()
+        ends = starts[1:] + [et.shape[0]]
+        out_t, out_n, out_r = [], [], []
+        for s, e in zip(starts, ends):
+            xs = [int(v) for v in x[s:e]]
+            n, tot = len(xs), sum(xs)
+            d = [n * v - tot for v in xs]
+            num = sum(a * b for a, b in zip(d, d[1:]))
+            den = sum(a * a for a in d)
+            out_t.append(str(et[s]))
+            out_n.append(n)
+            out_r.append(float(num) / float(den) if den else None)
+        return pa.table({
+            "event_type": pa.array(out_t, pa.string()),
+            "num_days": pa.array(out_n, pa.int64()),
+            "autocorr_lag1": pa.array(out_r, pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("event_type", pa.string()),
+                          ("day", pa.int64()), ("x", pa.int64())]))
+
+
 def _docs_lang_source_chi2(sf_dir: str):
     """Chi-square independence profile of the (lang, source) matrix:
     per cell the observed count and its exact-arithmetic chi²
@@ -6844,6 +6987,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 28: nation spend Gini, daily-count lag-1
+        # --- autocorrelation ---
+        "nation_order_gini": _nation_order_gini,
+        "events_daily_autocorr": _events_daily_autocorr,
         # --- round-5 wave 27: chi-square independence, tie-preserving
         # --- top-k ---
         "docs_lang_source_chi2": _docs_lang_source_chi2,
@@ -7121,6 +7268,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 28: never driver-checked.
+    "nation_order_gini", "events_daily_autocorr",
     # (3) round-5 wave 27: never driver-checked.
     "docs_lang_source_chi2", "monthly_top_revenue_days",
     # (0) round-5 wave 26: never driver-checked.
@@ -8172,6 +8321,61 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT site, CAST(MIN(hops) AS BIGINT) AS hops
             FROM walk GROUP BY site
+        """,
+        # Gini: exact HUGEINT window sums, two casts, one division —
+        # mirrors _nation_order_gini's Python-bigint root bit-for-bit.
+        "nation_order_gini": """
+            WITH cust AS (
+              SELECT o_custkey AS ck,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) AS HUGEINT) AS cents
+              FROM orders GROUP BY 1
+            ), j AS (
+              SELECT c.c_nationkey AS nk, cust.cents,
+                     ROW_NUMBER() OVER (PARTITION BY c.c_nationkey
+                                        ORDER BY cust.cents, cust.ck)
+                       AS i,
+                     COUNT(*) OVER (PARTITION BY c.c_nationkey) AS n,
+                     SUM(cust.cents) OVER (PARTITION BY c.c_nationkey)
+                       AS s
+              FROM cust JOIN customer c ON c.c_custkey = cust.ck
+            )
+            SELECT CAST(nk AS BIGINT) AS c_nationkey,
+                   CAST(MAX(n) AS BIGINT) AS num_customers,
+                   CASE WHEN MAX(n) * MAX(s) = 0 THEN NULL
+                        ELSE CAST(SUM((2 * i - n - 1) * cents)
+                                  AS DOUBLE)
+                             / CAST(MAX(n) * MAX(s) AS DOUBLE)
+                   END AS gini
+            FROM j GROUP BY nk
+        """,
+        # Lag-1 autocorrelation of per-type daily counts over OBSERVED
+        # days: d_t = n*x_t - S is the n^2-scaled centered series, so
+        # numerator and denominator stay exact HUGEINTs; two casts and
+        # one division mirror _events_daily_autocorr's bigint root.
+        "events_daily_autocorr": """
+            WITH d AS (
+              SELECT event_type, date_trunc('day', ts) AS day,
+                     CAST(COUNT(*) AS HUGEINT) AS x
+              FROM events GROUP BY 1, 2
+            ), s AS (
+              SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(x) AS HUGEINT) AS sx
+              FROM d GROUP BY 1
+            ), z AS (
+              SELECT d.event_type, (s.n * d.x - s.sx) AS dd,
+                     LEAD(s.n * d.x - s.sx) OVER (
+                       PARTITION BY d.event_type ORDER BY d.day) AS dn
+              FROM d JOIN s USING (event_type)
+            )
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS num_days,
+                   CASE WHEN SUM(dd * dd) = 0 THEN NULL
+                        ELSE CAST(SUM(CASE WHEN dn IS NULL THEN 0
+                                           ELSE dd * dn END)
+                                  AS DOUBLE)
+                             / CAST(SUM(dd * dd) AS DOUBLE)
+                   END AS autocorr_lag1
+            FROM z GROUP BY event_type
         """,
         "docs_lang_source_chi2": """
             WITH o AS (

@@ -89,7 +89,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 26: RFM quartile scores, Benford first-digit profile
         "customer_rfm_scores", "lineitem_benford",
         # wave 27: chi-square independence, tie-preserving top-k
-        "docs_lang_source_chi2", "monthly_top_revenue_days"]
+        "docs_lang_source_chi2", "monthly_top_revenue_days",
+        # wave 28: nation spend Gini, daily-count lag-1 autocorrelation
+        "nation_order_gini", "events_daily_autocorr"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
