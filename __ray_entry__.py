@@ -6288,6 +6288,177 @@ def _ntile(order_vals: "np.ndarray", tiebreak: "np.ndarray",
     return (tile + 1).astype(np.int64)
 
 
+def _events_type_lift(sf_dir: str):
+    """Association lift between event-type pairs at the user level:
+    lift(a,b) = n_ab * U / (n_a * n_b) over DISTINCT users (U = users
+    with any event, n_a = users with type a, n_ab = users with both) —
+    the market-basket interestingness measure on top of the wave-9
+    co-occurrence partitioning. Batch-local distinct (user, typecode)
+    pairs cross one user-hash exchange; each bucket ORs its users into
+    type bitmasks and emits <= 2^|types| (mask, count) partials, so the
+    root computes every marginal and pair count from a few dozen rows —
+    exact PYTHON BIGINTS, two casts, ONE IEEE division per pair, so the
+    HUGEINT SQL self-join mirror hashes bit-identically. Loud guard
+    refuses > 20 distinct types (the bitmask boundedness assumption)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from h3ray.io.pages import _mix64
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.ops.skew import default_num_buckets
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def type_partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch["event_type"].to_numpy(zero_copy_only=False))
+        return pa.table({"t": pa.array(u.astype(object), pa.string())})
+
+    types_t = driver_merge(
+        ds.map_batches(type_partial, batch_format="pyarrow",
+                       batch_size=131072),
+        lambda t: pa.table({"t": pa.array(np.unique(
+            t["t"].to_numpy(zero_copy_only=False)).astype(object),
+            pa.string())}),
+        schema=pa.schema([("t", pa.string())]))
+    types = np.sort(types_t["t"].to_numpy(zero_copy_only=False)
+                    .astype(str))
+    if types.shape[0] > 20:
+        raise ValueError("type_lift: bitmask design needs <= 20 "
+                         f"distinct types, saw {types.shape[0]}")
+    types_ref = ray.put(types)
+    nb = default_num_buckets()
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        tl = ray.get(types_ref)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        code = np.searchsorted(
+            tl, batch["event_type"].to_numpy(zero_copy_only=False)
+            .astype(str)).astype(np.int64)
+        u = np.unique(uid * np.int64(len(tl)) + code)
+        return pa.table({
+            "user_id": u // len(tl), "code": u % len(tl),
+            "_bucket": (_mix64((u // len(tl)).astype(np.uint64))
+                        % np.uint64(nb)).astype(np.int32)})
+
+    def masks(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        code = group["code"].to_numpy(zero_copy_only=False)
+        _, inv = np.unique(uid, return_inverse=True)
+        nmask = np.zeros(inv.max() + 1 if inv.shape[0] else 0,
+                         dtype=np.int64)
+        np.bitwise_or.at(nmask, inv, np.int64(1) << code)
+        mu, mc = np.unique(nmask, return_counts=True)
+        return pa.table({"mask": mu, "n": mc.astype(np.int64)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        m = [int(x) for x in t["mask"].to_pylist()]
+        n = [int(x) for x in t["n"].to_pylist()]
+        k = types.shape[0]
+        uu = sum(n)
+        n1 = [sum(c for mk, c in zip(m, n) if mk & (1 << i))
+              for i in range(k)]
+        ta, tb, nab_o, na_o, nb_o, lift = [], [], [], [], [], []
+        for i in range(k):
+            for j in range(i + 1, k):
+                nab = sum(c for mk, c in zip(m, n)
+                          if mk & (1 << i) and mk & (1 << j))
+                if nab:
+                    ta.append(types[i])
+                    tb.append(types[j])
+                    nab_o.append(nab)
+                    na_o.append(n1[i])
+                    nb_o.append(n1[j])
+                    lift.append(float(nab * uu)
+                                / float(n1[i] * n1[j]))
+        return pa.table({
+            "type_a": pa.array(ta, pa.string()),
+            "type_b": pa.array(tb, pa.string()),
+            "n_both": pa.array(nab_o, pa.int64()),
+            "n_a": pa.array(na_o, pa.int64()),
+            "n_b": pa.array(nb_o, pa.int64()),
+            "lift": pa.array(lift, pa.float64())})
+
+    bucketed = ds.map_batches(pair_partial, batch_format="pyarrow",
+                              batch_size=131072) \
+        .groupby("_bucket").map_groups(masks, batch_format="pyarrow")
+    return driver_merge(
+        bucketed, merge,
+        schema=pa.schema([("mask", pa.int64()), ("n", pa.int64())]))
+
+
+def _lineitem_moment_matrix(sf_dir: str):
+    """Exact pairwise sample covariance matrix of (quantity, price,
+    discount) — the feature-correlation profile every downstream model
+    pass starts from. One combiner emits the ten raw moments
+    (n, Sx, Sxx, Sxy per pair) in fixed-point ints — batch_size 32768
+    keeps the worst per-batch int64 product sum (price-cents² ~ 1e14 a
+    row) inside int64 with 2.8x headroom — and the root evaluates
+    cov(x,y) = (n*Sxy - Sx*Sy) / (n*(n-1)) with PYTHON BIGINTS, two
+    correctly-rounded casts, ONE IEEE division per cell, so the HUGEINT
+    SQL mirror hashes bit-identically. Emits the 6-cell upper triangle;
+    n <= 1 emits zero rows (matching the mirror's WHERE n > 1)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity", "l_extendedprice",
+                                  "l_discount"])
+    moments = ["n", "sq", "sp", "sd", "sqq", "spp", "sdd",
+               "sqp", "sqd", "spd"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = np.floor(batch["l_quantity"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        p = np.floor(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        d = np.floor(batch["l_discount"].to_numpy(
+            zero_copy_only=False) * 10000 + 0.5).astype(np.int64)
+        vals = [q.shape[0], q.sum(), p.sum(), d.sum(),
+                (q * q).sum(), (p * p).sum(), (d * d).sum(),
+                (q * p).sum(), (q * d).sum(), (p * d).sum()]
+        return pa.table({c: pa.array([int(v)], pa.int64())
+                         for c, v in zip(moments, vals)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        s = {c: sum(int(v) for v in t[c].to_pylist()) for c in moments}
+        labels = [("qty", "qty", "sqq", "sq", "sq"),
+                  ("qty", "price", "sqp", "sq", "sp"),
+                  ("qty", "disc", "sqd", "sq", "sd"),
+                  ("price", "price", "spp", "sp", "sp"),
+                  ("price", "disc", "spd", "sp", "sd"),
+                  ("disc", "disc", "sdd", "sd", "sd")]
+        n = s["n"]
+        if n <= 1:
+            return pa.table({
+                "var_x": pa.array([], pa.string()),
+                "var_y": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "cov": pa.array([], pa.float64())})
+        xs, ys, cov = [], [], []
+        for vx, vy, sxy, sx, sy in labels:
+            xs.append(vx)
+            ys.append(vy)
+            cov.append(float(n * s[sxy] - s[sx] * s[sy])
+                       / float(n * (n - 1)))
+        return pa.table({
+            "var_x": pa.array(xs, pa.string()),
+            "var_y": pa.array(ys, pa.string()),
+            "n": pa.array([n] * 6, pa.int64()),
+            "cov": pa.array(cov, pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=32768), merge,
+        schema=pa.schema([(c, pa.int64()) for c in moments]))
+
+
 def _nation_order_gini(sf_dir: str):
     """Gini coefficient of customer lifetime order spend within each
     nation (inequality-of-wallet profile): per-customer exact total
@@ -6987,6 +7158,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 29: type-pair association lift, exact
+        # --- covariance matrix ---
+        "events_type_lift": _events_type_lift,
+        "lineitem_moment_matrix": _lineitem_moment_matrix,
         # --- round-5 wave 28: nation spend Gini, daily-count lag-1
         # --- autocorrelation ---
         "nation_order_gini": _nation_order_gini,
@@ -7268,6 +7443,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 29: never driver-checked.
+    "events_type_lift", "lineitem_moment_matrix",
     # (3) round-5 wave 28: never driver-checked.
     "nation_order_gini", "events_daily_autocorr",
     # (3) round-5 wave 27: never driver-checked.
@@ -8321,6 +8498,75 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT site, CAST(MIN(hops) AS BIGINT) AS hops
             FROM walk GROUP BY site
+        """,
+        # Lift from DISTINCT-user marginals and the pair self-join —
+        # exact HUGEINT products, two casts, one division per pair,
+        # mirroring _events_type_lift's bigint root bit-for-bit.
+        "events_type_lift": """
+            WITH ut AS (
+              SELECT DISTINCT user_id, event_type FROM events
+            ), u AS (
+              SELECT CAST(COUNT(DISTINCT user_id) AS HUGEINT) AS uu
+              FROM events
+            ), m AS (
+              SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n1
+              FROM ut GROUP BY 1
+            ), p AS (
+              SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     CAST(COUNT(*) AS HUGEINT) AS nab
+              FROM ut a JOIN ut b
+                ON a.user_id = b.user_id
+               AND a.event_type < b.event_type
+              GROUP BY 1, 2
+            )
+            SELECT type_a, type_b, CAST(nab AS BIGINT) AS n_both,
+                   CAST(ma.n1 AS BIGINT) AS n_a,
+                   CAST(mb.n1 AS BIGINT) AS n_b,
+                   CAST(nab * uu AS DOUBLE)
+                   / CAST(ma.n1 * mb.n1 AS DOUBLE) AS lift
+            FROM p
+            JOIN m ma ON ma.event_type = p.type_a
+            JOIN m mb ON mb.event_type = p.type_b
+            CROSS JOIN u
+        """,
+        # Covariance matrix from ten HUGEINT raw moments — the same
+        # fixed-point scales (qty*100, price cents, discount bps) and
+        # the same (n*Sxy - Sx*Sy)/(n*(n-1)) expression as the engine's
+        # bigint root; WHERE n > 1 mirrors the empty/singleton guard.
+        "lineitem_moment_matrix": """
+            WITH v AS (
+              SELECT CAST(FLOOR(l_quantity * 100 + 0.5)
+                          AS HUGEINT) AS q,
+                     CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                          AS HUGEINT) AS p,
+                     CAST(FLOOR(l_discount * 10000 + 0.5)
+                          AS HUGEINT) AS d
+              FROM lineitem
+            ), s AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                     SUM(q) AS sq, SUM(p) AS sp, SUM(d) AS sd,
+                     SUM(q * q) AS sqq, SUM(p * p) AS spp,
+                     SUM(d * d) AS sdd, SUM(q * p) AS sqp,
+                     SUM(q * d) AS sqd, SUM(p * d) AS spd
+              FROM v
+            )
+            SELECT var_x, var_y, CAST(n AS BIGINT) AS n,
+                   CAST(num AS DOUBLE)
+                   / CAST(n * (n - 1) AS DOUBLE) AS cov
+            FROM (
+              SELECT 'qty' AS var_x, 'qty' AS var_y, n,
+                     n * sqq - sq * sq AS num FROM s
+              UNION ALL SELECT 'qty', 'price', n,
+                     n * sqp - sq * sp FROM s
+              UNION ALL SELECT 'qty', 'disc', n,
+                     n * sqd - sq * sd FROM s
+              UNION ALL SELECT 'price', 'price', n,
+                     n * spp - sp * sp FROM s
+              UNION ALL SELECT 'price', 'disc', n,
+                     n * spd - sp * sd FROM s
+              UNION ALL SELECT 'disc', 'disc', n,
+                     n * sdd - sd * sd FROM s
+            ) WHERE n > 1
         """,
         # Gini: exact HUGEINT window sums, two casts, one division —
         # mirrors _nation_order_gini's Python-bigint root bit-for-bit.

@@ -91,7 +91,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 27: chi-square independence, tie-preserving top-k
         "docs_lang_source_chi2", "monthly_top_revenue_days",
         # wave 28: nation spend Gini, daily-count lag-1 autocorrelation
-        "nation_order_gini", "events_daily_autocorr"]
+        "nation_order_gini", "events_daily_autocorr",
+        # wave 29: type-pair association lift, exact covariance matrix
+        "events_type_lift", "lineitem_moment_matrix"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
