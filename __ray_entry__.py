@@ -6288,6 +6288,151 @@ def _ntile(order_vals: "np.ndarray", tiebreak: "np.ndarray",
     return (tile + 1).astype(np.int64)
 
 
+def _orders_monthly_yoy(sf_dir: str):
+    """Year-over-year monthly revenue growth: per calendar month the
+    exact revenue cents and (cents - cents_prev_year) / cents_prev_year
+    against the SAME month one year back (NULL when that month is
+    absent) — the seasonally-honest growth series every revenue
+    dashboard leads with. Month key space is bounded by the date
+    domain, so one combiner pass feeds a driver root that resolves the
+    lag-12 lookup from a dict — exact PYTHON BIGINTS, two casts, ONE
+    IEEE division per month, mirroring the SQL LEFT self-join
+    bit-for-bit."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mi = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[M]").astype(np.int64)
+        ym = (1970 + mi // 12) * 100 + mi % 12 + 1
+        cents = np.floor(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        t = pa.table({"ym": ym, "cents": cents})
+        return t.group_by(["ym"]).aggregate([("cents", "sum")]) \
+            .rename_columns(["ym", "cents"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["ym"]).aggregate([("cents", "sum")])
+        ym = [int(v) for v in g["ym"].to_pylist()]
+        cents = [int(v) for v in g["cents_sum"].to_pylist()]
+        by = dict(zip(ym, cents))
+        order = sorted(range(len(ym)), key=lambda i: ym[i])
+        out_m, out_c, out_y = [], [], []
+        for i in order:
+            prev = by.get(ym[i] - 100)
+            out_m.append(ym[i])
+            out_c.append(cents[i])
+            out_y.append(float(cents[i] - prev) / float(prev)
+                         if prev else None)
+        return pa.table({
+            "ym": pa.array(out_m, pa.int64()),
+            "revenue_cents": pa.array(out_c, pa.int64()),
+            "yoy": pa.array(out_y, pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("ym", pa.int64()), ("cents", pa.int64())]))
+
+
+def _nation_balance_spend_r2(sf_dir: str):
+    """Signed coefficient of determination between customer account
+    balance and lifetime order spend, per nation (does wallet predict
+    activity?): sign(cov) * r^2, evaluated as
+    (num/dx) * (num/dy) * sign(num) with num = n*Sxy - Sx*Sy and
+    dx/dy the scaled variance terms — numerator and denominators are
+    exact PYTHON BIGINTS, then exactly THREE mirrored IEEE ops
+    (div, div, mul-by-±1), so the HUGEINT SQL mirror hashes
+    bit-identically without ever forming num*|num| (which would
+    overflow HUGEINT past sf0.01). Per-customer spend rolls up in a
+    combiner; balances and nations broadcast from the bounded customer
+    dimension; zero-variance nations emit NULL."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey",
+                                  "c_acctbal"])
+    ck = cust["c_custkey"].to_numpy().astype(np.int64)
+    order = np.argsort(ck)
+    ck = ck[order]
+    nk = cust["c_nationkey"].to_numpy().astype(np.int64)[order]
+    bal = np.floor(cust["c_acctbal"].to_numpy(zero_copy_only=False)
+                   [order] * 100 + 0.5).astype(np.int64)
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.floor(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        t = pa.table({"ck": c, "cents": cents})
+        return t.group_by(["ck"]).aggregate([("cents", "sum")]) \
+            .rename_columns(["ck", "cents"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["ck"]).aggregate([("cents", "sum")])
+        c = g["ck"].to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            "c_nationkey": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "r2_signed": pa.array([], pa.float64())})
+        if c.shape[0] == 0 or ck.shape[0] == 0:
+            return empty
+        y = g["cents_sum"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(ck, c), ck.shape[0] - 1)
+        sel = ck[pos] == c
+        nat, x, y = nk[pos[sel]], bal[pos[sel]], y[sel]
+        if nat.shape[0] == 0:
+            return empty
+        o = np.argsort(nat, kind="stable")
+        nat, x, y = nat[o], x[o], y[o]
+        starts = np.flatnonzero(np.r_[True, nat[1:] != nat[:-1]]).tolist()
+        ends = starts[1:] + [nat.shape[0]]
+        out_n, out_c, out_r = [], [], []
+        for s, e in zip(starts, ends):
+            xs = [int(v) for v in x[s:e]]
+            ys = [int(v) for v in y[s:e]]
+            n = len(xs)
+            sx, sy = sum(xs), sum(ys)
+            sxx = sum(v * v for v in xs)
+            syy = sum(v * v for v in ys)
+            sxy = sum(a * b for a, b in zip(xs, ys))
+            num = n * sxy - sx * sy
+            dx = n * sxx - sx * sx
+            dy = n * syy - sy * sy
+            if dx == 0 or dy == 0:
+                r = None
+            else:
+                r = (float(num) / float(dx)) * (float(num) / float(dy))
+                if num < 0:
+                    r = -r
+            out_n.append(int(nat[s]))
+            out_c.append(n)
+            out_r.append(r)
+        return pa.table({
+            "c_nationkey": pa.array(out_n, pa.int64()),
+            "n": pa.array(out_c, pa.int64()),
+            "r2_signed": pa.array(out_r, pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("ck", pa.int64()), ("cents", pa.int64())]))
+
+
 def _events_type_lift(sf_dir: str):
     """Association lift between event-type pairs at the user level:
     lift(a,b) = n_ab * U / (n_a * n_b) over DISTINCT users (U = users
@@ -7158,6 +7303,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 30: YoY monthly revenue, grouped signed r^2 ---
+        "orders_monthly_yoy": _orders_monthly_yoy,
+        "nation_balance_spend_r2": _nation_balance_spend_r2,
         # --- round-5 wave 29: type-pair association lift, exact
         # --- covariance matrix ---
         "events_type_lift": _events_type_lift,
@@ -7443,6 +7591,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 30: never driver-checked.
+    "orders_monthly_yoy", "nation_balance_spend_r2",
     # (3) round-5 wave 29: never driver-checked.
     "events_type_lift", "lineitem_moment_matrix",
     # (3) round-5 wave 28: never driver-checked.
@@ -8498,6 +8648,58 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT site, CAST(MIN(hops) AS BIGINT) AS hops
             FROM walk GROUP BY site
+        """,
+        # YoY growth: exact monthly cents, LEFT self-join on the
+        # lag-12 month key, one division — mirrors _orders_monthly_yoy.
+        "orders_monthly_yoy": """
+            WITH m AS (
+              SELECT CAST(YEAR(o_orderdate) * 100
+                          + MONTH(o_orderdate) AS BIGINT) AS ym,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS cents
+              FROM orders GROUP BY 1
+            )
+            SELECT cur.ym, cur.cents AS revenue_cents,
+                   CASE WHEN prev.cents IS NULL OR prev.cents = 0
+                        THEN NULL
+                        ELSE CAST(cur.cents - prev.cents AS DOUBLE)
+                             / CAST(prev.cents AS DOUBLE)
+                   END AS yoy
+            FROM m cur LEFT JOIN m prev ON prev.ym = cur.ym - 100
+        """,
+        # Signed r^2 as (num/dx)*(num/dy)*sign — HUGEINT moments, then
+        # exactly the same three IEEE ops as the engine root (never
+        # num*|num|, which would overflow HUGEINT past sf0.01).
+        "nation_balance_spend_r2": """
+            WITH cust AS (
+              SELECT o_custkey AS ck,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) AS HUGEINT) AS y
+              FROM orders GROUP BY 1
+            ), j AS (
+              SELECT c.c_nationkey AS nk,
+                     CAST(FLOOR(c.c_acctbal * 100 + 0.5)
+                          AS HUGEINT) AS x,
+                     cust.y
+              FROM cust JOIN customer c ON c.c_custkey = cust.ck
+            ), s AS (
+              SELECT nk, CAST(COUNT(*) AS HUGEINT) AS n,
+                     SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+                     SUM(y * y) AS syy, SUM(x * y) AS sxy
+              FROM j GROUP BY nk
+            )
+            SELECT CAST(nk AS BIGINT) AS c_nationkey,
+                   CAST(n AS BIGINT) AS n,
+                   CASE WHEN n * sxx - sx * sx = 0
+                          OR n * syy - sy * sy = 0 THEN NULL
+                        ELSE (CAST(n * sxy - sx * sy AS DOUBLE)
+                              / CAST(n * sxx - sx * sx AS DOUBLE))
+                             * (CAST(n * sxy - sx * sy AS DOUBLE)
+                                / CAST(n * syy - sy * sy AS DOUBLE))
+                             * (CASE WHEN n * sxy - sx * sy < 0
+                                     THEN -1.0 ELSE 1.0 END)
+                   END AS r2_signed
+            FROM s
         """,
         # Lift from DISTINCT-user marginals and the pair self-join —
         # exact HUGEINT products, two casts, one division per pair,

@@ -93,7 +93,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 28: nation spend Gini, daily-count lag-1 autocorrelation
         "nation_order_gini", "events_daily_autocorr",
         # wave 29: type-pair association lift, exact covariance matrix
-        "events_type_lift", "lineitem_moment_matrix"]
+        "events_type_lift", "lineitem_moment_matrix",
+        # wave 30: YoY monthly revenue, grouped signed r^2
+        "orders_monthly_yoy", "nation_balance_spend_r2"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
