@@ -6288,6 +6288,159 @@ def _ntile(order_vals: "np.ndarray", tiebreak: "np.ndarray",
     return (tile + 1).astype(np.int64)
 
 
+def _events_anomaly_days(sf_dir: str):
+    """Robust anomaly days per event type: flag days whose count
+    deviates from the type's MEDIAN daily count by more than 1.5x the
+    MAD (the Hampel-filter shape every ops dashboard runs). Everything
+    stays INTEGER via the doubled-median trick — med2 = 2*median,
+    dev2 = |2x - med2|, mad4 = 2*median(dev2) — so the flag predicate
+    2*dev2 > 3*mad4 is exact on both sides and the SQL mirror (whose
+    MEDIAN returns an exactly-representable half-integer) hashes
+    identically with NO float arithmetic at all. Day-count key space is
+    bounded by the date domain; one combiner pass, driver root."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        t = pa.table({"event_type": batch["event_type"],
+                      "day": us // 86_400_000_000,
+                      "x": np.ones(batch.num_rows, np.int64)})
+        return t.group_by(["event_type", "day"]).aggregate(
+            [("x", "sum")]).rename_columns(["event_type", "day", "x"])
+
+    def med2_of(v: np.ndarray) -> int:
+        s = np.sort(v)
+        n = s.shape[0]
+        return int(2 * s[n // 2]) if n % 2 \
+            else int(s[n // 2 - 1] + s[n // 2])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "day"]).aggregate([("x", "sum")])
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        if et.shape[0] == 0:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "day": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+                "med2": pa.array([], pa.int64()),
+                "mad4": pa.array([], pa.int64())})
+        day = g["day"].to_numpy(zero_copy_only=False)
+        x = g["x_sum"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((day, et))
+        et, day, x = et[o], day[o], x[o]
+        starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]]).tolist()
+        ends = starts[1:] + [et.shape[0]]
+        out = {k: [] for k in
+               ("event_type", "day", "cnt", "med2", "mad4")}
+        for s, e in zip(starts, ends):
+            xs = x[s:e]
+            med2 = med2_of(xs)
+            dev2 = np.abs(2 * xs - med2)
+            mad4 = med2_of(dev2)
+            flag = 2 * dev2 > 3 * mad4
+            for i in np.flatnonzero(flag):
+                out["event_type"].append(str(et[s]))
+                out["day"].append(int(day[s + i]))
+                out["cnt"].append(int(xs[i]))
+                out["med2"].append(med2)
+                out["mad4"].append(mad4)
+        return pa.table({
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "day": pa.array(out["day"], pa.int64()),
+            "cnt": pa.array(out["cnt"], pa.int64()),
+            "med2": pa.array(out["med2"], pa.int64()),
+            "mad4": pa.array(out["mad4"], pa.int64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("event_type", pa.string()),
+                          ("day", pa.int64()), ("x", pa.int64())]))
+
+
+def _docs_vocab_growth(sf_dir: str):
+    """Heaps'-law vocabulary growth curve: distinct whitespace-token
+    vocabulary size after the first 1, 2, 4, ... 2^k, N documents (by
+    doc_id order) — the corpus-scaling diagnostic behind tokenizer
+    budget planning. The combiner emits per-batch (token, min doc_id)
+    partials (vocabulary-bounded, like docs_term_dictionary) plus an
+    empty-string SENTINEL row carrying the batch's max doc_id ('' can
+    never be a \\S+ token), so ONE pass yields both the first-occurrence
+    map and the N needed for the checkpoint set; the root counts
+    first_doc < checkpoint. All-integer — bit-exact vs the SQL
+    generate_series mirror."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "md": pa.array([], pa.int64())})
+        la = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.cast(batch["text"], pa.string())),
+            r"\s+")
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        flat = la.values
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        row_of = np.repeat(
+            np.arange(len(la), dtype=np.int64),
+            np.diff(la.offsets.to_numpy().astype(np.int64)))
+        ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        toks = flat.to_numpy(zero_copy_only=False)[ok].astype(str)
+        docs = doc[row_of[ok]]
+        o = np.lexsort((docs, toks))
+        toks, docs = toks[o], docs[o]
+        first = np.flatnonzero(np.r_[True, toks[1:] != toks[:-1]])
+        return pa.table({
+            "tok": pa.array(
+                np.r_[toks[first], [""]].astype(object), pa.string()),
+            "md": np.r_[docs[first], [int(doc.max())]]})
+
+    def merge(t: pa.Table) -> pa.Table:
+        tok = t["tok"].to_numpy(zero_copy_only=False).astype(str)
+        md = t["md"].to_numpy(zero_copy_only=False)
+        sent = tok == ""
+        if not sent.any():
+            return pa.table({
+                "n_docs": pa.array([], pa.int64()),
+                "vocab_size": pa.array([], pa.int64())})
+        n = int(md[sent].max()) + 1
+        tok, md = tok[~sent], md[~sent]
+        o = np.lexsort((md, tok))
+        tok, md = tok[o], md[o]
+        first = np.flatnonzero(np.r_[True, tok[1:] != tok[:-1]])
+        fd = np.sort(md[first])
+        cps = sorted({1 << k for k in range(0, 41) if 1 << k <= n}
+                     | {n})
+        return pa.table({
+            "n_docs": pa.array(cps, pa.int64()),
+            "vocab_size": pa.array(
+                [int(np.searchsorted(fd, cp, side="left"))
+                 for cp in cps], pa.int64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("tok", pa.string()), ("md", pa.int64())]))
+
+
 def _orders_monthly_yoy(sf_dir: str):
     """Year-over-year monthly revenue growth: per calendar month the
     exact revenue cents and (cents - cents_prev_year) / cents_prev_year
@@ -7303,6 +7456,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 31: Hampel anomaly days, Heaps vocab growth ---
+        "events_anomaly_days": _events_anomaly_days,
+        "docs_vocab_growth": _docs_vocab_growth,
         # --- round-5 wave 30: YoY monthly revenue, grouped signed r^2 ---
         "orders_monthly_yoy": _orders_monthly_yoy,
         "nation_balance_spend_r2": _nation_balance_spend_r2,
@@ -7591,6 +7747,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 31: never driver-checked.
+    "events_anomaly_days", "docs_vocab_growth",
     # (3) round-5 wave 30: never driver-checked.
     "orders_monthly_yoy", "nation_balance_spend_r2",
     # (3) round-5 wave 29: never driver-checked.
@@ -8648,6 +8806,59 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT site, CAST(MIN(hops) AS BIGINT) AS hops
             FROM walk GROUP BY site
+        """,
+        # Hampel anomaly flags via the doubled-median trick: MEDIAN of
+        # BIGINTs is an exactly-representable half-integer, so 2*MEDIAN
+        # casts back to BIGINT losslessly and the whole predicate is
+        # integer-exact — no float arithmetic anywhere.
+        "events_anomaly_days": """
+            WITH d AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1, 2
+            ), m AS (
+              SELECT event_type, CAST(2 * MEDIAN(cnt) AS BIGINT) AS med2
+              FROM d GROUP BY 1
+            ), a AS (
+              SELECT d.event_type, d.day, d.cnt, m.med2,
+                     ABS(2 * d.cnt - m.med2) AS dev2
+              FROM d JOIN m USING (event_type)
+            ), md AS (
+              SELECT event_type, CAST(2 * MEDIAN(dev2) AS BIGINT)
+                       AS mad4
+              FROM a GROUP BY 1
+            )
+            SELECT a.event_type, a.day, a.cnt, a.med2, md.mad4
+            FROM a JOIN md USING (event_type)
+            WHERE 2 * a.dev2 > 3 * md.mad4
+        """,
+        # Heaps'-law growth curve: first-occurrence doc per token, then
+        # vocabulary counts at power-of-two checkpoints (plus N) — the
+        # same \\S+ tokenizer as docs_hapax_stats; all-integer.
+        "docs_vocab_growth": r"""
+            WITH tk AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '\S+')) AS tok
+              FROM documents
+            ), mins AS (
+              SELECT tok, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+              FROM tk GROUP BY tok
+            ), maxd AS (
+              SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS n
+              FROM documents
+            ), cps AS (
+              SELECT DISTINCT cp FROM (
+                SELECT CAST(POWER(2, gs) AS BIGINT) AS cp
+                FROM generate_series(0, 40) t(gs), maxd
+                WHERE CAST(POWER(2, gs) AS BIGINT) <= maxd.n
+                UNION ALL SELECT n FROM maxd
+              ) WHERE cp IS NOT NULL
+            )
+            SELECT cps.cp AS n_docs,
+                   CAST(COUNT(mins.tok) AS BIGINT) AS vocab_size
+            FROM cps LEFT JOIN mins ON mins.first_doc < cps.cp
+            GROUP BY cps.cp
         """,
         # YoY growth: exact monthly cents, LEFT self-join on the
         # lag-12 month key, one division — mirrors _orders_monthly_yoy.

@@ -95,7 +95,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 29: type-pair association lift, exact covariance matrix
         "events_type_lift", "lineitem_moment_matrix",
         # wave 30: YoY monthly revenue, grouped signed r^2
-        "orders_monthly_yoy", "nation_balance_spend_r2"]
+        "orders_monthly_yoy", "nation_balance_spend_r2",
+        # wave 31: Hampel anomaly days, Heaps vocab growth
+        "events_anomaly_days", "docs_vocab_growth"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
