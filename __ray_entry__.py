@@ -6288,6 +6288,113 @@ def _ntile(order_vals: "np.ndarray", tiebreak: "np.ndarray",
     return (tile + 1).astype(np.int64)
 
 
+def _users_fifth_event_latency(sf_dir: str):
+    """Time-to-habit: among users with >= 5 events, the mean latency
+    from their 1st to their 5th event (ordered by ts, event_id — the
+    deterministic tiebreak), in microseconds — the activation-speed
+    metric growth teams watch. One user-hash exchange of (user, ts,
+    event_id) int columns; each bucket lexsorts once, finds per-user
+    runs, and emits a (sum_gap, n_users) partial, so the driver root
+    sees one row per bucket and answers with exact BIGINT sums and ONE
+    IEEE division — bit-identical to the SQL ROW_NUMBER mirror. Empty
+    input emits the SQL scalar-aggregate single row (0, NULL)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.io.pages import _mix64
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.ops.skew import default_num_buckets
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    nb = default_num_buckets()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        us = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "user_id": uid, "ts_us": us,
+            "event_id": batch["event_id"],
+            "_bucket": (_mix64(uid.astype(np.uint64))
+                        % np.uint64(nb)).astype(np.int32)})
+
+    def resolve(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((eid, ts, uid))
+        uid, ts = uid[o], ts[o]
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], uid.shape[0]]
+        ok = ends - starts >= 5
+        gaps = ts[starts[ok] + 4] - ts[starts[ok]]
+        return pa.table({
+            "sum_gap": pa.array([int(gaps.sum())], pa.int64()),
+            "n": pa.array([int(ok.sum())], pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        sg = sum(int(v) for v in t["sum_gap"].to_pylist())
+        n = sum(int(v) for v in t["n"].to_pylist())
+        return pa.table({
+            "n_users": pa.array([n], pa.int64()),
+            "avg_gap_us": pa.array(
+                [float(sg) / float(n) if n else None], pa.float64())})
+
+    bucketed = ds.map_batches(prep, batch_format="pyarrow",
+                              batch_size=131072) \
+        .groupby("_bucket").map_groups(resolve, batch_format="pyarrow")
+    return driver_merge(
+        bucketed, merge,
+        schema=pa.schema([("sum_gap", pa.int64()), ("n", pa.int64())]))
+
+
+def _orders_revenue_drawdown(sf_dir: str):
+    """Daily revenue drawdown: per day the exact revenue cents, the
+    running PEAK over all prior days, and drawdown = peak - cents —
+    the running-max window shape (regression monitoring / worst-slump
+    detection), ALL-INTEGER so both sides hash identically with no
+    float arithmetic. Day key space is bounded by the date domain; one
+    combiner pass, one driver scan over the sorted days."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        cents = np.floor(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        t = pa.table({"day": us // 86_400_000_000, "cents": cents})
+        return t.group_by(["day"]).aggregate([("cents", "sum")]) \
+            .rename_columns(["day", "cents"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["day"]).aggregate([("cents", "sum")])
+        day = g["day"].to_numpy(zero_copy_only=False)
+        cents = g["cents_sum"].to_numpy(zero_copy_only=False)
+        o = np.argsort(day)
+        day, cents = day[o], cents[o]
+        peak = np.maximum.accumulate(cents) if day.shape[0] else cents
+        return pa.table({
+            "day": pa.array(day, pa.int64()),
+            "revenue_cents": pa.array(cents, pa.int64()),
+            "peak_cents": pa.array(peak, pa.int64()),
+            "drawdown_cents": pa.array(peak - cents, pa.int64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("day", pa.int64()), ("cents", pa.int64())]))
+
+
 def _events_anomaly_days(sf_dir: str):
     """Robust anomaly days per event type: flag days whose count
     deviates from the type's MEDIAN daily count by more than 1.5x the
@@ -7456,6 +7563,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 32: fifth-event activation latency,
+        # --- running-peak revenue drawdown ---
+        "users_fifth_event_latency": _users_fifth_event_latency,
+        "orders_revenue_drawdown": _orders_revenue_drawdown,
         # --- round-5 wave 31: Hampel anomaly days, Heaps vocab growth ---
         "events_anomaly_days": _events_anomaly_days,
         "docs_vocab_growth": _docs_vocab_growth,
@@ -7747,6 +7858,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 32: never driver-checked.
+    "users_fifth_event_latency", "orders_revenue_drawdown",
     # (3) round-5 wave 31: never driver-checked.
     "events_anomaly_days", "docs_vocab_growth",
     # (3) round-5 wave 30: never driver-checked.
@@ -8806,6 +8919,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT site, CAST(MIN(hops) AS BIGINT) AS hops
             FROM walk GROUP BY site
+        """,
+        # Activation latency: ROW_NUMBER picks each user's 1st and 5th
+        # event (ts, event_id tiebreak — same as the engine lexsort);
+        # exact BIGINT gap sum, one division.
+        "users_fifth_event_latency": """
+            WITH r AS (
+              SELECT user_id, epoch_us(ts) AS us,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events
+            ), f AS (SELECT user_id, us FROM r WHERE rn = 1),
+               v AS (SELECT user_id, us FROM r WHERE rn = 5)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(v.us - f.us) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS avg_gap_us
+            FROM f JOIN v USING (user_id)
+        """,
+        # Running-peak drawdown — all-integer window mirror.
+        "orders_revenue_drawdown": """
+            WITH d AS (
+              SELECT CAST(epoch_us(o_orderdate) // 86400000000
+                          AS BIGINT) AS day,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+              FROM orders GROUP BY 1
+            )
+            SELECT day, revenue_cents,
+                   CAST(MAX(revenue_cents) OVER (ORDER BY day)
+                        AS BIGINT) AS peak_cents,
+                   CAST(MAX(revenue_cents) OVER (ORDER BY day)
+                        - revenue_cents AS BIGINT) AS drawdown_cents
+            FROM d
         """,
         # Hampel anomaly flags via the doubled-median trick: MEDIAN of
         # BIGINTs is an exactly-representable half-integer, so 2*MEDIAN

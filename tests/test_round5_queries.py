@@ -97,7 +97,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 30: YoY monthly revenue, grouped signed r^2
         "orders_monthly_yoy", "nation_balance_spend_r2",
         # wave 31: Hampel anomaly days, Heaps vocab growth
-        "events_anomaly_days", "docs_vocab_growth"]
+        "events_anomaly_days", "docs_vocab_growth",
+        # wave 32: fifth-event activation latency, revenue drawdown
+        "users_fifth_event_latency", "orders_revenue_drawdown"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -148,7 +150,8 @@ def test_empty_tables_round5_queries(ray_session, tmp_path):
         # exactly like the recursive CTE's anchor rows
         limit = {"forecast_revenue_delta": 1, "promo_revenue_pct": 1,
                  "sites_pagerank": 997, "sites_triangle_count": 1,
-                 "events_funnel": 1, "sites_bfs_hops": 3}.get(name, 0)
+                 "events_funnel": 1, "sites_bfs_hops": 3,
+                 "users_fifth_event_latency": 1}.get(name, 0)
         assert n <= limit, name
 
 
