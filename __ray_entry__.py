@@ -6288,6 +6288,153 @@ def _ntile(order_vals: "np.ndarray", tiebreak: "np.ndarray",
     return (tile + 1).astype(np.int64)
 
 
+def _docs_k_anonymity(sf_dir: str):
+    """k-anonymity audit over the quasi-identifier triple
+    (lang, source, n_chars//100 length band): every QI group whose
+    population is below k=5 — the re-identification-risk report a
+    privacy review runs before releasing corpus metadata. QI domain is
+    bounded (langs x sources x bands), so one count-combiner pass and a
+    driver root filter; ALL-INTEGER, trivially bit-exact vs SQL."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        band = batch["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64) // 100
+        t = pa.table({"lang": batch["lang"], "source": batch["source"],
+                      "band": band,
+                      "cnt": np.ones(batch.num_rows, np.int64)})
+        return t.group_by(["lang", "source", "band"]).aggregate(
+            [("cnt", "sum")]) \
+            .rename_columns(["lang", "source", "band", "cnt"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "source", "band"]).aggregate(
+            [("cnt", "sum")])
+        cnt = g["cnt_sum"].to_numpy(zero_copy_only=False)
+        keep = cnt < 5
+        return pa.table({
+            "lang": g["lang"].filter(pa.array(keep)),
+            "source": g["source"].filter(pa.array(keep)),
+            "band": pa.array(
+                g["band"].to_numpy(zero_copy_only=False)[keep],
+                pa.int64()),
+            "cnt": pa.array(cnt[keep], pa.int64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("lang", pa.string()),
+                          ("source", pa.string()),
+                          ("band", pa.int64()), ("cnt", pa.int64())]))
+
+
+def _region_part_coverage(sf_dir: str):
+    """Distinct parts supplied per REGION — a three-hop dimension chain
+    (supplier -> nation -> region, composed driver-side into one
+    suppkey -> regionkey array and broadcast) followed by a distributed
+    DISTINCT count: batches emit packed (region << 44 | part) distinct
+    keys, ONE part-hash exchange routes them, each bucket dedups and
+    emits per-region partial counts, and the root sums — part payloads
+    never leave the keys-only exchange, exactly the 100-TB shape.
+    ALL-INTEGER vs the SQL COUNT(DISTINCT) mirror."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from h3ray.io.pages import _mix64
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.ops.skew import default_num_buckets
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    nk = nat["n_nationkey"].to_numpy().astype(np.int64)
+    no = np.argsort(nk)
+    nat_reg = nat["n_regionkey"].to_numpy().astype(np.int64)[no]
+    nk = nk[no]
+    sk = sup["s_suppkey"].to_numpy().astype(np.int64)
+    so = np.argsort(sk)
+    sk = sk[so]
+    snat = sup["s_nationkey"].to_numpy().astype(np.int64)[so]
+    if sk.shape[0] and nk.shape[0]:
+        npos = np.minimum(np.searchsorted(nk, snat), nk.shape[0] - 1)
+        ok = nk[npos] == snat
+        sk, sreg = sk[ok], nat_reg[npos[ok]]
+    else:
+        sk = np.empty(0, np.int64)
+        sreg = np.empty(0, np.int64)
+    side_ref = ray.put((sk, sreg))
+    rk = reg["r_regionkey"].to_numpy().astype(np.int64)
+    rname = reg["r_name"].to_numpy(zero_copy_only=False).astype(str)
+    ro = np.argsort(rk)
+    rk, rname = rk[ro], rname[ro]
+    nb = default_num_buckets()
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_suppkey", "l_partkey"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        keys, regs = ray.get(side_ref)
+        s = batch["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if keys.shape[0] == 0:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "_bucket": pa.array([], pa.int32())})
+        pos = np.minimum(np.searchsorted(keys, s), keys.shape[0] - 1)
+        sel = keys[pos] == s
+        key = np.unique((regs[pos[sel]] << np.int64(44)) | p[sel])
+        return pa.table({
+            "key": key,
+            "_bucket": (_mix64((key & ((np.int64(1) << 44) - 1))
+                               .astype(np.uint64))
+                        % np.uint64(nb)).astype(np.int32)})
+
+    def distinct_counts(group: pa.Table) -> pa.Table:
+        k = np.unique(group["key"].to_numpy(zero_copy_only=False))
+        r = k >> np.int64(44)
+        ur, cnt = np.unique(r, return_counts=True)
+        return pa.table({"regionkey": ur,
+                         "n": cnt.astype(np.int64)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["regionkey"]).aggregate([("n", "sum")])
+        r = g["regionkey"].to_numpy(zero_copy_only=False)
+        n = g["n_sum"].to_numpy(zero_copy_only=False)
+        if r.shape[0] == 0 or rk.shape[0] == 0:
+            return pa.table({
+                "r_name": pa.array([], pa.string()),
+                "n_parts": pa.array([], pa.int64())})
+        pos = np.minimum(np.searchsorted(rk, r), rk.shape[0] - 1)
+        ok = rk[pos] == r
+        return pa.table({
+            "r_name": pa.array(rname[pos[ok]].astype(object),
+                               pa.string()),
+            "n_parts": pa.array(n[ok], pa.int64())})
+
+    bucketed = ds.map_batches(pair_partial, batch_format="pyarrow",
+                              batch_size=131072) \
+        .groupby("_bucket").map_groups(distinct_counts,
+                                       batch_format="pyarrow")
+    return driver_merge(
+        bucketed, merge,
+        schema=pa.schema([("regionkey", pa.int64()),
+                          ("n", pa.int64())]))
+
+
 def _users_fifth_event_latency(sf_dir: str):
     """Time-to-habit: among users with >= 5 events, the mean latency
     from their 1st to their 5th event (ordered by ts, event_id — the
@@ -7563,6 +7710,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 33: k-anonymity audit, region part coverage ---
+        "docs_k_anonymity": _docs_k_anonymity,
+        "region_part_coverage": _region_part_coverage,
         # --- round-5 wave 32: fifth-event activation latency,
         # --- running-peak revenue drawdown ---
         "users_fifth_event_latency": _users_fifth_event_latency,
@@ -7858,6 +8008,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 33: never driver-checked.
+    "docs_k_anonymity", "region_part_coverage",
     # (3) round-5 wave 32: never driver-checked.
     "users_fifth_event_latency", "orders_revenue_drawdown",
     # (3) round-5 wave 31: never driver-checked.
@@ -8919,6 +9071,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT site, CAST(MIN(hops) AS BIGINT) AS hops
             FROM walk GROUP BY site
+        """,
+        # k-anonymity: QI groups below k=5 — all-integer.
+        "docs_k_anonymity": """
+            SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS band,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM documents GROUP BY 1, 2, 3
+            HAVING COUNT(*) < 5
+        """,
+        # Three-hop dimension chain + COUNT(DISTINCT) — all-integer.
+        "region_part_coverage": """
+            SELECT r.r_name,
+                   CAST(COUNT(DISTINCT l.l_partkey) AS BIGINT)
+                     AS n_parts
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY r.r_name
         """,
         # Activation latency: ROW_NUMBER picks each user's 1st and 5th
         # event (ts, event_id tiebreak — same as the engine lexsort);

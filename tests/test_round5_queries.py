@@ -99,7 +99,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 31: Hampel anomaly days, Heaps vocab growth
         "events_anomaly_days", "docs_vocab_growth",
         # wave 32: fifth-event activation latency, revenue drawdown
-        "users_fifth_event_latency", "orders_revenue_drawdown"]
+        "users_fifth_event_latency", "orders_revenue_drawdown",
+        # wave 33: k-anonymity audit, region part coverage
+        "docs_k_anonymity", "region_part_coverage"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
