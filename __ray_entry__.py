@@ -6288,6 +6288,141 @@ def _ntile(order_vals: "np.ndarray", tiebreak: "np.ndarray",
     return (tile + 1).astype(np.int64)
 
 
+def _events_burst_users(sf_dir: str):
+    """Bot-rate detection: users whose densest 1-hour window holds >= 3
+    events, with that max burst count — the superhuman-rate flag abuse
+    teams run first. One user-hash exchange of (user, int64 ts); each
+    bucket lexsorts once and answers every user with two vectorized
+    searchsorted sweeps per run (the RANGE-frame count
+    #{j: ts_i <= ts_j <= ts_i + 1h}, including ts ties exactly like
+    SQL's RANGE BETWEEN CURRENT ROW AND x FOLLOWING). ALL-INTEGER."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.io.pages import _mix64
+    from h3ray.ops.skew import default_num_buckets
+
+    H = 3_600_000_000
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    nb = default_num_buckets()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        us = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "user_id": uid, "ts_us": us,
+            "_bucket": (_mix64(uid.astype(np.uint64))
+                        % np.uint64(nb)).astype(np.int32)})
+
+    def resolve(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((ts, uid))
+        uid, ts = uid[o], ts[o]
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], uid.shape[0]]
+        out_u, out_b = [], []
+        for s, e in zip(starts, ends):
+            t = ts[s:e]
+            w = np.searchsorted(t, t + H, side="right") \
+                - np.searchsorted(t, t, side="left")
+            mb = int(w.max())
+            if mb >= 3:
+                out_u.append(int(uid[s]))
+                out_b.append(mb)
+        return pa.table({
+            "user_id": pa.array(out_u, pa.int64()),
+            "max_burst": pa.array(out_b, pa.int64())})
+
+    from h3ray.ops.join import seed_schema
+    return seed_schema(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       batch_size=131072)
+        .groupby("_bucket").map_groups(resolve,
+                                       batch_format="pyarrow"),
+        pa.schema([("user_id", pa.int64()),
+                   ("max_burst", pa.int64())]))
+
+
+def _events_winsorized_mean(sf_dir: str):
+    """Winsorized mean of event value per type (P5/P95 clipping — the
+    standard robust-mean data-cleaning op): the combiner emits
+    (type, value-cents) count partials — bounded by the value DOMAIN —
+    and the root picks lo/hi at 1-based index ceil(p*n) over the
+    sorted cents (the cume_dist >= p rule; ceil(0.05*n) is evaluated
+    in float64 on BOTH sides, so even its rounding quirks mirror),
+    clips with exact integer sums and divides ONCE — bit-identical to
+    the SQL ROW_NUMBER mirror."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch["value"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch["event_type"], "c": cents,
+                      "cnt": np.ones(batch.num_rows, np.int64)})
+        return t.group_by(["event_type", "c"]).aggregate(
+            [("cnt", "sum")]).rename_columns(["event_type", "c", "cnt"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "c"]).aggregate([("cnt", "sum")])
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        if et.shape[0] == 0:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "lo": pa.array([], pa.int64()),
+                "hi": pa.array([], pa.int64()),
+                "winsorized_mean": pa.array([], pa.float64())})
+        c = g["c"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt_sum"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((c, et))
+        et, c, cnt = et[o], c[o], cnt[o]
+        starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]]).tolist()
+        ends = starts[1:] + [et.shape[0]]
+        out = {k: [] for k in ("event_type", "n", "lo", "hi", "wm")}
+        for s, e in zip(starts, ends):
+            cs, ns = c[s:e], cnt[s:e]
+            cum = np.cumsum(ns)
+            n = int(cum[-1])
+            k_lo = int(math.ceil(0.05 * n))
+            k_hi = int(math.ceil(0.95 * n))
+            lo = int(cs[np.searchsorted(cum, k_lo, side="left")])
+            hi = int(cs[np.searchsorted(cum, k_hi, side="left")])
+            clipped = np.clip(cs, lo, hi)
+            tot = sum(int(a) * int(b) for a, b in zip(clipped, ns))
+            out["event_type"].append(str(et[s]))
+            out["n"].append(n)
+            out["lo"].append(lo)
+            out["hi"].append(hi)
+            out["wm"].append(float(tot) / float(n))
+        return pa.table({
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "lo": pa.array(out["lo"], pa.int64()),
+            "hi": pa.array(out["hi"], pa.int64()),
+            "winsorized_mean": pa.array(out["wm"], pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("event_type", pa.string()),
+                          ("c", pa.int64()), ("cnt", pa.int64())]))
+
+
 def _docs_k_anonymity(sf_dir: str):
     """k-anonymity audit over the quasi-identifier triple
     (lang, source, n_chars//100 length band): every QI group whose
@@ -7710,6 +7845,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 34: burst bot flags, winsorized mean ---
+        "events_burst_users": _events_burst_users,
+        "events_winsorized_mean": _events_winsorized_mean,
         # --- round-5 wave 33: k-anonymity audit, region part coverage ---
         "docs_k_anonymity": _docs_k_anonymity,
         "region_part_coverage": _region_part_coverage,
@@ -8008,6 +8146,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 34: never driver-checked.
+    "events_burst_users", "events_winsorized_mean",
     # (3) round-5 wave 33: never driver-checked.
     "docs_k_anonymity", "region_part_coverage",
     # (3) round-5 wave 32: never driver-checked.
@@ -9071,6 +9211,51 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT site, CAST(MIN(hops) AS BIGINT) AS hops
             FROM walk GROUP BY site
+        """,
+        # Bot-rate flags: the RANGE frame counts every event within
+        # [ts, ts+1h] including ts ties — same as the engine's two
+        # searchsorted sweeps. All-integer.
+        "events_burst_users": """
+            WITH b AS (
+              SELECT user_id,
+                     COUNT(*) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts)
+                                    RANGE BETWEEN CURRENT ROW
+                                    AND 3600000000 FOLLOWING) AS w
+              FROM events
+            )
+            SELECT user_id, CAST(MAX(w) AS BIGINT) AS max_burst
+            FROM b GROUP BY user_id HAVING MAX(w) >= 3
+        """,
+        # Winsorized mean: lo/hi at 1-based rank CEIL(p*n) (float64 on
+        # both sides, so rounding quirks mirror), exact clipped sum,
+        # one division.
+        "events_winsorized_mean": """
+            WITH v AS (
+              SELECT event_type,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events
+            ), r AS (
+              SELECT event_type, c,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY c) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM v
+            ), b AS (
+              SELECT event_type,
+                     MAX(CASE WHEN rn = CAST(CEIL(0.05 * n) AS BIGINT)
+                              THEN c END) AS lo,
+                     MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT)
+                              THEN c END) AS hi,
+                     CAST(MAX(n) AS BIGINT) AS n
+              FROM r GROUP BY event_type
+            )
+            SELECT b.event_type, b.n, b.lo, b.hi,
+                   CAST(SUM(GREATEST(b.lo, LEAST(b.hi, v.c)))
+                        AS DOUBLE) / CAST(b.n AS DOUBLE)
+                     AS winsorized_mean
+            FROM v JOIN b USING (event_type)
+            GROUP BY b.event_type, b.n, b.lo, b.hi
         """,
         # k-anonymity: QI groups below k=5 — all-integer.
         "docs_k_anonymity": """

@@ -101,7 +101,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 32: fifth-event activation latency, revenue drawdown
         "users_fifth_event_latency", "orders_revenue_drawdown",
         # wave 33: k-anonymity audit, region part coverage
-        "docs_k_anonymity", "region_part_coverage"]
+        "docs_k_anonymity", "region_part_coverage",
+        # wave 34: burst bot flags, winsorized mean
+        "events_burst_users", "events_winsorized_mean"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
