@@ -6288,6 +6288,138 @@ def _ntile(order_vals: "np.ndarray", tiebreak: "np.ndarray",
     return (tile + 1).astype(np.int64)
 
 
+def _docs_dup_loss_by_source(sf_dir: str):
+    """Dedup survivorship report: per source, how many documents exist
+    and how many exact-dedup would DROP (min-doc_id-per-text canonical
+    rule — same convention as docs_exact_dedup) — the per-provider loss
+    accounting a curation run publishes. One fingerprint-hash exchange
+    of (fp, doc_id, source); each bucket lexsorts its fp runs, marks
+    everything after the min doc_id as dropped, and emits per-source
+    partial counts. ALL-INTEGER vs the SQL GROUP-BY-text mirror (the
+    64-bit fingerprint stands in for text equality, as everywhere in
+    the dedup family)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.ops.skew import default_num_buckets
+    from h3ray.text.analysis import fingerprint_stage
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    nb = default_num_buckets()
+    fp_fn = fingerprint_stage("text")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = fp_fn(batch)
+        fp = t["fingerprint"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "fp": fp, "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "_bucket": pa.array(
+                (fp.view(np.uint64) % np.uint64(nb)).astype(np.int32))})
+
+    def resolve(group: pa.Table) -> pa.Table:
+        fp = group["fp"].to_numpy(zero_copy_only=False)
+        doc = group["doc_id"].to_numpy(zero_copy_only=False)
+        src = group["source"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((doc, fp))
+        fp, doc, src = fp[o], doc[o], src[o]
+        keep_min = np.r_[True, fp[1:] != fp[:-1]]
+        t = pa.table({"source": pa.array(src.astype(object),
+                                         pa.string()),
+                      "n": np.ones(src.shape[0], np.int64),
+                      "dropped": (~keep_min).astype(np.int64)})
+        return t.group_by(["source"]).aggregate(
+            [("n", "sum"), ("dropped", "sum")]) \
+            .rename_columns(["source", "n", "dropped"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source"]).aggregate(
+            [("n", "sum"), ("dropped", "sum")])
+        return pa.table({
+            "source": g["source"],
+            "n_docs": pa.array(
+                g["n_sum"].to_numpy(zero_copy_only=False), pa.int64()),
+            "n_dropped": pa.array(
+                g["dropped_sum"].to_numpy(zero_copy_only=False),
+                pa.int64())})
+
+    bucketed = ds.map_batches(prep, batch_format="pyarrow",
+                              batch_size=65536) \
+        .groupby("_bucket").map_groups(resolve, batch_format="pyarrow")
+    return driver_merge(
+        bucketed, merge,
+        schema=pa.schema([("source", pa.string()), ("n", pa.int64()),
+                          ("dropped", pa.int64())]))
+
+
+def _events_stickiness_daily(sf_dir: str):
+    """Daily stickiness (DAU / trailing-7-day WAU) — the canonical
+    product-engagement ratio. Batch-local distinct (user, day) pairs
+    are the only exchange payload (bounded by users x date domain); the
+    root dedups once, then answers every day with two searchsorted
+    range counts over the (day, user)-sorted pairs — DAU exact, WAU as
+    distinct users in [d-6, d] — and ONE IEEE division per day,
+    mirroring the SQL range-join bit-for-bit."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        day = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) \
+            // 86_400_000_000
+        k = np.unique(day * (np.int64(1) << 32) + uid) \
+            if uid.shape[0] else np.empty(0, np.int64)
+        return pa.table({"day": k >> np.int64(32),
+                         "user_id": k & ((np.int64(1) << 32) - 1)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        day = t["day"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        if day.shape[0] == 0:
+            return pa.table({
+                "day": pa.array([], pa.int64()),
+                "dau": pa.array([], pa.int64()),
+                "wau": pa.array([], pa.int64()),
+                "stickiness": pa.array([], pa.float64())})
+        k = np.unique(day * (np.int64(1) << 32) + uid)
+        day = k >> np.int64(32)
+        uid = k & ((np.int64(1) << 32) - 1)
+        days = np.unique(day)
+        out_d, out_a, out_w, out_s = [], [], [], []
+        for d in days:
+            lo = np.searchsorted(day, d - 6, side="left")
+            hi = np.searchsorted(day, d, side="right")
+            dau = int(np.searchsorted(day, d, side="right")
+                      - np.searchsorted(day, d, side="left"))
+            wau = int(np.unique(uid[lo:hi]).shape[0])
+            out_d.append(int(d))
+            out_a.append(dau)
+            out_w.append(wau)
+            out_s.append(float(dau) / float(wau))
+        return pa.table({
+            "day": pa.array(out_d, pa.int64()),
+            "dau": pa.array(out_a, pa.int64()),
+            "wau": pa.array(out_w, pa.int64()),
+            "stickiness": pa.array(out_s, pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("day", pa.int64()),
+                          ("user_id", pa.int64())]))
+
+
 def _events_burst_users(sf_dir: str):
     """Bot-rate detection: users whose densest 1-hour window holds >= 3
     events, with that max burst count — the superhuman-rate flag abuse
@@ -7845,6 +7977,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 35: dedup survivorship, DAU/WAU stickiness ---
+        "docs_dup_loss_by_source": _docs_dup_loss_by_source,
+        "events_stickiness_daily": _events_stickiness_daily,
         # --- round-5 wave 34: burst bot flags, winsorized mean ---
         "events_burst_users": _events_burst_users,
         "events_winsorized_mean": _events_winsorized_mean,
@@ -8146,6 +8281,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 35: never driver-checked.
+    "docs_dup_loss_by_source", "events_stickiness_daily",
     # (3) round-5 wave 34: never driver-checked.
     "events_burst_users", "events_winsorized_mean",
     # (3) round-5 wave 33: never driver-checked.
@@ -9211,6 +9348,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT site, CAST(MIN(hops) AS BIGINT) AS hops
             FROM walk GROUP BY site
+        """,
+        # Dedup survivorship: min-doc_id-per-text canonical rule,
+        # per-source loss counts — all-integer.
+        "docs_dup_loss_by_source": """
+            WITH c AS (
+              SELECT text, MIN(doc_id) AS canon
+              FROM documents GROUP BY text
+            )
+            SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN d.doc_id <> c.canon
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dropped
+            FROM documents d JOIN c ON c.text = d.text
+            GROUP BY d.source
+        """,
+        # DAU / trailing-7d WAU: distinct pairs, range join, one
+        # division per day.
+        "events_stickiness_daily": """
+            WITH p AS (
+              SELECT DISTINCT user_id,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+              FROM events
+            ), d AS (
+              SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+              FROM p GROUP BY day
+            ), w AS (
+              SELECT d1.day,
+                     CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS wau
+              FROM d d1 JOIN p
+                ON p.day BETWEEN d1.day - 6 AND d1.day
+              GROUP BY d1.day
+            )
+            SELECT d.day, d.dau, w.wau,
+                   CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE)
+                     AS stickiness
+            FROM d JOIN w USING (day)
         """,
         # Bot-rate flags: the RANGE frame counts every event within
         # [ts, ts+1h] including ts ties — same as the engine's two

@@ -103,7 +103,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 33: k-anonymity audit, region part coverage
         "docs_k_anonymity", "region_part_coverage",
         # wave 34: burst bot flags, winsorized mean
-        "events_burst_users", "events_winsorized_mean"]
+        "events_burst_users", "events_winsorized_mean",
+        # wave 35: dedup survivorship, DAU/WAU stickiness
+        "docs_dup_loss_by_source", "events_stickiness_daily"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
