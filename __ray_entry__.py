@@ -6288,6 +6288,143 @@ def _ntile(order_vals: "np.ndarray", tiebreak: "np.ndarray",
     return (tile + 1).astype(np.int64)
 
 
+def _events_first_touch_conversion(sf_dir: str):
+    """First-touch attribution: users grouped by their FIRST event's
+    type (ts, event_id order), with the share that later purchased
+    (any 'purchase' strictly after the first event in that order) —
+    the acquisition-channel conversion table. One user-hash exchange;
+    each bucket lexsorts once, reads the first event and scans the
+    rest of the run vectorized, and emits per-first-type (n, converted)
+    partials; the root sums and divides ONCE per type — bit-identical
+    to the SQL ROW_NUMBER mirror."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.io.pages import _mix64
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.ops.skew import default_num_buckets
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+    nb = default_num_buckets()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        us = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "user_id": uid, "ts_us": us,
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+            "_bucket": (_mix64(uid.astype(np.uint64))
+                        % np.uint64(nb)).astype(np.int32)})
+
+    def resolve(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((eid, ts, uid))
+        uid, et = uid[o], et[o]
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], uid.shape[0]]
+        is_p = et == "purchase"
+        cum = np.r_[0, np.cumsum(is_p)]
+        ft = et[starts]
+        conv = (cum[ends] - cum[starts + 1] > 0).astype(np.int64)
+        t = pa.table({"first_type": pa.array(ft.astype(object),
+                                             pa.string()),
+                      "n": np.ones(ft.shape[0], np.int64),
+                      "conv": conv})
+        return t.group_by(["first_type"]).aggregate(
+            [("n", "sum"), ("conv", "sum")]) \
+            .rename_columns(["first_type", "n", "conv"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["first_type"]).aggregate(
+            [("n", "sum"), ("conv", "sum")])
+        n = [int(v) for v in g["n_sum"].to_pylist()]
+        c = [int(v) for v in g["conv_sum"].to_pylist()]
+        return pa.table({
+            "first_type": g["first_type"],
+            "n_users": pa.array(n, pa.int64()),
+            "n_converted": pa.array(c, pa.int64()),
+            "conversion_rate": pa.array(
+                [float(ci) / float(ni) for ci, ni in zip(c, n)],
+                pa.float64())})
+
+    bucketed = ds.map_batches(prep, batch_format="pyarrow",
+                              batch_size=131072) \
+        .groupby("_bucket").map_groups(resolve, batch_format="pyarrow")
+    return driver_merge(
+        bucketed, merge,
+        schema=pa.schema([("first_type", pa.string()),
+                          ("n", pa.int64()), ("conv", pa.int64())]))
+
+
+def _orders_fanout_hist(sf_dir: str):
+    """Order fan-out distribution: histogram of lines-per-order — the
+    join-cardinality profile that sizes every orders-to-lineitem
+    exchange. The order key space is fact-sized (NOT driver-bounded),
+    so per-batch (orderkey, cnt) partials cross ONE orderkey-hash
+    exchange, each bucket finishes its orders' counts exactly, builds
+    a LOCAL histogram, and only (lines_per_order, n_orders) partial
+    histogram rows — bounded by the max fan-out — reach the root.
+    ALL-INTEGER."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.io.pages import _mix64
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.ops.skew import default_num_buckets
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey"])
+    nb = default_num_buckets()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        u, c = np.unique(ok, return_counts=True)
+        return pa.table({
+            "orderkey": u, "cnt": c.astype(np.int64),
+            "_bucket": (_mix64(u.astype(np.uint64))
+                        % np.uint64(nb)).astype(np.int32)})
+
+    def local_hist(group: pa.Table) -> pa.Table:
+        ok = group["orderkey"].to_numpy(zero_copy_only=False)
+        c = group["cnt"].to_numpy(zero_copy_only=False)
+        uo, inv = np.unique(ok, return_inverse=True)
+        tot = np.zeros(uo.shape[0], np.int64)
+        np.add.at(tot, inv, c)
+        hv, hc = np.unique(tot, return_counts=True)
+        return pa.table({"lines_per_order": hv,
+                         "n_orders": hc.astype(np.int64)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lines_per_order"]).aggregate(
+            [("n_orders", "sum")])
+        v = g["lines_per_order"].to_numpy(zero_copy_only=False)
+        n = g["n_orders_sum"].to_numpy(zero_copy_only=False)
+        o = np.argsort(v)
+        return pa.table({
+            "lines_per_order": pa.array(v[o], pa.int64()),
+            "n_orders": pa.array(n[o], pa.int64())})
+
+    bucketed = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=131072) \
+        .groupby("_bucket").map_groups(local_hist,
+                                       batch_format="pyarrow")
+    return driver_merge(
+        bucketed, merge,
+        schema=pa.schema([("lines_per_order", pa.int64()),
+                          ("n_orders", pa.int64())]))
+
+
 def _docs_dup_loss_by_source(sf_dir: str):
     """Dedup survivorship report: per source, how many documents exist
     and how many exact-dedup would DROP (min-doc_id-per-text canonical
@@ -7977,6 +8114,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 36: first-touch attribution, fan-out hist ---
+        "events_first_touch_conversion": _events_first_touch_conversion,
+        "orders_fanout_hist": _orders_fanout_hist,
         # --- round-5 wave 35: dedup survivorship, DAU/WAU stickiness ---
         "docs_dup_loss_by_source": _docs_dup_loss_by_source,
         "events_stickiness_daily": _events_stickiness_daily,
@@ -8281,6 +8421,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 36: never driver-checked.
+    "events_first_touch_conversion", "orders_fanout_hist",
     # (3) round-5 wave 35: never driver-checked.
     "docs_dup_loss_by_source", "events_stickiness_daily",
     # (3) round-5 wave 34: never driver-checked.
@@ -9348,6 +9490,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT site, CAST(MIN(hops) AS BIGINT) AS hops
             FROM walk GROUP BY site
+        """,
+        # First-touch attribution: ROW_NUMBER picks the first event
+        # (ts, event_id tiebreak), conversion = any later purchase;
+        # exact counts, one division.
+        "events_first_touch_conversion": """
+            WITH r AS (
+              SELECT user_id, event_type,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events
+            ), f AS (
+              SELECT user_id, event_type AS first_type
+              FROM r WHERE rn = 1
+            ), c AS (
+              SELECT f.user_id, f.first_type,
+                     MAX(CASE WHEN r.rn > 1
+                              AND r.event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS conv
+              FROM f JOIN r USING (user_id) GROUP BY 1, 2
+            )
+            SELECT first_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(conv) AS BIGINT) AS n_converted,
+                   CAST(SUM(conv) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS conversion_rate
+            FROM c GROUP BY first_type
+        """,
+        # Fan-out histogram — all-integer.
+        "orders_fanout_hist": """
+            WITH c AS (
+              SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM lineitem GROUP BY 1
+            )
+            SELECT cnt AS lines_per_order,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM c GROUP BY cnt
         """,
         # Dedup survivorship: min-doc_id-per-text canonical rule,
         # per-source loss counts — all-integer.

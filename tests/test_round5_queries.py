@@ -105,7 +105,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 34: burst bot flags, winsorized mean
         "events_burst_users", "events_winsorized_mean",
         # wave 35: dedup survivorship, DAU/WAU stickiness
-        "docs_dup_loss_by_source", "events_stickiness_daily"]
+        "docs_dup_loss_by_source", "events_stickiness_daily",
+        # wave 36: first-touch attribution, order fan-out histogram
+        "events_first_touch_conversion", "orders_fanout_hist"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
