@@ -6288,6 +6288,164 @@ def _ntile(order_vals: "np.ndarray", tiebreak: "np.ndarray",
     return (tile + 1).astype(np.int64)
 
 
+def _docs_common_prefix_groups(sf_dir: str):
+    """Template detection: groups of documents sharing the SAME first-8
+    whitespace-token prefix (with >= 2 members) — the cheap
+    boilerplate/mirror-page probe a curation pass runs before heavier
+    near-dedup. Prefixes are built vectorized (8 token-gather columns
+    joined with null-skip — no per-row Python), counted per batch, and
+    finished inside ONE prefix-hash exchange whose buckets emit only
+    qualifying (prefix, n_docs) rows; prefix strings stay out of the
+    exchange payload beyond the bounded survivor set. ALL-INTEGER."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.io.pages import url_hash64
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.ops.skew import default_num_buckets
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+    nb = default_num_buckets()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"prefix": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64()),
+                             "_bucket": pa.array([], pa.int32())})
+        la = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.cast(batch["text"], pa.string())),
+            r"\s+")
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        flat = la.values.to_numpy(zero_copy_only=False)
+        off = la.offsets.to_numpy().astype(np.int64)
+        starts, lens = off[:-1], np.diff(off)
+        # split('') == [''] — treat the empty token as zero tokens
+        eff = np.where((lens == 1) & (flat[starts] == ""), 0, lens)
+        cols = []
+        for k in range(8):
+            have = k < eff
+            vals = np.where(have, flat[np.minimum(
+                starts + k, flat.shape[0] - 1)], None)
+            cols.append(pa.array(vals.astype(object), pa.string()))
+        prefix = pc.binary_join_element_wise(
+            *cols, " ", null_handling="skip")
+        t = pa.table({"prefix": prefix,
+                      "cnt": np.ones(batch.num_rows, np.int64)})
+        g = t.group_by(["prefix"]).aggregate([("cnt", "sum")]) \
+            .rename_columns(["prefix", "cnt"])
+        h = url_hash64(g["prefix"]).view(np.int64)
+        return g.append_column("_bucket", pa.array(
+            (h.view(np.uint64) % np.uint64(nb)).astype(np.int32)))
+
+    def finish(group: pa.Table) -> pa.Table:
+        g = group.group_by(["prefix"]).aggregate([("cnt", "sum")])
+        n = g["cnt_sum"].to_numpy(zero_copy_only=False)
+        keep = n >= 2
+        return pa.table({
+            "prefix": g["prefix"].filter(pa.array(keep)),
+            "n_docs": pa.array(n[keep], pa.int64())})
+
+    bucketed = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536) \
+        .groupby("_bucket").map_groups(finish, batch_format="pyarrow")
+    return driver_merge(
+        bucketed, lambda t: t,
+        schema=pa.schema([("prefix", pa.string()),
+                          ("n_docs", pa.int64())]))
+
+
+def _customer_momentum_by_nation(sf_dir: str):
+    """Customer spend momentum per nation: among customers with >= 2
+    orders, how many trend UP, DOWN or FLAT — the sign of the exact
+    least-squares slope numerator n*Sxy - Sx*Sy of order cents on
+    epoch-day (PYTHON BIGINTS, so the sign is exact; no division ever
+    happens). Per-customer moment partials roll up in one combiner
+    (customer dimension is the bounded side); nations broadcast.
+    ALL-INTEGER vs the HUGEINT SQL mirror."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust["c_custkey"].to_numpy().astype(np.int64)
+    order = np.argsort(ck)
+    ck = ck[order]
+    nk = cust["c_nationkey"].to_numpy().astype(np.int64)[order]
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        x = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) \
+            // 86_400_000_000
+        y = np.floor(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        t = pa.table({"ck": c, "n": np.ones(c.shape[0], np.int64),
+                      "sx": x, "sy": y, "sxy": x * y})
+        return t.group_by(["ck"]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxy", "sum")]) \
+            .rename_columns(["ck", "n", "sx", "sy", "sxy"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["ck"]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxy", "sum")])
+        c = g["ck"].to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            "c_nationkey": pa.array([], pa.int64()),
+            "n_customers": pa.array([], pa.int64()),
+            "n_up": pa.array([], pa.int64()),
+            "n_down": pa.array([], pa.int64()),
+            "n_flat": pa.array([], pa.int64())})
+        if c.shape[0] == 0 or ck.shape[0] == 0:
+            return empty
+        pos = np.minimum(np.searchsorted(ck, c), ck.shape[0] - 1)
+        sel = ck[pos] == c
+        agg: dict = {}
+        for i in np.flatnonzero(sel):
+            n = int(g["n_sum"][i].as_py())
+            if n < 2:
+                continue
+            num = n * int(g["sxy_sum"][i].as_py()) \
+                - int(g["sx_sum"][i].as_py()) \
+                * int(g["sy_sum"][i].as_py())
+            nat = int(nk[pos[i]])
+            tot, up, down = agg.get(nat, (0, 0, 0))
+            agg[nat] = (tot + 1, up + (num > 0), down + (num < 0))
+        if not agg:
+            return empty
+        nats = sorted(agg)
+        return pa.table({
+            "c_nationkey": pa.array(nats, pa.int64()),
+            "n_customers": pa.array([agg[k][0] for k in nats],
+                                    pa.int64()),
+            "n_up": pa.array([agg[k][1] for k in nats], pa.int64()),
+            "n_down": pa.array([agg[k][2] for k in nats], pa.int64()),
+            "n_flat": pa.array(
+                [agg[k][0] - agg[k][1] - agg[k][2] for k in nats],
+                pa.int64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("ck", pa.int64()), ("n", pa.int64()),
+                          ("sx", pa.int64()), ("sy", pa.int64()),
+                          ("sxy", pa.int64())]))
+
+
 def _events_first_touch_conversion(sf_dir: str):
     """First-touch attribution: users grouped by their FIRST event's
     type (ts, event_id order), with the share that later purchased
@@ -8114,6 +8272,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 37: prefix template groups, spend momentum ---
+        "docs_common_prefix_groups": _docs_common_prefix_groups,
+        "customer_momentum_by_nation": _customer_momentum_by_nation,
         # --- round-5 wave 36: first-touch attribution, fan-out hist ---
         "events_first_touch_conversion": _events_first_touch_conversion,
         "orders_fanout_hist": _orders_fanout_hist,
@@ -8421,6 +8582,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 37: never driver-checked.
+    "docs_common_prefix_groups", "customer_momentum_by_nation",
     # (3) round-5 wave 36: never driver-checked.
     "events_first_touch_conversion", "orders_fanout_hist",
     # (3) round-5 wave 35: never driver-checked.
@@ -9490,6 +9653,48 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT site, CAST(MIN(hops) AS BIGINT) AS hops
             FROM walk GROUP BY site
+        """,
+        # Template groups: same \\S+ tokenizer as the corpus queries,
+        # first-8-token prefix, groups of >= 2 — all-integer.
+        "docs_common_prefix_groups": r"""
+            WITH p AS (
+              SELECT array_to_string(
+                       list_slice(regexp_extract_all(text, '\S+'),
+                                  1, 8), ' ') AS prefix
+              FROM documents
+            )
+            SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM p GROUP BY prefix HAVING COUNT(*) >= 2
+        """,
+        # Momentum: sign of the exact HUGEINT slope numerator per
+        # customer (no division anywhere), counted per nation.
+        "customer_momentum_by_nation": """
+            WITH o AS (
+              SELECT o_custkey AS ck,
+                     CAST(epoch_us(o_orderdate) // 86400000000
+                          AS HUGEINT) AS x,
+                     CAST(FLOOR(o_totalprice * 100 + 0.5)
+                          AS HUGEINT) AS y
+              FROM orders
+            ), s AS (
+              SELECT ck, CAST(COUNT(*) AS HUGEINT) AS n,
+                     SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy
+              FROM o GROUP BY ck HAVING COUNT(*) >= 2
+            ), g AS (
+              SELECT c.c_nationkey AS nk,
+                     CASE WHEN s.n * s.sxy - s.sx * s.sy > 0
+                          THEN 1 ELSE 0 END AS up,
+                     CASE WHEN s.n * s.sxy - s.sx * s.sy < 0
+                          THEN 1 ELSE 0 END AS down
+              FROM s JOIN customer c ON c.c_custkey = s.ck
+            )
+            SELECT CAST(nk AS BIGINT) AS c_nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(up) AS BIGINT) AS n_up,
+                   CAST(SUM(down) AS BIGINT) AS n_down,
+                   CAST(COUNT(*) - SUM(up) - SUM(down) AS BIGINT)
+                     AS n_flat
+            FROM g GROUP BY nk
         """,
         # First-touch attribution: ROW_NUMBER picks the first event
         # (ts, event_id tiebreak), conversion = any later purchase;

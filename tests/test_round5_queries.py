@@ -107,7 +107,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 35: dedup survivorship, DAU/WAU stickiness
         "docs_dup_loss_by_source", "events_stickiness_daily",
         # wave 36: first-touch attribution, order fan-out histogram
-        "events_first_touch_conversion", "orders_fanout_hist"]
+        "events_first_touch_conversion", "orders_fanout_hist",
+        # wave 37: prefix template groups, customer spend momentum
+        "docs_common_prefix_groups", "customer_momentum_by_nation"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
