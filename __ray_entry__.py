@@ -6288,6 +6288,114 @@ def _ntile(order_vals: "np.ndarray", tiebreak: "np.ndarray",
     return (tile + 1).astype(np.int64)
 
 
+def _events_reactivations_monthly(sf_dir: str):
+    """Win-back curve: per calendar month, how many events mark a
+    REACTIVATION — the user's previous event (ts, event_id order) lies
+    >= 3 days back (the dormancy threshold for this high-frequency
+    corpus). One user-hash exchange; each bucket lexsorts once, diffs
+    consecutive timestamps per run, and emits bounded (ym, n) partial
+    counts. ALL-INTEGER vs the SQL LAG mirror."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.io.pages import _mix64
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.ops.skew import default_num_buckets
+
+    GAP = 3 * 86_400_000_000
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    nb = default_num_buckets()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        us = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "user_id": uid, "ts_us": us,
+            "event_id": batch["event_id"],
+            "_bucket": (_mix64(uid.astype(np.uint64))
+                        % np.uint64(nb)).astype(np.int32)})
+
+    def resolve(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((eid, ts, uid))
+        uid, ts = uid[o], ts[o]
+        same = np.r_[False, uid[1:] == uid[:-1]]
+        gap = np.r_[np.int64(0), ts[1:] - ts[:-1]]
+        hit = same & (gap >= GAP)
+        mi = ts[hit].astype("datetime64[us]") \
+            .astype("datetime64[M]").astype(np.int64)
+        ym = (1970 + mi // 12) * 100 + mi % 12 + 1
+        uy, cnt = np.unique(ym, return_counts=True)
+        return pa.table({"ym": uy, "n": cnt.astype(np.int64)})
+
+    bucketed = ds.map_batches(prep, batch_format="pyarrow",
+                              batch_size=131072) \
+        .groupby("_bucket").map_groups(resolve, batch_format="pyarrow")
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["ym"]).aggregate([("n", "sum")])
+        ym = g["ym"].to_numpy(zero_copy_only=False)
+        n = g["n_sum"].to_numpy(zero_copy_only=False)
+        o = np.argsort(ym)
+        return pa.table({
+            "ym": pa.array(ym[o], pa.int64()),
+            "n_reactivations": pa.array(n[o], pa.int64())})
+
+    return driver_merge(
+        bucketed, merge,
+        schema=pa.schema([("ym", pa.int64()), ("n", pa.int64())]))
+
+
+def _users_lifetime_hist(sf_dir: str):
+    """User lifetime distribution (survival-analysis shape): whole days
+    between each user's first and last event, histogrammed — how long
+    the product retains people. Per-batch (user, min, max) partials
+    cross one combiner; the root folds them per user and histograms.
+    The user dimension is the bounded side. ALL-INTEGER."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        us = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        t = pa.table({"user_id": uid, "mn": us, "mx": us})
+        return t.group_by(["user_id"]).aggregate(
+            [("mn", "min"), ("mx", "max")]) \
+            .rename_columns(["user_id", "mn", "mx"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id"]).aggregate(
+            [("mn", "min"), ("mx", "max")])
+        mn = g["mn_min"].to_numpy(zero_copy_only=False)
+        mx = g["mx_max"].to_numpy(zero_copy_only=False)
+        days = (mx - mn) // 86_400_000_000
+        uv, cnt = np.unique(days, return_counts=True)
+        return pa.table({
+            "lifetime_days": pa.array(uv, pa.int64()),
+            "n_users": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("user_id", pa.int64()), ("mn", pa.int64()),
+                          ("mx", pa.int64())]))
+
+
 def _docs_common_prefix_groups(sf_dir: str):
     """Template detection: groups of documents sharing the SAME first-8
     whitespace-token prefix (with >= 2 members) — the cheap
@@ -8272,6 +8380,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 38: monthly reactivations, lifetime hist ---
+        "events_reactivations_monthly": _events_reactivations_monthly,
+        "users_lifetime_hist": _users_lifetime_hist,
         # --- round-5 wave 37: prefix template groups, spend momentum ---
         "docs_common_prefix_groups": _docs_common_prefix_groups,
         "customer_momentum_by_nation": _customer_momentum_by_nation,
@@ -8582,6 +8693,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 38: never driver-checked.
+    "events_reactivations_monthly", "users_lifetime_hist",
     # (3) round-5 wave 37: never driver-checked.
     "docs_common_prefix_groups", "customer_momentum_by_nation",
     # (3) round-5 wave 36: never driver-checked.
@@ -9653,6 +9766,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT site, CAST(MIN(hops) AS BIGINT) AS hops
             FROM walk GROUP BY site
+        """,
+        # Reactivations: LAG gap >= 3 days, counted per month —
+        # all-integer.
+        "events_reactivations_monthly": """
+            WITH r AS (
+              SELECT ts, epoch_us(ts)
+                       - LAG(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS gap
+              FROM events
+            )
+            SELECT CAST(YEAR(ts) * 100 + MONTH(ts) AS BIGINT) AS ym,
+                   CAST(COUNT(*) AS BIGINT) AS n_reactivations
+            FROM r WHERE gap >= 3 * 86400000000
+            GROUP BY 1
+        """,
+        # Lifetime histogram: whole days first->last per user —
+        # all-integer.
+        "users_lifetime_hist": """
+            WITH u AS (
+              SELECT user_id,
+                     (MAX(epoch_us(ts)) - MIN(epoch_us(ts)))
+                       // 86400000000 AS lifetime_days
+              FROM events GROUP BY user_id
+            )
+            SELECT CAST(lifetime_days AS BIGINT) AS lifetime_days,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM u GROUP BY 1
         """,
         # Template groups: same \\S+ tokenizer as the corpus queries,
         # first-8-token prefix, groups of >= 2 — all-integer.

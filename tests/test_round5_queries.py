@@ -109,7 +109,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 36: first-touch attribution, order fan-out histogram
         "events_first_touch_conversion", "orders_fanout_hist",
         # wave 37: prefix template groups, customer spend momentum
-        "docs_common_prefix_groups", "customer_momentum_by_nation"]
+        "docs_common_prefix_groups", "customer_momentum_by_nation",
+        # wave 38: monthly reactivations, user lifetime histogram
+        "events_reactivations_monthly", "users_lifetime_hist"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
