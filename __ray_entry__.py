@@ -6288,6 +6288,128 @@ def _ntile(order_vals: "np.ndarray", tiebreak: "np.ndarray",
     return (tile + 1).astype(np.int64)
 
 
+def _events_fano_daily(sf_dir: str):
+    """Fano factor (variance-to-mean) of each type's daily counts —
+    the overdispersion test that separates bursty traffic from Poisson:
+    F = (n*Sxx - S^2) / ((n-1)*S) over observed days, exact PYTHON
+    BIGINTS, two casts, ONE IEEE division; singleton or empty-count
+    series emit NULL. Same bounded (type, day) combiner as the
+    autocorrelation probe; mirrors the HUGEINT SQL bit-for-bit."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        t = pa.table({"event_type": batch["event_type"],
+                      "day": us // 86_400_000_000,
+                      "x": np.ones(batch.num_rows, np.int64)})
+        return t.group_by(["event_type", "day"]).aggregate(
+            [("x", "sum")]).rename_columns(["event_type", "day", "x"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "day"]).aggregate([("x", "sum")])
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        if et.shape[0] == 0:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "num_days": pa.array([], pa.int64()),
+                "fano": pa.array([], pa.float64())})
+        x = g["x_sum"].to_numpy(zero_copy_only=False)
+        o = np.argsort(et, kind="stable")
+        et, x = et[o], x[o]
+        starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]]).tolist()
+        ends = starts[1:] + [et.shape[0]]
+        out_t, out_n, out_f = [], [], []
+        for s, e in zip(starts, ends):
+            xs = [int(v) for v in x[s:e]]
+            n, tot = len(xs), sum(xs)
+            sxx = sum(v * v for v in xs)
+            out_t.append(str(et[s]))
+            out_n.append(n)
+            out_f.append(float(n * sxx - tot * tot)
+                         / float((n - 1) * tot)
+                         if n > 1 and tot else None)
+        return pa.table({
+            "event_type": pa.array(out_t, pa.string()),
+            "num_days": pa.array(out_n, pa.int64()),
+            "fano": pa.array(out_f, pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("event_type", pa.string()),
+                          ("day", pa.int64()), ("x", pa.int64())]))
+
+
+def _orders_monthly_hhi(sf_dir: str):
+    """Monthly customer-revenue concentration (Herfindahl index):
+    HHI = sum(c_i^2) / (sum c_i)^2 over each month's per-customer
+    revenue cents — concentration DRIFT over time, the
+    dependence-on-few-buyers alarm. (month, customer) partials are
+    dimension-bounded; the root evaluates each month with PYTHON
+    BIGINTS, two casts, ONE IEEE division — bit-identical to the
+    HUGEINT SQL mirror."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mi = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[M]").astype(np.int64)
+        ym = (1970 + mi // 12) * 100 + mi % 12 + 1
+        cents = np.floor(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        t = pa.table({"ym": ym, "ck": batch["o_custkey"],
+                      "c": cents})
+        return t.group_by(["ym", "ck"]).aggregate([("c", "sum")]) \
+            .rename_columns(["ym", "ck", "c"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["ym", "ck"]).aggregate([("c", "sum")])
+        ym = g["ym"].to_numpy(zero_copy_only=False)
+        if ym.shape[0] == 0:
+            return pa.table({
+                "ym": pa.array([], pa.int64()),
+                "n_customers": pa.array([], pa.int64()),
+                "hhi": pa.array([], pa.float64())})
+        c = g["c_sum"].to_numpy(zero_copy_only=False)
+        o = np.argsort(ym, kind="stable")
+        ym, c = ym[o], c[o]
+        starts = np.flatnonzero(np.r_[True, ym[1:] != ym[:-1]]).tolist()
+        ends = starts[1:] + [ym.shape[0]]
+        out_m, out_n, out_h = [], [], []
+        for s, e in zip(starts, ends):
+            cs = [int(v) for v in c[s:e]]
+            tot = sum(cs)
+            out_m.append(int(ym[s]))
+            out_n.append(len(cs))
+            out_h.append(float(sum(v * v for v in cs))
+                         / float(tot * tot) if tot else None)
+        return pa.table({
+            "ym": pa.array(out_m, pa.int64()),
+            "n_customers": pa.array(out_n, pa.int64()),
+            "hhi": pa.array(out_h, pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("ym", pa.int64()), ("ck", pa.int64()),
+                          ("c", pa.int64())]))
+
+
 def _events_reactivations_monthly(sf_dir: str):
     """Win-back curve: per calendar month, how many events mark a
     REACTIVATION — the user's previous event (ts, event_id order) lies
@@ -8380,6 +8502,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 39: Fano overdispersion, monthly HHI ---
+        "events_fano_daily": _events_fano_daily,
+        "orders_monthly_hhi": _orders_monthly_hhi,
         # --- round-5 wave 38: monthly reactivations, lifetime hist ---
         "events_reactivations_monthly": _events_reactivations_monthly,
         "users_lifetime_hist": _users_lifetime_hist,
@@ -8693,6 +8818,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 39: never driver-checked.
+    "events_fano_daily", "orders_monthly_hhi",
     # (3) round-5 wave 38: never driver-checked.
     "events_reactivations_monthly", "users_lifetime_hist",
     # (3) round-5 wave 37: never driver-checked.
@@ -9766,6 +9893,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT site, CAST(MIN(hops) AS BIGINT) AS hops
             FROM walk GROUP BY site
+        """,
+        # Fano factor: exact HUGEINT moments, one division; NULL for
+        # singleton series.
+        "events_fano_daily": """
+            WITH d AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(COUNT(*) AS HUGEINT) AS x
+              FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS num_days,
+                   CASE WHEN COUNT(*) <= 1 OR SUM(x) = 0 THEN NULL
+                        ELSE CAST(COUNT(*) * SUM(x * x)
+                                  - SUM(x) * SUM(x) AS DOUBLE)
+                             / CAST((COUNT(*) - 1) * SUM(x) AS DOUBLE)
+                   END AS fano
+            FROM d GROUP BY event_type
+        """,
+        # Monthly HHI: exact HUGEINT share moments, one division.
+        "orders_monthly_hhi": """
+            WITH mc AS (
+              SELECT CAST(YEAR(o_orderdate) * 100
+                          + MONTH(o_orderdate) AS BIGINT) AS ym,
+                     o_custkey,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) AS HUGEINT) AS c
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT ym, CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CASE WHEN SUM(c) = 0 THEN NULL
+                        ELSE CAST(SUM(c * c) AS DOUBLE)
+                             / CAST(SUM(c) * SUM(c) AS DOUBLE)
+                   END AS hhi
+            FROM mc GROUP BY ym
         """,
         # Reactivations: LAG gap >= 3 days, counted per month —
         # all-integer.

@@ -111,7 +111,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 37: prefix template groups, customer spend momentum
         "docs_common_prefix_groups", "customer_momentum_by_nation",
         # wave 38: monthly reactivations, user lifetime histogram
-        "events_reactivations_monthly", "users_lifetime_hist"]
+        "events_reactivations_monthly", "users_lifetime_hist",
+        # wave 39: Fano overdispersion, monthly customer-revenue HHI
+        "events_fano_daily", "orders_monthly_hhi"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
