@@ -6288,6 +6288,132 @@ def _ntile(order_vals: "np.ndarray", tiebreak: "np.ndarray",
     return (tile + 1).astype(np.int64)
 
 
+def _sites_reciprocity(sf_dir: str):
+    """Link-graph reciprocity: the share of distinct directed edges
+    whose reverse edge also exists — the mutual-linking measure that
+    separates citation-like graphs from social ones. Batch-local
+    distinct packed (src*997+dst) keys cross ONE exchange bucketed by
+    the UNORDERED pair hash (so both directions land together); each
+    bucket counts its edges and its reciprocated edges with one sorted
+    membership probe, and the root sums and divides ONCE. Exact
+    integers; mirrors the SQL self-join bit-for-bit."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.io.pages import _mix64
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.ops.skew import default_num_buckets
+
+    nb = default_num_buckets()
+    edges = _sites_edges_ds(sf_dir)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        key = np.unique(src * np.int64(997) + dst)
+        s, d = key // 997, key % 997
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        return pa.table({
+            "key": key,
+            "_bucket": (_mix64((lo * np.int64(997) + hi)
+                               .astype(np.uint64))
+                        % np.uint64(nb)).astype(np.int32)})
+
+    def count(group: pa.Table) -> pa.Table:
+        k = np.unique(group["key"].to_numpy(zero_copy_only=False))
+        rev = np.sort((k % 997) * np.int64(997) + k // 997)
+        hit = rev[np.minimum(np.searchsorted(rev, k),
+                             rev.shape[0] - 1)] == k \
+            if rev.shape[0] else np.zeros(0, bool)
+        return pa.table({
+            "n_edges": pa.array([int(k.shape[0])], pa.int64()),
+            "n_recip": pa.array([int(hit.sum())], pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        n = sum(int(v) for v in t["n_edges"].to_pylist())
+        r = sum(int(v) for v in t["n_recip"].to_pylist())
+        return pa.table({
+            "n_edges": pa.array([n], pa.int64()),
+            "n_reciprocal": pa.array([r], pa.int64()),
+            "reciprocity": pa.array(
+                [float(r) / float(n) if n else None], pa.float64())})
+
+    bucketed = edges.map_batches(prep, batch_format="pyarrow",
+                                 batch_size=131072) \
+        .groupby("_bucket").map_groups(count, batch_format="pyarrow")
+    return driver_merge(
+        bucketed, merge,
+        schema=pa.schema([("n_edges", pa.int64()),
+                          ("n_recip", pa.int64())]))
+
+
+def _events_value_decile_means(sf_dir: str):
+    """Global decile profile of event value: NTILE(10) bucket sizes
+    (n//10 + 1 for the first n%10 buckets — SQL's exact remainder
+    rule), per-decile count and exact mean cents. Works off the
+    bounded (cents, count) domain combiner, so ties crossing a decile
+    boundary cannot change the sums (equal values both sides); PYTHON
+    BIGINT sums, ONE IEEE division per decile — bit-identical to the
+    SQL NTILE mirror."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch["value"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        u, c = np.unique(cents, return_counts=True)
+        return pa.table({"c": u, "cnt": c.astype(np.int64)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["c"]).aggregate([("cnt", "sum")])
+        c = g["c"].to_numpy(zero_copy_only=False)
+        if c.shape[0] == 0:
+            return pa.table({
+                "decile": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "mean_cents": pa.array([], pa.float64())})
+        cnt = g["cnt_sum"].to_numpy(zero_copy_only=False)
+        o = np.argsort(c)
+        c, cnt = c[o], cnt[o]
+        n = int(cnt.sum())
+        sizes = [n // 10 + (1 if k <= n % 10 else 0)
+                 for k in range(1, 11)]
+        out_d, out_n, out_m = [], [], []
+        i, used = 0, 0
+        for k, size in enumerate(sizes, start=1):
+            if size == 0:
+                continue
+            need, tot = size, 0
+            while need:
+                avail = int(cnt[i]) - used
+                take = min(avail, need)
+                tot += take * int(c[i])
+                used += take
+                need -= take
+                if used == int(cnt[i]):
+                    i += 1
+                    used = 0
+            out_d.append(k)
+            out_n.append(size)
+            out_m.append(float(tot) / float(size))
+        return pa.table({
+            "decile": pa.array(out_d, pa.int64()),
+            "n": pa.array(out_n, pa.int64()),
+            "mean_cents": pa.array(out_m, pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("c", pa.int64()), ("cnt", pa.int64())]))
+
+
 def _events_fano_daily(sf_dir: str):
     """Fano factor (variance-to-mean) of each type's daily counts —
     the overdispersion test that separates bursty traffic from Poisson:
@@ -8502,6 +8628,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 40: graph reciprocity, decile means ---
+        "sites_reciprocity": _sites_reciprocity,
+        "events_value_decile_means": _events_value_decile_means,
         # --- round-5 wave 39: Fano overdispersion, monthly HHI ---
         "events_fano_daily": _events_fano_daily,
         "orders_monthly_hhi": _orders_monthly_hhi,
@@ -8818,6 +8947,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 40: never driver-checked.
+    "sites_reciprocity", "events_value_decile_means",
     # (3) round-5 wave 39: never driver-checked.
     "events_fano_daily", "orders_monthly_hhi",
     # (3) round-5 wave 38: never driver-checked.
@@ -9864,6 +9995,34 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Reciprocity: distinct directed edges LEFT JOIN their reverse;
+        # exact counts, one division.
+        "sites_reciprocity": f"""
+            WITH {_sites_edges_cte()}, de AS (
+              SELECT DISTINCT src, dst FROM edges
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+                   CAST(COUNT(r.src) AS BIGINT) AS n_reciprocal,
+                   CAST(COUNT(r.src) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS reciprocity
+            FROM de LEFT JOIN de r
+              ON r.src = de.dst AND r.dst = de.src
+        """,
+        # Decile profile: NTILE(10) remainder rule; ties crossing a
+        # boundary cannot change per-bucket sums.
+        "events_value_decile_means": """
+            WITH v AS (
+              SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events
+            ), r AS (
+              SELECT c, NTILE(10) OVER (ORDER BY c) AS decile FROM v
+            )
+            SELECT CAST(decile AS BIGINT) AS decile,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(c) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS mean_cents
+            FROM r GROUP BY decile
         """,
         "sites_degree_hist": f"""
             WITH {_sites_edges_cte()}, ue AS (

@@ -113,7 +113,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 38: monthly reactivations, user lifetime histogram
         "events_reactivations_monthly", "users_lifetime_hist",
         # wave 39: Fano overdispersion, monthly customer-revenue HHI
-        "events_fano_daily", "orders_monthly_hhi"]
+        "events_fano_daily", "orders_monthly_hhi",
+        # wave 40: graph reciprocity, value decile means
+        "sites_reciprocity", "events_value_decile_means"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -165,7 +167,8 @@ def test_empty_tables_round5_queries(ray_session, tmp_path):
         limit = {"forecast_revenue_delta": 1, "promo_revenue_pct": 1,
                  "sites_pagerank": 997, "sites_triangle_count": 1,
                  "events_funnel": 1, "sites_bfs_hops": 3,
-                 "users_fifth_event_latency": 1}.get(name, 0)
+                 "users_fifth_event_latency": 1,
+                 "sites_reciprocity": 1}.get(name, 0)
         assert n <= limit, name
 
 
