@@ -6288,6 +6288,120 @@ def _ntile(order_vals: "np.ndarray", tiebreak: "np.ndarray",
     return (tile + 1).astype(np.int64)
 
 
+def _sites_clustering_coeff(sf_dir: str):
+    """Global clustering coefficient (transitivity) of the undirected
+    link graph: 3 * triangles / wedges, with wedges = sum over nodes of
+    d*(d-1)/2 — the one-number cohesion summary next to the wave-8
+    triangle count. The distinct undirected edge set is node^2-bounded
+    (997 sites), so a distinct-edge combiner feeds a driver root that
+    builds adjacency once, counts triangles by sorted-intersection per
+    edge and wedges from degrees — exact integers, ONE IEEE division.
+    Mirrors the SQL triangle/degree CTEs bit-for-bit."""
+    import numpy as np
+    import pyarrow as pa
+
+    from h3ray.ops.reduce import driver_merge
+
+    edges = _sites_edges_ds(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        lo = np.minimum(src, dst)
+        hi = np.maximum(src, dst)
+        key = np.unique(lo * np.int64(997) + hi)
+        return pa.table({"key": key})
+
+    def merge(t: pa.Table) -> pa.Table:
+        k = np.unique(t["key"].to_numpy(zero_copy_only=False))
+        if k.shape[0] == 0:
+            return pa.table({
+                "n_triangles": pa.array([0], pa.int64()),
+                "n_wedges": pa.array([None], pa.int64()),
+                "transitivity": pa.array([None], pa.float64())})
+        u, v = k // 997, k % 997
+        adj: dict = {}
+        for a, b in zip(u.tolist(), v.tolist()):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        tri = 0
+        for a, b in zip(u.tolist(), v.tolist()):
+            tri += len(adj[a] & adj[b])
+        tri //= 3
+        wedges = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+        return pa.table({
+            "n_triangles": pa.array([tri], pa.int64()),
+            "n_wedges": pa.array([wedges], pa.int64()),
+            "transitivity": pa.array(
+                [float(3 * tri) / float(wedges) if wedges else None],
+                pa.float64())})
+
+    return driver_merge(
+        edges.map_batches(partial, batch_format="pyarrow",
+                          batch_size=131072), merge,
+        schema=pa.schema([("key", pa.int64())]))
+
+
+def _events_wow_growth(sf_dir: str):
+    """Week-over-week event-count growth per type: per (type, epoch
+    week) the exact count and (c - c_prev_week) / c_prev_week against
+    the immediately preceding week (NULL when absent) — the grouped
+    short-horizon growth series. Bounded (type, week) combiner, driver
+    lag lookup, exact BIGINTs, ONE IEEE division per row — mirrors the
+    SQL LEFT self-join bit-for-bit."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    WK = 7 * 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        t = pa.table({"event_type": batch["event_type"],
+                      "week": us // WK,
+                      "n": np.ones(batch.num_rows, np.int64)})
+        return t.group_by(["event_type", "week"]).aggregate(
+            [("n", "sum")]).rename_columns(["event_type", "week", "n"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "week"]).aggregate([("n", "sum")])
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        if et.shape[0] == 0:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "week": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "wow": pa.array([], pa.float64())})
+        wk = g["week"].to_numpy(zero_copy_only=False)
+        n = g["n_sum"].to_numpy(zero_copy_only=False)
+        by = {(str(a), int(b)): int(c) for a, b, c in zip(et, wk, n)}
+        o = np.lexsort((wk, et))
+        out_t, out_w, out_n, out_g = [], [], [], []
+        for i in o:
+            prev = by.get((str(et[i]), int(wk[i]) - 1))
+            out_t.append(str(et[i]))
+            out_w.append(int(wk[i]))
+            out_n.append(int(n[i]))
+            out_g.append(float(int(n[i]) - prev) / float(prev)
+                         if prev else None)
+        return pa.table({
+            "event_type": pa.array(out_t, pa.string()),
+            "week": pa.array(out_w, pa.int64()),
+            "n_events": pa.array(out_n, pa.int64()),
+            "wow": pa.array(out_g, pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("event_type", pa.string()),
+                          ("week", pa.int64()), ("n", pa.int64())]))
+
+
 def _sites_reciprocity(sf_dir: str):
     """Link-graph reciprocity: the share of distinct directed edges
     whose reverse edge also exists — the mutual-linking measure that
@@ -8628,6 +8742,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 41: clustering coefficient, WoW growth ---
+        "sites_clustering_coeff": _sites_clustering_coeff,
+        "events_wow_growth": _events_wow_growth,
         # --- round-5 wave 40: graph reciprocity, decile means ---
         "sites_reciprocity": _sites_reciprocity,
         "events_value_decile_means": _events_value_decile_means,
@@ -8947,6 +9064,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 41: never driver-checked.
+    "sites_clustering_coeff", "events_wow_growth",
     # (3) round-5 wave 40: never driver-checked.
     "sites_reciprocity", "events_value_decile_means",
     # (3) round-5 wave 39: never driver-checked.
@@ -9995,6 +10114,55 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Transitivity: 3*triangles / wedges over the undirected
+        # distinct-edge graph; exact integers, one division.
+        "sites_clustering_coeff": f"""
+            WITH {_sites_edges_cte()}, ue AS (
+              SELECT DISTINCT LEAST(src, dst) AS u,
+                              GREATEST(src, dst) AS v
+              FROM edges
+            ), deg AS (
+              SELECT node, CAST(COUNT(*) AS HUGEINT) AS d
+              FROM (SELECT u AS node FROM ue
+                    UNION ALL SELECT v FROM ue)
+              GROUP BY node
+            ), w AS (
+              SELECT SUM(d * (d - 1) // 2) AS wedges FROM deg
+            ), t AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS tri
+              FROM ue e1
+              JOIN ue e2 ON e2.u = e1.v
+              JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+            )
+            SELECT CAST(tri AS BIGINT) AS n_triangles,
+                   CAST(wedges AS BIGINT) AS n_wedges,
+                   CASE WHEN wedges = 0 THEN NULL
+                        ELSE CAST(3 * tri AS DOUBLE)
+                             / CAST(wedges AS DOUBLE)
+                   END AS transitivity
+            FROM t, w
+        """,
+        # Week-over-week growth per type: LEFT self-join on the lagged
+        # week, one division.
+        "events_wow_growth": """
+            WITH w AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 604800000000 AS BIGINT)
+                       AS week,
+                     CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM events GROUP BY 1, 2
+            )
+            SELECT cur.event_type, cur.week, cur.n_events,
+                   CASE WHEN prev.n_events IS NULL
+                          OR prev.n_events = 0 THEN NULL
+                        ELSE CAST(cur.n_events - prev.n_events
+                                  AS DOUBLE)
+                             / CAST(prev.n_events AS DOUBLE)
+                   END AS wow
+            FROM w cur LEFT JOIN w prev
+              ON prev.event_type = cur.event_type
+             AND prev.week = cur.week - 1
         """,
         # Reciprocity: distinct directed edges LEFT JOIN their reverse;
         # exact counts, one division.

@@ -115,7 +115,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 39: Fano overdispersion, monthly customer-revenue HHI
         "events_fano_daily", "orders_monthly_hhi",
         # wave 40: graph reciprocity, value decile means
-        "sites_reciprocity", "events_value_decile_means"]
+        "sites_reciprocity", "events_value_decile_means",
+        # wave 41: clustering coefficient, week-over-week growth
+        "sites_clustering_coeff", "events_wow_growth"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -168,7 +170,8 @@ def test_empty_tables_round5_queries(ray_session, tmp_path):
                  "sites_pagerank": 997, "sites_triangle_count": 1,
                  "events_funnel": 1, "sites_bfs_hops": 3,
                  "users_fifth_event_latency": 1,
-                 "sites_reciprocity": 1}.get(name, 0)
+                 "sites_reciprocity": 1,
+                 "sites_clustering_coeff": 1}.get(name, 0)
         assert n <= limit, name
 
 
