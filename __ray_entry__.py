@@ -6288,6 +6288,150 @@ def _ntile(order_vals: "np.ndarray", tiebreak: "np.ndarray",
     return (tile + 1).astype(np.int64)
 
 
+def _orders_repeat_revenue_share(sf_dir: str):
+    """Monthly repeat-vs-new revenue split: per month the exact total
+    cents, the cents from customers whose FIRST order month precedes
+    it, the repeat share (one division), and the count of first-time
+    buyers — the retention-economics table. (month, customer) partials
+    are dimension-bounded; the root derives each customer's first
+    month and classifies with exact BIGINTs — bit-identical to the SQL
+    window mirror."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mi = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[M]").astype(np.int64)
+        ym = (1970 + mi // 12) * 100 + mi % 12 + 1
+        cents = np.floor(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        t = pa.table({"ym": ym, "ck": batch["o_custkey"], "c": cents})
+        return t.group_by(["ym", "ck"]).aggregate([("c", "sum")]) \
+            .rename_columns(["ym", "ck", "c"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["ym", "ck"]).aggregate([("c", "sum")])
+        ym = g["ym"].to_numpy(zero_copy_only=False)
+        if ym.shape[0] == 0:
+            return pa.table({
+                "ym": pa.array([], pa.int64()),
+                "total_cents": pa.array([], pa.int64()),
+                "repeat_cents": pa.array([], pa.int64()),
+                "repeat_share": pa.array([], pa.float64()),
+                "n_new_customers": pa.array([], pa.int64())})
+        ck = g["ck"].to_numpy(zero_copy_only=False)
+        c = g["c_sum"].to_numpy(zero_copy_only=False)
+        first: dict = {}
+        for k, m in zip(ck.tolist(), ym.tolist()):
+            if k not in first or m < first[k]:
+                first[k] = m
+        agg: dict = {}
+        for k, m, v in zip(ck.tolist(), ym.tolist(), c.tolist()):
+            tot, rep, new = agg.get(m, (0, 0, 0))
+            if first[k] < m:
+                rep += int(v)
+            else:
+                new += 1
+            agg[m] = (tot + int(v), rep, new)
+        months = sorted(agg)
+        return pa.table({
+            "ym": pa.array(months, pa.int64()),
+            "total_cents": pa.array([agg[m][0] for m in months],
+                                    pa.int64()),
+            "repeat_cents": pa.array([agg[m][1] for m in months],
+                                     pa.int64()),
+            "repeat_share": pa.array(
+                [float(agg[m][1]) / float(agg[m][0])
+                 if agg[m][0] else None for m in months], pa.float64()),
+            "n_new_customers": pa.array([agg[m][2] for m in months],
+                                        pa.int64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("ym", pa.int64()), ("ck", pa.int64()),
+                          ("c", pa.int64())]))
+
+
+def _events_bowley_skew_by_type(sf_dir: str):
+    """Bowley (quartile) skewness of event value per type:
+    (Q3 + Q1 - 2*Q2) / (Q3 - Q1) with each quartile the DISCRETE value
+    at 1-based rank ceil(p*n) (the cume_dist >= p rule; 0.25/0.5/0.75
+    are exact binary, so both sides agree) — the robust skewness that
+    needs no cube roots or square roots, exact integers until ONE IEEE
+    division; Q3 == Q1 emits NULL. Bounded (type, cents) domain
+    combiner."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch["value"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch["event_type"], "c": cents,
+                      "cnt": np.ones(batch.num_rows, np.int64)})
+        return t.group_by(["event_type", "c"]).aggregate(
+            [("cnt", "sum")]).rename_columns(["event_type", "c", "cnt"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "c"]).aggregate([("cnt", "sum")])
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        if et.shape[0] == 0:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "q1": pa.array([], pa.int64()),
+                "q2": pa.array([], pa.int64()),
+                "q3": pa.array([], pa.int64()),
+                "bowley_skew": pa.array([], pa.float64())})
+        c = g["c"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt_sum"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((c, et))
+        et, c, cnt = et[o], c[o], cnt[o]
+        starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]]).tolist()
+        ends = starts[1:] + [et.shape[0]]
+        out = {k: [] for k in ("t", "q1", "q2", "q3", "sk")}
+        for s, e in zip(starts, ends):
+            cum = np.cumsum(cnt[s:e])
+            n = int(cum[-1])
+            qs = [int(c[s + np.searchsorted(
+                cum, int(math.ceil(p * n)), side="left")])
+                for p in (0.25, 0.5, 0.75)]
+            out["t"].append(str(et[s]))
+            out["q1"].append(qs[0])
+            out["q2"].append(qs[1])
+            out["q3"].append(qs[2])
+            den = qs[2] - qs[0]
+            out["sk"].append(
+                float(qs[2] + qs[0] - 2 * qs[1]) / float(den)
+                if den else None)
+        return pa.table({
+            "event_type": pa.array(out["t"], pa.string()),
+            "q1": pa.array(out["q1"], pa.int64()),
+            "q2": pa.array(out["q2"], pa.int64()),
+            "q3": pa.array(out["q3"], pa.int64()),
+            "bowley_skew": pa.array(out["sk"], pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("event_type", pa.string()),
+                          ("c", pa.int64()), ("cnt", pa.int64())]))
+
+
 def _sites_clustering_coeff(sf_dir: str):
     """Global clustering coefficient (transitivity) of the undirected
     link graph: 3 * triangles / wedges, with wedges = sum over nodes of
@@ -8742,6 +8886,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 42: repeat revenue split, Bowley skewness ---
+        "orders_repeat_revenue_share": _orders_repeat_revenue_share,
+        "events_bowley_skew_by_type": _events_bowley_skew_by_type,
         # --- round-5 wave 41: clustering coefficient, WoW growth ---
         "sites_clustering_coeff": _sites_clustering_coeff,
         "events_wow_growth": _events_wow_growth,
@@ -9064,6 +9211,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 42: never driver-checked.
+    "orders_repeat_revenue_share", "events_bowley_skew_by_type",
     # (3) round-5 wave 41: never driver-checked.
     "sites_clustering_coeff", "events_wow_growth",
     # (3) round-5 wave 40: never driver-checked.
@@ -10114,6 +10263,83 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Repeat-revenue split: first order month per customer via a
+        # window MIN; exact cents, one division per month.
+        "orders_repeat_revenue_share": """
+            WITH mc AS (
+              SELECT CAST(YEAR(o_orderdate) * 100
+                          + MONTH(o_orderdate) AS BIGINT) AS ym,
+                     o_custkey AS ck,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS c
+              FROM orders GROUP BY 1, 2
+            ), f AS (
+              SELECT ym, ck, c,
+                     MIN(ym) OVER (PARTITION BY ck) AS first_ym
+              FROM mc
+            )
+            SELECT ym,
+                   CAST(SUM(c) AS BIGINT) AS total_cents,
+                   CAST(SUM(CASE WHEN first_ym < ym THEN c ELSE 0 END)
+                        AS BIGINT) AS repeat_cents,
+                   CASE WHEN SUM(c) = 0 THEN NULL
+                        ELSE CAST(SUM(CASE WHEN first_ym < ym
+                                           THEN c ELSE 0 END)
+                                  AS DOUBLE)
+                             / CAST(SUM(c) AS DOUBLE)
+                   END AS repeat_share,
+                   CAST(SUM(CASE WHEN first_ym = ym THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_new_customers
+            FROM f GROUP BY ym
+        """,
+        # Bowley skewness: discrete quartiles at rank CEIL(p*n)
+        # (exact binary p), one division; Q3 == Q1 emits NULL.
+        "events_bowley_skew_by_type": """
+            WITH v AS (
+              SELECT event_type,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events
+            ), r AS (
+              SELECT event_type, c,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY c) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM v
+            )
+            SELECT event_type,
+                   MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT)
+                            THEN c END) AS q1,
+                   MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT)
+                            THEN c END) AS q2,
+                   MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT)
+                            THEN c END) AS q3,
+                   CASE WHEN MAX(CASE WHEN rn = CAST(CEIL(0.75 * n)
+                                                     AS BIGINT)
+                                      THEN c END)
+                           = MAX(CASE WHEN rn = CAST(CEIL(0.25 * n)
+                                                     AS BIGINT)
+                                      THEN c END) THEN NULL
+                        ELSE CAST(MAX(CASE WHEN rn = CAST(CEIL(0.75 * n)
+                                                          AS BIGINT)
+                                           THEN c END)
+                                  + MAX(CASE WHEN rn = CAST(CEIL(0.25 * n)
+                                                            AS BIGINT)
+                                             THEN c END)
+                                  - 2 * MAX(CASE WHEN rn
+                                              = CAST(CEIL(0.50 * n)
+                                                     AS BIGINT)
+                                            THEN c END) AS DOUBLE)
+                             / CAST(MAX(CASE WHEN rn
+                                          = CAST(CEIL(0.75 * n)
+                                                 AS BIGINT)
+                                        THEN c END)
+                                    - MAX(CASE WHEN rn
+                                            = CAST(CEIL(0.25 * n)
+                                                   AS BIGINT)
+                                          THEN c END) AS DOUBLE)
+                   END AS bowley_skew
+            FROM r GROUP BY event_type
         """,
         # Transitivity: 3*triangles / wedges over the undirected
         # distinct-edge graph; exact integers, one division.

@@ -117,7 +117,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 40: graph reciprocity, value decile means
         "sites_reciprocity", "events_value_decile_means",
         # wave 41: clustering coefficient, week-over-week growth
-        "sites_clustering_coeff", "events_wow_growth"]
+        "sites_clustering_coeff", "events_wow_growth",
+        # wave 42: repeat revenue split, Bowley quartile skewness
+        "orders_repeat_revenue_share", "events_bowley_skew_by_type"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
