@@ -6288,6 +6288,102 @@ def _ntile(order_vals: "np.ndarray", tiebreak: "np.ndarray",
     return (tile + 1).astype(np.int64)
 
 
+def _events_weekly_churn(sf_dir: str):
+    """Weekly user-lifecycle accounting: per observed epoch week the
+    exact active-user count, first-ever-week (new) users, retained
+    users (active this week AND the prior week), churned users (active
+    prior week, absent this week), and the churn rate (churned /
+    prior-week actives — ONE division, NULL when the prior week is
+    unobserved). Distinct (week, user) pairs are the only thing that
+    crosses (bounded by users x weeks); the root classifies with
+    sorted-array set ops — no per-user Python in the stream."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        wk = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) \
+            // np.int64(604800000000)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        t = pa.table({"wk": wk, "uid": uid})
+        return t.group_by(["wk", "uid"]).aggregate([])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["wk", "uid"]).aggregate([])
+        wk = g["wk"].to_numpy(zero_copy_only=False)
+        if wk.shape[0] == 0:
+            return pa.table({
+                "week": pa.array([], pa.int64()),
+                "n_active": pa.array([], pa.int64()),
+                "n_new": pa.array([], pa.int64()),
+                "n_retained": pa.array([], pa.int64()),
+                "n_churned": pa.array([], pa.int64()),
+                "churn_rate": pa.array([], pa.float64())})
+        uid = g["uid"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((uid, wk))
+        wk, uid = wk[o], uid[o]
+        starts = np.flatnonzero(np.r_[True, wk[1:] != wk[:-1]])
+        ends = np.r_[starts[1:], wk.shape[0]]
+        weeks = wk[starts].tolist()
+        users = {w: uid[s:e] for w, s, e in
+                 zip(weeks, starts.tolist(), ends.tolist())}
+        # first active week per user: group-min over the pair set
+        fo = np.lexsort((wk, uid))
+        fu, fw = uid[fo], wk[fo]
+        ufirst = np.flatnonzero(np.r_[True, fu[1:] != fu[:-1]])
+        first = dict(zip(fu[ufirst].tolist(), fw[ufirst].tolist()))
+        out = {k: [] for k in ("wk", "act", "new", "ret", "ch", "rate")}
+        for w in weeks:
+            cur = users[w]
+            out["wk"].append(w)
+            out["act"].append(int(cur.shape[0]))
+            out["new"].append(
+                int(sum(1 for x in cur.tolist() if first[x] == w)))
+            prev = users.get(w - 1)
+            if prev is None:
+                out["ret"].append(0)
+                out["ch"].append(0)
+                out["rate"].append(None)
+            else:
+                churned = int(np.setdiff1d(
+                    prev, cur, assume_unique=True).shape[0])
+                out["ch"].append(churned)
+                out["ret"].append(int(prev.shape[0]) - churned)
+                out["rate"].append(
+                    float(churned) / float(prev.shape[0]))
+        return pa.table({
+            "week": pa.array(out["wk"], pa.int64()),
+            "n_active": pa.array(out["act"], pa.int64()),
+            "n_new": pa.array(out["new"], pa.int64()),
+            "n_retained": pa.array(out["ret"], pa.int64()),
+            "n_churned": pa.array(out["ch"], pa.int64()),
+            "churn_rate": pa.array(out["rate"], pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("wk", pa.int64()), ("uid", pa.int64())]))
+
+
+def _sites_degree_assortativity(sf_dir: str):
+    """Degree assortativity of the undirected site link graph — do
+    high-degree sites link to other hubs (r > 0) or to the periphery
+    (r < 0)? ops.graph.degree_assortativity: distinct-edge combiners,
+    exact arbitrary-precision moment sums at the graph-order-bounded
+    root, one IEEE division — bit-identical to the HUGEINT SQL
+    mirror."""
+    from h3ray.ops.graph import degree_assortativity
+
+    return degree_assortativity(_sites_edges_ds(sf_dir), 997)
+
+
 def _orders_repeat_revenue_share(sf_dir: str):
     """Monthly repeat-vs-new revenue split: per month the exact total
     cents, the cents from customers whose FIRST order month precedes
@@ -8886,6 +8982,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 43: weekly churn, degree assortativity ---
+        "events_weekly_churn": _events_weekly_churn,
+        "sites_degree_assortativity": _sites_degree_assortativity,
         # --- round-5 wave 42: repeat revenue split, Bowley skewness ---
         "orders_repeat_revenue_share": _orders_repeat_revenue_share,
         "events_bowley_skew_by_type": _events_bowley_skew_by_type,
@@ -9211,6 +9310,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 43: never driver-checked.
+    "events_weekly_churn", "sites_degree_assortativity",
     # (3) round-5 wave 42: never driver-checked.
     "orders_repeat_revenue_share", "events_bowley_skew_by_type",
     # (3) round-5 wave 41: never driver-checked.
@@ -10263,6 +10364,78 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Weekly churn: distinct (epoch-week, user) pairs; churned =
+        # prev-week users with no current-week row (anti-join);
+        # retained = prev actives minus churned; ONE division.
+        "events_weekly_churn": """
+            WITH mu AS (
+              SELECT DISTINCT
+                     CAST(epoch_us(ts) // 604800000000 AS BIGINT)
+                       AS wk,
+                     user_id
+              FROM events
+            ), f AS (
+              SELECT wk, user_id,
+                     MIN(wk) OVER (PARTITION BY user_id) AS first_wk
+              FROM mu
+            ), act AS (
+              SELECT wk, CAST(COUNT(*) AS BIGINT) AS n_active,
+                     CAST(SUM(CASE WHEN first_wk = wk THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_new
+              FROM f GROUP BY wk
+            ), ch AS (
+              SELECT a.wk + 1 AS wk,
+                     CAST(COUNT(*) AS BIGINT) AS n_churned
+              FROM mu a LEFT JOIN mu b
+                ON b.user_id = a.user_id AND b.wk = a.wk + 1
+              WHERE b.user_id IS NULL
+              GROUP BY a.wk + 1
+            )
+            SELECT act.wk AS week,
+                   act.n_active, act.n_new,
+                   CAST(CASE WHEN p.n_active IS NULL THEN 0
+                             ELSE p.n_active - COALESCE(c.n_churned, 0)
+                        END AS BIGINT) AS n_retained,
+                   CAST(CASE WHEN p.n_active IS NULL THEN 0
+                             ELSE COALESCE(c.n_churned, 0)
+                        END AS BIGINT) AS n_churned,
+                   CASE WHEN p.n_active IS NULL THEN NULL
+                        ELSE CAST(COALESCE(c.n_churned, 0) AS DOUBLE)
+                             / CAST(p.n_active AS DOUBLE)
+                   END AS churn_rate
+            FROM act LEFT JOIN act p ON p.wk = act.wk - 1
+            LEFT JOIN ch c ON c.wk = act.wk
+        """,
+        # Newman assortativity: each undirected edge in both
+        # orientations; exact HUGEINT moments, one division.
+        "sites_degree_assortativity": f"""
+            WITH {_sites_edges_cte()}, ue AS (
+              SELECT DISTINCT LEAST(src, dst) AS u,
+                              GREATEST(src, dst) AS v
+              FROM edges
+            ), deg AS (
+              SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+              FROM (SELECT u AS node FROM ue
+                    UNION ALL SELECT v FROM ue)
+              GROUP BY node
+            ), s AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+                     SUM(CAST(du.d + dv.d AS HUGEINT)) AS sj,
+                     SUM(CAST(du.d * du.d + dv.d * dv.d
+                              AS HUGEINT)) AS sjj,
+                     SUM(CAST(2 * du.d * dv.d AS HUGEINT)) AS sjk
+              FROM ue
+              JOIN deg du ON du.node = ue.u
+              JOIN deg dv ON dv.node = ue.v
+            )
+            SELECT CAST(m AS BIGINT) AS n_edges,
+                   CASE WHEN COALESCE(2 * m * sjj - sj * sj, 0) = 0
+                        THEN NULL
+                        ELSE CAST(2 * m * sjk - sj * sj AS DOUBLE)
+                             / CAST(2 * m * sjj - sj * sj AS DOUBLE)
+                   END AS assortativity
+            FROM s
         """,
         # Repeat-revenue split: first order month per customer via a
         # window MIN; exact cents, one division per month.

@@ -167,6 +167,47 @@ def degree_histogram(edges_ds, num_nodes: int, *, src_col: str = "src",
                      "n_nodes": cnt.astype(np.int64)})
 
 
+def degree_assortativity(edges_ds, num_nodes: int, *,
+                         src_col: str = "src",
+                         dst_col: str = "dst") -> pa.Table:
+    """Newman degree assortativity of the undirected simple graph:
+    Pearson correlation of endpoint degrees over the directed edge list
+    where each undirected edge appears in BOTH orientations (the
+    standard symmetrized formula). With m distinct undirected edges and
+    per-edge degrees (du, dv):
+
+        r = (2m * Sjk - Sj^2) / (2m * Sjj - Sj^2)
+        Sj  = sum(du + dv)      Sjj = sum(du^2 + dv^2)
+        Sjk = 2 * sum(du * dv)
+
+    All sums are exact Python integers (degree <= num_nodes, so the
+    int64 bincount partials are exact; the final products can pass
+    2^63 on dense graphs, hence arbitrary-precision here), followed by
+    ONE IEEE division — bit-identical to a SQL engine running the same
+    HUGEINT formula. Returns a 1-row pa.Table (n_edges int64,
+    assortativity float64; NULL when the degree variance is zero, e.g.
+    a regular graph or m == 0)."""
+    e = _distinct_undirected(edges_ds, num_nodes, src_col, dst_col)
+    m = int(e.shape[0])
+    if m == 0:
+        return pa.table({"n_edges": pa.array([0], pa.int64()),
+                         "assortativity": pa.array([None], pa.float64())})
+    u = e // num_nodes
+    v = e % num_nodes
+    deg = np.bincount(u, minlength=num_nodes) \
+        + np.bincount(v, minlength=num_nodes)
+    du = deg[u].astype(np.int64)
+    dv = deg[v].astype(np.int64)
+    sj = int((du + dv).sum())
+    sjj = int((du * du).sum()) + int((dv * dv).sum())
+    sjk = 2 * int((du * dv).sum())
+    num = 2 * m * sjk - sj * sj
+    den = 2 * m * sjj - sj * sj
+    r = float(num) / float(den) if den != 0 else None
+    return pa.table({"n_edges": pa.array([m], pa.int64()),
+                     "assortativity": pa.array([r], pa.float64())})
+
+
 def bfs_hops(edges_ds, num_nodes: int, seeds, *, src_col: str = "src",
              dst_col: str = "dst", max_rounds: int = 64) -> pa.Table:
     """Multi-source DIRECTED BFS: minimum hop count from any seed to

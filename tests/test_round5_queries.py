@@ -119,7 +119,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 41: clustering coefficient, week-over-week growth
         "sites_clustering_coeff", "events_wow_growth",
         # wave 42: repeat revenue split, Bowley quartile skewness
-        "orders_repeat_revenue_share", "events_bowley_skew_by_type"]
+        "orders_repeat_revenue_share", "events_bowley_skew_by_type",
+        # wave 43: weekly churn lifecycle, degree assortativity
+        "events_weekly_churn", "sites_degree_assortativity"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -173,7 +175,8 @@ def test_empty_tables_round5_queries(ray_session, tmp_path):
                  "events_funnel": 1, "sites_bfs_hops": 3,
                  "users_fifth_event_latency": 1,
                  "sites_reciprocity": 1,
-                 "sites_clustering_coeff": 1}.get(name, 0)
+                 "sites_clustering_coeff": 1,
+                 "sites_degree_assortativity": 1}.get(name, 0)
         assert n <= limit, name
 
 
