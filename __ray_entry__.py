@@ -6288,6 +6288,128 @@ def _ntile(order_vals: "np.ndarray", tiebreak: "np.ndarray",
     return (tile + 1).astype(np.int64)
 
 
+def _nation_top2_customer_share(sf_dir: str):
+    """Wallet concentration beyond HHI: per nation the exact total
+    customer spend, the spend of its top-2 customers (spend DESC,
+    custkey ASC tie-break — the deterministic total order both sides
+    share), and their revenue share (ONE division). Per-customer cents
+    roll up in a combiner (customer is the bounded dimension side); the
+    root buckets by nation via a broadcast searchsorted and takes each
+    nation's top-2 with one lexsort — no shuffle, no window exchange."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust["c_custkey"].to_numpy().astype(np.int64)
+    order = np.argsort(ck)
+    ck = ck[order]
+    nk = cust["c_nationkey"].to_numpy().astype(np.int64)[order]
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.floor(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        t = pa.table({"ck": c, "cents": cents})
+        return t.group_by(["ck"]).aggregate([("cents", "sum")]) \
+            .rename_columns(["ck", "cents"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["ck"]).aggregate([("cents", "sum")])
+        c = g["ck"].to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            "c_nationkey": pa.array([], pa.int64()),
+            "total_cents": pa.array([], pa.int64()),
+            "top2_cents": pa.array([], pa.int64()),
+            "top2_share": pa.array([], pa.float64())})
+        if c.shape[0] == 0 or ck.shape[0] == 0:
+            return empty
+        cents = g["cents_sum"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(ck, c), ck.shape[0] - 1)
+        sel = ck[pos] == c
+        nat, cents, cust_k = nk[pos[sel]], cents[sel], c[sel]
+        if nat.shape[0] == 0:
+            return empty
+        # spend DESC then custkey ASC within each nation
+        o = np.lexsort((cust_k, -cents, nat))
+        nat, cents = nat[o], cents[o]
+        starts = np.flatnonzero(np.r_[True, nat[1:] != nat[:-1]]).tolist()
+        ends = starts[1:] + [nat.shape[0]]
+        out_n, out_t, out_2, out_s = [], [], [], []
+        for s, e in zip(starts, ends):
+            tot = int(cents[s:e].sum())
+            top2 = int(cents[s:min(s + 2, e)].sum())
+            out_n.append(int(nat[s]))
+            out_t.append(tot)
+            out_2.append(top2)
+            out_s.append(float(top2) / float(tot) if tot else None)
+        return pa.table({
+            "c_nationkey": pa.array(out_n, pa.int64()),
+            "total_cents": pa.array(out_t, pa.int64()),
+            "top2_cents": pa.array(out_2, pa.int64()),
+            "top2_share": pa.array(out_s, pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("ck", pa.int64()), ("cents", pa.int64())]))
+
+
+def _events_user_growth_daily(sf_dir: str):
+    """Distinct-user growth curve: per epoch day the number of users
+    seen for the FIRST time that day and the cumulative distinct-user
+    count to date (the adoption S-curve). Distinct (day, user) pairs
+    cross in combiners; the root group-mins to first day per user, one
+    bincount + cumsum — exact integers end to end, zero divisions."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        t = pa.table({"day": day, "uid": uid})
+        return t.group_by(["day", "uid"]).aggregate([])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["day", "uid"]).aggregate([])
+        day = g["day"].to_numpy(zero_copy_only=False)
+        if day.shape[0] == 0:
+            return pa.table({
+                "day": pa.array([], pa.int64()),
+                "n_first_seen": pa.array([], pa.int64()),
+                "cum_users": pa.array([], pa.int64())})
+        uid = g["uid"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((day, uid))
+        fu, fd = uid[o], day[o]
+        firsts = fd[np.flatnonzero(np.r_[True, fu[1:] != fu[:-1]])]
+        dv, cnt = np.unique(firsts, return_counts=True)
+        return pa.table({
+            "day": dv.astype(np.int64),
+            "n_first_seen": cnt.astype(np.int64),
+            "cum_users": np.cumsum(cnt).astype(np.int64)})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("day", pa.int64()), ("uid", pa.int64())]))
+
+
 def _events_weekly_churn(sf_dir: str):
     """Weekly user-lifecycle accounting: per observed epoch week the
     exact active-user count, first-ever-week (new) users, retained
@@ -8982,6 +9104,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 44: top-2 wallet share, user growth curve ---
+        "nation_top2_customer_share": _nation_top2_customer_share,
+        "events_user_growth_daily": _events_user_growth_daily,
         # --- round-5 wave 43: weekly churn, degree assortativity ---
         "events_weekly_churn": _events_weekly_churn,
         "sites_degree_assortativity": _sites_degree_assortativity,
@@ -9310,6 +9435,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 44: never driver-checked.
+    "nation_top2_customer_share", "events_user_growth_daily",
     # (3) round-5 wave 43: never driver-checked.
     "events_weekly_churn", "sites_degree_assortativity",
     # (3) round-5 wave 42: never driver-checked.
@@ -10364,6 +10491,51 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Top-2 wallet share: per-customer exact cents, ROW_NUMBER
+        # over (spend DESC, custkey) — ties have equal value so the
+        # boundary cannot change the sum; ONE division per nation.
+        "nation_top2_customer_share": """
+            WITH cs AS (
+              SELECT c.c_nationkey, o.o_custkey,
+                     CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS cents
+              FROM orders o
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              GROUP BY 1, 2
+            ), r AS (
+              SELECT c_nationkey, cents,
+                     ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                        ORDER BY cents DESC,
+                                                 o_custkey) AS rn
+              FROM cs
+            )
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   CAST(SUM(CASE WHEN rn <= 2 THEN cents ELSE 0 END)
+                        AS BIGINT) AS top2_cents,
+                   CASE WHEN SUM(cents) = 0 THEN NULL
+                        ELSE CAST(SUM(CASE WHEN rn <= 2
+                                           THEN cents ELSE 0 END)
+                                  AS DOUBLE)
+                             / CAST(SUM(cents) AS DOUBLE)
+                   END AS top2_share
+            FROM r GROUP BY c_nationkey
+        """,
+        # Adoption curve: first epoch day per user, then a cumulative
+        # count window over first-seen days; exact integers.
+        "events_user_growth_daily": """
+            WITH du AS (
+              SELECT user_id,
+                     MIN(CAST(epoch_us(ts) // 86400000000 AS BIGINT))
+                       AS fday
+              FROM events GROUP BY user_id
+            )
+            SELECT fday AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_first_seen,
+                   CAST(SUM(COUNT(*)) OVER (ORDER BY fday) AS BIGINT)
+                     AS cum_users
+            FROM du GROUP BY fday
         """,
         # Weekly churn: distinct (epoch-week, user) pairs; churned =
         # prev-week users with no current-week row (anti-join);

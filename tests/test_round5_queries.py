@@ -121,7 +121,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 42: repeat revenue split, Bowley quartile skewness
         "orders_repeat_revenue_share", "events_bowley_skew_by_type",
         # wave 43: weekly churn lifecycle, degree assortativity
-        "events_weekly_churn", "sites_degree_assortativity"]
+        "events_weekly_churn", "sites_degree_assortativity",
+        # wave 44: top-2 wallet concentration, user growth curve
+        "nation_top2_customer_share", "events_user_growth_daily"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
