@@ -6288,6 +6288,153 @@ def _ntile(order_vals: "np.ndarray", tiebreak: "np.ndarray",
     return (tile + 1).astype(np.int64)
 
 
+def _events_session_bounce(sf_dir: str):
+    """Bounce rate by session-opening event type: sessionize each
+    user's stream at 30-min inactivity gaps (the user_sessions
+    convention — strict > gap, per-user cumulative gap count), take
+    each session's FIRST event type ((ts, event_type) total order, so
+    opening-timestamp ties resolve identically on both sides) and
+    report per opening type the session count, single-event (bounce)
+    session count, and bounce rate (ONE division). Users hash-bucket
+    once; each bucket sessionizes with one lexsort and emits
+    |types|-bounded partials."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.ops.skew import default_num_buckets
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    nb = default_num_buckets()
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_bucket", pa.array((uid % nb).astype(np.int32)))
+
+    def sessionize(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        ts_us = group["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        et = group["event_type"].to_numpy(zero_copy_only=False) \
+            .astype(str)
+        order = np.lexsort((et, ts_us, uid))
+        u, t, e = uid[order], ts_us[order], et[order]
+        new_user = np.ones(u.shape[0], dtype=bool)
+        new_user[1:] = u[1:] != u[:-1]
+        gap = np.zeros(u.shape[0], dtype=bool)
+        gap[1:] = (t[1:] - t[:-1] > 1800 * 1_000_000) & ~new_user[1:]
+        key_change = new_user | gap
+        seg = np.cumsum(key_change) - 1
+        counts = np.bincount(seg, minlength=seg[-1] + 1
+                             if seg.shape[0] else 0)
+        first = np.flatnonzero(key_change)
+        open_t = e[first]
+        bounce = (counts == 1).astype(np.int64)
+        tt = pa.table({"open_type": pa.array(open_t.astype(object),
+                                             pa.string()),
+                       "n_sessions": np.ones(first.shape[0], np.int64),
+                       "n_bounce": bounce})
+        return tt.group_by("open_type").aggregate(
+            [("n_sessions", "sum"), ("n_bounce", "sum")]) \
+            .rename_columns(["open_type", "n_sessions", "n_bounce"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("open_type").aggregate(
+            [("n_sessions", "sum"), ("n_bounce", "sum")])
+        ns = g["n_sessions_sum"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nbn = g["n_bounce_sum"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        rate = np.where(ns > 0, nbn.astype(np.float64)
+                        / np.maximum(ns, 1).astype(np.float64), np.nan)
+        return pa.table({
+            "open_type": g["open_type"].cast(pa.string()),
+            "n_sessions": ns, "n_bounce": nbn,
+            "bounce_rate": pa.array(rate, pa.float64())})
+
+    sess = ds.map_batches(bucket, batch_format="pyarrow",
+                          batch_size=131072) \
+        .groupby("_bucket").map_groups(sessionize, batch_format="pyarrow")
+    return driver_merge(
+        sess, merge,
+        schema=pa.schema([("open_type", pa.string()),
+                          ("n_sessions", pa.int64()),
+                          ("n_bounce", pa.int64())]))
+
+
+def _customer_spend_quadrants(sf_dir: str):
+    """Dual-median 2x2 segmentation of ordering customers: split on
+    the DISCRETE median account balance and median lifetime spend
+    (rank ceil(n/2) of the sorted exact-cent vectors — the cume_dist
+    >= 0.5 rule both sides share) and count customers per quadrant.
+    Per-customer spend cents roll up in a combiner; the root joins the
+    broadcast balance column, picks both medians with two sorts of the
+    customer-bounded vector, and bincounts 4 groups — all integers,
+    zero divisions."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_acctbal"])
+    ck = cust["c_custkey"].to_numpy().astype(np.int64)
+    order = np.argsort(ck)
+    ck = ck[order]
+    bal = np.floor(cust["c_acctbal"].to_numpy().astype(np.float64)
+                   * 100 + 0.5).astype(np.int64)[order]
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.floor(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        t = pa.table({"ck": c, "cents": cents})
+        return t.group_by(["ck"]).aggregate([("cents", "sum")]) \
+            .rename_columns(["ck", "cents"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["ck"]).aggregate([("cents", "sum")])
+        c = g["ck"].to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            "quadrant": pa.array([], pa.string()),
+            "n_customers": pa.array([], pa.int64())})
+        if c.shape[0] == 0 or ck.shape[0] == 0:
+            return empty
+        spend = g["cents_sum"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(ck, c), ck.shape[0] - 1)
+        sel = ck[pos] == c
+        b, s = bal[pos[sel]], spend[sel]
+        n = b.shape[0]
+        if n == 0:
+            return empty
+        k = -(-n // 2) - 1          # 0-based index of rank ceil(n/2)
+        mb = int(np.sort(b)[k])
+        ms = int(np.sort(s)[k])
+        quad = (b >= mb).astype(np.int64) * 2 + (s >= ms).astype(np.int64)
+        cnt = np.bincount(quad, minlength=4)
+        names = ["lo_bal_lo_spend", "lo_bal_hi_spend",
+                 "hi_bal_lo_spend", "hi_bal_hi_spend"]
+        keep = cnt > 0
+        return pa.table({
+            "quadrant": pa.array(
+                [names[i] for i in range(4) if keep[i]], pa.string()),
+            "n_customers": pa.array(cnt[keep], pa.int64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("ck", pa.int64()), ("cents", pa.int64())]))
+
+
 def _nation_top2_customer_share(sf_dir: str):
     """Wallet concentration beyond HHI: per nation the exact total
     customer spend, the spend of its top-2 customers (spend DESC,
@@ -9104,6 +9251,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 45: session bounce rate, spend quadrants ---
+        "events_session_bounce": _events_session_bounce,
+        "customer_spend_quadrants": _customer_spend_quadrants,
         # --- round-5 wave 44: top-2 wallet share, user growth curve ---
         "nation_top2_customer_share": _nation_top2_customer_share,
         "events_user_growth_daily": _events_user_growth_daily,
@@ -9435,6 +9585,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 45: never driver-checked.
+    "events_session_bounce", "customer_spend_quadrants",
     # (3) round-5 wave 44: never driver-checked.
     "nation_top2_customer_share", "events_user_growth_daily",
     # (3) round-5 wave 43: never driver-checked.
@@ -10491,6 +10643,74 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Bounce by opening type: LAG/SUM sessionization (strict
+        # > 30 min), first row per session via ROW_NUMBER over the
+        # shared (ts, event_type) total order; ONE division per type.
+        "events_session_bounce": """
+            WITH e AS (
+              SELECT user_id, ts, event_type, epoch_us(ts) AS tus,
+                     LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_type) AS ptus
+              FROM events
+            ), s AS (
+              SELECT user_id, ts, event_type,
+                     SUM(CASE WHEN ptus IS NULL
+                               OR tus - ptus > 1800000000
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts, event_type
+                             ROWS UNBOUNDED PRECEDING) AS sid
+              FROM e
+            ), fr AS (
+              SELECT user_id, sid, event_type,
+                     ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                         ORDER BY ts, event_type) AS rn,
+                     COUNT(*) OVER (PARTITION BY user_id, sid)
+                       AS n_events
+              FROM s
+            )
+            SELECT event_type AS open_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_bounce,
+                   CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                     AS bounce_rate
+            FROM fr WHERE rn = 1
+            GROUP BY event_type
+        """,
+        # 2x2 dual-median segmentation: discrete medians at rank
+        # CEIL(n/2) over exact cents; quadrant labels string-built.
+        "customer_spend_quadrants": """
+            WITH cs AS (
+              SELECT c.c_custkey,
+                     CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT)
+                       AS bal,
+                     CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS spend
+              FROM customer c
+              JOIN orders o ON o.o_custkey = c.c_custkey
+              GROUP BY 1, 2
+            ), r AS (
+              SELECT bal, spend,
+                     ROW_NUMBER() OVER (ORDER BY bal) AS rb,
+                     ROW_NUMBER() OVER (ORDER BY spend) AS rs,
+                     COUNT(*) OVER () AS n
+              FROM cs
+            ), m AS (
+              SELECT MAX(CASE WHEN rb = CAST(CEIL(0.5 * n) AS BIGINT)
+                              THEN bal END) AS mb,
+                     MAX(CASE WHEN rs = CAST(CEIL(0.5 * n) AS BIGINT)
+                              THEN spend END) AS ms
+              FROM r
+            )
+            SELECT CASE WHEN bal >= mb THEN 'hi' ELSE 'lo' END
+                   || '_bal_' ||
+                   CASE WHEN spend >= ms THEN 'hi' ELSE 'lo' END
+                   || '_spend' AS quadrant,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM cs, m GROUP BY 1
         """,
         # Top-2 wallet share: per-customer exact cents, ROW_NUMBER
         # over (spend DESC, custkey) — ties have equal value so the

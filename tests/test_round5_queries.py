@@ -123,7 +123,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 43: weekly churn lifecycle, degree assortativity
         "events_weekly_churn", "sites_degree_assortativity",
         # wave 44: top-2 wallet concentration, user growth curve
-        "nation_top2_customer_share", "events_user_growth_daily"]
+        "nation_top2_customer_share", "events_user_growth_daily",
+        # wave 45: session bounce rate, dual-median spend quadrants
+        "events_session_bounce", "customer_spend_quadrants"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
