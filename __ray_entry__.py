@@ -6288,6 +6288,149 @@ def _ntile(order_vals: "np.ndarray", tiebreak: "np.ndarray",
     return (tile + 1).astype(np.int64)
 
 
+def _emb_label_affinity(sf_dir: str):
+    """Inter-label centroid affinity matrix: cosine similarity between
+    the centroids of every label pair l1 < l2 — the confusion-risk map
+    next to emb_label_cohesion's within-cluster number. Cosine of the
+    mean vector equals cosine of the SUM vector (scale-invariant), so
+    per-(label, dim) micro-int sums (floor(v*1e6+0.5), the established
+    exact-embedding quantization) are all that crosses; the root takes
+    Python-bigint dots/norms over the |labels| x dim bounded matrix and
+    does sqrt/sqrt/divide once per pair — bit-identical to the HUGEINT
+    SQL mirror. Zero-norm labels emit NULL."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"label": pa.array([], pa.int64()),
+                          "dim": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        col = batch["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = np.diff(col.offsets.to_numpy().astype(np.int64))
+        if lens.shape[0] == 0:
+            return empty
+        if not (lens == lens[0]).all() or lens[0] == 0:
+            raise ValueError("embedding dim must be fixed and non-zero")
+        d = int(lens[0])
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        micro = np.floor(flat * 1e6 + 0.5).astype(np.int64) \
+            .reshape(-1, d)
+        lab = batch["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        acc = np.zeros((uniq.shape[0], d), dtype=np.int64)
+        np.add.at(acc, inv, micro)
+        return pa.table({
+            "label": np.repeat(uniq, d),
+            "dim": np.tile(np.arange(1, d + 1, dtype=np.int64),
+                           uniq.shape[0]),
+            "s": acc.reshape(-1)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["label", "dim"]).aggregate([("s", "sum")])
+        lab = g["label"].to_numpy(zero_copy_only=False)
+        if lab.shape[0] == 0:
+            return pa.table({
+                "l1": pa.array([], pa.int64()),
+                "l2": pa.array([], pa.int64()),
+                "centroid_cos": pa.array([], pa.float64())})
+        dim = g["dim"].to_numpy(zero_copy_only=False)
+        s = g["s_sum"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((dim, lab))
+        lab, s = lab[o], s[o]
+        labels = np.unique(lab).tolist()
+        d = s.shape[0] // len(labels)
+        vecs = {L: [int(x) for x in s[i * d:(i + 1) * d]]
+                for i, L in enumerate(labels)}
+        n2 = {L: sum(x * x for x in v) for L, v in vecs.items()}
+        o1, o2, oc = [], [], []
+        for i, a in enumerate(labels):
+            for b in labels[i + 1:]:
+                dot = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+                if n2[a] == 0 or n2[b] == 0:
+                    cos = None
+                else:
+                    cos = float(dot) / (math.sqrt(float(n2[a]))
+                                        * math.sqrt(float(n2[b])))
+                o1.append(a)
+                o2.append(b)
+                oc.append(cos)
+        return pa.table({
+            "l1": pa.array(o1, pa.int64()),
+            "l2": pa.array(o2, pa.int64()),
+            "centroid_cos": pa.array(oc, pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=32768), merge,
+        schema=pa.schema([("label", pa.int64()), ("dim", pa.int64()),
+                          ("s", pa.int64())]))
+
+
+def _brand_discount_qty_corr(sf_dir: str):
+    """Per-brand discount elasticity probe: exact Pearson correlation
+    of (discount basis points, quantity) over each brand's lineitem
+    stream. The part dimension broadcasts as a sorted (partkey ->
+    brand) gather — never a shuffle; moments accumulate as exact
+    integers in ops.reduce.grouped_corr_exact. Rows whose partkey is
+    absent from part are dropped (inner-join semantics, guarded)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from h3ray.ops.reduce import grouped_corr_exact
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    order = np.argsort(pk)
+    pk = pk[order]
+    brand = part["p_brand"].to_numpy(zero_copy_only=False)[order] \
+        .astype(str)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_discount",
+                                  "l_quantity"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        k = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if pk.shape[0] == 0:
+            return pa.table({
+                "p_brand": pa.array([], pa.string()),
+                "disc_bp": pa.array([], pa.int64()),
+                "qty": pa.array([], pa.int64())})
+        pos = np.minimum(np.searchsorted(pk, k), pk.shape[0] - 1)
+        sel = pk[pos] == k
+        disc = np.floor(batch["l_discount"].to_numpy(
+            zero_copy_only=False) * 10000 + 0.5).astype(np.int64)
+        qty = np.floor(batch["l_quantity"].to_numpy(
+            zero_copy_only=False) + 0.5).astype(np.int64)
+        return pa.table({
+            "p_brand": pa.array(brand[pos[sel]].astype(object),
+                                pa.string()),
+            "disc_bp": disc[sel], "qty": qty[sel]})
+
+    ints = li.map_batches(prep, batch_format="pyarrow",
+                          batch_size=131072)
+    return grouped_corr_exact(ints, "p_brand", "disc_bp", "qty",
+                              out_col="corr_disc_qty")
+
+
 def _events_session_bounce(sf_dir: str):
     """Bounce rate by session-opening event type: sessionize each
     user's stream at 30-min inactivity gaps (the user_sessions
@@ -9251,6 +9394,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 46: label affinity matrix, brand elasticity ---
+        "emb_label_affinity": _emb_label_affinity,
+        "brand_discount_qty_corr": _brand_discount_qty_corr,
         # --- round-5 wave 45: session bounce rate, spend quadrants ---
         "events_session_bounce": _events_session_bounce,
         "customer_spend_quadrants": _customer_spend_quadrants,
@@ -9585,6 +9731,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 46: never driver-checked.
+    "emb_label_affinity", "brand_discount_qty_corr",
     # (3) round-5 wave 45: never driver-checked.
     "events_session_bounce", "customer_spend_quadrants",
     # (3) round-5 wave 44: never driver-checked.
@@ -10643,6 +10791,65 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Centroid affinity: cosine of per-label micro-int SUM vectors
+        # (scale-invariant = centroid cosine); HUGEINT dots, two SQRTs
+        # and one division per pair.
+        "emb_label_affinity": """
+            WITH el AS (
+              SELECT CAST(label AS BIGINT) AS label,
+                     CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                                * 1000000 + 0.5) AS BIGINT) AS micro,
+                     unnest(range(1, len(embedding) + 1)) AS dim
+              FROM embeddings
+            ), dimsum AS (
+              SELECT label, dim, CAST(SUM(micro) AS HUGEINT) AS s
+              FROM el GROUP BY label, dim
+            ), nrm AS (
+              SELECT label, SUM(s * s) AS n2 FROM dimsum GROUP BY label
+            ), pairs AS (
+              SELECT a.label AS l1, b.label AS l2,
+                     SUM(a.s * b.s) AS dot
+              FROM dimsum a
+              JOIN dimsum b ON b.dim = a.dim AND b.label > a.label
+              GROUP BY 1, 2
+            )
+            SELECT p.l1, p.l2,
+                   CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN NULL
+                        ELSE CAST(p.dot AS DOUBLE)
+                             / (SQRT(CAST(na.n2 AS DOUBLE))
+                                * SQRT(CAST(nb.n2 AS DOUBLE)))
+                   END AS centroid_cos
+            FROM pairs p
+            JOIN nrm na ON na.label = p.l1
+            JOIN nrm nb ON nb.label = p.l2
+        """,
+        # Per-brand exact Pearson corr of (discount bp, qty): HUGEINT
+        # moment sums, final float formula identical to the engine's.
+        "brand_discount_qty_corr": """
+            WITH m AS (
+              SELECT p.p_brand,
+                     COUNT(*) AS n,
+                     SUM(CAST(FLOOR(l_discount * 10000 + 0.5)
+                              AS BIGINT)) AS sx,
+                     SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS sy,
+                     SUM(CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)
+                         * CAST(FLOOR(l_discount * 10000 + 0.5)
+                                AS BIGINT)) AS sxx,
+                     SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)
+                         * CAST(FLOOR(l_quantity + 0.5) AS BIGINT))
+                         AS syy,
+                     SUM(CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)
+                         * CAST(FLOOR(l_quantity + 0.5) AS BIGINT))
+                         AS sxy
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+              GROUP BY p.p_brand)
+            SELECT p_brand,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+                       AS corr_disc_qty
+            FROM m
         """,
         # Bounce by opening type: LAG/SUM sessionization (strict
         # > 30 min), first row per session via ROW_NUMBER over the

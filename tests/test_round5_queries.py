@@ -125,7 +125,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 44: top-2 wallet concentration, user growth curve
         "nation_top2_customer_share", "events_user_growth_daily",
         # wave 45: session bounce rate, dual-median spend quadrants
-        "events_session_bounce", "customer_spend_quadrants"]
+        "events_session_bounce", "customer_spend_quadrants",
+        # wave 46: centroid affinity matrix, brand discount elasticity
+        "emb_label_affinity", "brand_discount_qty_corr"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
