@@ -6288,6 +6288,137 @@ def _ntile(order_vals: "np.ndarray", tiebreak: "np.ndarray",
     return (tile + 1).astype(np.int64)
 
 
+def _nations_full_segment_coverage(sf_dir: str):
+    """Relational DIVISION: nations whose customer base spans EVERY
+    market segment present in the corpus (the classic 'suppliers who
+    supply all parts' shape). Distinct (nation, segment) pairs cross in
+    combiners — bounded by |nations| x |segments|; the root compares
+    each nation's distinct-segment count to the global distinct count.
+    All integers, no divisions."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_nationkey", "c_mktsegment"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "nk": batch["c_nationkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "seg": batch["c_mktsegment"]})
+        return t.group_by(["nk", "seg"]).aggregate([])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["nk", "seg"]).aggregate([])
+        nk = g["nk"].to_numpy(zero_copy_only=False)
+        if nk.shape[0] == 0:
+            return pa.table({
+                "c_nationkey": pa.array([], pa.int64()),
+                "n_segments": pa.array([], pa.int64())})
+        seg = g["seg"].to_numpy(zero_copy_only=False).astype(str)
+        total = int(np.unique(seg).shape[0])
+        uniq, cnt = np.unique(nk, return_counts=True)
+        keep = cnt == total
+        return pa.table({
+            "c_nationkey": uniq[keep].astype(np.int64),
+            "n_segments": cnt[keep].astype(np.int64)})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("nk", pa.int64()), ("seg", pa.string())]))
+
+
+def _region_nation_revenue_tree(sf_dir: str):
+    """Percent-of-parent revenue tree: per nation the exact order
+    revenue in cents, its share of the nation's region, and its share
+    of the global total (two divisions per row, both over exact
+    BIGINTs). The customer -> nation and nation -> region dimensions
+    broadcast as sorted gathers; only |nations|-bounded cent partials
+    cross."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust["c_custkey"].to_numpy().astype(np.int64)
+    order = np.argsort(ck)
+    ck = ck[order]
+    cnk = cust["c_nationkey"].to_numpy().astype(np.int64)[order]
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    nnk = nat["n_nationkey"].to_numpy().astype(np.int64)
+    norder = np.argsort(nnk)
+    nnk = nnk[norder]
+    nrk = nat["n_regionkey"].to_numpy().astype(np.int64)[norder]
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"nk": pa.array([], pa.int64()),
+                          "cents": pa.array([], pa.int64())})
+        if ck.shape[0] == 0:
+            return empty
+        c = batch["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.minimum(np.searchsorted(ck, c), ck.shape[0] - 1)
+        sel = ck[pos] == c
+        nk = cnk[pos[sel]]
+        cents = np.floor(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)[sel]
+        uniq, inv = np.unique(nk, return_inverse=True)
+        acc = np.zeros(uniq.shape[0], dtype=np.int64)
+        np.add.at(acc, inv, cents)
+        return pa.table({"nk": uniq, "cents": acc})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["nk"]).aggregate([("cents", "sum")])
+        nk = g["nk"].to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            "n_nationkey": pa.array([], pa.int64()),
+            "n_regionkey": pa.array([], pa.int64()),
+            "nation_cents": pa.array([], pa.int64()),
+            "share_of_region": pa.array([], pa.float64()),
+            "share_of_total": pa.array([], pa.float64())})
+        if nk.shape[0] == 0 or nnk.shape[0] == 0:
+            return empty
+        cents = g["cents_sum"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(nnk, nk), nnk.shape[0] - 1)
+        sel = nnk[pos] == nk
+        nk, cents, rk = nk[sel], cents[sel], nrk[pos[sel]]
+        if nk.shape[0] == 0:
+            return empty
+        total = int(cents.sum())
+        rsum: dict = {}
+        for r, c in zip(rk.tolist(), cents.tolist()):
+            rsum[r] = rsum.get(r, 0) + int(c)
+        return pa.table({
+            "n_nationkey": nk.astype(np.int64),
+            "n_regionkey": rk.astype(np.int64),
+            "nation_cents": cents.astype(np.int64),
+            "share_of_region": pa.array(
+                [float(int(c)) / float(rsum[r]) if rsum[r] else None
+                 for r, c in zip(rk.tolist(), cents.tolist())],
+                pa.float64()),
+            "share_of_total": pa.array(
+                [float(int(c)) / float(total) if total else None
+                 for c in cents.tolist()], pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("nk", pa.int64()), ("cents", pa.int64())]))
+
+
 def _emb_label_affinity(sf_dir: str):
     """Inter-label centroid affinity matrix: cosine similarity between
     the centroids of every label pair l1 < l2 — the confusion-risk map
@@ -9394,6 +9525,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 47: relational division, revenue tree ---
+        "nations_full_segment_coverage": _nations_full_segment_coverage,
+        "region_nation_revenue_tree": _region_nation_revenue_tree,
         # --- round-5 wave 46: label affinity matrix, brand elasticity ---
         "emb_label_affinity": _emb_label_affinity,
         "brand_discount_qty_corr": _brand_discount_qty_corr,
@@ -9731,6 +9865,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 47: never driver-checked.
+    "nations_full_segment_coverage", "region_nation_revenue_tree",
     # (3) round-5 wave 46: never driver-checked.
     "emb_label_affinity", "brand_discount_qty_corr",
     # (3) round-5 wave 45: never driver-checked.
@@ -10791,6 +10927,42 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Relational division: per-nation distinct-segment count vs the
+        # global distinct count; pure integers.
+        "nations_full_segment_coverage": """
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT)
+                     AS n_segments
+            FROM customer
+            GROUP BY c_nationkey
+            HAVING COUNT(DISTINCT c_mktsegment) =
+                   (SELECT COUNT(DISTINCT c_mktsegment) FROM customer)
+        """,
+        # Percent-of-parent tree: exact nation cents over region and
+        # global windows; two divisions per row.
+        "region_nation_revenue_tree": """
+            WITH nc AS (
+              SELECT n.n_nationkey, n.n_regionkey,
+                     CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT)
+                       AS nation_cents
+              FROM orders o
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              JOIN nation n ON n.n_nationkey = c.c_nationkey
+              GROUP BY 1, 2
+            )
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey,
+                   nation_cents,
+                   CAST(nation_cents AS DOUBLE)
+                   / CAST(SUM(nation_cents)
+                          OVER (PARTITION BY n_regionkey) AS DOUBLE)
+                     AS share_of_region,
+                   CAST(nation_cents AS DOUBLE)
+                   / CAST(SUM(nation_cents) OVER () AS DOUBLE)
+                     AS share_of_total
+            FROM nc
         """,
         # Centroid affinity: cosine of per-label micro-int SUM vectors
         # (scale-invariant = centroid cosine); HUGEINT dots, two SQRTs

@@ -127,7 +127,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 45: session bounce rate, dual-median spend quadrants
         "events_session_bounce", "customer_spend_quadrants",
         # wave 46: centroid affinity matrix, brand discount elasticity
-        "emb_label_affinity", "brand_discount_qty_corr"]
+        "emb_label_affinity", "brand_discount_qty_corr",
+        # wave 47: relational division, percent-of-parent revenue tree
+        "nations_full_segment_coverage", "region_nation_revenue_tree"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
