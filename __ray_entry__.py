@@ -6288,6 +6288,161 @@ def _ntile(order_vals: "np.ndarray", tiebreak: "np.ndarray",
     return (tile + 1).astype(np.int64)
 
 
+def _orders_above_customer_avg(sf_dir: str):
+    """Correlated-aggregate comparison: per customer, how many of
+    their orders price above their OWN average order value. The
+    comparison is the exact integer cross-multiplication
+    cents * n > total_cents (never a float average), so the result is
+    bit-identical to SQL's HAVING-style correlated subquery. Two
+    passes: a per-customer (n, sum) combiner merges at the bounded
+    root and broadcasts via ray.put; pass 2 streams orders once more
+    and counts per customer — customer-bounded partials, no join
+    shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        c = batch["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.floor(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        uniq, inv = np.unique(c, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(uniq.shape[0], dtype=np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({"ck": uniq, "n": n, "s": s})
+
+    stats = driver_merge(
+        ds.map_batches(stats_partial, batch_format="pyarrow",
+                       batch_size=131072),
+        lambda t: t.group_by("ck").aggregate([("n", "sum"), ("s", "sum")])
+        .rename_columns(["ck", "n", "s"]),
+        schema=pa.schema([("ck", pa.int64()), ("n", pa.int64()),
+                          ("s", pa.int64())]))
+    sk = stats["ck"].to_numpy(zero_copy_only=False)
+    so = np.argsort(sk)
+    stats_ref = ray.put((sk[so],
+                         stats["n"].to_numpy(zero_copy_only=False)[so],
+                         stats["s"].to_numpy(zero_copy_only=False)[so]))
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        keys, ns, ss = ray.get(stats_ref)
+        empty = pa.table({"o_custkey": pa.array([], pa.int64()),
+                          "n_orders": pa.array([], pa.int64()),
+                          "n_above_avg": pa.array([], pa.int64())})
+        if keys.shape[0] == 0:
+            return empty
+        c = batch["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.floor(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        pos = np.minimum(np.searchsorted(keys, c), keys.shape[0] - 1)
+        above = (cents * ns[pos] > ss[pos]).astype(np.int64)
+        uniq, inv = np.unique(c, return_inverse=True)
+        na = np.zeros(uniq.shape[0], dtype=np.int64)
+        np.add.at(na, inv, above)
+        nn = np.bincount(inv).astype(np.int64)
+        return pa.table({"o_custkey": uniq, "n_orders": nn,
+                         "n_above_avg": na})
+
+    return driver_merge(
+        ds.map_batches(count_partial, batch_format="pyarrow",
+                       batch_size=131072),
+        lambda t: t.group_by("o_custkey").aggregate(
+            [("n_orders", "sum"), ("n_above_avg", "sum")])
+        .rename_columns(["o_custkey", "n_orders", "n_above_avg"]),
+        schema=pa.schema([("o_custkey", pa.int64()),
+                          ("n_orders", pa.int64()),
+                          ("n_above_avg", pa.int64())]))
+
+
+def _brand_return_wilson(sf_dir: str):
+    """Per-brand return-rate ranking by the Wilson score lower bound
+    (z = 1.96): the confidence-aware way to rank failure rates that a
+    raw ratio gets wrong on small samples. Counts are exact integers
+    from a |brands|-bounded combiner (part dimension broadcast as a
+    sorted gather); the root evaluates ONE canonical float expression
+    per brand — the identical expression tree the SQL mirror uses, so
+    IEEE determinism carries the hash."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    order = np.argsort(pk)
+    pk = pk[order]
+    brand = part["p_brand"].to_numpy(zero_copy_only=False)[order] \
+        .astype(str)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_returnflag"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"p_brand": pa.array([], pa.string()),
+                          "n_lines": pa.array([], pa.int64()),
+                          "n_returned": pa.array([], pa.int64())})
+        if pk.shape[0] == 0:
+            return empty
+        k = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.minimum(np.searchsorted(pk, k), pk.shape[0] - 1)
+        sel = pk[pos] == k
+        b = brand[pos[sel]]
+        ret = (batch["l_returnflag"].to_numpy(zero_copy_only=False)
+               .astype(str)[sel] == "R").astype(np.int64)
+        uniq, inv = np.unique(b, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        nr = np.zeros(uniq.shape[0], dtype=np.int64)
+        np.add.at(nr, inv, ret)
+        return pa.table({"p_brand": pa.array(uniq.astype(object),
+                                             pa.string()),
+                         "n_lines": n, "n_returned": nr})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("p_brand").aggregate(
+            [("n_lines", "sum"), ("n_returned", "sum")])
+        n = g["n_lines_sum"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nr = g["n_returned_sum"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lbs, rates = [], []
+        for ni, ri in zip(n.tolist(), nr.tolist()):
+            p = float(ri) / float(ni)
+            lb = (p + 3.8416 / float(2 * ni)
+                  - 1.96 * math.sqrt((p * (1.0 - p)
+                                      + 3.8416 / float(4 * ni))
+                                     / float(ni))) \
+                / (1.0 + 3.8416 / float(ni))
+            rates.append(p)
+            lbs.append(lb)
+        return pa.table({
+            "p_brand": g["p_brand"].cast(pa.string()),
+            "n_lines": n, "n_returned": nr,
+            "return_rate": pa.array(rates, pa.float64()),
+            "wilson_lb": pa.array(lbs, pa.float64())})
+
+    return driver_merge(
+        li.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("p_brand", pa.string()),
+                          ("n_lines", pa.int64()),
+                          ("n_returned", pa.int64())]))
+
+
 def _nations_full_segment_coverage(sf_dir: str):
     """Relational DIVISION: nations whose customer base spans EVERY
     market segment present in the corpus (the classic 'suppliers who
@@ -9525,6 +9680,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 48: correlated avg compare, Wilson bound ---
+        "orders_above_customer_avg": _orders_above_customer_avg,
+        "brand_return_wilson": _brand_return_wilson,
         # --- round-5 wave 47: relational division, revenue tree ---
         "nations_full_segment_coverage": _nations_full_segment_coverage,
         "region_nation_revenue_tree": _region_nation_revenue_tree,
@@ -9865,6 +10023,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 48: never driver-checked.
+    "orders_above_customer_avg", "brand_return_wilson",
     # (3) round-5 wave 47: never driver-checked.
     "nations_full_segment_coverage", "region_nation_revenue_tree",
     # (3) round-5 wave 46: never driver-checked.
@@ -10927,6 +11087,57 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Correlated aggregate: cents * n > sum cross-multiplication —
+        # never a float average; pure integers.
+        "orders_above_customer_avg": """
+            WITH oc AS (
+              SELECT o_custkey,
+                     CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+              FROM orders
+            ), st AS (
+              SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(cents) AS BIGINT) AS s
+              FROM oc GROUP BY o_custkey
+            )
+            SELECT oc.o_custkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CASE WHEN oc.cents * st.n > st.s
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_above_avg
+            FROM oc JOIN st ON st.o_custkey = oc.o_custkey
+            GROUP BY oc.o_custkey
+        """,
+        # Wilson lower bound (z = 1.96, z^2 = 3.8416): the identical
+        # float expression tree the engine evaluates — IEEE carries
+        # the hash.
+        "brand_return_wilson": """
+            WITH m AS (
+              SELECT p.p_brand,
+                     CAST(COUNT(*) AS BIGINT) AS n_lines,
+                     CAST(SUM(CASE WHEN l.l_returnflag = 'R'
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_returned
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+              GROUP BY p.p_brand
+            )
+            SELECT p_brand, n_lines, n_returned,
+                   CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                     AS return_rate,
+                   (CAST(n_returned AS DOUBLE)
+                      / CAST(n_lines AS DOUBLE)
+                    + 3.8416 / CAST(2 * n_lines AS DOUBLE)
+                    - 1.96 * SQRT((CAST(n_returned AS DOUBLE)
+                                     / CAST(n_lines AS DOUBLE)
+                                   * (1.0 - CAST(n_returned AS DOUBLE)
+                                            / CAST(n_lines AS DOUBLE))
+                                   + 3.8416
+                                     / CAST(4 * n_lines AS DOUBLE))
+                                  / CAST(n_lines AS DOUBLE)))
+                   / (1.0 + 3.8416 / CAST(n_lines AS DOUBLE))
+                     AS wilson_lb
+            FROM m
         """,
         # Relational division: per-nation distinct-segment count vs the
         # global distinct count; pure integers.

@@ -129,7 +129,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 46: centroid affinity matrix, brand discount elasticity
         "emb_label_affinity", "brand_discount_qty_corr",
         # wave 47: relational division, percent-of-parent revenue tree
-        "nations_full_segment_coverage", "region_nation_revenue_tree"]
+        "nations_full_segment_coverage", "region_nation_revenue_tree",
+        # wave 48: correlated own-average compare, Wilson lower bound
+        "orders_above_customer_avg", "brand_return_wilson"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
