@@ -6288,6 +6288,146 @@ def _ntile(order_vals: "np.ndarray", tiebreak: "np.ndarray",
     return (tile + 1).astype(np.int64)
 
 
+def _events_ab_purchase_lift(sf_dir: str):
+    """Hash-split A/B readout: assign every user to an arm by the
+    engine's key-stable double-mix64 stream (arm = h % 2 — the same
+    generator the sampling family mirrors in SQL), then compare
+    purchase conversion between arms with the pooled two-proportion
+    z-score. Per-user purchase flags reduce via a MAX combiner
+    (user-bounded); the root is one canonical float expression tree
+    shared verbatim with the SQL mirror. Returns ONE row."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.io.pages import _mix64
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        p = (batch["event_type"].to_numpy(zero_copy_only=False)
+             .astype(str) == "purchase").astype(np.int64)
+        uniq, inv = np.unique(uid, return_inverse=True)
+        mx = np.zeros(uniq.shape[0], dtype=np.int64)
+        np.maximum.at(mx, inv, p)
+        return pa.table({"uid": uniq, "p": mx})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("uid").aggregate([("p", "max")])
+        uid = g["uid"].to_numpy(zero_copy_only=False)
+        if uid.shape[0] == 0:
+            return pa.table({
+                "n_ctrl": pa.array([], pa.int64()),
+                "conv_ctrl": pa.array([], pa.int64()),
+                "n_treat": pa.array([], pa.int64()),
+                "conv_treat": pa.array([], pa.int64()),
+                "rate_ctrl": pa.array([], pa.float64()),
+                "rate_treat": pa.array([], pa.float64()),
+                "lift": pa.array([], pa.float64()),
+                "z_score": pa.array([], pa.float64())})
+        p = g["p_max"].to_numpy(zero_copy_only=False)
+        arm = (_mix64(_mix64(uid.astype(np.uint64)))
+               % np.uint64(2)).astype(np.int64)
+        n_c = int((arm == 0).sum())
+        n_t = int((arm == 1).sum())
+        c_c = int(p[arm == 0].sum())
+        c_t = int(p[arm == 1].sum())
+        if n_c == 0 or n_t == 0:
+            r_c = float(c_c) / float(n_c) if n_c else None
+            r_t = float(c_t) / float(n_t) if n_t else None
+            lift = z = None
+        else:
+            r_c = float(c_c) / float(n_c)
+            r_t = float(c_t) / float(n_t)
+            lift = r_t - r_c
+            p_pool = float(c_c + c_t) / float(n_c + n_t)
+            se = math.sqrt(p_pool * (1.0 - p_pool)
+                           * (1.0 / float(n_c) + 1.0 / float(n_t)))
+            z = lift / se if se != 0.0 else None
+        return pa.table({
+            "n_ctrl": pa.array([n_c], pa.int64()),
+            "conv_ctrl": pa.array([c_c], pa.int64()),
+            "n_treat": pa.array([n_t], pa.int64()),
+            "conv_treat": pa.array([c_t], pa.int64()),
+            "rate_ctrl": pa.array([r_c], pa.float64()),
+            "rate_treat": pa.array([r_t], pa.float64()),
+            "lift": pa.array([lift], pa.float64()),
+            "z_score": pa.array([z], pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("uid", pa.int64()), ("p", pa.int64())]))
+
+
+def _orders_priority_drift(sf_dir: str):
+    """Per-month order-priority mix drift vs the corpus mix, as total
+    variation distance — computed EXACTLY with the cross-multiplied
+    integer identity  TVD = sum_pr |c_mp*N - C_pr*n_m| / (2*n_m*N)
+    (one division per month, integer numerator summed over the bounded
+    priority domain). (month, priority) count partials are all that
+    cross."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderdate", "o_orderpriority"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mi = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[M]").astype(np.int64)
+        ym = (1970 + mi // 12) * 100 + mi % 12 + 1
+        t = pa.table({"ym": ym, "pr": batch["o_orderpriority"],
+                      "c": np.ones(batch.num_rows, np.int64)})
+        return t.group_by(["ym", "pr"]).aggregate([("c", "sum")]) \
+            .rename_columns(["ym", "pr", "c"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["ym", "pr"]).aggregate([("c", "sum")])
+        ym = g["ym"].to_numpy(zero_copy_only=False)
+        if ym.shape[0] == 0:
+            return pa.table({
+                "ym": pa.array([], pa.int64()),
+                "n_orders": pa.array([], pa.int64()),
+                "tvd": pa.array([], pa.float64())})
+        pr = g["pr"].to_numpy(zero_copy_only=False).astype(str)
+        c = g["c_sum"].to_numpy(zero_copy_only=False)
+        cells = {(int(m), p): int(v)
+                 for m, p, v in zip(ym.tolist(), pr.tolist(), c.tolist())}
+        months = sorted({int(m) for m in ym.tolist()})
+        prios = sorted({p for p in pr.tolist()})
+        nm = {m: sum(cells.get((m, p), 0) for p in prios)
+              for m in months}
+        cp = {p: sum(cells.get((m, p), 0) for m in months)
+              for p in prios}
+        na = sum(nm.values())
+        tvd = []
+        for m in months:
+            num = sum(abs(cells.get((m, p), 0) * na - cp[p] * nm[m])
+                      for p in prios)
+            tvd.append(float(num) / float(2 * nm[m] * na)
+                       if nm[m] and na else None)
+        return pa.table({
+            "ym": pa.array(months, pa.int64()),
+            "n_orders": pa.array([nm[m] for m in months], pa.int64()),
+            "tvd": pa.array(tvd, pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("ym", pa.int64()), ("pr", pa.string()),
+                          ("c", pa.int64())]))
+
+
 def _orders_above_customer_avg(sf_dir: str):
     """Correlated-aggregate comparison: per customer, how many of
     their orders price above their OWN average order value. The
@@ -9680,6 +9820,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 49: A/B z-score, priority-mix drift ---
+        "events_ab_purchase_lift": _events_ab_purchase_lift,
+        "orders_priority_drift": _orders_priority_drift,
         # --- round-5 wave 48: correlated avg compare, Wilson bound ---
         "orders_above_customer_avg": _orders_above_customer_avg,
         "brand_return_wilson": _brand_return_wilson,
@@ -10023,6 +10166,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 49: never driver-checked.
+    "events_ab_purchase_lift", "orders_priority_drift",
     # (3) round-5 wave 48: never driver-checked.
     "orders_above_customer_avg", "brand_return_wilson",
     # (3) round-5 wave 47: never driver-checked.
@@ -11087,6 +11232,106 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # A/B readout: per-user MAX purchase flag, double-mix64 arm
+        # assignment (the sampling family's exact SQL mirror), pooled
+        # two-proportion z — identical float expression tree.
+        "events_ab_purchase_lift": f"""
+            WITH pu AS (
+              SELECT user_id,
+                     CAST(MAX(CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS p
+              FROM events GROUP BY user_id
+            ), u0 AS (SELECT p, CAST(user_id AS UBIGINT) AS x FROM pu),
+            u1 AS (SELECT p, {_sql_mulmod('xor(x, x >> 30)',
+                                          13787848793156543929)} AS x
+                   FROM u0),
+            u2 AS (SELECT p, {_sql_mulmod('xor(x, x >> 27)',
+                                          10723151780598845931)} AS x
+                   FROM u1),
+            u3 AS (SELECT p, xor(x, x >> 31) AS x FROM u2),
+            u4 AS (SELECT p, {_sql_mulmod('xor(x, x >> 30)',
+                                          13787848793156543929)} AS x
+                   FROM u3),
+            u5 AS (SELECT p, {_sql_mulmod('xor(x, x >> 27)',
+                                          10723151780598845931)} AS x
+                   FROM u4),
+            u6 AS (SELECT p, xor(x, x >> 31) AS x FROM u5),
+            arms AS (SELECT p, CAST(x % 2 AS BIGINT) AS arm FROM u6),
+            s AS (
+              SELECT CAST(COUNT(*) FILTER (WHERE arm = 0) AS BIGINT)
+                       AS n_ctrl,
+                     CAST(COALESCE(SUM(p) FILTER (WHERE arm = 0), 0)
+                          AS BIGINT) AS conv_ctrl,
+                     CAST(COUNT(*) FILTER (WHERE arm = 1) AS BIGINT)
+                       AS n_treat,
+                     CAST(COALESCE(SUM(p) FILTER (WHERE arm = 1), 0)
+                          AS BIGINT) AS conv_treat
+              FROM arms
+            )
+            SELECT n_ctrl, conv_ctrl, n_treat, conv_treat,
+                   CASE WHEN n_ctrl = 0 THEN NULL
+                        ELSE CAST(conv_ctrl AS DOUBLE)
+                             / CAST(n_ctrl AS DOUBLE) END AS rate_ctrl,
+                   CASE WHEN n_treat = 0 THEN NULL
+                        ELSE CAST(conv_treat AS DOUBLE)
+                             / CAST(n_treat AS DOUBLE) END AS rate_treat,
+                   CASE WHEN n_ctrl = 0 OR n_treat = 0 THEN NULL
+                        ELSE CAST(conv_treat AS DOUBLE)
+                               / CAST(n_treat AS DOUBLE)
+                             - CAST(conv_ctrl AS DOUBLE)
+                               / CAST(n_ctrl AS DOUBLE) END AS lift,
+                   CASE WHEN n_ctrl = 0 OR n_treat = 0 THEN NULL
+                        WHEN SQRT((CAST(conv_ctrl + conv_treat AS DOUBLE)
+                                   / CAST(n_ctrl + n_treat AS DOUBLE))
+                                  * (1.0 - CAST(conv_ctrl + conv_treat
+                                                AS DOUBLE)
+                                     / CAST(n_ctrl + n_treat AS DOUBLE))
+                                  * (1.0 / CAST(n_ctrl AS DOUBLE)
+                                     + 1.0 / CAST(n_treat AS DOUBLE)))
+                             = 0.0 THEN NULL
+                        ELSE (CAST(conv_treat AS DOUBLE)
+                                / CAST(n_treat AS DOUBLE)
+                              - CAST(conv_ctrl AS DOUBLE)
+                                / CAST(n_ctrl AS DOUBLE))
+                             / SQRT((CAST(conv_ctrl + conv_treat
+                                          AS DOUBLE)
+                                     / CAST(n_ctrl + n_treat AS DOUBLE))
+                                    * (1.0 - CAST(conv_ctrl + conv_treat
+                                                  AS DOUBLE)
+                                       / CAST(n_ctrl + n_treat
+                                              AS DOUBLE))
+                                    * (1.0 / CAST(n_ctrl AS DOUBLE)
+                                       + 1.0 / CAST(n_treat AS DOUBLE)))
+                   END AS z_score
+            FROM s
+        """,
+        # Priority-mix drift: TVD via the cross-multiplied integer
+        # identity; COALESCE-0 lattice over months x priorities, one
+        # division per month.
+        "orders_priority_drift": """
+            WITH mp AS (
+              SELECT CAST(YEAR(o_orderdate) * 100
+                          + MONTH(o_orderdate) AS BIGINT) AS ym,
+                     o_orderpriority AS pr,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM orders GROUP BY 1, 2
+            ), mt AS (
+              SELECT ym, CAST(SUM(c) AS BIGINT) AS nm FROM mp GROUP BY ym
+            ), pt AS (
+              SELECT pr, CAST(SUM(c) AS BIGINT) AS cp FROM mp GROUP BY pr
+            ), tot AS (
+              SELECT CAST(SUM(c) AS BIGINT) AS na FROM mp
+            ), cells AS (
+              SELECT mt.ym, mt.nm, pt.pr, pt.cp,
+                     COALESCE(mp.c, 0) AS c, tot.na
+              FROM mt CROSS JOIN pt CROSS JOIN tot
+              LEFT JOIN mp ON mp.ym = mt.ym AND mp.pr = pt.pr
+            )
+            SELECT ym, CAST(MAX(nm) AS BIGINT) AS n_orders,
+                   CAST(SUM(ABS(c * na - cp * nm)) AS DOUBLE)
+                   / CAST(2 * MAX(nm) * MAX(na) AS DOUBLE) AS tvd
+            FROM cells GROUP BY ym
         """,
         # Correlated aggregate: cents * n > sum cross-multiplication —
         # never a float average; pure integers.

@@ -131,7 +131,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 47: relational division, percent-of-parent revenue tree
         "nations_full_segment_coverage", "region_nation_revenue_tree",
         # wave 48: correlated own-average compare, Wilson lower bound
-        "orders_above_customer_avg", "brand_return_wilson"]
+        "orders_above_customer_avg", "brand_return_wilson",
+        # wave 49: hash-split A/B z-score, priority-mix TVD drift
+        "events_ab_purchase_lift", "orders_priority_drift"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
