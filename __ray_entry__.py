@@ -6288,6 +6288,182 @@ def _ntile(order_vals: "np.ndarray", tiebreak: "np.ndarray",
     return (tile + 1).astype(np.int64)
 
 
+def _events_session_median_dur(sf_dir: str):
+    """Discrete median session duration (microseconds) by opening
+    event type: the bounce-rate sessionization (30-min strict gap,
+    shared (ts, event_type) total order) composed with the grouped
+    discrete-median selection rule (value at 1-based rank ceil(n/2)).
+    Buckets emit (open_type, dur_us) count partials — sessions-bounded,
+    keys only; the root walks each type's duration histogram once."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.ops.skew import default_num_buckets
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    nb = default_num_buckets()
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_bucket", pa.array((uid % nb).astype(np.int32)))
+
+    def sessionize(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        ts_us = group["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        et = group["event_type"].to_numpy(zero_copy_only=False) \
+            .astype(str)
+        order = np.lexsort((et, ts_us, uid))
+        u, t, e = uid[order], ts_us[order], et[order]
+        new_user = np.ones(u.shape[0], dtype=bool)
+        new_user[1:] = u[1:] != u[:-1]
+        gap = np.zeros(u.shape[0], dtype=bool)
+        gap[1:] = (t[1:] - t[:-1] > 1800 * 1_000_000) & ~new_user[1:]
+        key_change = new_user | gap
+        first = np.flatnonzero(key_change)
+        last = np.append(first[1:] - 1, u.shape[0] - 1) \
+            if first.shape[0] else np.empty(0, np.int64)
+        dur = t[last] - t[first]
+        tt = pa.table({"open_type": pa.array(e[first].astype(object),
+                                             pa.string()),
+                       "dur_us": dur,
+                       "cnt": np.ones(first.shape[0], np.int64)})
+        return tt.group_by(["open_type", "dur_us"]).aggregate(
+            [("cnt", "sum")]).rename_columns(
+            ["open_type", "dur_us", "cnt"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["open_type", "dur_us"]).aggregate([("cnt", "sum")])
+        ot = g["open_type"].to_numpy(zero_copy_only=False)
+        if ot.shape[0] == 0:
+            return pa.table({
+                "open_type": pa.array([], pa.string()),
+                "n_sessions": pa.array([], pa.int64()),
+                "median_dur_us": pa.array([], pa.int64())})
+        ot = ot.astype(str)
+        d = g["dur_us"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt_sum"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((d, ot))
+        ot, d, cnt = ot[o], d[o], cnt[o]
+        starts = np.flatnonzero(np.r_[True, ot[1:] != ot[:-1]]).tolist()
+        ends = starts[1:] + [ot.shape[0]]
+        out_t, out_n, out_m = [], [], []
+        for s, e in zip(starts, ends):
+            cum = np.cumsum(cnt[s:e])
+            n = int(cum[-1])
+            med = int(d[s + np.searchsorted(
+                cum, int(math.ceil(0.5 * n)), side="left")])
+            out_t.append(str(ot[s]))
+            out_n.append(n)
+            out_m.append(med)
+        return pa.table({
+            "open_type": pa.array(out_t, pa.string()),
+            "n_sessions": pa.array(out_n, pa.int64()),
+            "median_dur_us": pa.array(out_m, pa.int64())})
+
+    sess = ds.map_batches(bucket, batch_format="pyarrow",
+                          batch_size=131072) \
+        .groupby("_bucket").map_groups(sessionize, batch_format="pyarrow")
+    return driver_merge(
+        sess, merge,
+        schema=pa.schema([("open_type", pa.string()),
+                          ("dur_us", pa.int64()),
+                          ("cnt", pa.int64())]))
+
+
+def _emb_norm2_quartiles_by_label(sf_dir: str):
+    """Per-label discrete quartiles of the exact integer squared
+    vector norm (micro-quantized components, so the magnitude profile
+    is bit-stable): values at 1-based ranks ceil(p*n), p in
+    {.25, .5, .75} — the cume_dist rule shared with the SQL mirror.
+    One reshape + row-wise integer dot per batch; (label, norm2) count
+    partials cross."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"label": pa.array([], pa.int64()),
+                          "n2": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        col = batch["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = np.diff(col.offsets.to_numpy().astype(np.int64))
+        if lens.shape[0] == 0:
+            return empty
+        if not (lens == lens[0]).all() or lens[0] == 0:
+            raise ValueError("embedding dim must be fixed and non-zero")
+        d = int(lens[0])
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        micro = np.floor(flat * 1e6 + 0.5).astype(np.int64) \
+            .reshape(-1, d)
+        n2 = (micro * micro).sum(axis=1)
+        lab = batch["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        t = pa.table({"label": lab, "n2": n2,
+                      "cnt": np.ones(lab.shape[0], np.int64)})
+        return t.group_by(["label", "n2"]).aggregate([("cnt", "sum")]) \
+            .rename_columns(["label", "n2", "cnt"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["label", "n2"]).aggregate([("cnt", "sum")])
+        lab = g["label"].to_numpy(zero_copy_only=False)
+        if lab.shape[0] == 0:
+            return pa.table({
+                "label": pa.array([], pa.int64()),
+                "n_vecs": pa.array([], pa.int64()),
+                "q1": pa.array([], pa.int64()),
+                "q2": pa.array([], pa.int64()),
+                "q3": pa.array([], pa.int64())})
+        n2 = g["n2"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt_sum"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((n2, lab))
+        lab, n2, cnt = lab[o], n2[o], cnt[o]
+        starts = np.flatnonzero(np.r_[True, lab[1:] != lab[:-1]]).tolist()
+        ends = starts[1:] + [lab.shape[0]]
+        out = {k: [] for k in ("l", "n", "q1", "q2", "q3")}
+        for s, e in zip(starts, ends):
+            cum = np.cumsum(cnt[s:e])
+            n = int(cum[-1])
+            qs = [int(n2[s + np.searchsorted(
+                cum, int(math.ceil(p * n)), side="left")])
+                for p in (0.25, 0.5, 0.75)]
+            out["l"].append(int(lab[s]))
+            out["n"].append(n)
+            out["q1"].append(qs[0])
+            out["q2"].append(qs[1])
+            out["q3"].append(qs[2])
+        return pa.table({
+            "label": pa.array(out["l"], pa.int64()),
+            "n_vecs": pa.array(out["n"], pa.int64()),
+            "q1": pa.array(out["q1"], pa.int64()),
+            "q2": pa.array(out["q2"], pa.int64()),
+            "q3": pa.array(out["q3"], pa.int64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=32768), merge,
+        schema=pa.schema([("label", pa.int64()), ("n2", pa.int64()),
+                          ("cnt", pa.int64())]))
+
+
 def _events_ab_purchase_lift(sf_dir: str):
     """Hash-split A/B readout: assign every user to an arm by the
     engine's key-stable double-mix64 stream (arm = h % 2 — the same
@@ -9820,6 +9996,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 50: session median duration, norm quartiles ---
+        "events_session_median_dur": _events_session_median_dur,
+        "emb_norm2_quartiles_by_label": _emb_norm2_quartiles_by_label,
         # --- round-5 wave 49: A/B z-score, priority-mix drift ---
         "events_ab_purchase_lift": _events_ab_purchase_lift,
         "orders_priority_drift": _orders_priority_drift,
@@ -10166,6 +10345,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 50: never driver-checked.
+    "events_session_median_dur", "emb_norm2_quartiles_by_label",
     # (3) round-5 wave 49: never driver-checked.
     "events_ab_purchase_lift", "orders_priority_drift",
     # (3) round-5 wave 48: never driver-checked.
@@ -11232,6 +11413,74 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Median session duration by opening type: the bounce
+        # sessionization CTEs + window MIN/MAX span + the discrete
+        # rank-CEIL(n/2) rule.
+        "events_session_median_dur": """
+            WITH e AS (
+              SELECT user_id, ts, event_type, epoch_us(ts) AS tus,
+                     LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_type) AS ptus
+              FROM events
+            ), s AS (
+              SELECT user_id, ts, event_type, tus,
+                     SUM(CASE WHEN ptus IS NULL
+                               OR tus - ptus > 1800000000
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts, event_type
+                             ROWS UNBOUNDED PRECEDING) AS sid
+              FROM e
+            ), fr AS (
+              SELECT user_id, sid, event_type,
+                     ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                         ORDER BY ts, event_type) AS rn,
+                     CAST(MAX(tus) OVER (PARTITION BY user_id, sid)
+                          - MIN(tus) OVER (PARTITION BY user_id, sid)
+                          AS BIGINT) AS dur_us
+              FROM s
+            ), sess AS (
+              SELECT event_type AS open_type, dur_us
+              FROM fr WHERE rn = 1
+            ), r AS (
+              SELECT open_type, dur_us,
+                     ROW_NUMBER() OVER (PARTITION BY open_type
+                                        ORDER BY dur_us) AS rn,
+                     COUNT(*) OVER (PARTITION BY open_type) AS n
+              FROM sess
+            )
+            SELECT open_type,
+                   CAST(MAX(n) AS BIGINT) AS n_sessions,
+                   MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                            THEN dur_us END) AS median_dur_us
+            FROM r GROUP BY open_type
+        """,
+        # Per-label discrete quartiles of exact integer norm^2.
+        "emb_norm2_quartiles_by_label": """
+            WITH el AS (
+              SELECT vec_id, CAST(label AS BIGINT) AS label,
+                     CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                                * 1000000 + 0.5) AS BIGINT) AS micro
+              FROM embeddings
+            ), v AS (
+              SELECT label, CAST(SUM(micro * micro) AS BIGINT) AS n2
+              FROM el GROUP BY label, vec_id
+            ), r AS (
+              SELECT label, n2,
+                     ROW_NUMBER() OVER (PARTITION BY label
+                                        ORDER BY n2) AS rn,
+                     COUNT(*) OVER (PARTITION BY label) AS n
+              FROM v
+            )
+            SELECT label, CAST(MAX(n) AS BIGINT) AS n_vecs,
+                   MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT)
+                            THEN n2 END) AS q1,
+                   MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT)
+                            THEN n2 END) AS q2,
+                   MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT)
+                            THEN n2 END) AS q3
+            FROM r GROUP BY label
         """,
         # A/B readout: per-user MAX purchase flag, double-mix64 arm
         # assignment (the sampling family's exact SQL mirror), pooled

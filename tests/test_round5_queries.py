@@ -133,7 +133,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 48: correlated own-average compare, Wilson lower bound
         "orders_above_customer_avg", "brand_return_wilson",
         # wave 49: hash-split A/B z-score, priority-mix TVD drift
-        "events_ab_purchase_lift", "orders_priority_drift"]
+        "events_ab_purchase_lift", "orders_priority_drift",
+        # wave 50: median session duration, norm^2 quartiles
+        "events_session_median_dur", "emb_norm2_quartiles_by_label"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
