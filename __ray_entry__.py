@@ -6288,6 +6288,98 @@ def _ntile(order_vals: "np.ndarray", tiebreak: "np.ndarray",
     return (tile + 1).astype(np.int64)
 
 
+def _docs_shingle_novelty(sf_dir: str):
+    """Corpus novelty per document (text.dedup.shingle_novelty): how
+    many of each doc's distinct 5-gram shingles occur FIRST in that doc
+    (global min doc_id attribution) and the novelty ratio — the
+    diminishing-returns curve a crawl scheduler watches. Keys-only
+    exchange; exact counts; one division per doc."""
+    import ray.data as rd
+
+    from h3ray.text.dedup import shingle_novelty
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return shingle_novelty(docs, key_col="doc_id")
+
+
+def _events_tail_share_by_type(sf_dir: str):
+    """Tail concentration per event type: the discrete p99 value (rank
+    ceil(0.99·n)), the exact cents captured at-or-above it, and the
+    tail's share of the type's total (ONE division). (type, cents)
+    count partials cross; the root answers each type with one cumsum
+    walk — the 'do whales dominate this stream' diagnostic."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch["value"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch["event_type"], "c": cents,
+                      "cnt": np.ones(batch.num_rows, np.int64)})
+        return t.group_by(["event_type", "c"]).aggregate(
+            [("cnt", "sum")]).rename_columns(["event_type", "c", "cnt"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "c"]).aggregate([("cnt", "sum")])
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        if et.shape[0] == 0:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "n_events": pa.array([], pa.int64()),
+                "p99_cents": pa.array([], pa.int64()),
+                "tail_cents": pa.array([], pa.int64()),
+                "total_cents": pa.array([], pa.int64()),
+                "tail_share": pa.array([], pa.float64())})
+        et = et.astype(str)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt_sum"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((c, et))
+        et, c, cnt = et[o], c[o], cnt[o]
+        starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]]).tolist()
+        ends = starts[1:] + [et.shape[0]]
+        out = {k: [] for k in ("t", "n", "thr", "tail", "tot", "sh")}
+        for s, e in zip(starts, ends):
+            cum = np.cumsum(cnt[s:e])
+            n = int(cum[-1])
+            ti = s + int(np.searchsorted(
+                cum, int(math.ceil(0.99 * n)), side="left"))
+            thr = int(c[ti])
+            prods = [int(x) * int(w)
+                     for x, w in zip(c[s:e].tolist(), cnt[s:e].tolist())]
+            total = sum(prods)
+            tail = sum(p for x, p in zip(c[s:e].tolist(), prods)
+                       if x >= thr)
+            out["t"].append(str(et[s]))
+            out["n"].append(n)
+            out["thr"].append(thr)
+            out["tail"].append(tail)
+            out["tot"].append(total)
+            out["sh"].append(float(tail) / float(total)
+                             if total != 0 else None)
+        return pa.table({
+            "event_type": pa.array(out["t"], pa.string()),
+            "n_events": pa.array(out["n"], pa.int64()),
+            "p99_cents": pa.array(out["thr"], pa.int64()),
+            "tail_cents": pa.array(out["tail"], pa.int64()),
+            "total_cents": pa.array(out["tot"], pa.int64()),
+            "tail_share": pa.array(out["sh"], pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("event_type", pa.string()),
+                          ("c", pa.int64()), ("cnt", pa.int64())]))
+
+
 def _events_session_median_dur(sf_dir: str):
     """Discrete median session duration (microseconds) by opening
     event type: the bounce-rate sessionization (30-min strict gap,
@@ -9996,6 +10088,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 51: shingle novelty, tail concentration ---
+        "docs_shingle_novelty": _docs_shingle_novelty,
+        "events_tail_share_by_type": _events_tail_share_by_type,
         # --- round-5 wave 50: session median duration, norm quartiles ---
         "events_session_median_dur": _events_session_median_dur,
         "emb_norm2_quartiles_by_label": _emb_norm2_quartiles_by_label,
@@ -10345,6 +10440,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 51: never driver-checked.
+    "docs_shingle_novelty", "events_tail_share_by_type",
     # (3) round-5 wave 50: never driver-checked.
     "events_session_median_dur", "emb_norm2_quartiles_by_label",
     # (3) round-5 wave 49: never driver-checked.
@@ -11413,6 +11510,67 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Shingle novelty: MIN(doc_id) per distinct 5-gram attributes
+        # first occurrence; LEFT JOIN back for per-doc counts.
+        "docs_shingle_novelty": """
+            WITH sh AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN length(text) < 5
+                                 THEN [rpad(text, 5, ' ')]
+                            ELSE list_distinct([substring(text, i, 5)
+                                    FOR i IN range(1, length(text) - 3)])
+                            END) AS s
+              FROM documents
+            ), firsts AS (
+              SELECT s, MIN(doc_id) AS fdoc FROM sh GROUP BY s
+            ), tot AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+              FROM sh GROUP BY doc_id
+            ), nw AS (
+              SELECT fdoc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_new
+              FROM firsts GROUP BY fdoc
+            )
+            SELECT t.doc_id, t.n_shingles,
+                   CAST(COALESCE(nw.n_new, 0) AS BIGINT) AS n_new,
+                   CAST(COALESCE(nw.n_new, 0) AS DOUBLE)
+                   / CAST(t.n_shingles AS DOUBLE) AS novelty
+            FROM tot t LEFT JOIN nw ON nw.doc_id = t.doc_id
+        """,
+        # Tail concentration: discrete p99 threshold, exact cent sums
+        # at-or-above it, one division per type.
+        "events_tail_share_by_type": """
+            WITH v AS (
+              SELECT event_type,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events
+            ), r AS (
+              SELECT event_type, c,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY c) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM v
+            ), thr AS (
+              SELECT event_type,
+                     MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT)
+                              THEN c END) AS thr,
+                     CAST(MAX(n) AS BIGINT) AS n
+              FROM r GROUP BY event_type
+            )
+            SELECT v.event_type,
+                   CAST(MAX(thr.n) AS BIGINT) AS n_events,
+                   CAST(MAX(thr.thr) AS BIGINT) AS p99_cents,
+                   CAST(SUM(CASE WHEN v.c >= thr.thr THEN v.c
+                                 ELSE 0 END) AS BIGINT) AS tail_cents,
+                   CAST(SUM(v.c) AS BIGINT) AS total_cents,
+                   CASE WHEN SUM(v.c) = 0 THEN NULL
+                        ELSE CAST(SUM(CASE WHEN v.c >= thr.thr
+                                           THEN v.c ELSE 0 END)
+                                  AS DOUBLE)
+                             / CAST(SUM(v.c) AS DOUBLE)
+                   END AS tail_share
+            FROM v JOIN thr ON thr.event_type = v.event_type
+            GROUP BY v.event_type
         """,
         # Median session duration by opening type: the bounce
         # sessionization CTEs + window MIN/MAX span + the discrete

@@ -897,3 +897,90 @@ def dup_ngram_stats(ds, key_col: str = "doc_id", text_col: str = "text",
         .groupby("_bucket").map_groups(mark, batch_format="pyarrow") \
         .map_batches(key_bucket, batch_format="pyarrow") \
         .groupby("_kb").map_groups(rollup, batch_format="pyarrow")
+
+
+def shingle_novelty(ds, key_col: str = "doc_id", text_col: str = "text",
+                    k: int = 5, num_buckets: int | None = None):
+    """Corpus novelty curve: per document, how many of its DISTINCT
+    character k-grams appear here FIRST (global MIN key over every
+    occurrence — the first-crawl attribution), and the novelty ratio
+    n_new / n_shingles. The decay of this ratio in key order is the
+    classic diminishing-returns signal for crawl scheduling.
+
+    Same scale shape as `dup_ngram_stats`: the one wide exchange moves
+    (shingle-hash, key) int64 pairs only; identical hashes co-locate in
+    hash buckets, so each bucket computes exact global per-shingle MIN
+    keys with one reduceat; per-doc (n_shingles, n_new) partials roll up
+    in a second bucketed exchange. Output:
+    (key_col, n_shingles, n_new, novelty), ratio = ONE IEEE division of
+    exact int64 counts.
+    """
+    from ..ops.skew import default_num_buckets
+
+    nb = num_buckets or default_num_buckets()
+    pair_schema = pa.schema([("_g", pa.int64()), (key_col, pa.int64()),
+                             ("_bucket", pa.int32())])
+    mid_schema = pa.schema([(key_col, pa.int64()),
+                            ("n_shingles", pa.int64()),
+                            ("n_new", pa.int64())])
+    out_schema = pa.schema([(key_col, pa.int64()),
+                            ("n_shingles", pa.int64()),
+                            ("n_new", pa.int64()),
+                            ("novelty", pa.float64())])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pair_schema.empty_table()
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        values, _starts, lens = _unique_shingle_sets(batch[text_col], k)
+        bucket = (values.view(np.uint64) % np.uint64(nb)).astype(np.int32)
+        return pa.Table.from_arrays(
+            [pa.array(values), pa.array(np.repeat(keys, lens)),
+             pa.array(bucket)], schema=pair_schema)
+
+    def first_marks(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return mid_schema.empty_table()
+        g = group["_g"].to_numpy(zero_copy_only=False)
+        keys = group[key_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        gs, ks = g[order], keys[order]
+        runs = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        minks = np.minimum.reduceat(ks, runs)
+        uniq, inv = np.unique(ks, return_inverse=True)
+        tot = np.bincount(inv, minlength=uniq.shape[0]).astype(np.int64)
+        new = np.zeros(uniq.shape[0], dtype=np.int64)
+        nu, ncnt = np.unique(minks, return_counts=True)
+        new[np.searchsorted(uniq, nu)] = ncnt
+        return pa.Table.from_arrays(
+            [pa.array(uniq), pa.array(tot), pa.array(new)],
+            schema=mid_schema)
+
+    def key_bucket(batch: pa.Table) -> pa.Table:
+        kk = batch[key_col].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_kb", pa.array((_mix64(kk.astype(np.uint64))
+                             % np.uint64(nb)).astype(np.int32)))
+
+    def rollup(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        keys = group[key_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        tot = np.zeros(uniq.shape[0], dtype=np.int64)
+        new = np.zeros(uniq.shape[0], dtype=np.int64)
+        np.add.at(tot, inv, group["n_shingles"].to_numpy(
+            zero_copy_only=False))
+        np.add.at(new, inv, group["n_new"].to_numpy(zero_copy_only=False))
+        nov = new.astype(np.float64) / np.maximum(tot, 1).astype(np.float64)
+        return pa.Table.from_arrays(
+            [pa.array(uniq), pa.array(tot), pa.array(new),
+             pa.array(np.where(tot > 0, nov, np.nan))],
+            schema=out_schema)
+
+    return ds.select_columns([key_col, text_col]) \
+        .map_batches(pairs, batch_format="pyarrow", batch_size=None) \
+        .groupby("_bucket").map_groups(first_marks, batch_format="pyarrow") \
+        .map_batches(key_bucket, batch_format="pyarrow") \
+        .groupby("_kb").map_groups(rollup, batch_format="pyarrow")

@@ -135,7 +135,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 49: hash-split A/B z-score, priority-mix TVD drift
         "events_ab_purchase_lift", "orders_priority_drift",
         # wave 50: median session duration, norm^2 quartiles
-        "events_session_median_dur", "emb_norm2_quartiles_by_label"]
+        "events_session_median_dur", "emb_norm2_quartiles_by_label",
+        # wave 51: shingle novelty curve, tail concentration
+        "docs_shingle_novelty", "events_tail_share_by_type"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
