@@ -6288,6 +6288,113 @@ def _ntile(order_vals: "np.ndarray", tiebreak: "np.ndarray",
     return (tile + 1).astype(np.int64)
 
 
+def _orders_seasonality(sf_dir: str):
+    """Month-of-year seasonal revenue index: per calendar month (1-12)
+    the exact cents and the index 12 * month_cents / total_cents — 1.0
+    means a perfectly average month. 12-row bounded combiner; ONE
+    division per row at the root."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mi = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[M]").astype(np.int64)
+        moy = mi % 12 + 1
+        cents = np.floor(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        acc = np.zeros(12, dtype=np.int64)
+        np.add.at(acc, moy - 1, cents)
+        nz = np.flatnonzero(acc)
+        return pa.table({"month": (nz + 1).astype(np.int64),
+                         "cents": acc[nz]})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("month").aggregate([("cents", "sum")])
+        m = g["month"].to_numpy(zero_copy_only=False)
+        if m.shape[0] == 0:
+            return pa.table({
+                "month": pa.array([], pa.int64()),
+                "month_cents": pa.array([], pa.int64()),
+                "seasonal_index": pa.array([], pa.float64())})
+        c = g["cents_sum"].to_numpy(zero_copy_only=False)
+        o = np.argsort(m)
+        m, c = m[o], c[o]
+        total = int(c.sum())
+        idx = [float(12 * int(x)) / float(total) if total else None
+               for x in c.tolist()]
+        return pa.table({
+            "month": m.astype(np.int64),
+            "month_cents": c.astype(np.int64),
+            "seasonal_index": pa.array(idx, pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("month", pa.int64()), ("cents", pa.int64())]))
+
+
+def _docs_dup_source_matrix(sf_dir: str):
+    """Cross-source duplication matrix: for every unordered source
+    pair, how many exact-verified near-dup doc pairs link them — the
+    'who copies whom' diagnostic over the ngram-Jaccard pair graph.
+    Pairs come from the existing keys-only LSH + exact-verify pipeline;
+    the doc -> source dimension broadcasts as a sorted gather and the
+    |sources|^2-bounded counts merge at the root."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.text.dedup import ngram_jaccard_pairs
+
+    doc = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "source"])
+    dk = doc["doc_id"].to_numpy().astype(np.int64)
+    order = np.argsort(dk)
+    dk = dk[order]
+    src = doc["source"].to_numpy(zero_copy_only=False)[order].astype(str)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, key_col="doc_id", threshold=0.5)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"s1": pa.array([], pa.string()),
+                          "s2": pa.array([], pa.string()),
+                          "n_pairs": pa.array([], pa.int64())})
+        if batch.num_rows == 0 or dk.shape[0] == 0:
+            return empty
+        a = batch["key_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["key_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pa_ = np.minimum(np.searchsorted(dk, a), dk.shape[0] - 1)
+        pb_ = np.minimum(np.searchsorted(dk, b), dk.shape[0] - 1)
+        sel = (dk[pa_] == a) & (dk[pb_] == b)
+        sa, sb = src[pa_[sel]], src[pb_[sel]]
+        lo = sa <= sb
+        s1 = np.where(lo, sa, sb)
+        s2 = np.where(lo, sb, sa)
+        t = pa.table({"s1": pa.array(s1.astype(object), pa.string()),
+                      "s2": pa.array(s2.astype(object), pa.string()),
+                      "n_pairs": np.ones(s1.shape[0], np.int64)})
+        return t.group_by(["s1", "s2"]).aggregate([("n_pairs", "sum")]) \
+            .rename_columns(["s1", "s2", "n_pairs"])
+
+    return driver_merge(
+        pairs.map_batches(partial, batch_format="pyarrow",
+                          batch_size=131072),
+        lambda t: t.group_by(["s1", "s2"]).aggregate([("n_pairs", "sum")])
+        .rename_columns(["s1", "s2", "n_pairs"]),
+        schema=pa.schema([("s1", pa.string()), ("s2", pa.string()),
+                          ("n_pairs", pa.int64())]))
+
+
 def _docs_shingle_novelty(sf_dir: str):
     """Corpus novelty per document (text.dedup.shingle_novelty): how
     many of each doc's distinct 5-gram shingles occur FIRST in that doc
@@ -10088,6 +10195,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 52: seasonality index, dup source matrix ---
+        "orders_seasonality": _orders_seasonality,
+        "docs_dup_source_matrix": _docs_dup_source_matrix,
         # --- round-5 wave 51: shingle novelty, tail concentration ---
         "docs_shingle_novelty": _docs_shingle_novelty,
         "events_tail_share_by_type": _events_tail_share_by_type,
@@ -10440,6 +10550,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 52: never driver-checked.
+    "orders_seasonality", "docs_dup_source_matrix",
     # (3) round-5 wave 51: never driver-checked.
     "docs_shingle_novelty", "events_tail_share_by_type",
     # (3) round-5 wave 50: never driver-checked.
@@ -11510,6 +11622,46 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Month-of-year seasonality: 12-row lattice, one division each.
+        "orders_seasonality": """
+            WITH m AS (
+              SELECT CAST(MONTH(o_orderdate) AS BIGINT) AS month,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS month_cents
+              FROM orders GROUP BY 1
+            )
+            SELECT month, month_cents,
+                   CASE WHEN SUM(month_cents) OVER () = 0 THEN NULL
+                        ELSE CAST(12 * month_cents AS DOUBLE)
+                             / CAST(SUM(month_cents) OVER () AS DOUBLE)
+                   END AS seasonal_index
+            FROM m
+        """,
+        # Cross-source duplication matrix over the exact ngram-Jaccard
+        # pair graph; LEAST/GREATEST canonical source pairs.
+        "docs_dup_source_matrix": """
+            WITH shingles AS (
+              SELECT doc_id,
+                     CASE WHEN length(text) < 5 THEN [rpad(text, 5, ' ')]
+                          ELSE list_distinct([substring(text, i, 5)
+                                  FOR i IN range(1, length(text) - 3)])
+                     END AS gs
+              FROM documents
+            ), p AS (
+              SELECT a.doc_id AS key_a, b.doc_id AS key_b
+              FROM shingles a JOIN shingles b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                    / (len(a.gs) + len(b.gs)
+                       - len(list_intersect(a.gs, b.gs))) >= 0.5
+            )
+            SELECT LEAST(da.source, db.source) AS s1,
+                   GREATEST(da.source, db.source) AS s2,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM p
+            JOIN documents da ON da.doc_id = p.key_a
+            JOIN documents db ON db.doc_id = p.key_b
+            GROUP BY 1, 2
         """,
         # Shingle novelty: MIN(doc_id) per distinct 5-gram attributes
         # first occurrence; LEFT JOIN back for per-doc counts.

@@ -137,7 +137,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 50: median session duration, norm^2 quartiles
         "events_session_median_dur", "emb_norm2_quartiles_by_label",
         # wave 51: shingle novelty curve, tail concentration
-        "docs_shingle_novelty", "events_tail_share_by_type"]
+        "docs_shingle_novelty", "events_tail_share_by_type",
+        # wave 52: month-of-year seasonality, cross-source dup matrix
+        "orders_seasonality", "docs_dup_source_matrix"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
