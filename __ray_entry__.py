@@ -6288,6 +6288,125 @@ def _ntile(order_vals: "np.ndarray", tiebreak: "np.ndarray",
     return (tile + 1).astype(np.int64)
 
 
+def _events_weekend_contrast(sf_dir: str):
+    """Weekday-vs-weekend value contrast per event type: exact cents
+    and counts for each side, and the weekend/weekday mean ratio as ONE
+    division of exact bigint cross-products (s_we*n_wd)/(s_wd*n_we) —
+    no float mean ever forms. Weekend = epoch-day % 7 in {2, 3}
+    (1970-01-01 was a Thursday, so +3 % 7 >= 5 — mirrored literally in
+    SQL). Type-bounded combiner, zero shuffle of values."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        we = ((day + 3) % 7 >= 5).astype(np.int64)
+        cents = np.floor(batch["value"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch["event_type"], "we": we,
+                      "n": np.ones(batch.num_rows, np.int64),
+                      "s": cents})
+        return t.group_by(["event_type", "we"]).aggregate(
+            [("n", "sum"), ("s", "sum")]) \
+            .rename_columns(["event_type", "we", "n", "s"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "we"]).aggregate(
+            [("n", "sum"), ("s", "sum")])
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        if et.shape[0] == 0:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "n_weekday": pa.array([], pa.int64()),
+                "cents_weekday": pa.array([], pa.int64()),
+                "n_weekend": pa.array([], pa.int64()),
+                "cents_weekend": pa.array([], pa.int64()),
+                "weekend_ratio": pa.array([], pa.float64())})
+        et = et.astype(str)
+        we = g["we"].to_numpy(zero_copy_only=False)
+        n = g["n_sum"].to_numpy(zero_copy_only=False)
+        s = g["s_sum"].to_numpy(zero_copy_only=False)
+        agg: dict = {}
+        for t_, w_, n_, s_ in zip(et.tolist(), we.tolist(),
+                                  n.tolist(), s.tolist()):
+            wd, sd, wn, sn = agg.get(t_, (0, 0, 0, 0))
+            if w_:
+                wn += int(n_)
+                sn += int(s_)
+            else:
+                wd += int(n_)
+                sd += int(s_)
+            agg[t_] = (wd, sd, wn, sn)
+        types = sorted(agg)
+        ratio = []
+        for t_ in types:
+            wd, sd, wn, sn = agg[t_]
+            den = sd * wn
+            ratio.append(float(sn * wd) / float(den) if den else None)
+        return pa.table({
+            "event_type": pa.array(types, pa.string()),
+            "n_weekday": pa.array([agg[t_][0] for t_ in types],
+                                  pa.int64()),
+            "cents_weekday": pa.array([agg[t_][1] for t_ in types],
+                                      pa.int64()),
+            "n_weekend": pa.array([agg[t_][2] for t_ in types],
+                                  pa.int64()),
+            "cents_weekend": pa.array([agg[t_][3] for t_ in types],
+                                      pa.int64()),
+            "weekend_ratio": pa.array(ratio, pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("event_type", pa.string()),
+                          ("we", pa.int64()), ("n", pa.int64()),
+                          ("s", pa.int64())]))
+
+
+def _docs_langid_confusion(sf_dir: str):
+    """Language-ID confusion matrix: stored lang vs the heuristic
+    langid prediction, counted per (lang, lang_pred) cell — the model
+    quality diagnostic over the whole corpus. The langid stage is the
+    existing Arrow regex kernel; the |langs|^2-bounded cell counts
+    merge at the root."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.text.analysis import langid_stage
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    pred = ds.map_batches(langid_stage(), batch_format="pyarrow")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        t = pa.table({"lang": batch["lang"],
+                      "lang_pred": batch["lang_pred"],
+                      "n_docs": np.ones(batch.num_rows, np.int64)})
+        return t.group_by(["lang", "lang_pred"]).aggregate(
+            [("n_docs", "sum")]) \
+            .rename_columns(["lang", "lang_pred", "n_docs"])
+
+    return driver_merge(
+        pred.map_batches(partial, batch_format="pyarrow",
+                         batch_size=131072),
+        lambda t: t.group_by(["lang", "lang_pred"]).aggregate(
+            [("n_docs", "sum")])
+        .rename_columns(["lang", "lang_pred", "n_docs"]),
+        schema=pa.schema([("lang", pa.string()),
+                          ("lang_pred", pa.string()),
+                          ("n_docs", pa.int64())]))
+
+
 def _orders_seasonality(sf_dir: str):
     """Month-of-year seasonal revenue index: per calendar month (1-12)
     the exact cents and the index 12 * month_cents / total_cents — 1.0
@@ -10195,6 +10314,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 53: weekend contrast, langid confusion ---
+        "events_weekend_contrast": _events_weekend_contrast,
+        "docs_langid_confusion": _docs_langid_confusion,
         # --- round-5 wave 52: seasonality index, dup source matrix ---
         "orders_seasonality": _orders_seasonality,
         "docs_dup_source_matrix": _docs_dup_source_matrix,
@@ -10550,6 +10672,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 53: never driver-checked.
+    "events_weekend_contrast", "docs_langid_confusion",
     # (3) round-5 wave 52: never driver-checked.
     "orders_seasonality", "docs_dup_source_matrix",
     # (3) round-5 wave 51: never driver-checked.
@@ -11622,6 +11746,44 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Weekend contrast: ratio of means as ONE division of exact
+        # cross-products; weekend = (epoch_day + 3) % 7 >= 5.
+        "events_weekend_contrast": """
+            WITH v AS (
+              SELECT event_type,
+                     CAST((epoch_us(ts) // 86400000000 + 3) % 7 >= 5
+                          AS BIGINT) AS we,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events
+            ), m AS (
+              SELECT event_type,
+                     CAST(SUM(CASE WHEN we = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_weekday,
+                     CAST(SUM(CASE WHEN we = 0 THEN c ELSE 0 END)
+                          AS BIGINT) AS cents_weekday,
+                     CAST(SUM(CASE WHEN we = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_weekend,
+                     CAST(SUM(CASE WHEN we = 1 THEN c ELSE 0 END)
+                          AS BIGINT) AS cents_weekend
+              FROM v GROUP BY event_type
+            )
+            SELECT event_type, n_weekday, cents_weekday,
+                   n_weekend, cents_weekend,
+                   CASE WHEN cents_weekday * n_weekend = 0 THEN NULL
+                        ELSE CAST(cents_weekend * n_weekday AS DOUBLE)
+                             / CAST(cents_weekday * n_weekend AS DOUBLE)
+                   END AS weekend_ratio
+            FROM m
+        """,
+        # Confusion matrix: stored lang vs the mirrored langid CASE
+        # chain; |langs|^2-bounded counts.
+        "docs_langid_confusion": f"""
+            WITH pred AS ({_langid_oracle()})
+            SELECT d.lang, p.lang_pred,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+            GROUP BY 1, 2
         """,
         # Month-of-year seasonality: 12-row lattice, one division each.
         "orders_seasonality": """

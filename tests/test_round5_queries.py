@@ -139,7 +139,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 51: shingle novelty curve, tail concentration
         "docs_shingle_novelty", "events_tail_share_by_type",
         # wave 52: month-of-year seasonality, cross-source dup matrix
-        "orders_seasonality", "docs_dup_source_matrix"]
+        "orders_seasonality", "docs_dup_source_matrix",
+        # wave 53: weekday/weekend contrast, langid confusion matrix
+        "events_weekend_contrast", "docs_langid_confusion"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
