@@ -6288,6 +6288,175 @@ def _ntile(order_vals: "np.ndarray", tiebreak: "np.ndarray",
     return (tile + 1).astype(np.int64)
 
 
+def _orders_backlog_curve(sf_dir: str):
+    """Order backlog over time: per observed boundary day, orders
+    opened (placed), orders closed (LAST lineitem shipped) and the
+    end-of-day backlog — the two-table lifecycle accounting a
+    fulfillment dashboard runs. Per-order close days need one orderkey
+    exchange (big-big, batch-local max partials first); the +1/-1
+    boundary deltas then collapse to a date-bounded combiner and ONE
+    prefix scan at the root. All integers."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    from h3ray.ops.join import hash_join
+    from h3ray.ops.reduce import driver_merge
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+
+    def close_partial(batch: pa.Table) -> pa.Table:
+        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        day = batch["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        mx = np.full(uniq.shape[0], np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, day)
+        return pa.table({"l_orderkey": uniq, "cday": mx})
+
+    from h3ray.ops.join import seed_schema
+
+    close = seed_schema(
+        li.map_batches(close_partial, batch_format="pyarrow",
+                       batch_size=131072)
+        .groupby("l_orderkey").aggregate(Max("cday", alias_name="cday")),
+        pa.schema([("l_orderkey", pa.int64()), ("cday", pa.int64())]))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate"])
+
+    def open_day(batch: pa.Table) -> pa.Table:
+        day = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "oday": day})
+
+    opened = seed_schema(
+        orders.map_batches(open_day, batch_format="pyarrow",
+                           batch_size=131072),
+        pa.schema([("o_orderkey", pa.int64()), ("oday", pa.int64())]))
+    joined = hash_join(opened, close, "o_orderkey", "l_orderkey")
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        od = batch["oday"].to_numpy(zero_copy_only=False)
+        cd = batch["cday"].to_numpy(zero_copy_only=False)
+        days = np.concatenate([od, cd])
+        opened = np.concatenate([np.ones(od.shape[0], np.int64),
+                                 np.zeros(cd.shape[0], np.int64)])
+        closed = np.concatenate([np.zeros(od.shape[0], np.int64),
+                                 np.ones(cd.shape[0], np.int64)])
+        t = pa.table({"day": days, "n_opened": opened,
+                      "n_closed": closed})
+        return t.group_by("day").aggregate(
+            [("n_opened", "sum"), ("n_closed", "sum")]) \
+            .rename_columns(["day", "n_opened", "n_closed"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("day").aggregate(
+            [("n_opened", "sum"), ("n_closed", "sum")])
+        d = g["day"].to_numpy(zero_copy_only=False)
+        if d.shape[0] == 0:
+            return pa.table({
+                "day": pa.array([], pa.int64()),
+                "n_opened": pa.array([], pa.int64()),
+                "n_closed": pa.array([], pa.int64()),
+                "backlog": pa.array([], pa.int64())})
+        op = g["n_opened_sum"].to_numpy(zero_copy_only=False)
+        cl = g["n_closed_sum"].to_numpy(zero_copy_only=False)
+        o = np.argsort(d)
+        d, op, cl = d[o], op[o], cl[o]
+        return pa.table({
+            "day": d.astype(np.int64),
+            "n_opened": op.astype(np.int64),
+            "n_closed": cl.astype(np.int64),
+            "backlog": np.cumsum(op - cl).astype(np.int64)})
+
+    return driver_merge(
+        joined.map_batches(deltas, batch_format="pyarrow",
+                           batch_size=131072), merge,
+        schema=pa.schema([("day", pa.int64()), ("n_opened", pa.int64()),
+                          ("n_closed", pa.int64())]))
+
+
+def _nation_top3_suppliers_others(sf_dir: str):
+    """Reporting rollup with residual: per supplier nation the 3
+    top-revenue suppliers by exact cents (cents DESC, suppkey ASC) as
+    their own rows plus ONE 'OTHER' row carrying everyone else — the
+    top-k-plus-remainder shape dashboards need that LIMIT can't give.
+    Supplier-bounded cent combiner; nation gather + one lexsort at the
+    root; zero window exchange."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = sup["s_suppkey"].to_numpy().astype(np.int64)
+    order = np.argsort(sk)
+    sk = sk[order]
+    snk = sup["s_nationkey"].to_numpy().astype(np.int64)[order]
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_suppkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False))
+            * 100 + 0.5).astype(np.int64)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        acc = np.zeros(uniq.shape[0], dtype=np.int64)
+        np.add.at(acc, inv, cents)
+        return pa.table({"sk": uniq, "cents": acc})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("sk").aggregate([("cents", "sum")])
+        s = g["sk"].to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            "s_nationkey": pa.array([], pa.int64()),
+            "supplier_label": pa.array([], pa.string()),
+            "revenue_cents": pa.array([], pa.int64())})
+        if s.shape[0] == 0 or sk.shape[0] == 0:
+            return empty
+        cents = g["cents_sum"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(sk, s), sk.shape[0] - 1)
+        sel = sk[pos] == s
+        s, cents, nat = s[sel], cents[sel], snk[pos[sel]]
+        if s.shape[0] == 0:
+            return empty
+        o = np.lexsort((s, -cents, nat))
+        s, cents, nat = s[o], cents[o], nat[o]
+        starts = np.flatnonzero(np.r_[True, nat[1:] != nat[:-1]]).tolist()
+        ends = starts[1:] + [nat.shape[0]]
+        out_n, out_l, out_c = [], [], []
+        for st, en in zip(starts, ends):
+            for i in range(st, min(st + 3, en)):
+                out_n.append(int(nat[st]))
+                out_l.append(str(int(s[i])))
+                out_c.append(int(cents[i]))
+            if en - st > 3:
+                out_n.append(int(nat[st]))
+                out_l.append("OTHER")
+                out_c.append(int(cents[st + 3:en].sum()))
+        return pa.table({
+            "s_nationkey": pa.array(out_n, pa.int64()),
+            "supplier_label": pa.array(out_l, pa.string()),
+            "revenue_cents": pa.array(out_c, pa.int64())})
+
+    return driver_merge(
+        li.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("sk", pa.int64()), ("cents", pa.int64())]))
+
+
 def _events_weekend_contrast(sf_dir: str):
     """Weekday-vs-weekend value contrast per event type: exact cents
     and counts for each side, and the weekend/weekday mean ratio as ONE
@@ -10314,6 +10483,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 54: backlog curve, top-3 + OTHER rollup ---
+        "orders_backlog_curve": _orders_backlog_curve,
+        "nation_top3_suppliers_others": _nation_top3_suppliers_others,
         # --- round-5 wave 53: weekend contrast, langid confusion ---
         "events_weekend_contrast": _events_weekend_contrast,
         "docs_langid_confusion": _docs_langid_confusion,
@@ -10672,6 +10844,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 54: never driver-checked.
+    "orders_backlog_curve", "nation_top3_suppliers_others",
     # (3) round-5 wave 53: never driver-checked.
     "events_weekend_contrast", "docs_langid_confusion",
     # (3) round-5 wave 52: never driver-checked.
@@ -11746,6 +11920,62 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Backlog curve: per-order close = MAX ship day; +1/-1 deltas
+        # grouped per day; window cumsum.
+        "orders_backlog_curve": """
+            WITH cl AS (
+              SELECT l_orderkey AS ok,
+                     MAX(CAST(epoch_us(l_shipdate) // 86400000000
+                              AS BIGINT)) AS cday
+              FROM lineitem GROUP BY 1
+            ), op AS (
+              SELECT o_orderkey AS ok,
+                     CAST(epoch_us(o_orderdate) // 86400000000
+                          AS BIGINT) AS oday
+              FROM orders
+            ), j AS (
+              SELECT op.oday, cl.cday
+              FROM op JOIN cl ON cl.ok = op.ok
+            ), d AS (
+              SELECT oday AS day, CAST(COUNT(*) AS BIGINT) AS n_opened,
+                     CAST(0 AS BIGINT) AS n_closed
+              FROM j GROUP BY 1
+              UNION ALL
+              SELECT cday, CAST(0 AS BIGINT),
+                     CAST(COUNT(*) AS BIGINT)
+              FROM j GROUP BY 1
+            ), g AS (
+              SELECT day, CAST(SUM(n_opened) AS BIGINT) AS n_opened,
+                     CAST(SUM(n_closed) AS BIGINT) AS n_closed
+              FROM d GROUP BY day
+            )
+            SELECT day, n_opened, n_closed,
+                   CAST(SUM(n_opened - n_closed) OVER (ORDER BY day)
+                        AS BIGINT) AS backlog
+            FROM g
+        """,
+        # Top-3 + OTHER residual rollup per nation; deterministic
+        # (cents DESC, suppkey) rank; exact cents.
+        "nation_top3_suppliers_others": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     CAST(SUM(CAST(FLOOR(l_extendedprice
+                                         * (1 - l_discount) * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS cents
+              FROM lineitem GROUP BY 1
+            ), sr AS (
+              SELECT s.s_nationkey, rev.l_suppkey AS sk, rev.cents,
+                     ROW_NUMBER() OVER (PARTITION BY s.s_nationkey
+                                        ORDER BY rev.cents DESC,
+                                                 rev.l_suppkey) AS rn
+              FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+            )
+            SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+                   CASE WHEN rn <= 3 THEN CAST(sk AS VARCHAR)
+                        ELSE 'OTHER' END AS supplier_label,
+                   CAST(SUM(cents) AS BIGINT) AS revenue_cents
+            FROM sr GROUP BY 1, 2
         """,
         # Weekend contrast: ratio of means as ONE division of exact
         # cross-products; weekend = (epoch_day + 3) % 7 >= 5.

@@ -141,7 +141,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 52: month-of-year seasonality, cross-source dup matrix
         "orders_seasonality", "docs_dup_source_matrix",
         # wave 53: weekday/weekend contrast, langid confusion matrix
-        "events_weekend_contrast", "docs_langid_confusion"]
+        "events_weekend_contrast", "docs_langid_confusion",
+        # wave 54: order backlog curve, top-3 + OTHER rollup
+        "orders_backlog_curve", "nation_top3_suppliers_others"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
