@@ -10474,6 +10474,129 @@ def _customer_cohort_retention(sf_dir: str):
     return cohort_counts(ds, "o_custkey", "o_orderdate")
 
 
+def _events_ks_purchase_click(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov statistic between the purchase and
+    click value distributions — the drift/homogeneity test an A/B or
+    data-quality gate runs. D = max over pooled distinct cents of
+    |F_a - F_b|, located as the argmax of EXACT integer cross-products
+    |ca*Nb - cb*Na| (Python-bigint root pass over the
+    value-range-bounded distinct-cents set, overflow-proof at any row
+    count); ks_d is ONE terminal division. Cents-bounded combiner —
+    event rows never cross the exchange."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        keep = pc.is_in(et, value_set=pa.array(["purchase", "click"]))
+        batch = batch.filter(keep)
+        cents = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+            + 0.5).astype(np.int64)
+        is_a = pc.equal(batch["event_type"], "purchase") \
+            .to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(cents, return_inverse=True)
+        na = np.zeros(uniq.shape[0], np.int64)
+        nb = np.zeros(uniq.shape[0], np.int64)
+        np.add.at(na, inv[is_a], 1)
+        np.add.at(nb, inv[~is_a], 1)
+        return pa.table({"c": uniq, "na": na, "nb": nb})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("c").aggregate([("na", "sum"), ("nb", "sum")])
+        c = g["c"].to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            "n_purchase": pa.array([], pa.int64()),
+            "n_click": pa.array([], pa.int64()),
+            "d_num": pa.array([], pa.int64()),
+            "ks_d": pa.array([], pa.float64())})
+        if c.shape[0] == 0:
+            return empty
+        o = np.argsort(c)
+        na = g["na_sum"].to_numpy(zero_copy_only=False)[o].tolist()
+        nb = g["nb_sum"].to_numpy(zero_copy_only=False)[o].tolist()
+        tot_a, tot_b = sum(na), sum(nb)
+        ca = cb = 0
+        d_num = 0
+        for a, b in zip(na, nb):
+            ca += a
+            cb += b
+            d = abs(ca * tot_b - cb * tot_a)
+            if d > d_num:
+                d_num = d
+        ks = None if tot_a * tot_b == 0 \
+            else float(d_num) / float(tot_a * tot_b)
+        return pa.table({
+            "n_purchase": pa.array([tot_a], pa.int64()),
+            "n_click": pa.array([tot_b], pa.int64()),
+            "d_num": pa.array([d_num], pa.int64()),
+            "ks_d": pa.array([ks], pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("c", pa.int64()), ("na", pa.int64()),
+                          ("nb", pa.int64())]))
+
+
+def _users_simpson_hist(sf_dir: str):
+    """Per-user Simpson behavioral-diversity histogram: each user's
+    effective number of event types 1/sum(p^2) as the EXACT integer
+    floor(100*N^2 / sum(n_i^2)) — one int floor-division per user, no
+    float probability ever forms — histogrammed over the user base.
+    (user, type) partial counts are the only exchange (keys+count, no
+    payloads); the root folds the user-bounded pairs vectorized.
+    ALL-INTEGER (exact while any user's event count < ~9.6e6 so that
+    100*N^2 fits int64 — mirror the note in lineitem cents kernels)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": batch["user_id"],
+                      "event_type": batch["event_type"],
+                      "n": np.ones(batch.num_rows, np.int64)})
+        return t.group_by(["user_id", "event_type"]).aggregate(
+            [("n", "sum")]) \
+            .rename_columns(["user_id", "event_type", "n"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate(
+            [("n", "sum")])
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        n = g["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uu, inv = np.unique(uid, return_inverse=True)
+        tot = np.zeros(uu.shape[0], np.int64)
+        sq = np.zeros(uu.shape[0], np.int64)
+        np.add.at(tot, inv, n)
+        np.add.at(sq, inv, n * n)
+        sx = np.zeros(0, np.int64) if uu.shape[0] == 0 \
+            else (100 * tot * tot) // sq
+        uv, cnt = np.unique(sx, return_counts=True)
+        return pa.table({
+            "simpson_x100": pa.array(uv.astype(np.int64), pa.int64()),
+            "n_users": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("user_id", pa.int64()),
+                          ("event_type", pa.string()),
+                          ("n", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -10483,6 +10606,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 55: two-sample KS test, Simpson diversity ---
+        "events_ks_purchase_click": _events_ks_purchase_click,
+        "users_simpson_hist": _users_simpson_hist,
         # --- round-5 wave 54: backlog curve, top-3 + OTHER rollup ---
         "orders_backlog_curve": _orders_backlog_curve,
         "nation_top3_suppliers_others": _nation_top3_suppliers_others,
@@ -10844,6 +10970,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 55: never driver-checked.
+    "events_ks_purchase_click", "users_simpson_hist",
     # (3) round-5 wave 54: never driver-checked.
     "orders_backlog_curve", "nation_top3_suppliers_others",
     # (3) round-5 wave 53: never driver-checked.
@@ -11920,6 +12048,56 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Two-sample KS: pooled-cents CDF cross-products; D as exact
+        # integer argmax, ONE terminal division.
+        "events_ks_purchase_click": """
+            WITH v AS (
+              SELECT event_type,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events WHERE event_type IN ('purchase', 'click')
+            ), g AS (
+              SELECT c,
+                     SUM(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS na,
+                     SUM(CASE WHEN event_type = 'click'
+                              THEN 1 ELSE 0 END) AS nb
+              FROM v GROUP BY c
+            ), cum AS (
+              SELECT SUM(na) OVER (ORDER BY c) AS ca,
+                     SUM(nb) OVER (ORDER BY c) AS cb
+              FROM g
+            ), tot AS (
+              SELECT CAST(SUM(na) AS BIGINT) AS n_purchase,
+                     CAST(SUM(nb) AS BIGINT) AS n_click
+              FROM g
+            )
+            SELECT n_purchase, n_click,
+                   CAST(MAX(ABS(ca * n_click - cb * n_purchase))
+                        AS BIGINT) AS d_num,
+                   CASE WHEN n_purchase * n_click = 0 THEN NULL
+                        ELSE CAST(MAX(ABS(ca * n_click
+                                          - cb * n_purchase)) AS DOUBLE)
+                             / CAST(n_purchase * n_click AS DOUBLE)
+                   END AS ks_d
+            FROM cum, tot
+            GROUP BY n_purchase, n_click
+        """,
+        # Simpson diversity histogram: exact floor(100*N^2/sum n_i^2)
+        # per user, counted.
+        "users_simpson_hist": """
+            WITH c AS (
+              SELECT user_id, event_type,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ), u AS (
+              SELECT user_id, CAST(SUM(n) AS BIGINT) AS nt,
+                     CAST(SUM(n * n) AS BIGINT) AS s
+              FROM c GROUP BY 1
+            )
+            SELECT CAST(100 * nt * nt // s AS BIGINT) AS simpson_x100,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM u GROUP BY 1
         """,
         # Backlog curve: per-order close = MAX ship day; +1/-1 deltas
         # grouped per day; window cumsum.

@@ -143,7 +143,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 53: weekday/weekend contrast, langid confusion matrix
         "events_weekend_contrast", "docs_langid_confusion",
         # wave 54: order backlog curve, top-3 + OTHER rollup
-        "orders_backlog_curve", "nation_top3_suppliers_others"]
+        "orders_backlog_curve", "nation_top3_suppliers_others",
+        # wave 55: two-sample KS test, per-user Simpson diversity
+        "events_ks_purchase_click", "users_simpson_hist"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
