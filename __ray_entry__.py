@@ -10597,6 +10597,168 @@ def _users_simpson_hist(sf_dir: str):
                           ("n", pa.int64())]))
 
 
+def _orders_runs_test(sf_dir: str):
+    """Wald-Wolfowitz runs test on the daily-revenue series: is the
+    sequence of above/below-median days random, or does demand streak?
+    Daily cents via a date-bounded combiner; the root dichotomizes
+    against the exact PERCENTILE_DISC(0.5) lower median (ties -> below,
+    deterministic), counts runs as boundary transitions, and forms the
+    z-score as ONE mirrored float expression over exact integer counts.
+    Order rows never cross the exchange."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+        cents = np.floor(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        t = pa.table({"day": day, "cents": cents})
+        return t.group_by("day").aggregate([("cents", "sum")]) \
+            .rename_columns(["day", "cents"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("day").aggregate([("cents", "sum")])
+        d = g["day"].to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            "n_days": pa.array([], pa.int64()),
+            "n_above": pa.array([], pa.int64()),
+            "n_below": pa.array([], pa.int64()),
+            "n_runs": pa.array([], pa.int64()),
+            "z_runs": pa.array([], pa.float64())})
+        if d.shape[0] == 0:
+            return empty
+        cents = g["cents_sum"].to_numpy(zero_copy_only=False)
+        o = np.argsort(d)
+        cents = cents[o]
+        n = int(cents.shape[0])
+        med = int(np.sort(cents)[(n - 1) // 2])
+        up = cents > med
+        a = int(up.sum())
+        b = n - a
+        runs = 1 + int(np.count_nonzero(up[1:] != up[:-1]))
+        tab = 2 * a * b
+        if tab * (tab - n) <= 0:
+            z = None
+        else:
+            mu = float(tab) / float(n) + 1.0
+            var = float(tab * (tab - n)) / float(n * n * (n - 1))
+            z = (float(runs) - mu) / math.sqrt(var)
+        return pa.table({
+            "n_days": pa.array([n], pa.int64()),
+            "n_above": pa.array([a], pa.int64()),
+            "n_below": pa.array([b], pa.int64()),
+            "n_runs": pa.array([runs], pa.int64()),
+            "z_runs": pa.array([z], pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("day", pa.int64()), ("cents", pa.int64())]))
+
+
+def _nation_rank_spearman(sf_dir: str):
+    """Spearman rank correlation of nation revenue between the FIRST
+    and LAST order year — did the league table reshuffle? Per-(nation,
+    year) cents via a lattice-bounded combiner with the customer ->
+    nation map broadcast (hit-masked searchsorted); the root ranks each
+    endpoint year deterministically (cents DESC, nationkey ASC),
+    inner-joins on nation, and folds sum(d^2) into the closed-form
+    rho = 1 - 6*sum_d2/(n(n^2-1)) — integers exact, ONE terminal float
+    expression."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust["c_custkey"].to_numpy().astype(np.int64)
+    order = np.argsort(ck)
+    ck = ck[order]
+    nk = cust["c_nationkey"].to_numpy().astype(np.int64)[order]
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        out_schema = pa.table({"nk": pa.array([], pa.int64()),
+                               "y": pa.array([], pa.int64()),
+                               "cents": pa.array([], pa.int64())})
+        if ck.shape[0] == 0 or c.shape[0] == 0:
+            return out_schema
+        pos = np.minimum(np.searchsorted(ck, c), ck.shape[0] - 1)
+        sel = ck[pos] == c
+        y = (batch["o_orderdate"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[Y]").astype(np.int64) + 1970)[sel]
+        cents = np.floor(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)[sel]
+        t = pa.table({"nk": nk[pos[sel]], "y": y, "cents": cents})
+        return t.group_by(["nk", "y"]).aggregate([("cents", "sum")]) \
+            .rename_columns(["nk", "y", "cents"])
+
+    def _ranks(nkk, cents):
+        o = np.lexsort((nkk, -cents))
+        rk = np.empty(o.shape[0], np.int64)
+        rk[o] = np.arange(1, o.shape[0] + 1)
+        return rk
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["nk", "y"]).aggregate([("cents", "sum")])
+        nkk = g["nk"].to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            "year_a": pa.array([], pa.int64()),
+            "year_b": pa.array([], pa.int64()),
+            "n_nations": pa.array([], pa.int64()),
+            "sum_d2": pa.array([], pa.int64()),
+            "spearman_rho": pa.array([], pa.float64())})
+        if nkk.shape[0] == 0:
+            return empty
+        y = g["y"].to_numpy(zero_copy_only=False)
+        cents = g["cents_sum"].to_numpy(zero_copy_only=False)
+        ya, yb = int(y.min()), int(y.max())
+        ma, mb = y == ya, y == yb
+        na_k, ra = nkk[ma], _ranks(nkk[ma], cents[ma])
+        nb_k, rb = nkk[mb], _ranks(nkk[mb], cents[mb])
+        oa, ob = np.argsort(na_k), np.argsort(nb_k)
+        na_k, ra = na_k[oa], ra[oa]
+        nb_k, rb = nb_k[ob], rb[ob]
+        common, ia, ib = np.intersect1d(na_k, nb_k,
+                                        return_indices=True)
+        if common.shape[0] == 0:
+            return empty
+        d = ra[ia] - rb[ib]
+        n = int(common.shape[0])
+        sd2 = int(np.dot(d, d))
+        rho = None if n < 2 \
+            else 1.0 - float(6 * sd2) / float(n * (n * n - 1))
+        return pa.table({
+            "year_a": pa.array([ya], pa.int64()),
+            "year_b": pa.array([yb], pa.int64()),
+            "n_nations": pa.array([n], pa.int64()),
+            "sum_d2": pa.array([sd2], pa.int64()),
+            "spearman_rho": pa.array([rho], pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("nk", pa.int64()), ("y", pa.int64()),
+                          ("cents", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -10606,6 +10768,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 56: runs test, Spearman rank stability ---
+        "orders_runs_test": _orders_runs_test,
+        "nation_rank_spearman": _nation_rank_spearman,
         # --- round-5 wave 55: two-sample KS test, Simpson diversity ---
         "events_ks_purchase_click": _events_ks_purchase_click,
         "users_simpson_hist": _users_simpson_hist,
@@ -10970,6 +11135,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 56: never driver-checked.
+    "orders_runs_test", "nation_rank_spearman",
     # (3) round-5 wave 55: never driver-checked.
     "events_ks_purchase_click", "users_simpson_hist",
     # (3) round-5 wave 54: never driver-checked.
@@ -12048,6 +12215,77 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Runs test: daily cents vs PERCENTILE_DISC median; runs as
+        # LAG transitions; z as one mirrored float expression.
+        "orders_runs_test": """
+            WITH d AS (
+              SELECT CAST(epoch_us(o_orderdate) // 86400000000
+                          AS BIGINT) AS day,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS cents
+              FROM orders GROUP BY 1
+            ), m AS (
+              SELECT PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY cents)
+                         AS med
+              FROM d
+            ), f AS (
+              SELECT day, CAST(cents > med AS BIGINT) AS up FROM d, m
+            ), r AS (
+              SELECT SUM(CASE WHEN prev IS NULL OR up <> prev
+                              THEN 1 ELSE 0 END) AS runs,
+                     SUM(up) AS a, COUNT(*) AS n
+              FROM (SELECT up, LAG(up) OVER (ORDER BY day) AS prev
+                    FROM f)
+            )
+            SELECT CAST(n AS BIGINT) AS n_days,
+                   CAST(a AS BIGINT) AS n_above,
+                   CAST(n - a AS BIGINT) AS n_below,
+                   CAST(runs AS BIGINT) AS n_runs,
+                   CASE WHEN 2*a*(n-a) * (2*a*(n-a) - n) <= 0 THEN NULL
+                        ELSE (CAST(runs AS DOUBLE)
+                              - (CAST(2*a*(n-a) AS DOUBLE)
+                                 / CAST(n AS DOUBLE) + 1.0))
+                             / SQRT(CAST(2*a*(n-a) * (2*a*(n-a) - n)
+                                         AS DOUBLE)
+                                    / CAST(n*n*(n-1) AS DOUBLE))
+                   END AS z_runs
+            FROM r WHERE n > 0
+        """,
+        # Spearman rank stability: deterministic ROW_NUMBER ranks in
+        # the first/last year, closed-form rho over exact sum(d^2).
+        "nation_rank_spearman": """
+            WITH ny AS (
+              SELECT c.c_nationkey AS nk,
+                     CAST(YEAR(o.o_orderdate) AS BIGINT) AS y,
+                     CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS cents
+              FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+              GROUP BY 1, 2
+            ), yr AS (SELECT MIN(y) AS ya, MAX(y) AS yb FROM ny),
+            ra AS (
+              SELECT nk, ROW_NUMBER() OVER (ORDER BY cents DESC, nk)
+                         AS rk
+              FROM ny, yr WHERE y = ya
+            ), rb AS (
+              SELECT nk, ROW_NUMBER() OVER (ORDER BY cents DESC, nk)
+                         AS rk
+              FROM ny, yr WHERE y = yb
+            ), j AS (
+              SELECT CAST(ra.rk AS BIGINT) - CAST(rb.rk AS BIGINT) AS d
+              FROM ra JOIN rb ON rb.nk = ra.nk
+            )
+            SELECT CAST(ya AS BIGINT) AS year_a,
+                   CAST(yb AS BIGINT) AS year_b,
+                   n AS n_nations, sum_d2,
+                   CASE WHEN n < 2 THEN NULL
+                        ELSE 1.0 - CAST(6 * sum_d2 AS DOUBLE)
+                                   / CAST(n * (n*n - 1) AS DOUBLE)
+                   END AS spearman_rho
+            FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(d*d) AS BIGINT) AS sum_d2
+                  FROM j), yr
+            WHERE n > 0
         """,
         # Two-sample KS: pooled-cents CDF cross-products; D as exact
         # integer argmax, ONE terminal division.

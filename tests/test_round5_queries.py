@@ -145,7 +145,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 54: order backlog curve, top-3 + OTHER rollup
         "orders_backlog_curve", "nation_top3_suppliers_others",
         # wave 55: two-sample KS test, per-user Simpson diversity
-        "events_ks_purchase_click", "users_simpson_hist"]
+        "events_ks_purchase_click", "users_simpson_hist",
+        # wave 56: Wald-Wolfowitz runs test, Spearman rank stability
+        "orders_runs_test", "nation_rank_spearman"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
