@@ -10759,6 +10759,138 @@ def _nation_rank_spearman(sf_dir: str):
                           ("cents", pa.int64())]))
 
 
+def _customer_gap_hazard(sf_dir: str):
+    """Discrete hazard curve over inter-order gaps (survival-analysis
+    shape): for each observed gap length g, the number of gaps ending at
+    exactly g, the at-risk count (gaps >= g, a suffix cumsum) and the
+    hazard rate n/at_risk — the repeat-purchase churn model input. The
+    per-customer LAG exchange (ops.window.window_lag_lead) is the only
+    shuffle; histogram partials are date-range-bounded, the suffix scan
+    runs once at the root. Counts exact; hazard is one division per
+    bounded row."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.ops.window import window_lag_lead
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey",
+                                  "o_orderdate"])
+    w = window_lag_lead(ds, "o_custkey", "o_orderdate", "o_orderdate",
+                        tiebreak_col="o_orderkey", lag_col="prev_date")
+
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        valid = pc.is_valid(batch["prev_date"]).to_numpy(
+            zero_copy_only=False)
+        cur = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)[valid]
+        prev = batch["prev_date"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)[valid]
+        gap = cur // DAY_US - prev // DAY_US
+        uniq, cnt = np.unique(gap, return_counts=True)
+        return pa.table({"gap_days": pa.array(uniq, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("gap_days").aggregate([("n", "sum")])
+        gd = g["gap_days"].to_numpy(zero_copy_only=False)
+        if gd.shape[0] == 0:
+            return pa.table({
+                "gap_days": pa.array([], pa.int64()),
+                "n_gaps": pa.array([], pa.int64()),
+                "n_at_risk": pa.array([], pa.int64()),
+                "hazard": pa.array([], pa.float64())})
+        n = g["n_sum"].to_numpy(zero_copy_only=False)
+        o = np.argsort(gd)
+        gd, n = gd[o], n[o]
+        at_risk = np.cumsum(n[::-1])[::-1]
+        return pa.table({
+            "gap_days": pa.array(gd.astype(np.int64)),
+            "n_gaps": pa.array(n.astype(np.int64)),
+            "n_at_risk": pa.array(at_risk.astype(np.int64)),
+            "hazard": pa.array(n.astype(np.float64)
+                               / at_risk.astype(np.float64))})
+
+    return driver_merge(
+        w.map_batches(partial, batch_format="pyarrow",
+                      batch_size=131072), merge,
+        schema=pa.schema([("gap_days", pa.int64()), ("n", pa.int64())]))
+
+
+def _events_markov_stationary(sf_dir: str):
+    """Stationary behavior profile: THREE integer fixed-point power
+    iterations of the clickstream transition matrix from the uniform
+    1e6-per-type vector — v'[j] = sum_i (v[i]*c_ij) // r_i with
+    per-term floor division, so every sum is order-independent and the
+    SQL mirror (three chained CTE joins) hashes exactly. The matrix
+    comes off ONE bucketed window exchange (|types|^2-bounded partials,
+    ops.window.partitioned_transitions); iterations run on Python
+    bigints at the root. The iterative-linear-algebra shape (PageRank
+    power method) with an EXACT differential oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.ops.window import partitioned_transitions
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+    pairs = partitioned_transitions(ds, "user_id", "ts", "event_type",
+                                    tiebreak_col="event_id",
+                                    prev_col="prev_type")
+
+    types_ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type"])
+
+    def type_partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch["event_type"].to_numpy(
+            zero_copy_only=False).astype(str))
+        return pa.table({"t": pa.array(u, pa.string())})
+
+    def type_merge(t: pa.Table) -> pa.Table:
+        return pa.table({"t": pa.array(
+            np.unique(t["t"].to_numpy(zero_copy_only=False)
+                      .astype(str)), pa.string())})
+
+    all_types = driver_merge(
+        types_ds.map_batches(type_partial, batch_format="pyarrow",
+                             batch_size=131072), type_merge,
+        schema=pa.schema([("t", pa.string())]))["t"].to_pylist()
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["prev_type", "event_type"]).aggregate(
+            [("n", "sum")])
+        src = g["prev_type"].to_pylist()
+        dst = g["event_type"].to_pylist()
+        n = [int(x) for x in g["n_sum"].to_pylist()]
+        rowsum: dict = {}
+        for s, c in zip(src, n):
+            rowsum[s] = rowsum.get(s, 0) + c
+        v = {t_: 1_000_000 for t_ in all_types}
+        for _ in range(3):
+            nxt: dict = {}
+            for s, d_, c in zip(src, dst, n):
+                if s in v:
+                    nxt[d_] = nxt.get(d_, 0) + (v[s] * c) // rowsum[s]
+            v = nxt
+        keys = sorted(v)
+        return pa.table({
+            "event_type": pa.array(keys, pa.string()),
+            "stationary_fp": pa.array([v[k] for k in keys],
+                                      pa.int64())})
+
+    return driver_merge(pairs, merge, schema=pa.schema(
+        [("prev_type", pa.string()), ("event_type", pa.string()),
+         ("n", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -10768,6 +10900,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 57: gap hazard curve, Markov fixed point ---
+        "customer_gap_hazard": _customer_gap_hazard,
+        "events_markov_stationary": _events_markov_stationary,
         # --- round-5 wave 56: runs test, Spearman rank stability ---
         "orders_runs_test": _orders_runs_test,
         "nation_rank_spearman": _nation_rank_spearman,
@@ -11135,6 +11270,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 57: never driver-checked.
+    "customer_gap_hazard", "events_markov_stationary",
     # (3) round-5 wave 56: never driver-checked.
     "orders_runs_test", "nation_rank_spearman",
     # (3) round-5 wave 55: never driver-checked.
@@ -12215,6 +12352,70 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Hazard curve: LAG gaps, histogram, suffix-cumsum at-risk set,
+        # one division per bounded row.
+        "customer_gap_hazard": """
+            WITH w AS (
+              SELECT o_orderdate,
+                     LAG(o_orderdate) OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS prev
+              FROM orders
+            ), g AS (
+              SELECT CAST(epoch_us(o_orderdate) // 86400000000
+                          - epoch_us(prev) // 86400000000
+                          AS BIGINT) AS gap_days
+              FROM w WHERE prev IS NOT NULL
+            ), h AS (
+              SELECT gap_days, CAST(COUNT(*) AS BIGINT) AS n_gaps
+              FROM g GROUP BY 1
+            )
+            SELECT gap_days, n_gaps,
+                   CAST(SUM(n_gaps) OVER (ORDER BY gap_days DESC)
+                        AS BIGINT) AS n_at_risk,
+                   CAST(n_gaps AS DOUBLE)
+                   / CAST(SUM(n_gaps) OVER (ORDER BY gap_days DESC)
+                          AS DOUBLE) AS hazard
+            FROM h
+        """,
+        # Markov stationary fixed point: 3 chained iterations of
+        # per-term floor-divided mass flow; exact integers end-to-end.
+        "events_markov_stationary": """
+            WITH seq AS (
+              SELECT event_type,
+                     LAG(event_type) OVER (
+                         PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev
+              FROM events
+            ), m AS (
+              SELECT prev AS src, event_type AS dst,
+                     CAST(COUNT(*) AS HUGEINT) AS n
+              FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+            ), r AS (
+              SELECT src, SUM(n) AS rn FROM m GROUP BY 1
+            ), v0 AS (
+              SELECT DISTINCT event_type AS t,
+                     CAST(1000000 AS HUGEINT) AS v
+              FROM events
+            ), v1 AS (
+              SELECT m.dst AS t, SUM(v0.v * m.n // r.rn) AS v
+              FROM m JOIN r ON r.src = m.src
+                     JOIN v0 ON v0.t = m.src
+              GROUP BY 1
+            ), v2 AS (
+              SELECT m.dst AS t, SUM(v1.v * m.n // r.rn) AS v
+              FROM m JOIN r ON r.src = m.src
+                     JOIN v1 ON v1.t = m.src
+              GROUP BY 1
+            ), v3 AS (
+              SELECT m.dst AS t, SUM(v2.v * m.n // r.rn) AS v
+              FROM m JOIN r ON r.src = m.src
+                     JOIN v2 ON v2.t = m.src
+              GROUP BY 1
+            )
+            SELECT t AS event_type, CAST(v AS BIGINT) AS stationary_fp
+            FROM v3
         """,
         # Runs test: daily cents vs PERCENTILE_DISC median; runs as
         # LAG transitions; z as one mirrored float expression.

@@ -147,7 +147,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 55: two-sample KS test, per-user Simpson diversity
         "events_ks_purchase_click", "users_simpson_hist",
         # wave 56: Wald-Wolfowitz runs test, Spearman rank stability
-        "orders_runs_test", "nation_rank_spearman"]
+        "orders_runs_test", "nation_rank_spearman",
+        # wave 57: inter-order gap hazard curve, Markov fixed point
+        "customer_gap_hazard", "events_markov_stationary"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
