@@ -10891,6 +10891,167 @@ def _events_markov_stationary(sf_dir: str):
          ("n", pa.int64())]))
 
 
+def _part_size_price_kendall(sf_dir: str):
+    """Kendall tau-b rank correlation per brand between part size and
+    retail price cents — the tie-aware monotonic-association measure
+    Pearson can't give. Concordant-minus-discordant is counted EXACTLY
+    without the O(n^2) pair join: per brand, size-group pairs (<= 50^2)
+    compare weighted sorted-cents prefix counts via searchsorted; tie
+    terms n1/n2 fold from distinct-value counts; only tau_b itself is
+    ONE mirrored float expression. Partials are (brand, size, cents)
+    counts — the part dimension gathers once, lineitem never enters."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_brand", "p_size",
+                                  "p_retailprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch["p_retailprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        t = pa.table({"brand": batch["p_brand"],
+                      "x": batch["p_size"].to_numpy(
+                          zero_copy_only=False).astype(np.int64),
+                      "y": cents,
+                      "n": np.ones(cents.shape[0], np.int64)})
+        return t.group_by(["brand", "x", "y"]).aggregate(
+            [("n", "sum")]).rename_columns(["brand", "x", "y", "n"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["brand", "x", "y"]).aggregate([("n", "sum")])
+        br = g["brand"].to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            "p_brand": pa.array([], pa.string()),
+            "n_parts": pa.array([], pa.int64()),
+            "c_minus_d": pa.array([], pa.int64()),
+            "tau_b": pa.array([], pa.float64())})
+        if br.shape[0] == 0:
+            return empty
+        x = g["x"].to_numpy(zero_copy_only=False)
+        y = g["y"].to_numpy(zero_copy_only=False)
+        w = g["n_sum"].to_numpy(zero_copy_only=False)
+        out_b, out_n, out_cmd, out_tau = [], [], [], []
+        for b in np.unique(br):
+            m = br == b
+            xs, ys, ws = x[m], y[m], w[m]
+            n = int(ws.sum())
+            n0 = n * (n - 1) // 2
+            # tie terms from weighted distinct-value counts
+            n1 = 0
+            groups = []
+            for sv in np.unique(xs):
+                sm = xs == sv
+                cnt = int(ws[sm].sum())
+                n1 += cnt * (cnt - 1) // 2
+                o = np.argsort(ys[sm])
+                yy = ys[sm][o]
+                cw = np.concatenate([[0], np.cumsum(ws[sm][o])])
+                groups.append((yy, cw))
+            n2 = 0
+            for yv in np.unique(ys):
+                cnt = int(w[m][ys == yv].sum())
+                n2 += cnt * (cnt - 1) // 2
+            con = dis = 0
+            for i in range(len(groups)):
+                ya, cwa = groups[i]
+                for j in range(i + 1, len(groups)):
+                    yb, cwb = groups[j]
+                    wb = np.diff(cwb)
+                    lo = cwa[np.searchsorted(ya, yb, side="left")]
+                    hi = cwa[np.searchsorted(ya, yb, side="right")]
+                    con += int(np.dot(wb, lo))
+                    dis += int(np.dot(wb, cwa[-1] - hi))
+            cmd = con - dis
+            den = (n0 - n1) * (n0 - n2)
+            tau = None if den <= 0 \
+                else float(cmd) / math.sqrt(float(n0 - n1)
+                                            * float(n0 - n2))
+            out_b.append(str(b))
+            out_n.append(n)
+            out_cmd.append(cmd)
+            out_tau.append(tau)
+        return pa.table({
+            "p_brand": pa.array(out_b, pa.string()),
+            "n_parts": pa.array(out_n, pa.int64()),
+            "c_minus_d": pa.array(out_cmd, pa.int64()),
+            "tau_b": pa.array(out_tau, pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("brand", pa.string()), ("x", pa.int64()),
+                          ("y", pa.int64()), ("n", pa.int64())]))
+
+
+def _lineitem_qty_anova(sf_dir: str):
+    """One-way ANOVA F statistic of order quantity across return
+    flags, EXACT to the last bit: SSB/SSW are formed as integer
+    rationals over the common denominator N*prod(n_g) (Python bigints
+    / HUGEINT — per-group moment combiner (n, sum, sum^2) is the only
+    exchange), and F is ONE terminal division of two exact integers.
+    The variance-decomposition test statistic with a hash-exact SQL
+    mirror — no float sum ever forms."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        t = pa.table({"f": batch["l_returnflag"],
+                      "n": np.ones(q.shape[0], np.int64),
+                      "s": q, "q2": q * q})
+        return t.group_by("f").aggregate(
+            [("n", "sum"), ("s", "sum"), ("q2", "sum")]) \
+            .rename_columns(["f", "n", "s", "q2"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("f").aggregate(
+            [("n", "sum"), ("s", "sum"), ("q2", "sum")])
+        empty = pa.table({
+            "n_lines": pa.array([], pa.int64()),
+            "k_groups": pa.array([], pa.int64()),
+            "f_stat": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        ns = [int(v) for v in g["n_sum"].to_pylist()]
+        ss = [int(v) for v in g["s_sum"].to_pylist()]
+        qs = [int(v) for v in g["q2_sum"].to_pylist()]
+        k = len(ns)
+        big_n, big_s, big_q = sum(ns), sum(ss), sum(qs)
+        pp = 1
+        for n_ in ns:
+            pp *= n_
+        tt = sum(s_ * s_ * (pp // n_) for s_, n_ in zip(ss, ns))
+        if k < 2 or big_n <= k or (big_q * pp - tt) <= 0:
+            f = None
+        else:
+            num = (tt * big_n - big_s * big_s * pp) * (big_n - k)
+            den = (big_q * pp - tt) * big_n * (k - 1)
+            f = float(num) / float(den)
+        return pa.table({
+            "n_lines": pa.array([big_n], pa.int64()),
+            "k_groups": pa.array([k], pa.int64()),
+            "f_stat": pa.array([f], pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("f", pa.string()), ("n", pa.int64()),
+                          ("s", pa.int64()), ("q2", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -10900,6 +11061,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 58: Kendall tau-b, exact one-way ANOVA ---
+        "part_size_price_kendall": _part_size_price_kendall,
+        "lineitem_qty_anova": _lineitem_qty_anova,
         # --- round-5 wave 57: gap hazard curve, Markov fixed point ---
         "customer_gap_hazard": _customer_gap_hazard,
         "events_markov_stationary": _events_markov_stationary,
@@ -11270,6 +11434,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 58: never driver-checked.
+    "part_size_price_kendall", "lineitem_qty_anova",
     # (3) round-5 wave 57: never driver-checked.
     "customer_gap_hazard", "events_markov_stationary",
     # (3) round-5 wave 56: never driver-checked.
@@ -12352,6 +12518,97 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Kendall tau-b per brand: the O(n^2) pair join is fine as an
+        # ORACLE; the engine counts concordance via weighted prefix
+        # sums. Tie-aware denominator; one mirrored float expression.
+        "part_size_price_kendall": """
+            WITH p AS (
+              SELECT p_brand, p_partkey,
+                     CAST(p_size AS BIGINT) AS x,
+                     CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)
+                         AS y
+              FROM part
+            ), cnt AS (
+              SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n
+              FROM p GROUP BY 1
+            ), pair AS (
+              SELECT a.p_brand,
+                     CASE WHEN (a.x < b.x AND a.y < b.y)
+                            OR (a.x > b.x AND a.y > b.y)
+                          THEN 1 ELSE 0 END AS con,
+                     CASE WHEN (a.x < b.x AND a.y > b.y)
+                            OR (a.x > b.x AND a.y < b.y)
+                          THEN 1 ELSE 0 END AS dis,
+                     CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+                     CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+              FROM p a JOIN p b ON b.p_brand = a.p_brand
+                               AND b.p_partkey > a.p_partkey
+            ), ag AS (
+              SELECT p_brand, CAST(SUM(con) AS BIGINT) AS c,
+                     CAST(SUM(dis) AS BIGINT) AS d,
+                     CAST(SUM(tx) AS BIGINT) AS tx,
+                     CAST(SUM(ty) AS BIGINT) AS ty
+              FROM pair GROUP BY 1
+            )
+            SELECT cnt.p_brand, cnt.n AS n_parts,
+                   COALESCE(ag.c, 0) - COALESCE(ag.d, 0) AS c_minus_d,
+                   CASE WHEN (cnt.n * (cnt.n - 1) // 2
+                              - COALESCE(ag.tx, 0))
+                             * (cnt.n * (cnt.n - 1) // 2
+                                - COALESCE(ag.ty, 0)) <= 0 THEN NULL
+                        ELSE CAST(COALESCE(ag.c, 0) - COALESCE(ag.d, 0)
+                                  AS DOUBLE)
+                             / SQRT(CAST(cnt.n * (cnt.n - 1) // 2
+                                         - COALESCE(ag.tx, 0)
+                                         AS DOUBLE)
+                                    * CAST(cnt.n * (cnt.n - 1) // 2
+                                           - COALESCE(ag.ty, 0)
+                                           AS DOUBLE))
+                   END AS tau_b
+            FROM cnt LEFT JOIN ag ON ag.p_brand = cnt.p_brand
+        """,
+        # One-way ANOVA: integer rationals over N*prod(n_g); F is one
+        # division of two exact HUGEINTs.
+        "lineitem_qty_anova": """
+            WITH g AS (
+              SELECT l_returnflag AS f,
+                     CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(CAST(l_quantity AS BIGINT)) AS HUGEINT)
+                         AS s,
+                     CAST(SUM(CAST(l_quantity AS BIGINT)
+                              * CAST(l_quantity AS BIGINT)) AS HUGEINT)
+                         AS q2
+              FROM lineitem GROUP BY 1
+            ), t AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS k,
+                     SUM(n) AS nn, SUM(s) AS ss, SUM(q2) AS qq,
+                     (CASE WHEN SUM(CASE WHEN f = 'A' THEN n ELSE 0
+                                    END) = 0 THEN 1
+                           ELSE SUM(CASE WHEN f = 'A' THEN n ELSE 0
+                                    END) END)
+                     * (CASE WHEN SUM(CASE WHEN f = 'N' THEN n ELSE 0
+                                      END) = 0 THEN 1
+                             ELSE SUM(CASE WHEN f = 'N' THEN n ELSE 0
+                                      END) END)
+                     * (CASE WHEN SUM(CASE WHEN f = 'R' THEN n ELSE 0
+                                      END) = 0 THEN 1
+                             ELSE SUM(CASE WHEN f = 'R' THEN n ELSE 0
+                                      END) END) AS pp
+              FROM g
+            ), x AS (
+              SELECT SUM(g.s * g.s * (t.pp // g.n)) AS tt FROM g, t
+            )
+            SELECT CAST(nn AS BIGINT) AS n_lines,
+                   CAST(k AS BIGINT) AS k_groups,
+                   CASE WHEN k < 2 OR nn <= k
+                             OR (qq * pp - tt) <= 0 THEN NULL
+                        ELSE CAST((tt * nn - ss * ss * pp) * (nn - k)
+                                  AS DOUBLE)
+                             / CAST((qq * pp - tt) * nn * (k - 1)
+                                    AS DOUBLE)
+                   END AS f_stat
+            FROM t, x WHERE nn > 0
         """,
         # Hazard curve: LAG gaps, histogram, suffix-cumsum at-risk set,
         # one division per bounded row.

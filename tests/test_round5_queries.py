@@ -149,7 +149,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 56: Wald-Wolfowitz runs test, Spearman rank stability
         "orders_runs_test", "nation_rank_spearman",
         # wave 57: inter-order gap hazard curve, Markov fixed point
-        "customer_gap_hazard", "events_markov_stationary"]
+        "customer_gap_hazard", "events_markov_stationary",
+        # wave 58: Kendall tau-b per brand, exact one-way ANOVA F
+        "part_size_price_kendall", "lineitem_qty_anova"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
