@@ -11052,6 +11052,116 @@ def _lineitem_qty_anova(sf_dir: str):
                           ("s", pa.int64()), ("q2", pa.int64())]))
 
 
+def _docs_ari_by_lang(sf_dir: str):
+    """Corpus readability per language: the Automated Readability
+    Index 4.71*(chars/words) + 0.5*(words/sentences) - 21.43 computed
+    from EXACT corpus-level counts (non-space chars, \\S+ words,
+    [.!?]+ sentence-punctuation runs — all RE2 kernels over Arrow
+    buffers, mirrored literally in DuckDB regexps), so the only floats
+    are the two divisions of the final expression. Lang-bounded
+    combiner; text never crosses the exchange."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = batch["text"]
+        chars = pc.subtract(
+            pc.utf8_length(txt),
+            pc.count_substring_regex(txt, r"\s")).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        words = pc.count_substring_regex(txt, r"\S+").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sents = pc.count_substring_regex(txt, r"[.!?]+").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        t = pa.table({"lang": batch["lang"],
+                      "n_docs": np.ones(words.shape[0], np.int64),
+                      "c": chars, "w": words, "s": sents})
+        return t.group_by("lang").aggregate(
+            [("n_docs", "sum"), ("c", "sum"), ("w", "sum"),
+             ("s", "sum")]) \
+            .rename_columns(["lang", "n_docs", "c", "w", "s"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("lang").aggregate(
+            [("n_docs", "sum"), ("c", "sum"), ("w", "sum"),
+             ("s", "sum")])
+        langs = g["lang"].to_pylist()
+        nd = [int(v) for v in g["n_docs_sum"].to_pylist()]
+        c = [int(v) for v in g["c_sum"].to_pylist()]
+        w = [int(v) for v in g["w_sum"].to_pylist()]
+        s = [int(v) for v in g["s_sum"].to_pylist()]
+        ari = [None if wi == 0 or si == 0
+               else 4.71 * (float(ci) / float(wi))
+               + 0.5 * (float(wi) / float(si)) - 21.43
+               for ci, wi, si in zip(c, w, s)]
+        return pa.table({
+            "lang": pa.array(langs, pa.string()),
+            "n_docs": pa.array(nd, pa.int64()),
+            "n_chars": pa.array(c, pa.int64()),
+            "n_words": pa.array(w, pa.int64()),
+            "n_sentences": pa.array(s, pa.int64()),
+            "ari": pa.array(ari, pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=32768), merge,
+        schema=pa.schema([("lang", pa.string()), ("n_docs", pa.int64()),
+                          ("c", pa.int64()), ("w", pa.int64()),
+                          ("s", pa.int64())]))
+
+
+def _docs_jaccard_threshold_curve(sf_dir: str):
+    """Near-dup severity curve: how many verified ngram-Jaccard pairs
+    survive at each threshold 0.5..0.9 — the banding-tradeoff evidence
+    a dedup operator needs before picking its cut. Rides the existing
+    LSH-candidate + exact-verify pipeline ONCE at the loosest
+    threshold; the 5-point curve folds from pair-bounded (threshold,
+    count) partials. Jaccard floats compare against the identical
+    IEEE t/10 literals the SQL mirror uses."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.text.dedup import ngram_jaccard_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds, key_col="doc_id", threshold=0.5)
+
+    THRESH = np.arange(5, 10, dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        j = batch["jaccard"].to_numpy(zero_copy_only=False)
+        n = np.array([int((j >= np.float64(tx) / 10.0).sum())
+                      for tx in THRESH], np.int64)
+        return pa.table({"threshold_x10": THRESH, "n": n})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("threshold_x10").aggregate([("n", "sum")])
+        have = {int(k): int(v) for k, v in
+                zip(g["threshold_x10"].to_pylist(),
+                    g["n_sum"].to_pylist())}
+        return pa.table({
+            "threshold_x10": pa.array([int(tx) for tx in THRESH],
+                                      pa.int64()),
+            "n_pairs": pa.array([have.get(int(tx), 0)
+                                 for tx in THRESH], pa.int64())})
+
+    return driver_merge(
+        pairs.map_batches(partial, batch_format="pyarrow",
+                          batch_size=131072), merge,
+        schema=pa.schema([("threshold_x10", pa.int64()),
+                          ("n", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -11061,6 +11171,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 59: ARI readability, dup threshold curve ---
+        "docs_ari_by_lang": _docs_ari_by_lang,
+        "docs_jaccard_threshold_curve": _docs_jaccard_threshold_curve,
         # --- round-5 wave 58: Kendall tau-b, exact one-way ANOVA ---
         "part_size_price_kendall": _part_size_price_kendall,
         "lineitem_qty_anova": _lineitem_qty_anova,
@@ -11434,6 +11547,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 59: never driver-checked.
+    "docs_ari_by_lang", "docs_jaccard_threshold_curve",
     # (3) round-5 wave 58: never driver-checked.
     "part_size_price_kendall", "lineitem_qty_anova",
     # (3) round-5 wave 57: never driver-checked.
@@ -12518,6 +12633,58 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Corpus ARI per lang: exact RE2 counts; only the final
+        # expression's two divisions are float.
+        "docs_ari_by_lang": r"""
+            WITH m AS (
+              SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(length(text)
+                              - len(regexp_extract_all(text, '\s')))
+                          AS BIGINT) AS c,
+                     CAST(SUM(len(regexp_extract_all(text, '\S+')))
+                          AS BIGINT) AS w,
+                     CAST(SUM(len(regexp_extract_all(text, '[.!?]+')))
+                          AS BIGINT) AS s
+              FROM documents GROUP BY lang
+            )
+            SELECT lang, n_docs, c AS n_chars, w AS n_words,
+                   s AS n_sentences,
+                   CASE WHEN w = 0 OR s = 0 THEN NULL
+                        ELSE 4.71 * (CAST(c AS DOUBLE)
+                                     / CAST(w AS DOUBLE))
+                             + 0.5 * (CAST(w AS DOUBLE)
+                                      / CAST(s AS DOUBLE)) - 21.43
+                   END AS ari
+            FROM m
+        """,
+        # Threshold curve over the exact shingle-Jaccard pair graph;
+        # IEEE t/10 literals match the engine's comparisons.
+        "docs_jaccard_threshold_curve": """
+            WITH shingles AS (
+              SELECT doc_id,
+                     CASE WHEN length(text) < 5 THEN [rpad(text, 5, ' ')]
+                          ELSE list_distinct([substring(text, i, 5)
+                                  FOR i IN range(1, length(text) - 3)])
+                     END AS gs
+              FROM documents
+            ), jac AS (
+              SELECT CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                     / (len(a.gs) + len(b.gs)
+                        - len(list_intersect(a.gs, b.gs))) AS j
+              FROM shingles a JOIN shingles b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                    / (len(a.gs) + len(b.gs)
+                       - len(list_intersect(a.gs, b.gs))) >= 0.5
+            )
+            SELECT CAST(th.t AS BIGINT) AS threshold_x10,
+                   CAST(COALESCE(SUM(CASE WHEN jac.j >=
+                                     CAST(th.t AS DOUBLE) / 10.0
+                                     THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_pairs
+            FROM (VALUES (5), (6), (7), (8), (9)) th(t)
+            LEFT JOIN jac ON TRUE
+            GROUP BY 1
         """,
         # Kendall tau-b per brand: the O(n^2) pair join is fine as an
         # ORACLE; the engine counts concordance via weighted prefix

@@ -151,7 +151,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 57: inter-order gap hazard curve, Markov fixed point
         "customer_gap_hazard", "events_markov_stationary",
         # wave 58: Kendall tau-b per brand, exact one-way ANOVA F
-        "part_size_price_kendall", "lineitem_qty_anova"]
+        "part_size_price_kendall", "lineitem_qty_anova",
+        # wave 59: ARI readability per lang, Jaccard threshold curve
+        "docs_ari_by_lang", "docs_jaccard_threshold_curve"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -204,6 +206,9 @@ def test_empty_tables_round5_queries(ray_session, tmp_path):
                  "sites_pagerank": 997, "sites_triangle_count": 1,
                  "events_funnel": 1, "sites_bfs_hops": 3,
                  "users_fifth_event_latency": 1,
+                 # fixed 5-point threshold lattice, like the SQL
+                 # mirror's VALUES list LEFT JOIN
+                 "docs_jaccard_threshold_curve": 5,
                  "sites_reciprocity": 1,
                  "sites_clustering_coeff": 1,
                  "sites_degree_assortativity": 1}.get(name, 0)
