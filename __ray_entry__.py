@@ -11162,6 +11162,84 @@ def _docs_jaccard_threshold_curve(sf_dir: str):
                           ("n", pa.int64())]))
 
 
+def _orders_mann_kendall(sf_dir: str):
+    """Mann-Kendall trend test on monthly revenue: S = sum of pairwise
+    sign(c_j - c_i) over the month-ordered series, tie-corrected
+    variance numerator n(n-1)(2n+5) - sum t(t-1)(2t+5), and the
+    continuity-corrected z — the non-parametric is-revenue-trending
+    answer. Month-bounded combiner; S and the tie term are exact
+    integers at the root, z is ONE mirrored float expression."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dt = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        ym = dt.astype("datetime64[M]").astype(np.int64)
+        mk = (ym // 12 + 1970) * 100 + (ym % 12 + 1)
+        cents = np.floor(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        t = pa.table({"mk": mk, "cents": cents})
+        return t.group_by("mk").aggregate([("cents", "sum")]) \
+            .rename_columns(["mk", "cents"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("mk").aggregate([("cents", "sum")])
+        mk = g["mk"].to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            "n_months": pa.array([], pa.int64()),
+            "s_stat": pa.array([], pa.int64()),
+            "var_num": pa.array([], pa.int64()),
+            "z_mk": pa.array([], pa.float64())})
+        if mk.shape[0] == 0:
+            return empty
+        cents = g["cents_sum"].to_numpy(zero_copy_only=False)
+        cc = cents[np.argsort(mk)]
+        n = int(cc.shape[0])
+        iu, iv = np.triu_indices(n, k=1)
+        s = int(np.sign(cc[iv] - cc[iu]).sum())
+        _, tc = np.unique(cc, return_counts=True)
+        tie_term = int(sum(int(c) * (int(c) - 1) * (2 * int(c) + 5)
+                           for c in tc if c > 1))
+        vnum = n * (n - 1) * (2 * n + 5) - tie_term
+        if vnum <= 0:
+            z = None
+        elif s > 0:
+            z = float(s - 1) / math.sqrt(float(vnum) / 18.0)
+        elif s < 0:
+            z = float(s + 1) / math.sqrt(float(vnum) / 18.0)
+        else:
+            z = 0.0
+        return pa.table({
+            "n_months": pa.array([n], pa.int64()),
+            "s_stat": pa.array([s], pa.int64()),
+            "var_num": pa.array([vnum], pa.int64()),
+            "z_mk": pa.array([z], pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("mk", pa.int64()), ("cents", pa.int64())]))
+
+
+def _sites_neighbor_jaccard_topk(sf_dir: str):
+    """Top-20 structurally-similar site pairs by neighborhood Jaccard
+    over the undirected link graph (ops.graph.neighbor_jaccard_topk):
+    one boolean-adjacency matmul at the graph-order-bounded root;
+    exact common-neighbor counts, one IEEE division per pair,
+    (jaccard DESC, a, b) deterministic order."""
+    from h3ray.ops.graph import neighbor_jaccard_topk
+
+    return neighbor_jaccard_topk(_sites_edges_ds(sf_dir), 997, k=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -11171,6 +11249,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 60: Mann-Kendall trend, neighbor Jaccard ---
+        "orders_mann_kendall": _orders_mann_kendall,
+        "sites_neighbor_jaccard_topk": _sites_neighbor_jaccard_topk,
         # --- round-5 wave 59: ARI readability, dup threshold curve ---
         "docs_ari_by_lang": _docs_ari_by_lang,
         "docs_jaccard_threshold_curve": _docs_jaccard_threshold_curve,
@@ -11547,6 +11628,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 60: never driver-checked.
+    "orders_mann_kendall", "sites_neighbor_jaccard_topk",
     # (3) round-5 wave 59: never driver-checked.
     "docs_ari_by_lang", "docs_jaccard_threshold_curve",
     # (3) round-5 wave 58: never driver-checked.
@@ -12633,6 +12716,73 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Mann-Kendall: pairwise sign sum over months, tie-corrected
+        # variance numerator, continuity-corrected z.
+        "orders_mann_kendall": """
+            WITH m AS (
+              SELECT CAST(YEAR(o_orderdate) * 100 + MONTH(o_orderdate)
+                          AS BIGINT) AS mk,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS cents
+              FROM orders GROUP BY 1
+            ), s AS (
+              SELECT CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                                   WHEN b.cents < a.cents THEN -1
+                                   ELSE 0 END) AS BIGINT) AS st
+              FROM m a JOIN m b ON b.mk > a.mk
+            ), t AS (
+              SELECT CAST(COALESCE(SUM(tc * (tc - 1) * (2 * tc + 5)),
+                                   0) AS BIGINT) AS tie_term
+              FROM (SELECT CAST(COUNT(*) AS BIGINT) AS tc
+                    FROM m GROUP BY cents)
+              WHERE tc > 1
+            ), c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM m)
+            SELECT n AS n_months, COALESCE(st, 0) AS s_stat,
+                   n * (n-1) * (2*n+5) - tie_term AS var_num,
+                   CASE WHEN n * (n-1) * (2*n+5) - tie_term <= 0
+                        THEN NULL
+                        WHEN COALESCE(st, 0) > 0
+                        THEN CAST(COALESCE(st, 0) - 1 AS DOUBLE)
+                             / SQRT(CAST(n * (n-1) * (2*n+5) - tie_term
+                                         AS DOUBLE) / 18.0)
+                        WHEN COALESCE(st, 0) < 0
+                        THEN CAST(COALESCE(st, 0) + 1 AS DOUBLE)
+                             / SQRT(CAST(n * (n-1) * (2*n+5) - tie_term
+                                         AS DOUBLE) / 18.0)
+                        ELSE 0.0
+                   END AS z_mk
+            FROM c, s, t WHERE n > 0
+        """,
+        # Neighbor Jaccard top-20: wedge self-join for common
+        # neighbors, degree join, deterministic rank.
+        "sites_neighbor_jaccard_topk": f"""
+            WITH {_sites_edges_cte()}, ue AS (
+              SELECT DISTINCT LEAST(src, dst) AS u,
+                              GREATEST(src, dst) AS v
+              FROM edges
+            ), nb AS (
+              SELECT u AS x, v AS w FROM ue
+              UNION ALL SELECT v, u FROM ue
+            ), deg AS (
+              SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM nb GROUP BY 1
+            ), com AS (
+              SELECT a.x AS sa, b.x AS sb, CAST(COUNT(*) AS BIGINT) AS c
+              FROM nb a JOIN nb b ON b.w = a.w AND b.x > a.x
+              GROUP BY 1, 2
+            ), jc AS (
+              SELECT sa, sb, c,
+                     CAST(c AS DOUBLE)
+                     / CAST(da.d + db.d - c AS DOUBLE) AS j
+              FROM com JOIN deg da ON da.x = com.sa
+                       JOIN deg db ON db.x = com.sb
+            )
+            SELECT site_a, site_b, n_common, jaccard FROM (
+              SELECT sa AS site_a, sb AS site_b, c AS n_common,
+                     j AS jaccard,
+                     ROW_NUMBER() OVER (ORDER BY j DESC, sa, sb) AS rn
+              FROM jc
+            ) WHERE rn <= 20
         """,
         # Corpus ARI per lang: exact RE2 counts; only the final
         # expression's two divisions are float.

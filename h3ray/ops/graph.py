@@ -270,3 +270,45 @@ def bfs_hops(edges_ds, num_nodes: int, seeds, *, src_col: str = "src",
                 f"bfs_hops: frontier alive after {max_rounds} rounds")
     reached = np.flatnonzero(dist != INF).astype(np.int64)
     return pa.table({"site": reached, "hops": dist[reached]})
+
+
+def neighbor_jaccard_topk(edges_ds, num_nodes: int, *, k: int = 20,
+                          src_col: str = "src",
+                          dst_col: str = "dst") -> pa.Table:
+    """Top-k node pairs by neighborhood Jaccard |N(a) & N(b)| /
+    |N(a) | N(b)| over the undirected simple graph — the structural
+    node-similarity probe (co-citation / mirror-site detection).
+    Common-neighbor counts come from ONE boolean-adjacency matmul at
+    the graph-order-bounded root (same boundedness contract as
+    pagerank_fixed); counts and degrees are exact ints, jaccard is one
+    IEEE division per surviving pair, order is (jaccard DESC, a, b)
+    deterministic. Returns pa.Table (site_a, site_b, n_common,
+    jaccard)."""
+    empty = pa.table({"site_a": pa.array([], pa.int64()),
+                      "site_b": pa.array([], pa.int64()),
+                      "n_common": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    e = _distinct_undirected(edges_ds, num_nodes, src_col, dst_col)
+    if e.shape[0] == 0:
+        return empty
+    u = (e // num_nodes).astype(np.int64)
+    v = (e % num_nodes).astype(np.int64)
+    adj = np.zeros((num_nodes, num_nodes), np.int32)
+    adj[u, v] = 1
+    adj[v, u] = 1
+    inter = adj @ adj
+    deg = adj.sum(axis=1, dtype=np.int64)
+    iu, iv = np.triu_indices(num_nodes, k=1)
+    cm = inter[iu, iv].astype(np.int64)
+    keep = cm > 0
+    iu, iv, cm = iu[keep], iv[keep], cm[keep]
+    if cm.shape[0] == 0:
+        return empty
+    union = deg[iu] + deg[iv] - cm
+    j = cm.astype(np.float64) / union.astype(np.float64)
+    order = np.lexsort((iv, iu, -j))[:k]
+    return pa.table({
+        "site_a": pa.array(iu[order].astype(np.int64)),
+        "site_b": pa.array(iv[order].astype(np.int64)),
+        "n_common": pa.array(cm[order]),
+        "jaccard": pa.array(j[order])})

@@ -153,7 +153,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 58: Kendall tau-b per brand, exact one-way ANOVA F
         "part_size_price_kendall", "lineitem_qty_anova",
         # wave 59: ARI readability per lang, Jaccard threshold curve
-        "docs_ari_by_lang", "docs_jaccard_threshold_curve"]
+        "docs_ari_by_lang", "docs_jaccard_threshold_curve",
+        # wave 60: Mann-Kendall trend test, neighborhood Jaccard top-k
+        "orders_mann_kendall", "sites_neighbor_jaccard_topk"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
