@@ -11240,6 +11240,122 @@ def _sites_neighbor_jaccard_topk(sf_dir: str):
     return neighbor_jaccard_topk(_sites_edges_ds(sf_dir), 997, k=20)
 
 
+def _emb_dim_covariance(sf_dir: str):
+    """Exact dimension-covariance matrix of the embedding space (the
+    whitening / PCA-prep statistic): for every dim pair i <= j the
+    population-covariance numerator N*S_ij - S_i*S_j over micro-int
+    elements, finished as PYTHON BIGINTS at the dim^2-bounded root.
+    Per-batch partials are ONE M^T M matmul + column sums (64x64 int64,
+    exact while a batch's dot sums < 2^63); the two output floats are
+    exact bigint->double casts and one division, mirrored in HUGEINT
+    SQL. Vectors never cross the exchange."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.pipelines.ann import _embedding_matrix
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _embedding_matrix(batch, "embedding", dtype=np.float64)
+        micro = np.floor(x * 1_000_000 + 0.5).astype(np.int64)
+        d = micro.shape[1]
+        gram = micro.T @ micro
+        iu, jv = np.triu_indices(d)
+        s = micro.sum(axis=0)
+        di = np.concatenate([iu + 1, np.arange(1, d + 1), [0]])
+        dj = np.concatenate([jv + 1, np.full(d, -1, np.int64), [0]])
+        val = np.concatenate([gram[iu, jv], s,
+                              [np.int64(micro.shape[0])]])
+        return pa.table({"di": di.astype(np.int64),
+                         "dj": dj.astype(np.int64),
+                         "v": val.astype(np.int64)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["di", "dj"]).aggregate([("v", "sum")])
+        di = g["di"].to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            "dim_i": pa.array([], pa.int64()),
+            "dim_j": pa.array([], pa.int64()),
+            "n_vecs": pa.array([], pa.int64()),
+            "cov_num": pa.array([], pa.float64()),
+            "cov": pa.array([], pa.float64())})
+        if di.shape[0] == 0:
+            return empty
+        dj = g["dj"].to_numpy(zero_copy_only=False)
+        v = g["v_sum"].to_numpy(zero_copy_only=False)
+        n = int(v[(di == 0) & (dj == 0)][0])
+        sums = {int(a): int(x) for a, b, x in zip(di, dj, v) if b == -1}
+        out_i, out_j, out_num, out_cov = [], [], [], []
+        order = np.lexsort((dj, di))
+        for p in order:
+            i, j = int(di[p]), int(dj[p])
+            if j <= 0:
+                continue
+            num = n * int(v[p]) - sums[i] * sums[j]
+            out_i.append(i)
+            out_j.append(j)
+            out_num.append(float(num))
+            out_cov.append(float(num) / float(n * n))
+        return pa.table({
+            "dim_i": pa.array(out_i, pa.int64()),
+            "dim_j": pa.array(out_j, pa.int64()),
+            "n_vecs": pa.array([n] * len(out_i), pa.int64()),
+            "cov_num": pa.array(out_num, pa.float64()),
+            "cov": pa.array(out_cov, pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=32768), merge,
+        schema=pa.schema([("di", pa.int64()), ("dj", pa.int64()),
+                          ("v", pa.int64())]))
+
+
+def _events_type_trigrams_topk(sf_dir: str):
+    """Top-15 consecutive event-type TRIPLES over per-user sequences
+    (sequence mining one step past the Markov bigram): double-LAG
+    triples counted inside one bucketed window exchange
+    (ops.window.partitioned_trigrams, <= |types|^3 partial rows per
+    reducer), ranked (count DESC, t1, t2, t3) at the bounded root.
+    ALL-INTEGER."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.ops.window import partitioned_trigrams
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+    tri = partitioned_trigrams(ds, "user_id", "ts", "event_type",
+                               tiebreak_col="event_id")
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["t1", "t2", "t3"]).aggregate([("n", "sum")])
+        if g.num_rows == 0:
+            return pa.table({
+                "t1": pa.array([], pa.string()),
+                "t2": pa.array([], pa.string()),
+                "t3": pa.array([], pa.string()),
+                "n_seqs": pa.array([], pa.int64())})
+        rows = sorted(zip(g["t1"].to_pylist(), g["t2"].to_pylist(),
+                          g["t3"].to_pylist(),
+                          [int(x) for x in g["n_sum"].to_pylist()]),
+                      key=lambda r: (-r[3], r[0], r[1], r[2]))[:15]
+        return pa.table({
+            "t1": pa.array([r[0] for r in rows], pa.string()),
+            "t2": pa.array([r[1] for r in rows], pa.string()),
+            "t3": pa.array([r[2] for r in rows], pa.string()),
+            "n_seqs": pa.array([r[3] for r in rows], pa.int64())})
+
+    return driver_merge(tri, merge, schema=pa.schema(
+        [("t1", pa.string()), ("t2", pa.string()),
+         ("t3", pa.string()), ("n", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -11249,6 +11365,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 61: dim covariance, trigram sequences ---
+        "emb_dim_covariance": _emb_dim_covariance,
+        "events_type_trigrams_topk": _events_type_trigrams_topk,
         # --- round-5 wave 60: Mann-Kendall trend, neighbor Jaccard ---
         "orders_mann_kendall": _orders_mann_kendall,
         "sites_neighbor_jaccard_topk": _sites_neighbor_jaccard_topk,
@@ -11628,6 +11747,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 61: never driver-checked.
+    "emb_dim_covariance", "events_type_trigrams_topk",
     # (3) round-5 wave 60: never driver-checked.
     "orders_mann_kendall", "sites_neighbor_jaccard_topk",
     # (3) round-5 wave 59: never driver-checked.
@@ -12716,6 +12837,58 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Dim covariance: unnest self-join on vec_id; HUGEINT moment
+        # sums; exact bigint->double casts + one division.
+        "emb_dim_covariance": """
+            WITH el AS (
+              SELECT vec_id,
+                     CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                                * 1000000 + 0.5) AS BIGINT) AS micro,
+                     unnest(range(1, len(embedding) + 1)) AS dim
+              FROM embeddings
+            ), nn AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS nv FROM embeddings
+            ), s AS (
+              SELECT dim, CAST(SUM(micro) AS HUGEINT) AS sv
+              FROM el GROUP BY 1
+            ), xy AS (
+              SELECT a.dim AS di, b.dim AS dj,
+                     CAST(SUM(CAST(a.micro AS HUGEINT) * b.micro)
+                          AS HUGEINT) AS sxy
+              FROM el a JOIN el b ON b.vec_id = a.vec_id
+                                 AND b.dim >= a.dim
+              GROUP BY 1, 2
+            )
+            SELECT CAST(di AS BIGINT) AS dim_i,
+                   CAST(dj AS BIGINT) AS dim_j,
+                   CAST(nv AS BIGINT) AS n_vecs,
+                   CAST(nv * sxy - sa.sv * sb.sv AS DOUBLE) AS cov_num,
+                   CAST(nv * sxy - sa.sv * sb.sv AS DOUBLE)
+                   / CAST(nv * nv AS DOUBLE) AS cov
+            FROM xy CROSS JOIN nn
+            JOIN s sa ON sa.dim = xy.di
+            JOIN s sb ON sb.dim = xy.dj
+        """,
+        # Trigram sequence mining: double LAG per user, global top-15
+        # with deterministic tie order.
+        "events_type_trigrams_topk": """
+            WITH seq AS (
+              SELECT event_type,
+                     LAG(event_type) OVER w AS p1,
+                     LAG(event_type, 2) OVER w AS p2
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), g AS (
+              SELECT p2 AS t1, p1 AS t2, event_type AS t3,
+                     CAST(COUNT(*) AS BIGINT) AS n_seqs
+              FROM seq WHERE p2 IS NOT NULL GROUP BY 1, 2, 3
+            )
+            SELECT t1, t2, t3, n_seqs FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                  ORDER BY n_seqs DESC, t1, t2, t3) AS rn
+              FROM g
+            ) WHERE rn <= 15
         """,
         # Mann-Kendall: pairwise sign sum over months, tie-corrected
         # variance numerator, continuity-corrected z.

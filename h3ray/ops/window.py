@@ -283,6 +283,60 @@ def partitioned_transitions(ds, part_col: str, order_col: str,
         .map_groups(fn, batch_format="pyarrow")
 
 
+def partitioned_trigrams(ds, part_col: str, order_col: str,
+                         label_col: str, *, tiebreak_col: str,
+                         col_1: str = "t1", col_2: str = "t2",
+                         col_3: str = "t3", count_col: str = "n",
+                         num_buckets: int | None = None):
+    """Consecutive label TRIPLE counts — the sequence-mining extension
+    of `partitioned_transitions`: COUNT(*) of (lag(label, 2),
+    lag(label), label) over (PARTITION BY part_col ORDER BY order_col,
+    tiebreak_col), rows whose partition holds fewer than 2 predecessors
+    excluded (their double-lag is NULL in SQL). Same shape contract:
+    reducers emit at most |labels|^3 rows; fold with driver_merge."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["_bucket"])
+        lab_type = group.schema.field(label_col).type
+        empty = pa.table({
+            col_1: pa.array([], lab_type),
+            col_2: pa.array([], lab_type),
+            col_3: pa.array([], lab_type),
+            count_col: pa.array([], pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        order, _, new_seg, _, _ = _partition_order(
+            group, part_col, order_col, tiebreak_col, descending=False)
+        enc = pc.dictionary_encode(
+            group[label_col].combine_chunks()
+            if isinstance(group[label_col], pa.ChunkedArray)
+            else group[label_col])
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[order]
+        keep = ~new_seg.copy()
+        keep[1:] &= ~new_seg[:-1]       # predecessor also in-partition
+        idx = np.flatnonzero(keep)
+        if idx.shape[0] == 0:
+            return empty
+        k = len(enc.dictionary)
+        key = (codes[idx - 2] * k + codes[idx - 1]) * k + codes[idx]
+        if k * k * k <= (1 << 24):
+            counts = np.bincount(key, minlength=k * k * k)
+            hit = np.flatnonzero(counts)
+            cnt = counts[hit]
+        else:                            # huge vocab: sparse path
+            hit, cnt = np.unique(key, return_counts=True)
+        dictionary = enc.dictionary
+        return pa.table({
+            col_1: dictionary.take(pa.array(hit // (k * k), pa.int64())),
+            col_2: dictionary.take(pa.array((hit // k) % k, pa.int64())),
+            col_3: dictionary.take(pa.array(hit % k, pa.int64())),
+            count_col: pa.array(cnt.astype(np.int64), pa.int64())})
+
+    return _bucketed(ds, part_col, num_buckets).groupby("_bucket") \
+        .map_groups(fn, batch_format="pyarrow")
+
+
 def interval_followup_count(ds, part_col: str, ts_col: str,
                             mark_col: str, id_cols: list[str], *,
                             window: int,

@@ -155,7 +155,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 59: ARI readability per lang, Jaccard threshold curve
         "docs_ari_by_lang", "docs_jaccard_threshold_curve",
         # wave 60: Mann-Kendall trend test, neighborhood Jaccard top-k
-        "orders_mann_kendall", "sites_neighbor_jaccard_topk"]
+        "orders_mann_kendall", "sites_neighbor_jaccard_topk",
+        # wave 61: exact dim covariance matrix, trigram sequence mining
+        "emb_dim_covariance", "events_type_trigrams_topk"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
