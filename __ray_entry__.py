@@ -11356,6 +11356,159 @@ def _events_type_trigrams_topk(sf_dir: str):
          ("t3", pa.string()), ("n", pa.int64())]))
 
 
+def _docs_simhash_bit_bias(sf_dir: str):
+    """SimHash uniformity diagnostics: per fingerprint bit, how many
+    docs set it and the one-frequency bias — a skewed bit means the
+    hash mix leaks token structure and hamming distances compress.
+    Rides the existing simhash stage; per-batch partials are one
+    vectorized 64-lane popcount, the root is 64-bounded. Counts exact;
+    bias is one division per bit."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.text.dedup import simhash_stage
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    sh = ds.map_batches(simhash_stage(), batch_format="pyarrow") \
+        .select_columns(["simhash"])
+
+    BITS = np.arange(64, dtype=np.uint64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        fp = batch["simhash"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64).view(np.uint64)
+        ones = ((fp[:, None] >> BITS[None, :])
+                & np.uint64(1)).sum(axis=0).astype(np.int64)
+        return pa.table({
+            "bit": BITS.astype(np.int64),
+            "n_ones": ones,
+            "n_docs": np.full(64, fp.shape[0], np.int64)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("bit").aggregate(
+            [("n_ones", "sum"), ("n_docs", "sum")])
+        b = g["bit"].to_numpy(zero_copy_only=False)
+        if b.shape[0] == 0:
+            return pa.table({
+                "bit": pa.array([], pa.int64()),
+                "n_ones": pa.array([], pa.int64()),
+                "n_docs": pa.array([], pa.int64()),
+                "bias": pa.array([], pa.float64())})
+        o = np.argsort(b)
+        ones = g["n_ones_sum"].to_numpy(zero_copy_only=False)[o]
+        nd = g["n_docs_sum"].to_numpy(zero_copy_only=False)[o]
+        return pa.table({
+            "bit": pa.array(b[o].astype(np.int64)),
+            "n_ones": pa.array(ones.astype(np.int64)),
+            "n_docs": pa.array(nd.astype(np.int64)),
+            "bias": pa.array(ones.astype(np.float64)
+                             / nd.astype(np.float64))})
+
+    return driver_merge(
+        sh.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("bit", pa.int64()), ("n_ones", pa.int64()),
+                          ("n_docs", pa.int64())]))
+
+
+def _docs_quality_dup_contingency(sf_dir: str):
+    """Does low quality predict near-duplication? The 2x2 contingency
+    between the C4-style quality gate and ngram-Jaccard dup membership,
+    finished as exact counts plus the odds ratio (dup odds among fails
+    vs passes) — ONE division of exact integer cross-products. The dup
+    id set gathers once at the root (bounded by the duplicate subset,
+    the near-dedup survivor-semi-join assumption) and rides back into a
+    flagging pass; quality thresholds are the stage's integer counts
+    (h3ray/text/analysis.py quality_filter_stage)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.text.analysis import _STOPWORDS
+    from h3ray.text.dedup import ngram_jaccard_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, key_col="doc_id", threshold=0.5)
+
+    def id_partial(batch: pa.Table) -> pa.Table:
+        ids = np.concatenate([
+            batch["key_a"].to_numpy(zero_copy_only=False),
+            batch["key_b"].to_numpy(zero_copy_only=False)])
+        return pa.table({"doc_id": np.unique(ids).astype(np.int64)})
+
+    dup_sorted = np.unique(driver_merge(
+        pairs.map_batches(id_partial, batch_format="pyarrow",
+                          batch_size=131072),
+        lambda t: t, schema=pa.schema([("doc_id", pa.int64())])
+    )["doc_id"].to_numpy(zero_copy_only=False)).astype(np.int64)
+
+    stop_all = set().union(*_STOPWORDS.values())
+    stop_pat = r"(?i)\b(?:" + "|".join(sorted(stop_all)) + r")\b"
+
+    def flag_partial(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        n_words = pc.count_substring_regex(text, r"\S+").to_numpy(
+            zero_copy_only=False)
+        n_stop = pc.count_substring_regex(text, stop_pat).to_numpy(
+            zero_copy_only=False)
+        p = ((n_chars >= 150) & (n_chars <= 600)
+             & (n_words >= 20) & (n_stop >= 3)).astype(np.int64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if dup_sorted.shape[0]:
+            pos = np.minimum(np.searchsorted(dup_sorted, ids),
+                             dup_sorted.shape[0] - 1)
+            m = (dup_sorted[pos] == ids).astype(np.int64)
+        else:
+            m = np.zeros(ids.shape[0], np.int64)
+        return pa.table({
+            "n_docs": pa.array([ids.shape[0]], pa.int64()),
+            "n_pass": pa.array([int(p.sum())], pa.int64()),
+            "n_dup": pa.array([int(m.sum())], pa.int64()),
+            "n_pass_dup": pa.array([int((p & m).sum())], pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_docs": pa.array([], pa.int64()),
+            "n_pass": pa.array([], pa.int64()),
+            "n_dup": pa.array([], pa.int64()),
+            "n_pass_dup": pa.array([], pa.int64()),
+            "odds_ratio": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        nd = int(pa.compute.sum(t["n_docs"]).as_py() or 0)
+        if nd == 0:
+            return empty
+        np_ = int(pa.compute.sum(t["n_pass"]).as_py())
+        nm = int(pa.compute.sum(t["n_dup"]).as_py())
+        pd_ = int(pa.compute.sum(t["n_pass_dup"]).as_py())
+        fd = nm - pd_
+        pc_ = np_ - pd_
+        fc = nd - np_ - fd
+        orr = None if fc * pd_ == 0 \
+            else float(fd * pc_) / float(fc * pd_)
+        return pa.table({
+            "n_docs": pa.array([nd], pa.int64()),
+            "n_pass": pa.array([np_], pa.int64()),
+            "n_dup": pa.array([nm], pa.int64()),
+            "n_pass_dup": pa.array([pd_], pa.int64()),
+            "odds_ratio": pa.array([orr], pa.float64())})
+
+    return driver_merge(
+        docs.map_batches(flag_partial, batch_format="pyarrow",
+                         batch_size=32768), merge,
+        schema=pa.schema([("n_docs", pa.int64()), ("n_pass", pa.int64()),
+                          ("n_dup", pa.int64()),
+                          ("n_pass_dup", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -11365,6 +11518,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 62: simhash bit bias, quality x dup 2x2 ---
+        "docs_simhash_bit_bias": _docs_simhash_bit_bias,
+        "docs_quality_dup_contingency": _docs_quality_dup_contingency,
         # --- round-5 wave 61: dim covariance, trigram sequences ---
         "emb_dim_covariance": _emb_dim_covariance,
         "events_type_trigrams_topk": _events_type_trigrams_topk,
@@ -11747,6 +11903,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 62: never driver-checked.
+    "docs_simhash_bit_bias", "docs_quality_dup_contingency",
     # (3) round-5 wave 61: never driver-checked.
     "emb_dim_covariance", "events_type_trigrams_topk",
     # (3) round-5 wave 60: never driver-checked.
@@ -12837,6 +12995,70 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # SimHash bit bias: unsigned view of the bit-viewed BIGINT,
+        # per-bit popcount, one division each.
+        "docs_simhash_bit_bias": f"""
+            WITH sh AS ({_simhash_oracle()}), u AS (
+              SELECT CAST(CAST(simhash AS HUGEINT)
+                          + CASE WHEN simhash < 0
+                                 THEN 18446744073709551616::HUGEINT
+                                 ELSE 0::HUGEINT END AS UBIGINT) AS fp
+              FROM sh
+            ), b AS (SELECT unnest(range(0, 64)) AS bit)
+            SELECT CAST(b.bit AS BIGINT) AS bit,
+                   CAST(SUM(CAST((u.fp >> b.bit) & 1 AS BIGINT))
+                        AS BIGINT) AS n_ones,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CAST((u.fp >> b.bit) & 1 AS BIGINT))
+                        AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS bias
+            FROM u CROSS JOIN b
+            GROUP BY b.bit
+        """,
+        # Quality x dup 2x2: exact counts, odds ratio as one division
+        # of integer cross-products.
+        "docs_quality_dup_contingency": f"""
+            WITH shingles AS (
+              SELECT doc_id,
+                     CASE WHEN length(text) < 5 THEN [rpad(text, 5, ' ')]
+                          ELSE list_distinct([substring(text, i, 5)
+                                  FOR i IN range(1, length(text) - 3)])
+                     END AS gs
+              FROM documents
+            ), prs AS (
+              SELECT a.doc_id AS ka, b.doc_id AS kb
+              FROM shingles a JOIN shingles b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                    / (len(a.gs) + len(b.gs)
+                       - len(list_intersect(a.gs, b.gs))) >= 0.5
+            ), dup AS (
+              SELECT ka AS doc_id FROM prs
+              UNION SELECT kb FROM prs
+            ), q AS ({_quality_filter_oracle()}), f AS (
+              SELECT CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                         AS p,
+                     CASE WHEN u.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                         AS m
+              FROM documents d
+              LEFT JOIN q ON q.doc_id = d.doc_id
+              LEFT JOIN dup u ON u.doc_id = d.doc_id
+            ), c AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(p) AS BIGINT) AS n_pass,
+                     CAST(SUM(m) AS BIGINT) AS n_dup,
+                     CAST(SUM(p * m) AS BIGINT) AS n_pass_dup
+              FROM f
+            )
+            SELECT n_docs, n_pass, n_dup, n_pass_dup,
+                   CASE WHEN (n_docs - n_pass - (n_dup - n_pass_dup))
+                             * n_pass_dup = 0 THEN NULL
+                        ELSE CAST((n_dup - n_pass_dup)
+                                  * (n_pass - n_pass_dup) AS DOUBLE)
+                             / CAST((n_docs - n_pass
+                                     - (n_dup - n_pass_dup))
+                                    * n_pass_dup AS DOUBLE)
+                   END AS odds_ratio
+            FROM c WHERE n_docs > 0
         """,
         # Dim covariance: unnest self-join on vec_id; HUGEINT moment
         # sums; exact bigint->double casts + one division.

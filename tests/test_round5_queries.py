@@ -157,7 +157,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 60: Mann-Kendall trend test, neighborhood Jaccard top-k
         "orders_mann_kendall", "sites_neighbor_jaccard_topk",
         # wave 61: exact dim covariance matrix, trigram sequence mining
-        "emb_dim_covariance", "events_type_trigrams_topk"]
+        "emb_dim_covariance", "events_type_trigrams_topk",
+        # wave 62: simhash bit-bias diagnostics, quality x dup 2x2
+        "docs_simhash_bit_bias", "docs_quality_dup_contingency"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
