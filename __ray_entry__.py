@@ -11509,6 +11509,110 @@ def _docs_quality_dup_contingency(sf_dir: str):
                           ("n_pass_dup", pa.int64())]))
 
 
+def _orders_cusum_changepoint(sf_dir: str):
+    """CUSUM changepoint estimator over daily revenue: the day k
+    maximizing |n*S_k - k*S_n| (the scaled cumulative-sum deviation
+    whose argmax locates a mean shift), ties to the earliest day. Daily
+    cents via a date-bounded combiner; the scan and argmax run on
+    PYTHON BIGINTS at the root, so the statistic is exact at any scale
+    — only the reported magnitude is a bigint->double cast."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+        cents = np.floor(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        t = pa.table({"day": day, "cents": cents})
+        return t.group_by("day").aggregate([("cents", "sum")]) \
+            .rename_columns(["day", "cents"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("day").aggregate([("cents", "sum")])
+        d = g["day"].to_numpy(zero_copy_only=False)
+        if d.shape[0] == 0:
+            return pa.table({
+                "n_days": pa.array([], pa.int64()),
+                "change_day": pa.array([], pa.int64()),
+                "d_abs_max": pa.array([], pa.float64())})
+        o = np.argsort(d)
+        days = d[o].tolist()
+        cents = [int(x) for x in
+                 g["cents_sum"].to_numpy(zero_copy_only=False)[o]]
+        n = len(days)
+        sn = sum(cents)
+        best_day, best_d = None, -1
+        sk = 0
+        for k, (dy, c) in enumerate(zip(days, cents), start=1):
+            sk += c
+            dk = abs(n * sk - k * sn)
+            if dk > best_d:
+                best_d, best_day = dk, int(dy)
+        return pa.table({
+            "n_days": pa.array([n], pa.int64()),
+            "change_day": pa.array([best_day], pa.int64()),
+            "d_abs_max": pa.array([float(best_d)], pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("day", pa.int64()), ("cents", pa.int64())]))
+
+
+def _sites_harmonic_centrality(sf_dir: str):
+    """Harmonic centrality of the BFS seed sites {0, 13, 500} over the
+    directed link graph: sum over reached nodes of 1/dist, formed as
+    the EXACT rational sum(n_d * (max_hops!)/d) / max_hops! — every
+    hop count divides the factorial denominator, so no float sum ever
+    forms; the centrality itself is ONE terminal division. Each seed
+    runs the iterative-frontier BFS (ops.graph.bfs_hops, edges never
+    leave their blocks) against the per-seed recursive-CTE oracle."""
+    import math
+
+    import pyarrow as pa
+
+    from h3ray.ops.graph import bfs_hops
+
+    out_seed, out_n, out_mh = [], [], []
+    out_num, out_den, out_h = [], [], []
+    for seed in (0, 13, 500):
+        hops = bfs_hops(_sites_edges_ds(sf_dir), 997, [seed])
+        hv = [int(h) for h in hops["hops"].to_pylist() if int(h) > 0]
+        if not hv:
+            continue
+        counts: dict = {}
+        for h in hv:
+            counts[h] = counts.get(h, 0) + 1
+        mh = max(counts)
+        # factorial(34) overflows HUGEINT — the SQL mirror's bound;
+        # the bfs cap (64 rounds) already bounds mh, assert the rest
+        assert mh <= 33, "diameter too large for the HUGEINT oracle"
+        den = math.factorial(mh)
+        num = sum(nd * (den // h) for h, nd in counts.items())
+        out_seed.append(seed)
+        out_n.append(len(hv))
+        out_mh.append(mh)
+        # exact-integer rationals reported as exact bigint->double
+        # casts (they pass 2^63; the ratio is the one true division)
+        out_num.append(float(num))
+        out_den.append(float(den))
+        out_h.append(float(num) / float(den))
+    return pa.table({
+        "seed": pa.array(out_seed, pa.int64()),
+        "n_reached": pa.array(out_n, pa.int64()),
+        "max_hops": pa.array(out_mh, pa.int64()),
+        "harm_num": pa.array(out_num, pa.float64()),
+        "harm_den": pa.array(out_den, pa.float64()),
+        "harmonic": pa.array(out_h, pa.float64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -11518,6 +11622,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 63: CUSUM changepoint, harmonic centrality ---
+        "orders_cusum_changepoint": _orders_cusum_changepoint,
+        "sites_harmonic_centrality": _sites_harmonic_centrality,
         # --- round-5 wave 62: simhash bit bias, quality x dup 2x2 ---
         "docs_simhash_bit_bias": _docs_simhash_bit_bias,
         "docs_quality_dup_contingency": _docs_quality_dup_contingency,
@@ -11903,6 +12010,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 63: never driver-checked.
+    "orders_cusum_changepoint", "sites_harmonic_centrality",
     # (3) round-5 wave 62: never driver-checked.
     "docs_simhash_bit_bias", "docs_quality_dup_contingency",
     # (3) round-5 wave 61: never driver-checked.
@@ -12995,6 +13104,63 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # CUSUM changepoint: window cumsum, |n*S_k - k*S_n| argmax
+        # with earliest-day tie.
+        "orders_cusum_changepoint": """
+            WITH d AS (
+              SELECT CAST(epoch_us(o_orderdate) // 86400000000
+                          AS BIGINT) AS day,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS cents
+              FROM orders GROUP BY 1
+            ), c AS (
+              SELECT day, SUM(CAST(cents AS HUGEINT))
+                              OVER (ORDER BY day) AS sk,
+                     ROW_NUMBER() OVER (ORDER BY day) AS k
+              FROM d
+            ), t AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(cents) AS HUGEINT) AS sn
+              FROM d
+            )
+            SELECT CAST(n AS BIGINT) AS n_days, day AS change_day,
+                   CAST(ABS(n * sk - k * sn) AS DOUBLE) AS d_abs_max
+            FROM c, t
+            ORDER BY ABS(n * sk - k * sn) DESC, day
+            LIMIT 1
+        """,
+        # Harmonic centrality: per-seed recursive CTE distances; exact
+        # factorial-denominator rational; one terminal division.
+        "sites_harmonic_centrality": f"""
+            WITH RECURSIVE {_sites_edges_cte()}, walk(seed, site, hops)
+            AS (
+              SELECT s.seed, CAST(s.seed AS BIGINT), CAST(0 AS BIGINT)
+              FROM (VALUES (0), (13), (500)) s(seed)
+              UNION
+              SELECT w.seed, e.dst, w.hops + 1
+              FROM walk w JOIN edges e ON e.src = w.site
+              WHERE w.hops < 64
+            ), dist AS (
+              SELECT seed, site, MIN(hops) AS h
+              FROM walk GROUP BY 1, 2
+            ), g AS (
+              SELECT seed, h, CAST(COUNT(*) AS BIGINT) AS nd
+              FROM dist WHERE h > 0 GROUP BY 1, 2
+            ), mx AS (SELECT seed, MAX(h) AS mh FROM g GROUP BY 1)
+            SELECT CAST(g.seed AS BIGINT) AS seed,
+                   CAST(SUM(g.nd) AS BIGINT) AS n_reached,
+                   CAST(mx.mh AS BIGINT) AS max_hops,
+                   CAST(SUM(g.nd * (factorial(CAST(mx.mh AS INTEGER))
+                                    // g.h)) AS DOUBLE) AS harm_num,
+                   CAST(factorial(CAST(mx.mh AS INTEGER)) AS DOUBLE)
+                       AS harm_den,
+                   CAST(SUM(g.nd * (factorial(CAST(mx.mh AS INTEGER))
+                                    // g.h)) AS DOUBLE)
+                   / CAST(factorial(CAST(mx.mh AS INTEGER)) AS DOUBLE)
+                       AS harmonic
+            FROM g JOIN mx ON mx.seed = g.seed
+            GROUP BY g.seed, mx.mh
         """,
         # SimHash bit bias: unsigned view of the bit-viewed BIGINT,
         # per-bit popcount, one division each.

@@ -159,7 +159,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 61: exact dim covariance matrix, trigram sequence mining
         "emb_dim_covariance", "events_type_trigrams_topk",
         # wave 62: simhash bit-bias diagnostics, quality x dup 2x2
-        "docs_simhash_bit_bias", "docs_quality_dup_contingency"]
+        "docs_simhash_bit_bias", "docs_quality_dup_contingency",
+        # wave 63: CUSUM changepoint, harmonic centrality
+        "orders_cusum_changepoint", "sites_harmonic_centrality"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
