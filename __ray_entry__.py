@@ -11613,6 +11613,83 @@ def _sites_harmonic_centrality(sf_dir: str):
         "harmonic": pa.array(out_h, pa.float64())})
 
 
+def _orders_theil_sen(sf_dir: str):
+    """Theil-Sen robust trend slope of daily revenue: the
+    PERCENTILE_DISC(0.5) median of ALL pairwise slopes
+    (c_j - c_i)/(d_j - d_i) over the date-bounded daily series — the
+    outlier-proof alternative to the OLS slope. Daily cents via a
+    combiner; the ~n^2/2 pair slopes (calendar-bounded, NOT data-
+    bounded) form and sort vectorized at the root as the same IEEE
+    doubles the SQL mirror divides, so the selected median element is
+    identical."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+        cents = np.floor(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        t = pa.table({"day": day, "cents": cents})
+        return t.group_by("day").aggregate([("cents", "sum")]) \
+            .rename_columns(["day", "cents"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("day").aggregate([("cents", "sum")])
+        d = g["day"].to_numpy(zero_copy_only=False)
+        if d.shape[0] == 0:
+            return pa.table({
+                "n_days": pa.array([], pa.int64()),
+                "n_pairs": pa.array([], pa.int64()),
+                "ts_slope": pa.array([], pa.float64())})
+        o = np.argsort(d)
+        days = d[o].astype(np.int64)
+        cents = g["cents_sum"].to_numpy(zero_copy_only=False)[o] \
+            .astype(np.int64)
+        n = int(days.shape[0])
+        iu, iv = np.triu_indices(n, k=1)
+        m = int(iu.shape[0])
+        if m == 0:
+            slope = None
+        else:
+            s = (cents[iv] - cents[iu]).astype(np.float64) \
+                / (days[iv] - days[iu]).astype(np.float64)
+            slope = float(np.sort(s)[(m - 1) // 2])
+        return pa.table({
+            "n_days": pa.array([n], pa.int64()),
+            "n_pairs": pa.array([m], pa.int64()),
+            "ts_slope": pa.array([slope], pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("day", pa.int64()), ("cents", pa.int64())]))
+
+
+def _docs_winnow_fingerprints(sf_dir: str):
+    """Per-document winnowing (MOSS) fingerprint density: k-gram
+    count, window count and DISTINCT window-minimum fingerprints
+    (text.dedup.winnow_stats_stage — one Arrow-buffer shingling pass,
+    one strided window-min, one lexsort distinct). The position-robust
+    overlap-detection signal; ALL-INTEGER vs the list-comprehension
+    SQL mirror that replays the same polynomial + splitmix64 gram
+    hashes."""
+    import ray.data as rd
+
+    from h3ray.text.dedup import winnow_stats_stage
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(winnow_stats_stage(), batch_format="pyarrow",
+                          batch_size=32768)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -11622,6 +11699,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 64: Theil-Sen slope, winnowing density ---
+        "orders_theil_sen": _orders_theil_sen,
+        "docs_winnow_fingerprints": _docs_winnow_fingerprints,
         # --- round-5 wave 63: CUSUM changepoint, harmonic centrality ---
         "orders_cusum_changepoint": _orders_cusum_changepoint,
         "sites_harmonic_centrality": _sites_harmonic_centrality,
@@ -12010,6 +12090,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 64: never driver-checked.
+    "orders_theil_sen", "docs_winnow_fingerprints",
     # (3) round-5 wave 63: never driver-checked.
     "orders_cusum_changepoint", "sites_harmonic_centrality",
     # (3) round-5 wave 62: never driver-checked.
@@ -12282,6 +12364,63 @@ def _hll_oracle() -> str:
                      {ALPHA_NUM * two53}::HUGEINT
                          // ({ALPHA_DEN}::HUGEINT * s53) AS raw
               FROM stats)
+    """
+
+
+def _winnow_oracle() -> str:
+    """SQL mirror of h3ray.text.dedup.winnow_stats_stage: per-position
+    k-gram polynomial hashes (same FNV-prime powers mod 2^64 over raw
+    bytes, ASCII text so ord == byte), splitmix64 finalizer via the
+    mulmod machinery, w=4 sliding list_min windows, distinct minima.
+    Docs shorter than k take the space-padded single gram; gram lists
+    shorter than w take the whole-list min — both matching the stage."""
+    c1, c2 = 13787848793156543929, 10723151780598845931
+    p = [pow(1099511628211, t, 1 << 64) for t in range(5)]
+    poly = (f"CAST((CAST(ord(substring(t, i, 1)) AS HUGEINT)"
+            f" + CAST(ord(substring(t, i + 1, 1)) AS HUGEINT)"
+            f" * {p[1]}::HUGEINT"
+            f" + CAST(ord(substring(t, i + 2, 1)) AS HUGEINT)"
+            f" * {p[2]}::HUGEINT"
+            f" + CAST(ord(substring(t, i + 3, 1)) AS HUGEINT)"
+            f" * {p[3]}::HUGEINT"
+            f" + CAST(ord(substring(t, i + 4, 1)) AS HUGEINT)"
+            f" * {p[4]}::HUGEINT)"
+            f" % 18446744073709551616 AS UBIGINT)")
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+                 CASE WHEN length(text) >= 5 THEN text
+                      ELSE rpad(text, 5, ' ') END AS t
+          FROM documents
+        ), g0 AS (
+          SELECT doc_id,
+                 [{poly} FOR i IN range(1, length(t) - 3)] AS hs
+          FROM base
+        ), g1 AS (
+          SELECT doc_id,
+                 [{_sql_mulmod('xor(h, h >> 30)', c1)} FOR h IN hs]
+                     AS hs
+          FROM g0
+        ), g2 AS (
+          SELECT doc_id,
+                 [{_sql_mulmod('xor(h, h >> 27)', c2)} FOR h IN hs]
+                     AS hs
+          FROM g1
+        ), g3 AS (
+          SELECT doc_id, [xor(h, h >> 31) FOR h IN hs] AS hs FROM g2
+        ), win AS (
+          SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+                 CASE WHEN len(hs) >= 4
+                      THEN [list_min(hs[i:i+3])
+                            FOR i IN range(1, len(hs) - 2)]
+                      ELSE [list_min(hs)] END AS mins
+          FROM g3
+        )
+        SELECT doc_id, n_grams,
+               CAST(len(mins) AS BIGINT) AS n_windows,
+               CAST(len(list_distinct(mins)) AS BIGINT)
+                   AS n_fingerprints
+        FROM win
     """
 
 
@@ -13105,6 +13244,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
         """,
+        # Theil-Sen: pairwise-slope PERCENTILE_DISC median over the
+        # calendar-bounded daily series; identical IEEE divisions.
+        "orders_theil_sen": """
+            WITH d AS (
+              SELECT CAST(epoch_us(o_orderdate) // 86400000000
+                          AS BIGINT) AS day,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS cents
+              FROM orders GROUP BY 1
+            ), p AS (
+              SELECT CAST(b.cents - a.cents AS DOUBLE)
+                     / CAST(b.day - a.day AS DOUBLE) AS s
+              FROM d a JOIN d b ON b.day > a.day
+            ), c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM d),
+            pc AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                     PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY s)
+                         AS ts_slope
+              FROM p
+            )
+            SELECT n_days, n_pairs, ts_slope
+            FROM c, pc WHERE n_days > 0
+        """,
+        "docs_winnow_fingerprints": _winnow_oracle(),
         # CUSUM changepoint: window cumsum, |n*S_k - k*S_n| argmax
         # with earliest-day tie.
         "orders_cusum_changepoint": """

@@ -238,6 +238,65 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def winnow_stats_stage(key_col: str = "doc_id", text_col: str = "text",
+                       k: int = 5, w: int = 4):
+    """Winnowing (MOSS) fingerprint statistics per document: the number
+    of k-gram positions, sliding windows of w consecutive gram hashes,
+    and DISTINCT window minima — the position-robust fingerprint
+    density a plagiarism/overlap detector selects. One Arrow-buffer
+    shingling pass (`_shingle_hashes_batch`), one strided window-min
+    over the flat hash stream with doc-boundary masking, one lexsort
+    run-detection for per-doc distincts — no per-doc Python except the
+    rare shorter-than-w fallback (its single window is the whole-doc
+    min, mirroring the SQL list_min). Zero shuffle, zero state."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        flat, lens = _shingle_hashes_batch(texts, k)
+        nd = lens.shape[0]
+        if nd == 0:
+            return pa.table({
+                key_col: pa.array([], batch.schema.field(key_col).type),
+                "n_grams": pa.array([], pa.int64()),
+                "n_windows": pa.array([], pa.int64()),
+                "n_fingerprints": pa.array([], pa.int64())})
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        long = lens >= w
+        n_win = np.where(long, lens - w + 1, 1).astype(np.int64)
+        total = int(n_win.sum())
+        mins = np.empty(total, np.uint64)
+        out_start = np.concatenate([[0], np.cumsum(n_win)[:-1]])
+        if flat.shape[0] >= w:
+            allm = np.lib.stride_tricks.sliding_window_view(flat, w) \
+                .min(axis=1)
+        else:
+            allm = np.empty(0, np.uint64)
+        li = np.flatnonzero(long)
+        if li.size:
+            cnt = n_win[li]
+            intra = np.arange(int(cnt.sum()), dtype=np.int64) \
+                - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            mins[np.repeat(out_start[li], cnt) + intra] = \
+                allm[np.repeat(starts[li], cnt) + intra]
+        for s in np.flatnonzero(~long):
+            mins[out_start[s]] = flat[starts[s]:starts[s]
+                                      + lens[s]].min()
+        seg = np.repeat(np.arange(nd, dtype=np.int64), n_win)
+        order = np.lexsort((mins, seg))
+        sv, sm = seg[order], mins[order]
+        new = np.r_[True, (sv[1:] != sv[:-1]) | (sm[1:] != sm[:-1])]
+        distinct = np.bincount(sv[new], minlength=nd).astype(np.int64)
+        return pa.table({
+            key_col: batch[key_col],
+            "n_grams": pa.array(lens.astype(np.int64)),
+            "n_windows": pa.array(n_win),
+            "n_fingerprints": pa.array(distinct)})
+
+    return fn
+
+
 # ---------------------------------------------------------------------------
 # Dataset-level pipelines
 # ---------------------------------------------------------------------------

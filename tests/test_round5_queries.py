@@ -161,7 +161,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 62: simhash bit-bias diagnostics, quality x dup 2x2
         "docs_simhash_bit_bias", "docs_quality_dup_contingency",
         # wave 63: CUSUM changepoint, harmonic centrality
-        "orders_cusum_changepoint", "sites_harmonic_centrality"]
+        "orders_cusum_changepoint", "sites_harmonic_centrality",
+        # wave 64: Theil-Sen robust slope, winnowing fingerprints
+        "orders_theil_sen", "docs_winnow_fingerprints"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
