@@ -11690,6 +11690,149 @@ def _docs_winnow_fingerprints(sf_dir: str):
                           batch_size=32768)
 
 
+def _lineitem_simpson_paradox(sf_dir: str):
+    """Simpson's-paradox detector for the discount->quantity relation:
+    the EXACT sign of the pooled slope numerator n*Sxy - Sx*Sy vs each
+    brand's own sign (Python bigints — no correlation float is ever
+    needed for a sign), counting how many brands agree, disagree, or
+    are flat, and how many REVERSE the pooled direction — the
+    aggregation-bias audit. Brand-bounded moment combiner with the
+    part dimension as a broadcast sorted gather. ALL-INTEGER."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    order = np.argsort(pk)
+    pk = pk[order]
+    brand = part["p_brand"].to_numpy(zero_copy_only=False)[order] \
+        .astype(str)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_discount",
+                                  "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "brand": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "sx": pa.array([], pa.int64()),
+            "sy": pa.array([], pa.int64()),
+            "sxy": pa.array([], pa.int64())})
+        k = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if pk.shape[0] == 0 or k.shape[0] == 0:
+            return empty
+        pos = np.minimum(np.searchsorted(pk, k), pk.shape[0] - 1)
+        sel = pk[pos] == k
+        x = np.floor(batch["l_discount"].to_numpy(
+            zero_copy_only=False) * 10000 + 0.5).astype(np.int64)[sel]
+        y = np.floor(batch["l_quantity"].to_numpy(
+            zero_copy_only=False) + 0.5).astype(np.int64)[sel]
+        t = pa.table({"brand": pa.array(brand[pos[sel]], pa.string()),
+                      "n": np.ones(x.shape[0], np.int64),
+                      "sx": x, "sy": y, "sxy": x * y})
+        return t.group_by("brand").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxy", "sum")]) \
+            .rename_columns(["brand", "n", "sx", "sy", "sxy"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("brand").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxy", "sum")])
+        if g.num_rows == 0:
+            return pa.table({
+                "overall_sign": pa.array([], pa.int64()),
+                "n_brands_pos": pa.array([], pa.int64()),
+                "n_brands_neg": pa.array([], pa.int64()),
+                "n_brands_zero": pa.array([], pa.int64()),
+                "n_reversed": pa.array([], pa.int64())})
+        ns = [int(v) for v in g["n_sum"].to_pylist()]
+        sx = [int(v) for v in g["sx_sum"].to_pylist()]
+        sy = [int(v) for v in g["sy_sum"].to_pylist()]
+        sxy = [int(v) for v in g["sxy_sum"].to_pylist()]
+
+        def sign(v: int) -> int:
+            return 1 if v > 0 else (-1 if v < 0 else 0)
+
+        signs = [sign(n_ * x_ - a * b)
+                 for n_, a, b, x_ in zip(ns, sx, sy, sxy)]
+        tot_n, tot_x, tot_y = sum(ns), sum(sx), sum(sy)
+        tot_xy = sum(sxy)
+        overall = sign(tot_n * tot_xy - tot_x * tot_y)
+        pos_ = sum(1 for s in signs if s > 0)
+        neg = sum(1 for s in signs if s < 0)
+        zero = len(signs) - pos_ - neg
+        rev = 0 if overall == 0 \
+            else sum(1 for s in signs if s == -overall)
+        return pa.table({
+            "overall_sign": pa.array([overall], pa.int64()),
+            "n_brands_pos": pa.array([pos_], pa.int64()),
+            "n_brands_neg": pa.array([neg], pa.int64()),
+            "n_brands_zero": pa.array([zero], pa.int64()),
+            "n_reversed": pa.array([rev], pa.int64())})
+
+    return driver_merge(
+        li.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("brand", pa.string()), ("n", pa.int64()),
+                          ("sx", pa.int64()), ("sy", pa.int64()),
+                          ("sxy", pa.int64())]))
+
+
+def _docs_dedup_method_agreement(sf_dir: str):
+    """Cross-method dedup agreement audit: the ngram-Jaccard (>= 0.5)
+    and SimHash (hamming <= 3) pair sets, their intersection, and the
+    pair-set Jaccard — the evidence for picking one detector over the
+    other. Both pipelines keep their pigeonhole-exact recall; the
+    bounded pair sets fold at the root (the near-dedup survivor
+    assumption) and the agreement ratio is ONE division."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.text.dedup import (ngram_jaccard_pairs,
+                                  simhash_duplicate_pairs)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def pair_set(pairs_ds) -> set:
+        def partial(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "key_a": batch["key_a"],
+                "key_b": batch["key_b"]})
+
+        t = driver_merge(
+            pairs_ds.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=131072),
+            lambda t: t,
+            schema=pa.schema([("key_a", pa.int64()),
+                              ("key_b", pa.int64())]))
+        return set(zip([int(v) for v in t["key_a"].to_pylist()],
+                       [int(v) for v in t["key_b"].to_pylist()]))
+
+    ja = pair_set(ngram_jaccard_pairs(docs, key_col="doc_id",
+                                      threshold=0.5)
+                  .select_columns(["key_a", "key_b"]))
+    sh = pair_set(simhash_duplicate_pairs(docs, key_col="doc_id",
+                                          max_hamming=3))
+    both = len(ja & sh)
+    union = len(ja) + len(sh) - both
+    agree = None if union == 0 else float(both) / float(union)
+    return pa.table({
+        "n_jaccard": pa.array([len(ja)], pa.int64()),
+        "n_simhash": pa.array([len(sh)], pa.int64()),
+        "n_both": pa.array([both], pa.int64()),
+        "pair_jaccard": pa.array([agree], pa.float64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -11699,6 +11842,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 65: Simpson paradox, dedup agreement ---
+        "lineitem_simpson_paradox": _lineitem_simpson_paradox,
+        "docs_dedup_method_agreement": _docs_dedup_method_agreement,
         # --- round-5 wave 64: Theil-Sen slope, winnowing density ---
         "orders_theil_sen": _orders_theil_sen,
         "docs_winnow_fingerprints": _docs_winnow_fingerprints,
@@ -12090,6 +12236,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 65: never driver-checked.
+    "lineitem_simpson_paradox", "docs_dedup_method_agreement",
     # (3) round-5 wave 64: never driver-checked.
     "orders_theil_sen", "docs_winnow_fingerprints",
     # (3) round-5 wave 63: never driver-checked.
@@ -13243,6 +13391,87 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Simpson's paradox: exact HUGEINT slope-numerator signs per
+        # brand vs pooled; pure integer counts.
+        "lineitem_simpson_paradox": """
+            WITH m AS (
+              SELECT p.p_brand,
+                     CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(CAST(FLOOR(l_discount * 10000 + 0.5)
+                                   AS BIGINT)) AS HUGEINT) AS sx,
+                     CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT))
+                          AS HUGEINT) AS sy,
+                     CAST(SUM(CAST(FLOOR(l_discount * 10000 + 0.5)
+                                   AS BIGINT)
+                              * CAST(FLOOR(l_quantity + 0.5)
+                                     AS BIGINT)) AS HUGEINT) AS sxy
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+              GROUP BY 1
+            ), s AS (
+              SELECT CASE WHEN n * sxy - sx * sy > 0 THEN 1
+                          WHEN n * sxy - sx * sy < 0 THEN -1
+                          ELSE 0 END AS sg
+              FROM m
+            ), o AS (
+              SELECT CASE WHEN SUM(n) * SUM(sxy)
+                               - SUM(sx) * SUM(sy) > 0 THEN 1
+                          WHEN SUM(n) * SUM(sxy)
+                               - SUM(sx) * SUM(sy) < 0 THEN -1
+                          ELSE 0 END AS ov
+              FROM m
+            )
+            SELECT CAST(ov AS BIGINT) AS overall_sign,
+                   CAST(SUM(CASE WHEN sg = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_brands_pos,
+                   CAST(SUM(CASE WHEN sg = -1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_brands_neg,
+                   CAST(SUM(CASE WHEN sg = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_brands_zero,
+                   CAST(CASE WHEN ov = 0 THEN 0
+                             ELSE SUM(CASE WHEN sg = -ov
+                                      THEN 1 ELSE 0 END) END
+                        AS BIGINT) AS n_reversed
+            FROM s, o
+            GROUP BY ov
+        """,
+        # Dedup method agreement: both exact pair CTEs, intersection
+        # join, one division.
+        "docs_dedup_method_agreement": f"""
+            WITH shingles AS (
+              SELECT doc_id,
+                     CASE WHEN length(text) < 5 THEN [rpad(text, 5, ' ')]
+                          ELSE list_distinct([substring(text, i, 5)
+                                  FOR i IN range(1, length(text) - 3)])
+                     END AS gs
+              FROM documents
+            ), ja AS (
+              SELECT a.doc_id AS ka, b.doc_id AS kb
+              FROM shingles a JOIN shingles b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                    / (len(a.gs) + len(b.gs)
+                       - len(list_intersect(a.gs, b.gs))) >= 0.5
+            ), sims AS ({_simhash_oracle()}), sh AS (
+              SELECT a.doc_id AS ka, b.doc_id AS kb
+              FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ), c AS (
+              SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ja)
+                         AS n_jaccard,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM sh)
+                         AS n_simhash,
+                     (SELECT CAST(COUNT(*) AS BIGINT)
+                      FROM ja JOIN sh ON sh.ka = ja.ka
+                                     AND sh.kb = ja.kb) AS n_both
+            )
+            SELECT n_jaccard, n_simhash, n_both,
+                   CASE WHEN n_jaccard + n_simhash - n_both = 0
+                        THEN NULL
+                        ELSE CAST(n_both AS DOUBLE)
+                             / CAST(n_jaccard + n_simhash - n_both
+                                    AS DOUBLE)
+                   END AS pair_jaccard
+            FROM c
         """,
         # Theil-Sen: pairwise-slope PERCENTILE_DISC median over the
         # calendar-bounded daily series; identical IEEE divisions.

@@ -163,7 +163,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 63: CUSUM changepoint, harmonic centrality
         "orders_cusum_changepoint", "sites_harmonic_centrality",
         # wave 64: Theil-Sen robust slope, winnowing fingerprints
-        "orders_theil_sen", "docs_winnow_fingerprints"]
+        "orders_theil_sen", "docs_winnow_fingerprints",
+        # wave 65: Simpson's paradox audit, dedup method agreement
+        "lineitem_simpson_paradox", "docs_dedup_method_agreement"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -219,6 +221,9 @@ def test_empty_tables_round5_queries(ray_session, tmp_path):
                  # fixed 5-point threshold lattice, like the SQL
                  # mirror's VALUES list LEFT JOIN
                  "docs_jaccard_threshold_curve": 5,
+                 # scalar-subquery counts row (0,0,0,NULL), like the
+                 # SQL mirror's single-row c CTE
+                 "docs_dedup_method_agreement": 1,
                  "sites_reciprocity": 1,
                  "sites_clustering_coeff": 1,
                  "sites_degree_assortativity": 1}.get(name, 0)
