@@ -11833,6 +11833,106 @@ def _docs_dedup_method_agreement(sf_dir: str):
         "pair_jaccard": pa.array([agree], pa.float64())})
 
 
+def _docs_dup_cluster_size_hist(sf_dir: str):
+    """Duplicate-cluster size distribution: how many connected
+    components of the exact near-dup graph have each size >= 2 — the
+    mirror-site / boilerplate severity profile a dedup pass reports.
+    Rides the pointer-doubling connected components; per-cluster counts
+    fold in one combiner (bounded by the dup subset) and histogram at
+    the root. ALL-INTEGER."""
+    import numpy as np
+    import pyarrow as pa
+
+    from h3ray.ops.reduce import driver_merge
+
+    clusters = _docs_dup_clusters(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cid = batch["cluster_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uniq, cnt = np.unique(cid, return_counts=True)
+        return pa.table({"cluster_id": uniq,
+                         "n": cnt.astype(np.int64)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("cluster_id").aggregate([("n", "sum")])
+        sz = g["n_sum"].to_numpy(zero_copy_only=False)
+        sz = sz[sz >= 2]
+        uniq, cnt = np.unique(sz, return_counts=True)
+        return pa.table({
+            "cluster_size": pa.array(uniq.astype(np.int64)),
+            "n_clusters": pa.array(cnt.astype(np.int64))})
+
+    return driver_merge(
+        clusters.map_batches(partial, batch_format="pyarrow",
+                             batch_size=131072), merge,
+        schema=pa.schema([("cluster_id", pa.int64()),
+                          ("n", pa.int64())]))
+
+
+def _events_dominant_period(sf_dir: str):
+    """Dominant periodicity of daily event volume: the lag in 1..14
+    maximizing the (1/n-scaled) autocovariance numerator
+    sum (n*x_t - S)(n*x_{t+k} - S) over the zero-filled calendar
+    series — numerators share one denominator, so the argmax is EXACT
+    on Python bigints; only the reported ACF value is one terminal
+    division. Daily counts via a date-bounded combiner; the 14-lag
+    scan runs once at the root."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+        uniq, cnt = np.unique(day, return_counts=True)
+        return pa.table({"day": uniq, "n": cnt.astype(np.int64)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("day").aggregate([("n", "sum")])
+        d = g["day"].to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            "n_days": pa.array([], pa.int64()),
+            "best_lag": pa.array([], pa.int64()),
+            "acf_num": pa.array([], pa.float64()),
+            "acf_best": pa.array([], pa.float64())})
+        if d.shape[0] == 0:
+            return empty
+        cnt = g["n_sum"].to_numpy(zero_copy_only=False)
+        lo, hi = int(d.min()), int(d.max())
+        x = [0] * (hi - lo + 1)
+        for dy, c in zip(d.tolist(), cnt.tolist()):
+            x[int(dy) - lo] = int(c)
+        n = len(x)
+        s = sum(x)
+        dev = [n * v - s for v in x]
+        n0 = sum(v * v for v in dev)
+        best_k, best_num = None, None
+        for k in range(1, 15):
+            if k >= n:
+                break
+            num = sum(a * b for a, b in zip(dev[:-k], dev[k:]))
+            if best_num is None or num > best_num:
+                best_k, best_num = k, num
+        if best_k is None:
+            return empty
+        acf = None if n0 == 0 else float(best_num) / float(n0)
+        return pa.table({
+            "n_days": pa.array([n], pa.int64()),
+            "best_lag": pa.array([best_k], pa.int64()),
+            "acf_num": pa.array([float(best_num)], pa.float64()),
+            "acf_best": pa.array([acf], pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("day", pa.int64()), ("n", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -11842,6 +11942,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 66: cluster-size histogram, dominant period ---
+        "docs_dup_cluster_size_hist": _docs_dup_cluster_size_hist,
+        "events_dominant_period": _events_dominant_period,
         # --- round-5 wave 65: Simpson paradox, dedup agreement ---
         "lineitem_simpson_paradox": _lineitem_simpson_paradox,
         "docs_dedup_method_agreement": _docs_dedup_method_agreement,
@@ -12236,6 +12339,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 66: never driver-checked.
+    "docs_dup_cluster_size_hist", "events_dominant_period",
     # (3) round-5 wave 65: never driver-checked.
     "lineitem_simpson_paradox", "docs_dedup_method_agreement",
     # (3) round-5 wave 64: never driver-checked.
@@ -13391,6 +13496,54 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Dup-cluster size histogram over the recursive-CTE components.
+        "docs_dup_cluster_size_hist": f"""
+            WITH cl AS ({_DUP_CLUSTERS_SQL}), g AS (
+              SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+              FROM cl GROUP BY 1
+            )
+            SELECT sz AS cluster_size,
+                   CAST(COUNT(*) AS BIGINT) AS n_clusters
+            FROM g WHERE sz >= 2 GROUP BY 1
+        """,
+        # Dominant period: shared-denominator autocovariance numerators
+        # over the zero-filled calendar; exact argmax, one division.
+        "events_dominant_period": """
+            WITH dd AS (
+              SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1
+            ), b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM dd),
+            cal AS (SELECT unnest(range(mn, mx + 1)) AS day FROM b),
+            x AS (
+              SELECT cal.day, CAST(COALESCE(dd.n, 0) AS HUGEINT) AS x
+              FROM cal LEFT JOIN dd ON dd.day = cal.day
+            ), t AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(x) AS HUGEINT) AS s
+              FROM x
+            ), z AS (
+              SELECT SUM((t.n * x.x - t.s) * (t.n * x.x - t.s)) AS n0
+              FROM x, t
+            ), lk AS (
+              SELECT ks.k,
+                     SUM((t.n * a.x - t.s) * (t.n * b.x - t.s)) AS num
+              FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10),
+                           (11),(12),(13),(14)) ks(k)
+              JOIN x a ON TRUE
+              JOIN x b ON b.day = a.day + ks.k
+              CROSS JOIN t
+              GROUP BY 1
+            )
+            SELECT CAST(t.n AS BIGINT) AS n_days,
+                   CAST(lk.k AS BIGINT) AS best_lag,
+                   CAST(lk.num AS DOUBLE) AS acf_num,
+                   CASE WHEN z.n0 = 0 THEN NULL
+                        ELSE CAST(lk.num AS DOUBLE)
+                             / CAST(z.n0 AS DOUBLE) END AS acf_best
+            FROM lk, t, z
+            ORDER BY lk.num DESC, lk.k LIMIT 1
         """,
         # Simpson's paradox: exact HUGEINT slope-numerator signs per
         # brand vs pooled; pure integer counts.

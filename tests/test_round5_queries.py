@@ -165,7 +165,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 64: Theil-Sen robust slope, winnowing fingerprints
         "orders_theil_sen", "docs_winnow_fingerprints",
         # wave 65: Simpson's paradox audit, dedup method agreement
-        "lineitem_simpson_paradox", "docs_dedup_method_agreement"]
+        "lineitem_simpson_paradox", "docs_dedup_method_agreement",
+        # wave 66: dup-cluster size histogram, dominant period
+        "docs_dup_cluster_size_hist", "events_dominant_period"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
