@@ -11933,6 +11933,122 @@ def _events_dominant_period(sf_dir: str):
         schema=pa.schema([("day", pa.int64()), ("n", pa.int64())]))
 
 
+def _docs_jsonl_roundtrip(sf_dir: str):
+    """JSONL source/sink round-trip: documents metadata written to
+    line-delimited JSON with Ray's streaming writer, read back with
+    ray.data.read_json, and rolled up per lang — proving the second
+    interchange format (after parquet) end-to-end against an oracle
+    that never leaves the original parquet. Exact integer counts; the
+    scratch dir is per-call (no cross-run reuse)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+    tmp = tempfile.mkdtemp(prefix="h3ray_jsonl_")
+    try:
+        ds.write_json(tmp)
+        back = rd.read_json(tmp)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            t = pa.table({
+                "lang": batch["lang"],
+                "n_docs": np.ones(batch.num_rows, np.int64),
+                "sum_chars": batch["n_chars"].to_numpy(
+                    zero_copy_only=False).astype(np.int64)})
+            return t.group_by("lang").aggregate(
+                [("n_docs", "sum"), ("sum_chars", "sum")]) \
+                .rename_columns(["lang", "n_docs", "sum_chars"])
+
+        def merge(t: pa.Table) -> pa.Table:
+            return t.group_by("lang").aggregate(
+                [("n_docs", "sum"), ("sum_chars", "sum")]) \
+                .rename_columns(["lang", "n_docs", "sum_chars"])
+
+        return driver_merge(
+            back.map_batches(partial, batch_format="pyarrow",
+                             batch_size=131072), merge,
+            schema=pa.schema([("lang", pa.string()),
+                              ("n_docs", pa.int64()),
+                              ("sum_chars", pa.int64())]))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _events_inspection_paradox(sf_dir: str):
+    """The inspection (waiting-time) paradox, quantified: the plain
+    mean inter-event gap vs the length-biased mean sum(g^2)/sum(g) a
+    random-instant probe experiences, and their ratio
+    n*sum(g^2)/sum(g)^2 — whole-second gaps off the per-user LAG
+    exchange, EXACT integer moments (one (n, s, s2) int64 row per
+    batch, Python-bigint root), three mirrored terminal divisions.
+    The burstiness diagnostic for arrival processes."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.ops.window import window_lag_lead
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    w = window_lag_lead(ds, "user_id", "ts", "ts",
+                        tiebreak_col="event_id", lag_col="prev_ts")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        valid = pc.is_valid(batch["prev_ts"]).to_numpy(
+            zero_copy_only=False)
+        cur = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)[valid] \
+            // 1_000_000
+        prev = batch["prev_ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)[valid] \
+            // 1_000_000
+        gap = cur - prev
+        return pa.table({
+            "n": pa.array([gap.shape[0]], pa.int64()),
+            "s": pa.array([int(gap.sum())], pa.int64()),
+            "s2": pa.array([int(np.dot(gap, gap))], pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_gaps": pa.array([], pa.int64()),
+            "sum_gap_s": pa.array([], pa.int64()),
+            "mean_gap_s": pa.array([], pa.float64()),
+            "biased_mean_s": pa.array([], pa.float64()),
+            "inspection_ratio": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        n = sum(int(v) for v in t["n"].to_pylist())
+        if n == 0:
+            return empty
+        s = sum(int(v) for v in t["s"].to_pylist())
+        s2 = sum(int(v) for v in t["s2"].to_pylist())
+        mean = float(s) / float(n)
+        biased = None if s == 0 else float(s2) / float(s)
+        ratio = None if s == 0 \
+            else float(n * s2) / float(s * s)
+        return pa.table({
+            "n_gaps": pa.array([n], pa.int64()),
+            "sum_gap_s": pa.array([s], pa.int64()),
+            "mean_gap_s": pa.array([mean], pa.float64()),
+            "biased_mean_s": pa.array([biased], pa.float64()),
+            "inspection_ratio": pa.array([ratio], pa.float64())})
+
+    return driver_merge(
+        w.map_batches(partial, batch_format="pyarrow",
+                      batch_size=131072), merge,
+        schema=pa.schema([("n", pa.int64()), ("s", pa.int64()),
+                          ("s2", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -11942,6 +12058,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 67: JSONL round-trip, inspection paradox ---
+        "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
+        "events_inspection_paradox": _events_inspection_paradox,
         # --- round-5 wave 66: cluster-size histogram, dominant period ---
         "docs_dup_cluster_size_hist": _docs_dup_cluster_size_hist,
         "events_dominant_period": _events_dominant_period,
@@ -12339,6 +12458,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 67: never driver-checked.
+    "docs_jsonl_roundtrip", "events_inspection_paradox",
     # (3) round-5 wave 66: never driver-checked.
     "docs_dup_cluster_size_hist", "events_dominant_period",
     # (3) round-5 wave 65: never driver-checked.
@@ -13496,6 +13617,42 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # JSONL round-trip: the oracle never leaves parquet; counts
+        # must survive the format hop exactly.
+        "docs_jsonl_roundtrip": """
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang
+        """,
+        # Inspection paradox: exact whole-second gap moments off the
+        # per-user LAG; three mirrored divisions.
+        "events_inspection_paradox": """
+            WITH w AS (
+              SELECT ts, LAG(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+              FROM events
+            ), g AS (
+              SELECT CAST(epoch_us(ts) // 1000000
+                          - epoch_us(prev) // 1000000 AS BIGINT) AS gap
+              FROM w WHERE prev IS NOT NULL
+            ), m AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(gap) AS BIGINT) AS s,
+                     CAST(SUM(CAST(gap AS HUGEINT) * gap) AS HUGEINT)
+                         AS s2
+              FROM g
+            )
+            SELECT n AS n_gaps, s AS sum_gap_s,
+                   CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_gap_s,
+                   CASE WHEN s = 0 THEN NULL
+                        ELSE CAST(s2 AS DOUBLE) / CAST(s AS DOUBLE)
+                   END AS biased_mean_s,
+                   CASE WHEN s = 0 THEN NULL
+                        ELSE CAST(n * s2 AS DOUBLE)
+                             / CAST(CAST(s AS HUGEINT) * s AS DOUBLE)
+                   END AS inspection_ratio
+            FROM m WHERE n > 0
         """,
         # Dup-cluster size histogram over the recursive-CTE components.
         "docs_dup_cluster_size_hist": f"""

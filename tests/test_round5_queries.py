@@ -167,7 +167,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 65: Simpson's paradox audit, dedup method agreement
         "lineitem_simpson_paradox", "docs_dedup_method_agreement",
         # wave 66: dup-cluster size histogram, dominant period
-        "docs_dup_cluster_size_hist", "events_dominant_period"]
+        "docs_dup_cluster_size_hist", "events_dominant_period",
+        # wave 67: JSONL source/sink round-trip, inspection paradox
+        "docs_jsonl_roundtrip", "events_inspection_paradox"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
