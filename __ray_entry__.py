@@ -11953,7 +11953,14 @@ def _docs_jsonl_roundtrip(sf_dir: str):
                          columns=["doc_id", "lang", "n_chars"])
     tmp = tempfile.mkdtemp(prefix="h3ray_jsonl_")
     try:
+        import os
+
         ds.write_json(tmp)
+        if not os.listdir(tmp):      # empty input wrote no files
+            return pa.table({
+                "lang": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "sum_chars": pa.array([], pa.int64())})
         back = rd.read_json(tmp)
 
         def partial(batch: pa.Table) -> pa.Table:
