@@ -12056,6 +12056,136 @@ def _events_inspection_paradox(sf_dir: str):
                           ("s2", pa.int64())]))
 
 
+def _events_csv_roundtrip(sf_dir: str):
+    """CSV source/sink round-trip (the third interchange format after
+    parquet and JSONL): events quantized to exact cents BEFORE the
+    write — integer CSV cells are lossless where raw doubles are not —
+    streamed out with write_csv, read back with read_csv, and rolled up
+    per type against an oracle that never leaves parquet."""
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch["value"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        return pa.table({"event_type": batch["event_type"],
+                         "cents": cents})
+
+    tmp = tempfile.mkdtemp(prefix="h3ray_csv_")
+    try:
+        ds.map_batches(to_cents, batch_format="pyarrow",
+                       batch_size=131072).write_csv(tmp)
+        if not os.listdir(tmp):
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "n_events": pa.array([], pa.int64()),
+                "sum_cents": pa.array([], pa.int64())})
+        back = rd.read_csv(tmp)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            t = pa.table({
+                "event_type": batch["event_type"],
+                "n_events": np.ones(batch.num_rows, np.int64),
+                "sum_cents": batch["cents"].to_numpy(
+                    zero_copy_only=False).astype(np.int64)})
+            return t.group_by("event_type").aggregate(
+                [("n_events", "sum"), ("sum_cents", "sum")]) \
+                .rename_columns(["event_type", "n_events", "sum_cents"])
+
+        def merge(t: pa.Table) -> pa.Table:
+            return t.group_by("event_type").aggregate(
+                [("n_events", "sum"), ("sum_cents", "sum")]) \
+                .rename_columns(["event_type", "n_events", "sum_cents"])
+
+        return driver_merge(
+            back.map_batches(partial, batch_format="pyarrow",
+                             batch_size=131072), merge,
+            schema=pa.schema([("event_type", pa.string()),
+                              ("n_events", pa.int64()),
+                              ("sum_cents", pa.int64())]))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _docs_vocab_coverage_curve(sf_dir: str):
+    """Vocabulary coverage curve: the fraction of all token
+    occurrences covered by the top-k most frequent terms at
+    k = 10/100/1000 — the tokenizer-design statistic (how much mass a
+    small vocab captures). Vocabulary-bounded term-frequency combiner;
+    ONE (count DESC, term ASC) sort + cumsum at the root; coverage is
+    one division per lattice point."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern_regex(
+            batch["text"], r"\s+"))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        toks = toks.filter(pc.not_equal(toks, ""))
+        uniq, cnt = np.unique(
+            toks.to_numpy(zero_copy_only=False).astype(str),
+            return_counts=True)
+        return pa.table({"term": pa.array(uniq, pa.string()),
+                         "n": cnt.astype(np.int64)})
+
+    KS = (10, 100, 1000)
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("term").aggregate([("n", "sum")])
+        empty = pa.table({
+            "k": pa.array([], pa.int64()),
+            "n_terms_used": pa.array([], pa.int64()),
+            "covered_tokens": pa.array([], pa.int64()),
+            "total_tokens": pa.array([], pa.int64()),
+            "coverage": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        terms = g["term"].to_numpy(zero_copy_only=False)
+        n = g["n_sum"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((terms, -n))
+        cum = np.cumsum(n[order])
+        total = int(cum[-1])
+        v = int(terms.shape[0])
+        rows_k, rows_u, rows_c, rows_cov = [], [], [], []
+        for k in KS:
+            used = min(k, v)
+            covered = int(cum[used - 1]) if used else 0
+            rows_k.append(k)
+            rows_u.append(used)
+            rows_c.append(covered)
+            rows_cov.append(None if total == 0
+                            else float(covered) / float(total))
+        return pa.table({
+            "k": pa.array(rows_k, pa.int64()),
+            "n_terms_used": pa.array(rows_u, pa.int64()),
+            "covered_tokens": pa.array(rows_c, pa.int64()),
+            "total_tokens": pa.array([total] * len(KS), pa.int64()),
+            "coverage": pa.array(rows_cov, pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=32768), merge,
+        schema=pa.schema([("term", pa.string()), ("n", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -12065,6 +12195,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 68: CSV round-trip, vocab coverage curve ---
+        "events_csv_roundtrip": _events_csv_roundtrip,
+        "docs_vocab_coverage_curve": _docs_vocab_coverage_curve,
         # --- round-5 wave 67: JSONL round-trip, inspection paradox ---
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip,
         "events_inspection_paradox": _events_inspection_paradox,
@@ -12465,6 +12598,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 68: never driver-checked.
+    "events_csv_roundtrip", "docs_vocab_coverage_curve",
     # (3) round-5 wave 67: never driver-checked.
     "docs_jsonl_roundtrip", "events_inspection_paradox",
     # (3) round-5 wave 66: never driver-checked.
@@ -13624,6 +13759,48 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # CSV round-trip: integer cents survive the text hop exactly;
+        # oracle stays on parquet.
+        "events_csv_roundtrip": """
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM events GROUP BY event_type
+        """,
+        # Vocab coverage: ROW_NUMBER over (tf DESC, term) and a 3-point
+        # k lattice; one division per point.
+        "docs_vocab_coverage_curve": r"""
+            WITH tok AS (
+              SELECT unnest(regexp_extract_all(text, '\S+')) AS t
+              FROM documents
+            ), tc AS (
+              SELECT t, CAST(COUNT(*) AS BIGINT) AS n
+              FROM tok GROUP BY 1
+            ), r AS (
+              SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, t) AS rn
+              FROM tc
+            ), tot AS (
+              SELECT CAST(SUM(n) AS BIGINT) AS total,
+                     CAST(COUNT(*) AS BIGINT) AS v
+              FROM tc
+            )
+            SELECT CAST(k.k AS BIGINT) AS k,
+                   CAST(LEAST(k.k, tot.v) AS BIGINT) AS n_terms_used,
+                   CAST(COALESCE(SUM(CASE WHEN r.rn <= k.k THEN r.n
+                                     END), 0) AS BIGINT)
+                       AS covered_tokens,
+                   tot.total AS total_tokens,
+                   CASE WHEN tot.total = 0 THEN NULL
+                        ELSE CAST(COALESCE(SUM(CASE WHEN r.rn <= k.k
+                                           THEN r.n END), 0) AS DOUBLE)
+                             / CAST(tot.total AS DOUBLE)
+                   END AS coverage
+            FROM (VALUES (10), (100), (1000)) k(k)
+            CROSS JOIN tot
+            LEFT JOIN r ON r.rn <= k.k
+            GROUP BY k.k, tot.total, tot.v
+            HAVING tot.total > 0
         """,
         # JSONL round-trip: the oracle never leaves parquet; counts
         # must survive the format hop exactly.

@@ -169,7 +169,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 66: dup-cluster size histogram, dominant period
         "docs_dup_cluster_size_hist", "events_dominant_period",
         # wave 67: JSONL source/sink round-trip, inspection paradox
-        "docs_jsonl_roundtrip", "events_inspection_paradox"]
+        "docs_jsonl_roundtrip", "events_inspection_paradox",
+        # wave 68: CSV round-trip, vocabulary coverage curve
+        "events_csv_roundtrip", "docs_vocab_coverage_curve"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
