@@ -12186,6 +12186,126 @@ def _docs_vocab_coverage_curve(sf_dir: str):
         schema=pa.schema([("term", pa.string()), ("n", pa.int64())]))
 
 
+def _docs_langid_prf(sf_dir: str):
+    """Per-language precision / recall / F1 of the heuristic langid
+    stage against the stored label — the classifier scorecard derived
+    from the |langs|^2-bounded confusion cells. All counts exact; each
+    metric is ONE division (F1 in the exact-integer form
+    2tp/(2tp+fp+fn), no float composition)."""
+    import pyarrow as pa
+
+    conf = _docs_langid_confusion(sf_dir)
+    langs = conf["lang"].to_pylist()
+    preds = conf["lang_pred"].to_pylist()
+    ns = [int(v) for v in conf["n_docs"].to_pylist()]
+    tp: dict = {}
+    row: dict = {}
+    col: dict = {}
+    for t, p, n in zip(langs, preds, ns):
+        row[t] = row.get(t, 0) + n
+        col[p] = col.get(p, 0) + n
+        if t == p:
+            tp[t] = tp.get(t, 0) + n
+    out_l, out_tp, out_fp, out_fn = [], [], [], []
+    out_p, out_r, out_f = [], [], []
+    for lang in sorted(row):
+        t = tp.get(lang, 0)
+        fp = col.get(lang, 0) - t
+        fn = row[lang] - t
+        out_l.append(lang)
+        out_tp.append(t)
+        out_fp.append(fp)
+        out_fn.append(fn)
+        out_p.append(None if t + fp == 0
+                     else float(t) / float(t + fp))
+        out_r.append(None if t + fn == 0
+                     else float(t) / float(t + fn))
+        out_f.append(None if 2 * t + fp + fn == 0
+                     else float(2 * t) / float(2 * t + fp + fn))
+    return pa.table({
+        "lang": pa.array(out_l, pa.string()),
+        "tp": pa.array(out_tp, pa.int64()),
+        "fp": pa.array(out_fp, pa.int64()),
+        "fn": pa.array(out_fn, pa.int64()),
+        "precision": pa.array(out_p, pa.float64()),
+        "recall": pa.array(out_r, pa.float64()),
+        "f1": pa.array(out_f, pa.float64())})
+
+
+def _events_type_synchrony(sf_dir: str):
+    """Type co-movement matrix: exact Pearson correlation between the
+    zero-filled DAILY COUNT series of every event-type pair — do
+    purchases and errors spike together? (type, day) count partials
+    are the only exchange; the |types|^2 moment products form on
+    PYTHON BIGINTS over the shared calendar, and each correlation is
+    the one mirrored float expression."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+        t = pa.table({"t": batch["event_type"], "day": day,
+                      "n": np.ones(day.shape[0], np.int64)})
+        return t.group_by(["t", "day"]).aggregate([("n", "sum")]) \
+            .rename_columns(["t", "day", "n"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["t", "day"]).aggregate([("n", "sum")])
+        empty = pa.table({
+            "type_a": pa.array([], pa.string()),
+            "type_b": pa.array([], pa.string()),
+            "n_days": pa.array([], pa.int64()),
+            "corr_daily": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        ty = g["t"].to_pylist()
+        dy = [int(v) for v in g["day"].to_pylist()]
+        nn = [int(v) for v in g["n_sum"].to_pylist()]
+        lo, hi = min(dy), max(dy)
+        n_days = hi - lo + 1
+        types = sorted(set(ty))
+        series = {t_: [0] * n_days for t_ in types}
+        for t_, d_, c_ in zip(ty, dy, nn):
+            series[t_][d_ - lo] = c_
+        out_a, out_b, out_r = [], [], []
+        for i, a in enumerate(types):
+            xa = series[a]
+            sa, saa = sum(xa), sum(v * v for v in xa)
+            for b in types[i + 1:]:
+                xb = series[b]
+                sb, sbb = sum(xb), sum(v * v for v in xb)
+                sab = sum(p * q for p, q in zip(xa, xb))
+                num = n_days * sab - sa * sb
+                da = n_days * saa - sa * sa
+                db = n_days * sbb - sb * sb
+                r = None if da <= 0 or db <= 0 \
+                    else float(num) / (math.sqrt(float(da))
+                                       * math.sqrt(float(db)))
+                out_a.append(a)
+                out_b.append(b)
+                out_r.append(r)
+        return pa.table({
+            "type_a": pa.array(out_a, pa.string()),
+            "type_b": pa.array(out_b, pa.string()),
+            "n_days": pa.array([n_days] * len(out_a), pa.int64()),
+            "corr_daily": pa.array(out_r, pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("t", pa.string()), ("day", pa.int64()),
+                          ("n", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -12195,6 +12315,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 69: langid P/R/F1, type synchrony matrix ---
+        "docs_langid_prf": _docs_langid_prf,
+        "events_type_synchrony": _events_type_synchrony,
         # --- round-5 wave 68: CSV round-trip, vocab coverage curve ---
         "events_csv_roundtrip": _events_csv_roundtrip,
         "docs_vocab_coverage_curve": _docs_vocab_coverage_curve,
@@ -12598,6 +12721,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 69: never driver-checked.
+    "docs_langid_prf", "events_type_synchrony",
     # (3) round-5 wave 68: never driver-checked.
     "events_csv_roundtrip", "docs_vocab_coverage_curve",
     # (3) round-5 wave 67: never driver-checked.
@@ -13759,6 +13884,73 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Langid P/R/F1 scorecard from the confusion cells; F1 in the
+        # exact-integer 2tp/(2tp+fp+fn) form.
+        "docs_langid_prf": f"""
+            WITH pred AS ({_langid_oracle()}), conf AS (
+              SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+              FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+              GROUP BY 1, 2
+            ), r AS (
+              SELECT lang, CAST(SUM(n) AS BIGINT) AS rn
+              FROM conf GROUP BY 1
+            ), c AS (
+              SELECT lang_pred, CAST(SUM(n) AS BIGINT) AS cn
+              FROM conf GROUP BY 1
+            ), tpq AS (
+              SELECT lang, CAST(SUM(n) AS BIGINT) AS tp
+              FROM conf WHERE lang = lang_pred GROUP BY 1
+            )
+            SELECT r.lang, COALESCE(tpq.tp, 0) AS tp,
+                   COALESCE(c.cn, 0) - COALESCE(tpq.tp, 0) AS fp,
+                   r.rn - COALESCE(tpq.tp, 0) AS fn,
+                   CASE WHEN COALESCE(c.cn, 0) = 0 THEN NULL
+                        ELSE CAST(COALESCE(tpq.tp, 0) AS DOUBLE)
+                             / CAST(c.cn AS DOUBLE) END AS precision,
+                   CAST(COALESCE(tpq.tp, 0) AS DOUBLE)
+                   / CAST(r.rn AS DOUBLE) AS recall,
+                   CAST(2 * COALESCE(tpq.tp, 0) AS DOUBLE)
+                   / CAST(COALESCE(c.cn, 0) + r.rn AS DOUBLE) AS f1
+            FROM r LEFT JOIN c ON c.lang_pred = r.lang
+                   LEFT JOIN tpq ON tpq.lang = r.lang
+        """,
+        # Type synchrony: zero-filled daily series per type; HUGEINT
+        # pair moments; mirrored corr expression.
+        "events_type_synchrony": """
+            WITH dd AS (
+              SELECT event_type AS t,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ), b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM dd),
+            cal AS (SELECT unnest(range(mn, mx + 1)) AS day FROM b),
+            ty AS (SELECT DISTINCT t FROM dd),
+            x AS (
+              SELECT ty.t, cal.day,
+                     CAST(COALESCE(dd.n, 0) AS HUGEINT) AS x
+              FROM ty CROSS JOIN cal
+              LEFT JOIN dd ON dd.t = ty.t AND dd.day = cal.day
+            ), nd AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM cal),
+            m AS (
+              SELECT a.t AS ta, b2.t AS tb,
+                     SUM(a.x) AS sa, SUM(b2.x) AS sb,
+                     SUM(a.x * a.x) AS saa, SUM(b2.x * b2.x) AS sbb,
+                     SUM(a.x * b2.x) AS sab
+              FROM x a JOIN x b2 ON b2.day = a.day AND b2.t > a.t
+              GROUP BY 1, 2
+            )
+            SELECT ta AS type_a, tb AS type_b,
+                   CAST(nd.n AS BIGINT) AS n_days,
+                   CASE WHEN nd.n * saa - sa * sa <= 0
+                             OR nd.n * sbb - sb * sb <= 0 THEN NULL
+                        ELSE CAST(nd.n * sab - sa * sb AS DOUBLE)
+                             / (SQRT(CAST(nd.n * saa - sa * sa
+                                          AS DOUBLE))
+                                * SQRT(CAST(nd.n * sbb - sb * sb
+                                            AS DOUBLE)))
+                   END AS corr_daily
+            FROM m, nd
         """,
         # CSV round-trip: integer cents survive the text hop exactly;
         # oracle stays on parquet.

@@ -171,7 +171,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 67: JSONL source/sink round-trip, inspection paradox
         "docs_jsonl_roundtrip", "events_inspection_paradox",
         # wave 68: CSV round-trip, vocabulary coverage curve
-        "events_csv_roundtrip", "docs_vocab_coverage_curve"]
+        "events_csv_roundtrip", "docs_vocab_coverage_curve",
+        # wave 69: langid P/R/F1 scorecard, type synchrony matrix
+        "docs_langid_prf", "events_type_synchrony"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
