@@ -173,7 +173,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 68: CSV round-trip, vocabulary coverage curve
         "events_csv_roundtrip", "docs_vocab_coverage_curve",
         # wave 69: langid P/R/F1 scorecard, type synchrony matrix
-        "docs_langid_prf", "events_type_synchrony"]
+        "docs_langid_prf", "events_type_synchrony",
+        # wave 70: Gumbel block maxima, dup-graph transitivity
+        "orders_gumbel_maxima", "docs_dup_transitivity"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -232,6 +234,8 @@ def test_empty_tables_round5_queries(ray_session, tmp_path):
                  # scalar-subquery counts row (0,0,0,NULL), like the
                  # SQL mirror's single-row c CTE
                  "docs_dedup_method_agreement": 1,
+                 # cross-joined scalar census CTEs yield one zero row
+                 "docs_dup_transitivity": 1,
                  "sites_reciprocity": 1,
                  "sites_clustering_coeff": 1,
                  "sites_degree_assortativity": 1}.get(name, 0)
