@@ -12427,6 +12427,136 @@ def _docs_dup_transitivity(sf_dir: str):
         "transitivity": pa.array([trans], pa.float64())})
 
 
+def _emb_hubness_hist(sf_dir: str):
+    """Hubness diagnostics of the embedding space: over a
+    deterministic 200-query panel (vec_id < 200), how often each
+    vector appears in a query's EXACT top-10 by micro-int inner
+    product, histogrammed — hubs inflate k-occurrence far above k, the
+    classic high-dim ANN pathology. The query matrix broadcasts once;
+    per-batch partials are one float64 matmul (bit-exact below 2^53,
+    the top_dot_pairs contract) keeping 10 rows per query; ranks,
+    occurrence counts and the histogram fold at the bounded root with
+    total (dot DESC, vec_id) order."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.pipelines.ann import _embedding_matrix
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", 200)])
+    empty = pa.table({"k_occurrences": pa.array([], pa.int64()),
+                      "n_vecs": pa.array([], pa.int64())})
+    if qt.num_rows == 0:
+        return empty
+    qid = qt["vec_id"].to_numpy().astype(np.int64)
+    qo = np.argsort(qid)
+    qid = qid[qo]
+    qm = np.floor(_embedding_matrix(qt, "embedding",
+                                    dtype=np.float64) * 1_000_000
+                  + 0.5)[qo]
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    K = 10
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = np.floor(_embedding_matrix(batch, "embedding",
+                                       dtype=np.float64) * 1_000_000
+                     + 0.5)
+        dots = qm @ m.T                       # (nq, nb) exact ints
+        dots[qid[:, None] == vid[None, :]] = -np.inf   # exclude self
+        k = min(K, vid.shape[0])
+        out_q, out_v, out_d = [], [], []
+        for i in range(qid.shape[0]):
+            row = dots[i]
+            top = np.argpartition(-row, k - 1)[:k] if k < row.shape[0] \
+                else np.arange(row.shape[0])
+            for j in top:
+                if row[j] != -np.inf:
+                    out_q.append(int(qid[i]))
+                    out_v.append(int(vid[j]))
+                    out_d.append(int(row[j]))
+        return pa.table({"qid": pa.array(out_q, pa.int64()),
+                         "vid": pa.array(out_v, pa.int64()),
+                         "dot": pa.array(out_d, pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        q = t["qid"].to_numpy(zero_copy_only=False)
+        v = t["vid"].to_numpy(zero_copy_only=False)
+        dd = t["dot"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -dd, q))
+        q, v = q[order], v[order]
+        seg = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
+        rank = np.arange(q.shape[0]) - np.repeat(
+            seg, np.diff(np.r_[seg, q.shape[0]]))
+        win = v[rank < K]
+        uniq, occ = np.unique(win, return_counts=True)
+        ov, cnt = np.unique(occ, return_counts=True)
+        return pa.table({
+            "k_occurrences": pa.array(ov.astype(np.int64)),
+            "n_vecs": pa.array(cnt.astype(np.int64))})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=4096), merge,
+        schema=pa.schema([("qid", pa.int64()), ("vid", pa.int64()),
+                          ("dot", pa.int64())]))
+
+
+def _events_record_days(sf_dir: str):
+    """Record statistics of daily event volume: how many days broke
+    the running maximum (first day counts), and when the last record
+    fell — for an i.i.d. series the expectation is harmonic ~ ln n, so
+    an excess says trend. Date-bounded combiner; the record scan is
+    one pass at the root. ALL-INTEGER."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+        uniq, cnt = np.unique(day, return_counts=True)
+        return pa.table({"day": uniq, "n": cnt.astype(np.int64)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("day").aggregate([("n", "sum")])
+        d = g["day"].to_numpy(zero_copy_only=False)
+        if d.shape[0] == 0:
+            return pa.table({
+                "n_days": pa.array([], pa.int64()),
+                "n_records": pa.array([], pa.int64()),
+                "last_record_day": pa.array([], pa.int64())})
+        n = g["n_sum"].to_numpy(zero_copy_only=False)
+        o = np.argsort(d)
+        d, n = d[o], n[o]
+        run = np.maximum.accumulate(n)
+        rec = np.r_[True, n[1:] > run[:-1]]
+        return pa.table({
+            "n_days": pa.array([int(d.shape[0])], pa.int64()),
+            "n_records": pa.array([int(rec.sum())], pa.int64()),
+            "last_record_day": pa.array(
+                [int(d[np.flatnonzero(rec)[-1]])], pa.int64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("day", pa.int64()), ("n", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -12436,6 +12566,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 71: hubness histogram, record days ---
+        "emb_hubness_hist": _emb_hubness_hist,
+        "events_record_days": _events_record_days,
         # --- round-5 wave 70: Gumbel maxima, dup transitivity ---
         "orders_gumbel_maxima": _orders_gumbel_maxima,
         "docs_dup_transitivity": _docs_dup_transitivity,
@@ -12845,6 +12978,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 71: never driver-checked.
+    "emb_hubness_hist", "events_record_days",
     # (3) round-5 wave 70: never driver-checked.
     "orders_gumbel_maxima", "docs_dup_transitivity",
     # (3) round-5 wave 69: never driver-checked.
@@ -14010,6 +14145,55 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Hubness: exact micro-int top-10 per panel query via the
+        # unnest dot join; k-occurrence histogram.
+        "emb_hubness_hist": """
+            WITH el AS (
+              SELECT vec_id,
+                     CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                                * 1000000 + 0.5) AS BIGINT) AS micro,
+                     unnest(range(1, len(embedding) + 1)) AS dim
+              FROM embeddings
+            ), q AS (SELECT * FROM el WHERE vec_id < 200), d AS (
+              SELECT q.vec_id AS qid, e.vec_id AS vid,
+                     CAST(SUM(q.micro * e.micro) AS BIGINT) AS dot
+              FROM q JOIN el e ON e.dim = q.dim
+                             AND e.vec_id <> q.vec_id
+              GROUP BY 1, 2
+            ), r AS (
+              SELECT vid, ROW_NUMBER() OVER (
+                  PARTITION BY qid ORDER BY dot DESC, vid) AS rn
+              FROM d
+            ), h AS (
+              SELECT vid, CAST(COUNT(*) AS BIGINT) AS occ
+              FROM r WHERE rn <= 10 GROUP BY 1
+            )
+            SELECT occ AS k_occurrences,
+                   CAST(COUNT(*) AS BIGINT) AS n_vecs
+            FROM h GROUP BY 1
+        """,
+        # Record days: strict running-max breaks via a 1-preceding
+        # window MAX; first day counts.
+        "events_record_days": """
+            WITH d AS (
+              SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1
+            ), w AS (
+              SELECT day, n,
+                     MAX(n) OVER (ORDER BY day
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pm
+              FROM d
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(CASE WHEN pm IS NULL OR n > pm
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_records,
+                   CAST(MAX(CASE WHEN pm IS NULL OR n > pm
+                            THEN day END) AS BIGINT)
+                       AS last_record_day
+            FROM w HAVING COUNT(*) > 0
         """,
         # Gumbel block maxima: monthly MAX of daily cents; method-of-
         # moments fit as two mirrored float expressions.

@@ -175,7 +175,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 69: langid P/R/F1 scorecard, type synchrony matrix
         "docs_langid_prf", "events_type_synchrony",
         # wave 70: Gumbel block maxima, dup-graph transitivity
-        "orders_gumbel_maxima", "docs_dup_transitivity"]
+        "orders_gumbel_maxima", "docs_dup_transitivity",
+        # wave 71: embedding hubness histogram, record-breaking days
+        "emb_hubness_hist", "events_record_days"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
