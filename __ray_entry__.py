@@ -12557,6 +12557,153 @@ def _events_record_days(sf_dir: str):
         schema=pa.schema([("day", pa.int64()), ("n", pa.int64())]))
 
 
+def _brand_supplier_n50(sf_dir: str):
+    """Supply-base concentration N50 per brand: the smallest number of
+    suppliers (revenue DESC, suppkey ASC) whose cumulative revenue
+    reaches half the brand total — the assembly-style N50 statistic
+    applied to procurement risk. (brand, supplier) cent partials are
+    the only exchange; one lexsort + segmented cumsum at the bounded
+    root; the half test is the exact integer 2*cum >= total.
+    ALL-INTEGER."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    order = np.argsort(pk)
+    pk = pk[order]
+    brand = part["p_brand"].to_numpy(zero_copy_only=False)[order] \
+        .astype(str)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "brand": pa.array([], pa.string()),
+            "sk": pa.array([], pa.int64()),
+            "cents": pa.array([], pa.int64())})
+        k = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if pk.shape[0] == 0 or k.shape[0] == 0:
+            return empty
+        pos = np.minimum(np.searchsorted(pk, k), pk.shape[0] - 1)
+        sel = pk[pos] == k
+        cents = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - batch["l_discount"].to_numpy(
+                zero_copy_only=False)) * 100 + 0.5) \
+            .astype(np.int64)[sel]
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[sel]
+        t = pa.table({"brand": pa.array(brand[pos[sel]], pa.string()),
+                      "sk": sk, "cents": cents})
+        return t.group_by(["brand", "sk"]).aggregate(
+            [("cents", "sum")]).rename_columns(["brand", "sk", "cents"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["brand", "sk"]).aggregate([("cents", "sum")])
+        empty = pa.table({
+            "p_brand": pa.array([], pa.string()),
+            "n_suppliers": pa.array([], pa.int64()),
+            "n50": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        br = np.asarray(g["brand"].to_pylist(), dtype=object)
+        sk = g["sk"].to_numpy(zero_copy_only=False)
+        cents = g["cents_sum"].to_numpy(zero_copy_only=False)
+        out_b, out_n, out_n50 = [], [], []
+        for b in sorted(set(br.tolist())):
+            m = br == b
+            cs, ks = cents[m], sk[m]
+            o = np.lexsort((ks, -cs))
+            cs = cs[o]
+            cum = np.cumsum(cs)
+            total = int(cum[-1])
+            n50 = int(np.flatnonzero(2 * cum >= total)[0]) + 1
+            out_b.append(str(b))
+            out_n.append(int(cs.shape[0]))
+            out_n50.append(n50)
+        return pa.table({
+            "p_brand": pa.array(out_b, pa.string()),
+            "n_suppliers": pa.array(out_n, pa.int64()),
+            "n50": pa.array(out_n50, pa.int64())})
+
+    return driver_merge(
+        li.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("brand", pa.string()), ("sk", pa.int64()),
+                          ("cents", pa.int64())]))
+
+
+def _supplier_balance_grubbs(sf_dir: str):
+    """Grubbs outlier test over supplier account balances: the single
+    most extreme balance located as the EXACT integer argmax of
+    |n*x - S| (shared denominator — no float mean forms; ties to the
+    smallest suppkey), with G = (|n*x* - S|/n) / sqrt(sample var) as
+    ONE mirrored float expression over exact moments. Supplier-bounded
+    (n, s, sxx) + per-row deviation partials."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_acctbal"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch["s_acctbal"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "sk": batch["s_suppkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "cents": cents})
+
+    def merge(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_suppliers": pa.array([], pa.int64()),
+            "outlier_suppkey": pa.array([], pa.int64()),
+            "outlier_cents": pa.array([], pa.int64()),
+            "g_stat": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        sk = [int(v) for v in t["sk"].to_pylist()]
+        x = [int(v) for v in t["cents"].to_pylist()]
+        n = len(x)
+        s = sum(x)
+        sxx = sum(v * v for v in x)
+        best_key, best_x, best_d = None, None, -1
+        for k, v in zip(sk, x):
+            dv = abs(n * v - s)
+            if dv > best_d or (dv == best_d and k < best_key):
+                best_key, best_x, best_d = k, v, dv
+        vnum = n * sxx - s * s
+        if n < 2 or vnum <= 0:
+            g = None
+        else:
+            var = float(vnum) / float(n * (n - 1))
+            g = (float(best_d) / float(n)) / math.sqrt(var)
+        return pa.table({
+            "n_suppliers": pa.array([n], pa.int64()),
+            "outlier_suppkey": pa.array([best_key], pa.int64()),
+            "outlier_cents": pa.array([best_x], pa.int64()),
+            "g_stat": pa.array([g], pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("sk", pa.int64()), ("cents", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -12566,6 +12713,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 72: N50 concentration, Grubbs outlier ---
+        "brand_supplier_n50": _brand_supplier_n50,
+        "supplier_balance_grubbs": _supplier_balance_grubbs,
         # --- round-5 wave 71: hubness histogram, record days ---
         "emb_hubness_hist": _emb_hubness_hist,
         "events_record_days": _events_record_days,
@@ -12978,6 +13128,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 72: never driver-checked.
+    "brand_supplier_n50", "supplier_balance_grubbs",
     # (3) round-5 wave 71: never driver-checked.
     "emb_hubness_hist", "events_record_days",
     # (3) round-5 wave 70: never driver-checked.
@@ -14145,6 +14297,60 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # N50: per-brand window cumsum, exact 2*cum >= total half test.
+        "brand_supplier_n50": """
+            WITH s AS (
+              SELECT p.p_brand, l.l_suppkey AS sk,
+                     CAST(SUM(CAST(FLOOR(l_extendedprice
+                                         * (1 - l_discount) * 100
+                                         + 0.5) AS BIGINT)) AS BIGINT)
+                         AS cents
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+              GROUP BY 1, 2
+            ), w AS (
+              SELECT p_brand,
+                     SUM(cents) OVER (PARTITION BY p_brand
+                                      ORDER BY cents DESC, sk) AS cum,
+                     SUM(cents) OVER (PARTITION BY p_brand) AS tot,
+                     ROW_NUMBER() OVER (PARTITION BY p_brand
+                                        ORDER BY cents DESC, sk) AS rn
+              FROM s
+            )
+            SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                   CAST(MIN(CASE WHEN 2 * cum >= tot THEN rn END)
+                        AS BIGINT) AS n50
+            FROM w GROUP BY 1
+        """,
+        # Grubbs: exact |n*x - S| argmax with smallest-key ties; one
+        # mirrored float expression.
+        "supplier_balance_grubbs": """
+            WITH x AS (
+              SELECT s_suppkey AS sk,
+                     CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) AS c
+              FROM supplier
+            ), m AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(c) AS HUGEINT) AS s,
+                     CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT)
+                         AS sxx
+              FROM x
+            ), d AS (
+              SELECT sk, c, ABS(m.n * c - m.s) AS dv FROM x, m
+            ), b AS (
+              SELECT sk, c, dv FROM d ORDER BY dv DESC, sk LIMIT 1
+            )
+            SELECT CAST(m.n AS BIGINT) AS n_suppliers,
+                   b.sk AS outlier_suppkey, b.c AS outlier_cents,
+                   CASE WHEN m.n < 2 OR m.n * m.sxx - m.s * m.s <= 0
+                        THEN NULL
+                        ELSE (CAST(b.dv AS DOUBLE)
+                              / CAST(m.n AS DOUBLE))
+                             / SQRT(CAST(m.n * m.sxx - m.s * m.s
+                                         AS DOUBLE)
+                                    / CAST(m.n * (m.n - 1) AS DOUBLE))
+                   END AS g_stat
+            FROM m, b
         """,
         # Hubness: exact micro-int top-10 per panel query via the
         # unnest dot join; k-occurrence histogram.

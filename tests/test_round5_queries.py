@@ -177,7 +177,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 70: Gumbel block maxima, dup-graph transitivity
         "orders_gumbel_maxima", "docs_dup_transitivity",
         # wave 71: embedding hubness histogram, record-breaking days
-        "emb_hubness_hist", "events_record_days"]
+        "emb_hubness_hist", "events_record_days",
+        # wave 72: N50 supplier concentration, Grubbs outlier test
+        "brand_supplier_n50", "supplier_balance_grubbs"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
