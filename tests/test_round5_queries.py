@@ -179,7 +179,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 71: embedding hubness histogram, record-breaking days
         "emb_hubness_hist", "events_record_days",
         # wave 72: N50 supplier concentration, Grubbs outlier test
-        "brand_supplier_n50", "supplier_balance_grubbs"]
+        "brand_supplier_n50", "supplier_balance_grubbs",
+        # wave 73: Jarque-Bera normality, pagerank-degree correlation
+        "docs_len_jarque_bera", "sites_pagerank_degree_corr"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
