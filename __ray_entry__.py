@@ -12818,6 +12818,173 @@ def _sites_pagerank_degree_corr(sf_dir: str):
         "corr_pr_degree": pa.array([r], pa.float64())})
 
 
+def _lineitem_partial_corr(sf_dir: str):
+    """Partial correlation of (quantity, price cents) CONTROLLING for
+    discount — does the qty-price relation survive once the discount
+    channel is removed? The three pairwise Pearson r's form from exact
+    integer moments (one 10-sum combiner row per batch, Python-bigint
+    root) and compose through the textbook
+    (rxy - rxz*ryz)/sqrt((1-rxz^2)(1-ryz^2)) tree, mirrored verbatim
+    in SQL."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity", "l_extendedprice",
+                                  "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = np.floor(batch["l_quantity"].to_numpy(
+            zero_copy_only=False) + 0.5).astype(np.int64)
+        y = np.floor(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        z = np.floor(batch["l_discount"].to_numpy(
+            zero_copy_only=False) * 10000 + 0.5).astype(np.int64)
+        return pa.table({
+            "n": pa.array([x.shape[0]], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sz": pa.array([int(z.sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int(np.dot(y, y))], pa.int64()),
+            "szz": pa.array([int((z * z).sum())], pa.int64()),
+            "sxy": pa.array([int(np.dot(x, y))], pa.int64()),
+            "sxz": pa.array([int((x * z).sum())], pa.int64()),
+            "syz": pa.array([int(np.dot(y, z))], pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_lines": pa.array([], pa.int64()),
+            "r_xy": pa.array([], pa.float64()),
+            "r_xy_given_z": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        tot = {c: sum(int(v) for v in t[c].to_pylist())
+               for c in t.column_names}
+        n = tot["n"]
+        if n == 0:
+            return empty
+
+        def r(sa, sb, saa, sbb, sab):
+            num = n * sab - sa * sb
+            da = n * saa - sa * sa
+            db = n * sbb - sb * sb
+            if da <= 0 or db <= 0:
+                return None
+            return float(num) / (math.sqrt(float(da))
+                                 * math.sqrt(float(db)))
+
+        rxy = r(tot["sx"], tot["sy"], tot["sxx"], tot["syy"],
+                tot["sxy"])
+        rxz = r(tot["sx"], tot["sz"], tot["sxx"], tot["szz"],
+                tot["sxz"])
+        ryz = r(tot["sy"], tot["sz"], tot["syy"], tot["szz"],
+                tot["syz"])
+        if rxy is None or rxz is None or ryz is None \
+                or 1.0 - rxz * rxz <= 0.0 or 1.0 - ryz * ryz <= 0.0:
+            part = None
+        else:
+            part = (rxy - rxz * ryz) / (math.sqrt(1.0 - rxz * rxz)
+                                        * math.sqrt(1.0 - ryz * ryz))
+        return pa.table({
+            "n_lines": pa.array([n], pa.int64()),
+            "r_xy": pa.array([rxy], pa.float64()),
+            "r_xy_given_z": pa.array([part], pa.float64())})
+
+    # 32K batches keep each syy partial (price-cents^2 sums, <= ~1.2e14
+    # per row) safely under 2^63; the root then sums on Python bigints
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=32768), merge,
+        schema=pa.schema([("n", pa.int64()), ("sx", pa.int64()),
+                          ("sy", pa.int64()), ("sz", pa.int64()),
+                          ("sxx", pa.int64()), ("syy", pa.int64()),
+                          ("szz", pa.int64()), ("sxy", pa.int64()),
+                          ("sxz", pa.int64()), ("syz", pa.int64())]))
+
+
+def _events_mood_median_test(sf_dir: str):
+    """Mood's median test between the purchase and click value
+    distributions: dichotomize both samples against the POOLED exact
+    PERCENTILE_DISC median, then chi-square
+    N*(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) — exact integer counts and
+    cross-products (Python bigints / HUGEINT), ONE terminal division.
+    The rank-free companion to the KS test, off the same cents-bounded
+    combiner."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        keep = pc.is_in(et, value_set=pa.array(["purchase", "click"]))
+        batch = batch.filter(keep)
+        cents = np.floor(batch["value"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        is_a = pc.equal(batch["event_type"], "purchase") \
+            .to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(cents, return_inverse=True)
+        na = np.zeros(uniq.shape[0], np.int64)
+        nb = np.zeros(uniq.shape[0], np.int64)
+        np.add.at(na, inv[is_a], 1)
+        np.add.at(nb, inv[~is_a], 1)
+        return pa.table({"c": uniq, "na": na, "nb": nb})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("c").aggregate([("na", "sum"), ("nb", "sum")])
+        c = g["c"].to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            "n_purchase": pa.array([], pa.int64()),
+            "n_click": pa.array([], pa.int64()),
+            "pooled_median_cents": pa.array([], pa.int64()),
+            "chi2_mood": pa.array([], pa.float64())})
+        if c.shape[0] == 0:
+            return empty
+        o = np.argsort(c)
+        cc = c[o].tolist()
+        na = g["na_sum"].to_numpy(zero_copy_only=False)[o].tolist()
+        nb = g["nb_sum"].to_numpy(zero_copy_only=False)[o].tolist()
+        tot = sum(na) + sum(nb)
+        # PERCENTILE_DISC(0.5) over the pooled multiset
+        target = (tot - 1) // 2 + 1
+        run = 0
+        med = cc[-1]
+        for v, x, y in zip(cc, na, nb):
+            run += x + y
+            if run >= target:
+                med = int(v)
+                break
+        a = sum(x for v, x in zip(cc, na) if v > med)
+        b = sum(na) - a
+        cgt = sum(x for v, x in zip(cc, nb) if v > med)
+        d = sum(nb) - cgt
+        num = tot * (a * d - b * cgt) ** 2
+        den = (a + b) * (cgt + d) * (a + cgt) * (b + d)
+        chi2 = None if den == 0 else float(num) / float(den)
+        return pa.table({
+            "n_purchase": pa.array([a + b], pa.int64()),
+            "n_click": pa.array([cgt + d], pa.int64()),
+            "pooled_median_cents": pa.array([med], pa.int64()),
+            "chi2_mood": pa.array([chi2], pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("c", pa.int64()), ("na", pa.int64()),
+                          ("nb", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -12827,6 +12994,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 74: partial corr, Mood's median test ---
+        "lineitem_partial_corr": _lineitem_partial_corr,
+        "events_mood_median_test": _events_mood_median_test,
         # --- round-5 wave 73: Jarque-Bera, pagerank-degree corr ---
         "docs_len_jarque_bera": _docs_len_jarque_bera,
         "sites_pagerank_degree_corr": _sites_pagerank_degree_corr,
@@ -13245,6 +13415,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 74: never driver-checked.
+    "lineitem_partial_corr", "events_mood_median_test",
     # (3) round-5 wave 73: never driver-checked.
     "docs_len_jarque_bera", "sites_pagerank_degree_corr",
     # (3) round-5 wave 72: never driver-checked.
@@ -14416,6 +14588,102 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Partial correlation: three mirrored Pearson r's composed
+        # through the textbook tree; HUGEINT moments.
+        "lineitem_partial_corr": """
+            WITH v AS (
+              SELECT CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x,
+                     CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                          AS BIGINT) AS y,
+                     CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)
+                         AS z
+              FROM lineitem
+            ), m AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                     SUM(CAST(x AS HUGEINT)) AS sx,
+                     SUM(CAST(y AS HUGEINT)) AS sy,
+                     SUM(CAST(z AS HUGEINT)) AS sz,
+                     SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                     SUM(CAST(y AS HUGEINT) * y) AS syy,
+                     SUM(CAST(z AS HUGEINT) * z) AS szz,
+                     SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                     SUM(CAST(x AS HUGEINT) * z) AS sxz,
+                     SUM(CAST(y AS HUGEINT) * z) AS syz
+              FROM v
+            ), k AS (
+              SELECT n,
+                     CASE WHEN n * sxx - sx * sx <= 0
+                               OR n * syy - sy * sy <= 0 THEN NULL
+                          ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                               / (SQRT(CAST(n * sxx - sx * sx
+                                            AS DOUBLE))
+                                  * SQRT(CAST(n * syy - sy * sy
+                                              AS DOUBLE)))
+                     END AS rxy,
+                     CASE WHEN n * sxx - sx * sx <= 0
+                               OR n * szz - sz * sz <= 0 THEN NULL
+                          ELSE CAST(n * sxz - sx * sz AS DOUBLE)
+                               / (SQRT(CAST(n * sxx - sx * sx
+                                            AS DOUBLE))
+                                  * SQRT(CAST(n * szz - sz * sz
+                                              AS DOUBLE)))
+                     END AS rxz,
+                     CASE WHEN n * syy - sy * sy <= 0
+                               OR n * szz - sz * sz <= 0 THEN NULL
+                          ELSE CAST(n * syz - sy * sz AS DOUBLE)
+                               / (SQRT(CAST(n * syy - sy * sy
+                                            AS DOUBLE))
+                                  * SQRT(CAST(n * szz - sz * sz
+                                              AS DOUBLE)))
+                     END AS ryz
+              FROM m
+            )
+            SELECT CAST(n AS BIGINT) AS n_lines, rxy AS r_xy,
+                   CASE WHEN rxy IS NULL OR rxz IS NULL OR ryz IS NULL
+                             OR 1.0 - rxz * rxz <= 0.0
+                             OR 1.0 - ryz * ryz <= 0.0 THEN NULL
+                        ELSE (rxy - rxz * ryz)
+                             / (SQRT(1.0 - rxz * rxz)
+                                * SQRT(1.0 - ryz * ryz))
+                   END AS r_xy_given_z
+            FROM k WHERE n > 0
+        """,
+        # Mood's median test: pooled PERCENTILE_DISC median, 2x2
+        # counts, chi-square as one division.
+        "events_mood_median_test": """
+            WITH v AS (
+              SELECT event_type,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events WHERE event_type IN ('purchase', 'click')
+            ), med AS (
+              SELECT PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY c)
+                         AS m
+              FROM v
+            ), f AS (
+              SELECT CAST(event_type = 'purchase' AS BIGINT) AS ip,
+                     CAST(c > med.m AS BIGINT) AS gt
+              FROM v, med
+            ), ct AS (
+              SELECT CAST(SUM(ip * gt) AS HUGEINT) AS a,
+                     CAST(SUM(ip * (1 - gt)) AS HUGEINT) AS b,
+                     CAST(SUM((1 - ip) * gt) AS HUGEINT) AS cc,
+                     CAST(SUM((1 - ip) * (1 - gt)) AS HUGEINT) AS d
+              FROM f
+            )
+            SELECT CAST(a + b AS BIGINT) AS n_purchase,
+                   CAST(cc + d AS BIGINT) AS n_click,
+                   (SELECT CAST(m AS BIGINT) FROM med)
+                       AS pooled_median_cents,
+                   CASE WHEN (a + b) * (cc + d) * (a + cc) * (b + d)
+                             = 0 THEN NULL
+                        ELSE CAST((a + b + cc + d)
+                                  * (a * d - b * cc)
+                                  * (a * d - b * cc) AS DOUBLE)
+                             / CAST((a + b) * (cc + d)
+                                    * (a + cc) * (b + d) AS DOUBLE)
+                   END AS chi2_mood
+            FROM ct WHERE a + b + cc + d > 0
         """,
         # Jarque-Bera: HUGEINT central-moment combos; n-powers cancel
         # to S = B/A^1.5, K = C/A^2 - 3; mirrored float tree.

@@ -181,7 +181,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 72: N50 supplier concentration, Grubbs outlier test
         "brand_supplier_n50", "supplier_balance_grubbs",
         # wave 73: Jarque-Bera normality, pagerank-degree correlation
-        "docs_len_jarque_bera", "sites_pagerank_degree_corr"]
+        "docs_len_jarque_bera", "sites_pagerank_degree_corr",
+        # wave 74: partial correlation, Mood's median test
+        "lineitem_partial_corr", "events_mood_median_test"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
