@@ -12985,6 +12985,136 @@ def _events_mood_median_test(sf_dir: str):
                           ("nb", pa.int64())]))
 
 
+def _customer_quartile_migration(sf_dir: str):
+    """Spend-mobility matrix: split the order history at the exact
+    PERCENTILE_DISC median day, bracket every active customer into
+    spend quartiles within each half (rank-ceil cuts over exact
+    cents, customers absent from a half land in bracket 0), and count
+    the 5x5 migration matrix — do the rich stay rich? Per-customer
+    (h1, h2) cent partials are the only exchange; cuts, brackets and
+    the matrix fold at the customer-bounded root. ALL-INTEGER."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+        cents = np.floor(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        t = pa.table({"ck": ck, "day": day, "cents": cents,
+                      "n": np.ones(ck.shape[0], np.int64)})
+        return t.group_by(["ck", "day"]).aggregate(
+            [("cents", "sum"), ("n", "sum")]) \
+            .rename_columns(["ck", "day", "cents", "n"])
+
+    def _brackets(vals):
+        """Quartile bracket per positive-spend value: rank-ceil cuts
+        q_p = sorted[ceil(p*n)-1], bracket = 1 + #cuts strictly below
+        value (<= cut -> lower bracket), mirroring SQL CASE c <= q."""
+        s = np.sort(vals)
+        n = s.shape[0]
+        cuts = [int(s[-(-n * p // 100) - 1]) for p in (25, 50, 75)]
+        b = np.ones(vals.shape[0], np.int64)
+        for c in cuts:
+            b += vals > c
+        return b
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["ck", "day"]).aggregate(
+            [("cents", "sum"), ("n", "sum")])
+        empty = pa.table({
+            "bracket_h1": pa.array([], pa.int64()),
+            "bracket_h2": pa.array([], pa.int64()),
+            "n_customers": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        ck = g["ck"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        cents = g["cents_sum"].to_numpy(zero_copy_only=False)
+        cnt = g["n_sum"].to_numpy(zero_copy_only=False)
+        # pooled PERCENTILE_DISC(0.5) over ORDER days (with counts)
+        o = np.argsort(day)
+        cum = np.cumsum(cnt[o])
+        tot = int(cum[-1])
+        med = int(day[o][np.searchsorted(cum, (tot - 1) // 2 + 1)])
+        uc, inv = np.unique(ck, return_inverse=True)
+        h1 = np.zeros(uc.shape[0], np.int64)
+        h2 = np.zeros(uc.shape[0], np.int64)
+        first = day <= med
+        np.add.at(h1, inv[first], cents[first])
+        np.add.at(h2, inv[~first], cents[~first])
+        b1 = np.zeros(uc.shape[0], np.int64)
+        b2 = np.zeros(uc.shape[0], np.int64)
+        if (h1 > 0).any():
+            b1[h1 > 0] = _brackets(h1[h1 > 0])
+        if (h2 > 0).any():
+            b2[h2 > 0] = _brackets(h2[h2 > 0])
+        key = b1 * 5 + b2
+        uk, kc = np.unique(key, return_counts=True)
+        return pa.table({
+            "bracket_h1": pa.array((uk // 5).astype(np.int64)),
+            "bracket_h2": pa.array((uk % 5).astype(np.int64)),
+            "n_customers": pa.array(kc.astype(np.int64))})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("ck", pa.int64()), ("day", pa.int64()),
+                          ("cents", pa.int64()), ("n", pa.int64())]))
+
+
+def _part_price_endings(sf_dir: str):
+    """Psychological price-point profile: the distribution of retail
+    price endings (cents mod 100) with the share of each observed
+    ending — is the catalog .99-priced? Ending-bounded combiner
+    (<= 100 partials per batch), one division per row at the root."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_retailprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch["p_retailprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        uniq, cnt = np.unique(cents % 100, return_counts=True)
+        return pa.table({"ending": uniq,
+                         "n": cnt.astype(np.int64)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("ending").aggregate([("n", "sum")])
+        e = g["ending"].to_numpy(zero_copy_only=False)
+        if e.shape[0] == 0:
+            return pa.table({
+                "ending_cents": pa.array([], pa.int64()),
+                "n_parts": pa.array([], pa.int64()),
+                "share": pa.array([], pa.float64())})
+        o = np.argsort(e)
+        n = g["n_sum"].to_numpy(zero_copy_only=False)[o]
+        tot = int(n.sum())
+        return pa.table({
+            "ending_cents": pa.array(e[o].astype(np.int64)),
+            "n_parts": pa.array(n.astype(np.int64)),
+            "share": pa.array(n.astype(np.float64) / float(tot))})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("ending", pa.int64()), ("n", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -12994,6 +13124,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 75: quartile migration, price endings ---
+        "customer_quartile_migration": _customer_quartile_migration,
+        "part_price_endings": _part_price_endings,
         # --- round-5 wave 74: partial corr, Mood's median test ---
         "lineitem_partial_corr": _lineitem_partial_corr,
         "events_mood_median_test": _events_mood_median_test,
@@ -13415,6 +13548,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 75: never driver-checked.
+    "customer_quartile_migration", "part_price_endings",
     # (3) round-5 wave 74: never driver-checked.
     "lineitem_partial_corr", "events_mood_median_test",
     # (3) round-5 wave 73: never driver-checked.
@@ -14588,6 +14723,72 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Quartile migration: median-day split, PERCENTILE_DISC cuts
+        # per half, 5x5 bracket matrix; all integers.
+        "customer_quartile_migration": """
+            WITH o AS (
+              SELECT o_custkey AS ck,
+                     CAST(epoch_us(o_orderdate) // 86400000000
+                          AS BIGINT) AS day,
+                     CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                         AS cents
+              FROM orders
+            ), med AS (
+              SELECT PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY day)
+                         AS m
+              FROM o
+            ), h AS (
+              SELECT ck,
+                     CAST(SUM(CASE WHEN day <= med.m THEN cents
+                              ELSE 0 END) AS BIGINT) AS h1,
+                     CAST(SUM(CASE WHEN day > med.m THEN cents
+                              ELSE 0 END) AS BIGINT) AS h2
+              FROM o, med GROUP BY ck
+            ), q1 AS (
+              SELECT PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY h1)
+                         AS a,
+                     PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY h1)
+                         AS b,
+                     PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY h1)
+                         AS c
+              FROM h WHERE h1 > 0
+            ), q2 AS (
+              SELECT PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY h2)
+                         AS a,
+                     PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY h2)
+                         AS b,
+                     PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY h2)
+                         AS c
+              FROM h WHERE h2 > 0
+            ), bb AS (
+              SELECT CASE WHEN h1 = 0 THEN 0
+                          WHEN h1 <= q1.a THEN 1
+                          WHEN h1 <= q1.b THEN 2
+                          WHEN h1 <= q1.c THEN 3 ELSE 4 END AS b1,
+                     CASE WHEN h2 = 0 THEN 0
+                          WHEN h2 <= q2.a THEN 1
+                          WHEN h2 <= q2.b THEN 2
+                          WHEN h2 <= q2.c THEN 3 ELSE 4 END AS b2
+              FROM h, q1, q2
+            )
+            SELECT CAST(b1 AS BIGINT) AS bracket_h1,
+                   CAST(b2 AS BIGINT) AS bracket_h2,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM bb GROUP BY 1, 2
+        """,
+        # Price endings: cents mod 100 histogram + share division.
+        "part_price_endings": """
+            WITH e AS (
+              SELECT CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)
+                     % 100 AS ending
+              FROM part
+            )
+            SELECT ending AS ending_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(COUNT(*) AS DOUBLE)
+                   / CAST((SELECT COUNT(*) FROM e) AS DOUBLE) AS share
+            FROM e GROUP BY 1
         """,
         # Partial correlation: three mirrored Pearson r's composed
         # through the textbook tree; HUGEINT moments.

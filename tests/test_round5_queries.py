@@ -183,7 +183,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 73: Jarque-Bera normality, pagerank-degree correlation
         "docs_len_jarque_bera", "sites_pagerank_degree_corr",
         # wave 74: partial correlation, Mood's median test
-        "lineitem_partial_corr", "events_mood_median_test"]
+        "lineitem_partial_corr", "events_mood_median_test",
+        # wave 75: quartile migration matrix, price-ending profile
+        "customer_quartile_migration", "part_price_endings"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
