@@ -13115,6 +13115,162 @@ def _part_price_endings(sf_dir: str):
         schema=pa.schema([("ending", pa.int64()), ("n", pa.int64())]))
 
 
+def _events_pacf_lag2(sf_dir: str):
+    """Partial autocorrelation of daily event volume at lag 2 via the
+    Durbin-Levinson step phi22 = (r2 - r1^2)/(1 - r1^2): the is-there-
+    structure-beyond-AR(1) diagnostic. The lag autocovariance
+    numerators share one denominator (exact Python bigints over the
+    zero-filled calendar, the dominant-period machinery); r1, r2 and
+    phi22 are a three-division mirrored float tree."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+        uniq, cnt = np.unique(day, return_counts=True)
+        return pa.table({"day": uniq, "n": cnt.astype(np.int64)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("day").aggregate([("n", "sum")])
+        d = g["day"].to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            "n_days": pa.array([], pa.int64()),
+            "r1": pa.array([], pa.float64()),
+            "r2": pa.array([], pa.float64()),
+            "pacf2": pa.array([], pa.float64())})
+        if d.shape[0] == 0:
+            return empty
+        cnt = g["n_sum"].to_numpy(zero_copy_only=False)
+        lo, hi = int(d.min()), int(d.max())
+        x = [0] * (hi - lo + 1)
+        for dy, c in zip(d.tolist(), cnt.tolist()):
+            x[int(dy) - lo] = int(c)
+        n = len(x)
+        s = sum(x)
+        dev = [n * v - s for v in x]
+        n0 = sum(v * v for v in dev)
+        n1 = sum(a * b for a, b in zip(dev[:-1], dev[1:])) \
+            if n > 1 else 0
+        n2 = sum(a * b for a, b in zip(dev[:-2], dev[2:])) \
+            if n > 2 else 0
+        if n < 3 or n0 == 0:
+            r1 = r2 = p2 = None
+        else:
+            r1 = float(n1) / float(n0)
+            r2 = float(n2) / float(n0)
+            p2 = None if 1.0 - r1 * r1 == 0.0 \
+                else (r2 - r1 * r1) / (1.0 - r1 * r1)
+        return pa.table({
+            "n_days": pa.array([n], pa.int64()),
+            "r1": pa.array([r1], pa.float64()),
+            "r2": pa.array([r2], pa.float64()),
+            "pacf2": pa.array([p2], pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("day", pa.int64()), ("n", pa.int64())]))
+
+
+def _nation_rank_volatility(sf_dir: str):
+    """Year-over-year league-table volatility: for every consecutive
+    order-year pair, the mean |rank change| of nations present in both
+    years (deterministic cents DESC, key ASC ranks within each year —
+    the Spearman machinery unrolled into a volatility curve).
+    Lattice-bounded (nation, year) cent combiner; ranks and the one
+    division per year pair fold at the root."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust["c_custkey"].to_numpy().astype(np.int64)
+    order = np.argsort(ck)
+    ck = ck[order]
+    nk = cust["c_nationkey"].to_numpy().astype(np.int64)[order]
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"nk": pa.array([], pa.int64()),
+                          "y": pa.array([], pa.int64()),
+                          "cents": pa.array([], pa.int64())})
+        c = batch["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if ck.shape[0] == 0 or c.shape[0] == 0:
+            return empty
+        pos = np.minimum(np.searchsorted(ck, c), ck.shape[0] - 1)
+        sel = ck[pos] == c
+        y = (batch["o_orderdate"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[Y]").astype(np.int64) + 1970)[sel]
+        cents = np.floor(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)[sel]
+        t = pa.table({"nk": nk[pos[sel]], "y": y, "cents": cents})
+        return t.group_by(["nk", "y"]).aggregate([("cents", "sum")]) \
+            .rename_columns(["nk", "y", "cents"])
+
+    def _ranks(nkk, cents):
+        o = np.lexsort((nkk, -cents))
+        rk = np.empty(o.shape[0], np.int64)
+        rk[o] = np.arange(1, o.shape[0] + 1)
+        return rk
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["nk", "y"]).aggregate([("cents", "sum")])
+        empty = pa.table({
+            "year_a": pa.array([], pa.int64()),
+            "year_b": pa.array([], pa.int64()),
+            "n_common": pa.array([], pa.int64()),
+            "sum_abs_d": pa.array([], pa.int64()),
+            "mean_abs_d": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        nkk = g["nk"].to_numpy(zero_copy_only=False)
+        y = g["y"].to_numpy(zero_copy_only=False)
+        cents = g["cents_sum"].to_numpy(zero_copy_only=False)
+        years = np.unique(y)
+        out = {k: [] for k in ("ya", "yb", "n", "sd", "md")}
+        for ya, yb in zip(years[:-1], years[1:]):
+            ma, mb = y == ya, y == yb
+            ka, ra = nkk[ma], _ranks(nkk[ma], cents[ma])
+            kb, rb = nkk[mb], _ranks(nkk[mb], cents[mb])
+            oa, ob = np.argsort(ka), np.argsort(kb)
+            common, ia, ib = np.intersect1d(ka[oa], kb[ob],
+                                            return_indices=True)
+            if common.shape[0] == 0:
+                continue
+            dd = np.abs(ra[oa][ia] - rb[ob][ib])
+            out["ya"].append(int(ya))
+            out["yb"].append(int(yb))
+            out["n"].append(int(common.shape[0]))
+            out["sd"].append(int(dd.sum()))
+            out["md"].append(float(dd.sum()) / float(common.shape[0]))
+        return pa.table({
+            "year_a": pa.array(out["ya"], pa.int64()),
+            "year_b": pa.array(out["yb"], pa.int64()),
+            "n_common": pa.array(out["n"], pa.int64()),
+            "sum_abs_d": pa.array(out["sd"], pa.int64()),
+            "mean_abs_d": pa.array(out["md"], pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("nk", pa.int64()), ("y", pa.int64()),
+                          ("cents", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -13124,6 +13280,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 76: PACF lag 2, rank volatility curve ---
+        "events_pacf_lag2": _events_pacf_lag2,
+        "nation_rank_volatility": _nation_rank_volatility,
         # --- round-5 wave 75: quartile migration, price endings ---
         "customer_quartile_migration": _customer_quartile_migration,
         "part_price_endings": _part_price_endings,
@@ -13548,6 +13707,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 76: never driver-checked.
+    "events_pacf_lag2", "nation_rank_volatility",
     # (3) round-5 wave 75: never driver-checked.
     "customer_quartile_migration", "part_price_endings",
     # (3) round-5 wave 74: never driver-checked.
@@ -14723,6 +14884,80 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # PACF lag 2: shared-denominator lag numerators; Durbin-
+        # Levinson step as a mirrored three-division tree.
+        "events_pacf_lag2": """
+            WITH dd AS (
+              SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1
+            ), b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM dd),
+            cal AS (SELECT unnest(range(mn, mx + 1)) AS day FROM b),
+            x AS (
+              SELECT cal.day, CAST(COALESCE(dd.n, 0) AS HUGEINT) AS x
+              FROM cal LEFT JOIN dd ON dd.day = cal.day
+            ), t AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(x) AS HUGEINT) AS s
+              FROM x
+            ), z AS (
+              SELECT SUM((t.n * x.x - t.s) * (t.n * x.x - t.s)) AS n0
+              FROM x, t
+            ), l1 AS (
+              SELECT COALESCE(SUM((t.n * a.x - t.s)
+                                  * (t.n * b2.x - t.s)), 0) AS num
+              FROM x a JOIN x b2 ON b2.day = a.day + 1 CROSS JOIN t
+            ), l2 AS (
+              SELECT COALESCE(SUM((t.n * a.x - t.s)
+                                  * (t.n * b2.x - t.s)), 0) AS num
+              FROM x a JOIN x b2 ON b2.day = a.day + 2 CROSS JOIN t
+            ), k AS (
+              SELECT CAST(t.n AS BIGINT) AS n_days,
+                     CASE WHEN t.n < 3 OR z.n0 = 0 THEN NULL
+                          ELSE CAST(l1.num AS DOUBLE)
+                               / CAST(z.n0 AS DOUBLE) END AS r1,
+                     CASE WHEN t.n < 3 OR z.n0 = 0 THEN NULL
+                          ELSE CAST(l2.num AS DOUBLE)
+                               / CAST(z.n0 AS DOUBLE) END AS r2
+              FROM t, z, l1, l2
+            )
+            SELECT n_days, r1, r2,
+                   CASE WHEN r1 IS NULL OR 1.0 - r1 * r1 = 0.0
+                        THEN NULL
+                        ELSE (r2 - r1 * r1) / (1.0 - r1 * r1)
+                   END AS pacf2
+            FROM k WHERE n_days > 0
+        """,
+        # Rank volatility: consecutive-year LEAD pairs, deterministic
+        # per-year ranks, one division per pair.
+        "nation_rank_volatility": """
+            WITH ny AS (
+              SELECT c.c_nationkey AS nk,
+                     CAST(YEAR(o.o_orderdate) AS BIGINT) AS y,
+                     CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS cents
+              FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+              GROUP BY 1, 2
+            ), yrs AS (SELECT DISTINCT y FROM ny), yp AS (
+              SELECT y AS ya, LEAD(y) OVER (ORDER BY y) AS yb FROM yrs
+            ), r AS (
+              SELECT y, nk, ROW_NUMBER() OVER (
+                  PARTITION BY y ORDER BY cents DESC, nk) AS rk
+              FROM ny
+            ), j AS (
+              SELECT yp.ya, yp.yb, ABS(ra.rk - rb.rk) AS ad
+              FROM yp
+              JOIN r ra ON ra.y = yp.ya
+              JOIN r rb ON rb.y = yp.yb AND rb.nk = ra.nk
+              WHERE yp.yb IS NOT NULL
+            )
+            SELECT ya AS year_a, yb AS year_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_common,
+                   CAST(SUM(ad) AS BIGINT) AS sum_abs_d,
+                   CAST(SUM(ad) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS mean_abs_d
+            FROM j GROUP BY 1, 2
         """,
         # Quartile migration: median-day split, PERCENTILE_DISC cuts
         # per half, 5x5 bracket matrix; all integers.

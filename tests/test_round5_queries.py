@@ -185,7 +185,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 74: partial correlation, Mood's median test
         "lineitem_partial_corr", "events_mood_median_test",
         # wave 75: quartile migration matrix, price-ending profile
-        "customer_quartile_migration", "part_price_endings"]
+        "customer_quartile_migration", "part_price_endings",
+        # wave 76: PACF at lag 2, yearly rank-volatility curve
+        "events_pacf_lag2", "nation_rank_volatility"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
