@@ -13271,6 +13271,133 @@ def _nation_rank_volatility(sf_dir: str):
                           ("cents", pa.int64())]))
 
 
+def _orders_weekday_kruskal(sf_dir: str):
+    """Kruskal-Wallis H across weekdays on daily revenue — the
+    rank-based (distribution-free) ANOVA. Tie-averaged ranks stay
+    exact as 2*rank integers (first+last of each tie run); the
+    between-group sum folds over the common denominator prod(n_g) on
+    Python bigints / HUGEINT (<= 7 groups); H and its tie-corrected
+    variant are mirrored float trees with ONE division each. Daily
+    cents via a date-bounded combiner."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+        cents = np.floor(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        t = pa.table({"day": day, "cents": cents})
+        return t.group_by("day").aggregate([("cents", "sum")]) \
+            .rename_columns(["day", "cents"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("day").aggregate([("cents", "sum")])
+        d = g["day"].to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            "n_days": pa.array([], pa.int64()),
+            "h_stat": pa.array([], pa.float64()),
+            "h_adj": pa.array([], pa.float64())})
+        if d.shape[0] == 0:
+            return empty
+        cents = g["cents_sum"].to_numpy(zero_copy_only=False)
+        wd = (d + 3) % 7
+        o = np.argsort(cents, kind="stable")
+        cs = cents[o]
+        n = int(cs.shape[0])
+        # 2*average-rank per value: first+last 1-based rank of its run
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        ends = np.r_[starts[1:], n]
+        r2_sorted = np.repeat(starts + 1 + ends, ends - starts)
+        r2 = np.empty(n, np.int64)
+        r2[o] = r2_sorted
+        rg: dict = {}
+        ng: dict = {}
+        for w, v in zip(wd.tolist(), r2.tolist()):
+            rg[w] = rg.get(w, 0) + int(v)
+            ng[w] = ng.get(w, 0) + 1
+        pp = 1
+        for v in ng.values():
+            pp *= v
+        ss = sum(rg[w] * rg[w] * (pp // ng[w]) for w in rg)
+        _, tc = np.unique(cs, return_counts=True)
+        tt = sum(int(c) ** 3 - int(c) for c in tc)
+        if n < 2:
+            h = ha = None
+        else:
+            h = float(3 * ss) / float(pp * n * (n + 1)) \
+                - 3.0 * (float(n) + 1.0)
+            corr = 1.0 - float(tt) / float(n ** 3 - n)
+            ha = None if corr == 0.0 else h / corr
+        return pa.table({
+            "n_days": pa.array([n], pa.int64()),
+            "h_stat": pa.array([h], pa.float64()),
+            "h_adj": pa.array([ha], pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("day", pa.int64()), ("cents", pa.int64())]))
+
+
+def _docs_dedup_token_savings(sf_dir: str):
+    """Curation ROI report: document and whitespace-token counts
+    before vs after near-dup removal, and the token savings ratio —
+    what the dedup pass actually buys in training-token terms.
+    Composes the survivor semi-join with two token-count combiners;
+    the ratio is ONE division of exact integers."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.text.dedup import near_dedup
+
+    def counts(ds) -> tuple:
+        def partial(batch: pa.Table) -> pa.Table:
+            toks = pc.count_substring_regex(batch["text"], r"\S+") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "n": pa.array([toks.shape[0]], pa.int64()),
+                "tok": pa.array([int(toks.sum())], pa.int64())})
+
+        t = driver_merge(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=32768),
+            lambda t: t,
+            schema=pa.schema([("n", pa.int64()), ("tok", pa.int64())]))
+        return (sum(int(v) for v in t["n"].to_pylist()),
+                sum(int(v) for v in t["tok"].to_pylist()))
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    nb, tb = counts(docs)
+    docs2 = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    na, ta = counts(near_dedup(docs2, key_col="doc_id"))
+    ratio = None if tb == 0 else float(tb - ta) / float(tb)
+    if nb == 0:
+        return pa.table({
+            "docs_before": pa.array([], pa.int64()),
+            "docs_after": pa.array([], pa.int64()),
+            "tokens_before": pa.array([], pa.int64()),
+            "tokens_after": pa.array([], pa.int64()),
+            "token_savings": pa.array([], pa.float64())})
+    return pa.table({
+        "docs_before": pa.array([nb], pa.int64()),
+        "docs_after": pa.array([na], pa.int64()),
+        "tokens_before": pa.array([tb], pa.int64()),
+        "tokens_after": pa.array([ta], pa.int64()),
+        "token_savings": pa.array([ratio], pa.float64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -13280,6 +13407,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 77: Kruskal-Wallis, dedup token savings ---
+        "orders_weekday_kruskal": _orders_weekday_kruskal,
+        "docs_dedup_token_savings": _docs_dedup_token_savings,
         # --- round-5 wave 76: PACF lag 2, rank volatility curve ---
         "events_pacf_lag2": _events_pacf_lag2,
         "nation_rank_volatility": _nation_rank_volatility,
@@ -13707,6 +13837,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 77: never driver-checked.
+    "orders_weekday_kruskal", "docs_dedup_token_savings",
     # (3) round-5 wave 76: never driver-checked.
     "events_pacf_lag2", "nation_rank_volatility",
     # (3) round-5 wave 75: never driver-checked.
@@ -14884,6 +15016,87 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Kruskal-Wallis: 2*avg-rank integers (first+last of tie
+        # runs), prod(n_g) common denominator, mirrored H trees.
+        "orders_weekday_kruskal": """
+            WITH d AS (
+              SELECT CAST(epoch_us(o_orderdate) // 86400000000
+                          AS BIGINT) AS day,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS cents
+              FROM orders GROUP BY 1
+            ), w AS (
+              SELECT (day + 3) % 7 AS wd, cents,
+                     2 * RANK() OVER (ORDER BY cents)
+                     + COUNT(*) OVER (PARTITION BY cents) - 1 AS r2
+              FROM d
+            ), g AS (
+              SELECT wd, CAST(SUM(r2) AS HUGEINT) AS rg,
+                     CAST(COUNT(*) AS HUGEINT) AS ng
+              FROM w GROUP BY 1
+            ), p AS (
+              SELECT COALESCE(MAX(CASE WHEN wd = 0 THEN ng END), 1)
+                   * COALESCE(MAX(CASE WHEN wd = 1 THEN ng END), 1)
+                   * COALESCE(MAX(CASE WHEN wd = 2 THEN ng END), 1)
+                   * COALESCE(MAX(CASE WHEN wd = 3 THEN ng END), 1)
+                   * COALESCE(MAX(CASE WHEN wd = 4 THEN ng END), 1)
+                   * COALESCE(MAX(CASE WHEN wd = 5 THEN ng END), 1)
+                   * COALESCE(MAX(CASE WHEN wd = 6 THEN ng END), 1)
+                       AS pp
+              FROM g
+            ), s AS (
+              SELECT SUM(g.rg * g.rg * (p.pp // g.ng)) AS ss
+              FROM g, p
+            ), t AS (
+              SELECT CAST(COALESCE(SUM(tc * tc * tc - tc), 0)
+                          AS HUGEINT) AS tt
+              FROM (SELECT CAST(COUNT(*) AS HUGEINT) AS tc
+                    FROM d GROUP BY cents)
+            ), c AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM d),
+            k AS (
+              SELECT CAST(n AS BIGINT) AS n_days,
+                     CASE WHEN n < 2 THEN NULL
+                          ELSE CAST(3 * ss AS DOUBLE)
+                               / CAST(pp * n * (n + 1) AS DOUBLE)
+                               - 3.0 * (CAST(n AS DOUBLE) + 1.0)
+                     END AS h_stat,
+                     CASE WHEN n < 2 THEN NULL
+                          ELSE 1.0 - CAST(tt AS DOUBLE)
+                                     / CAST(n * n * n - n AS DOUBLE)
+                     END AS corr
+              FROM c, p, s, t
+            )
+            SELECT n_days, h_stat,
+                   CASE WHEN h_stat IS NULL OR corr = 0.0 THEN NULL
+                        ELSE h_stat / corr END AS h_adj
+            FROM k WHERE n_days > 0
+        """,
+        # Token savings: survivor semi-join + two token-count
+        # aggregates; one division.
+        "docs_dedup_token_savings": f"""
+            WITH clusters AS ({_DUP_CLUSTERS_SQL}), surv AS (
+              SELECT d.text FROM documents d
+              JOIN clusters c ON c.doc_id = d.doc_id
+              WHERE c.cluster_id = c.doc_id
+            ), bb AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+                     CAST(COALESCE(SUM(len(regexp_extract_all(
+                         text, '\\S+'))), 0) AS BIGINT) AS tb
+              FROM documents
+            ), aa AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS na,
+                     CAST(COALESCE(SUM(len(regexp_extract_all(
+                         text, '\\S+'))), 0) AS BIGINT) AS ta
+              FROM surv
+            )
+            SELECT bb.nb AS docs_before, aa.na AS docs_after,
+                   bb.tb AS tokens_before, aa.ta AS tokens_after,
+                   CASE WHEN bb.tb = 0 THEN NULL
+                        ELSE CAST(bb.tb - aa.ta AS DOUBLE)
+                             / CAST(bb.tb AS DOUBLE)
+                   END AS token_savings
+            FROM bb, aa WHERE bb.nb > 0
         """,
         # PACF lag 2: shared-denominator lag numerators; Durbin-
         # Levinson step as a mirrored three-division tree.

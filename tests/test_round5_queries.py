@@ -187,7 +187,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 75: quartile migration matrix, price-ending profile
         "customer_quartile_migration", "part_price_endings",
         # wave 76: PACF at lag 2, yearly rank-volatility curve
-        "events_pacf_lag2", "nation_rank_volatility"]
+        "events_pacf_lag2", "nation_rank_volatility",
+        # wave 77: Kruskal-Wallis across weekdays, dedup token savings
+        "orders_weekday_kruskal", "docs_dedup_token_savings"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
