@@ -13398,6 +13398,170 @@ def _docs_dedup_token_savings(sf_dir: str):
         "token_savings": pa.array([ratio], pa.float64())})
 
 
+def _events_mann_whitney(sf_dir: str):
+    """Mann-Whitney U between the purchase and click value
+    distributions — the rank-based two-sample test completing the
+    KS / Mood / Kruskal-Wallis family. Ranks never materialize per
+    row: the cents-bounded (value, na, nb) combiner feeds a prefix
+    scan where each tie run's doubled average rank is the exact
+    integer 2c + t + 1, so 2*U is an exact bigint; z with the
+    tie-corrected variance is ONE mirrored float tree."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        keep = pc.is_in(et, value_set=pa.array(["purchase", "click"]))
+        batch = batch.filter(keep)
+        cents = np.floor(batch["value"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        is_a = pc.equal(batch["event_type"], "purchase") \
+            .to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(cents, return_inverse=True)
+        na = np.zeros(uniq.shape[0], np.int64)
+        nb = np.zeros(uniq.shape[0], np.int64)
+        np.add.at(na, inv[is_a], 1)
+        np.add.at(nb, inv[~is_a], 1)
+        return pa.table({"c": uniq, "na": na, "nb": nb})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("c").aggregate([("na", "sum"), ("nb", "sum")])
+        c = g["c"].to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            "n_purchase": pa.array([], pa.int64()),
+            "n_click": pa.array([], pa.int64()),
+            "u2_purchase": pa.array([], pa.int64()),
+            "z_mwu": pa.array([], pa.float64())})
+        if c.shape[0] == 0:
+            return empty
+        o = np.argsort(c)
+        na = [int(v) for v in
+              g["na_sum"].to_numpy(zero_copy_only=False)[o]]
+        nb = [int(v) for v in
+              g["nb_sum"].to_numpy(zero_copy_only=False)[o]]
+        n1, n2 = sum(na), sum(nb)
+        nn = n1 + n2
+        run = 0
+        r1x2 = 0
+        tt = 0
+        for a, b in zip(na, nb):
+            tcount = a + b
+            r1x2 += a * (2 * run + tcount + 1)
+            tt += tcount ** 3 - tcount
+            run += tcount
+        u2 = r1x2 - n1 * (n1 + 1)      # == 2*U_purchase, exact
+        if n1 == 0 or n2 == 0 or nn < 2:
+            z = None
+        else:
+            var = float(n1 * n2) / 12.0 * (
+                float(nn + 1)
+                - float(tt) / float(nn * (nn - 1)))
+            z = None if var <= 0.0 \
+                else (float(u2 - n1 * n2) / 2.0) / math.sqrt(var)
+        return pa.table({
+            "n_purchase": pa.array([n1], pa.int64()),
+            "n_click": pa.array([n2], pa.int64()),
+            "u2_purchase": pa.array([u2], pa.int64()),
+            "z_mwu": pa.array([z], pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("c", pa.int64()), ("na", pa.int64()),
+                          ("nb", pa.int64())]))
+
+
+def _events_qq_decile_slope(sf_dir: str):
+    """Q-Q calibration between the purchase and click value
+    distributions: the 9 decile pairs (exact PERCENTILE_DISC on both
+    sides) and the OLS slope through them — slope 1 means same shape,
+    scale reads directly. Decile selection and the slope's moment
+    sums are exact integers off the cents-bounded combiner; the slope
+    is ONE division."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        keep = pc.is_in(et, value_set=pa.array(["purchase", "click"]))
+        batch = batch.filter(keep)
+        cents = np.floor(batch["value"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        is_a = pc.equal(batch["event_type"], "purchase") \
+            .to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(cents, return_inverse=True)
+        na = np.zeros(uniq.shape[0], np.int64)
+        nb = np.zeros(uniq.shape[0], np.int64)
+        np.add.at(na, inv[is_a], 1)
+        np.add.at(nb, inv[~is_a], 1)
+        return pa.table({"c": uniq, "na": na, "nb": nb})
+
+    def _disc(cs, counts, p):
+        tot = sum(counts)
+        target = -(-tot * p // 100)       # ceil(p% * tot)
+        run = 0
+        for v, x in zip(cs, counts):
+            run += x
+            if run >= target:
+                return int(v)
+        return int(cs[-1])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("c").aggregate([("na", "sum"), ("nb", "sum")])
+        c = g["c"].to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            "decile": pa.array([], pa.int64()),
+            "q_purchase": pa.array([], pa.int64()),
+            "q_click": pa.array([], pa.int64()),
+            "qq_slope": pa.array([], pa.float64())})
+        if c.shape[0] == 0:
+            return empty
+        o = np.argsort(c)
+        cs = c[o].tolist()
+        na = [int(v) for v in
+              g["na_sum"].to_numpy(zero_copy_only=False)[o]]
+        nb = [int(v) for v in
+              g["nb_sum"].to_numpy(zero_copy_only=False)[o]]
+        if sum(na) == 0 or sum(nb) == 0:
+            return empty
+        qa = [_disc(cs, na, 10 * d) for d in range(1, 10)]
+        qb = [_disc(cs, nb, 10 * d) for d in range(1, 10)]
+        k = 9
+        sx, sy = sum(qb), sum(qa)
+        sxx = sum(v * v for v in qb)
+        sxy = sum(p * q for p, q in zip(qb, qa))
+        den = k * sxx - sx * sx
+        slope = None if den == 0 \
+            else float(k * sxy - sx * sy) / float(den)
+        return pa.table({
+            "decile": pa.array(list(range(1, 10)), pa.int64()),
+            "q_purchase": pa.array(qa, pa.int64()),
+            "q_click": pa.array(qb, pa.int64()),
+            "qq_slope": pa.array([slope] * 9, pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("c", pa.int64()), ("na", pa.int64()),
+                          ("nb", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -13407,6 +13571,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 78: Mann-Whitney U, Q-Q decile slope ---
+        "events_mann_whitney": _events_mann_whitney,
+        "events_qq_decile_slope": _events_qq_decile_slope,
         # --- round-5 wave 77: Kruskal-Wallis, dedup token savings ---
         "orders_weekday_kruskal": _orders_weekday_kruskal,
         "docs_dedup_token_savings": _docs_dedup_token_savings,
@@ -13837,6 +14004,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 78: never driver-checked.
+    "events_mann_whitney", "events_qq_decile_slope",
     # (3) round-5 wave 77: never driver-checked.
     "orders_weekday_kruskal", "docs_dedup_token_savings",
     # (3) round-5 wave 76: never driver-checked.
@@ -15016,6 +15185,98 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Mann-Whitney U: doubled tie-averaged ranks off the value
+        # histogram prefix scan; 2U exact; mirrored z tree.
+        "events_mann_whitney": """
+            WITH v AS (
+              SELECT event_type,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events WHERE event_type IN ('purchase', 'click')
+            ), g AS (
+              SELECT c,
+                     SUM(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS na,
+                     SUM(CASE WHEN event_type = 'click'
+                              THEN 1 ELSE 0 END) AS nb
+              FROM v GROUP BY c
+            ), w AS (
+              SELECT na, nb, na + nb AS t,
+                     COALESCE(SUM(na + nb) OVER (
+                         ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS run
+              FROM g
+            ), m AS (
+              SELECT CAST(SUM(na) AS HUGEINT) AS n1,
+                     CAST(SUM(nb) AS HUGEINT) AS n2,
+                     CAST(SUM(na * (2 * run + t + 1)) AS HUGEINT)
+                         AS r1x2,
+                     CAST(SUM(t * t * t - t) AS HUGEINT) AS tt
+              FROM w
+            ), k AS (
+              SELECT CAST(n1 AS BIGINT) AS n_purchase,
+                     CAST(n2 AS BIGINT) AS n_click,
+                     CAST(r1x2 - n1 * (n1 + 1) AS BIGINT)
+                         AS u2_purchase,
+                     CAST(n1 * n2 AS BIGINT) AS n1n2,
+                     CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 2
+                          THEN NULL
+                          ELSE CAST(n1 * n2 AS DOUBLE) / 12.0
+                               * (CAST(n1 + n2 + 1 AS DOUBLE)
+                                  - CAST(tt AS DOUBLE)
+                                    / CAST((n1 + n2) * (n1 + n2 - 1)
+                                           AS DOUBLE))
+                     END AS var
+              FROM m
+            )
+            SELECT n_purchase, n_click, u2_purchase,
+                   CASE WHEN var IS NULL OR var <= 0.0 THEN NULL
+                        ELSE (CAST(u2_purchase - n1n2 AS DOUBLE) / 2.0)
+                             / SQRT(var)
+                   END AS z_mwu
+            FROM k WHERE n_purchase + n_click > 0
+        """,
+        # Q-Q deciles: quantile_disc lists on both sides; OLS slope
+        # through the 9 pairs as one division of exact moments.
+        "events_qq_decile_slope": """
+            WITH v AS (
+              SELECT event_type,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events WHERE event_type IN ('purchase', 'click')
+            ), qa AS (
+              SELECT unnest(quantile_disc(c, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                              0.6, 0.7, 0.8, 0.9]))
+                         AS q,
+                     unnest(range(1, 10)) AS d
+              FROM v WHERE event_type = 'purchase'
+            ), qb AS (
+              SELECT unnest(quantile_disc(c, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                              0.6, 0.7, 0.8, 0.9]))
+                         AS q,
+                     unnest(range(1, 10)) AS d
+              FROM v WHERE event_type = 'click'
+            ), j AS (
+              SELECT qa.d, qa.q AS qp, qb.q AS qc
+              FROM qa JOIN qb ON qb.d = qa.d
+            ), s AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS k,
+                     CAST(SUM(qc) AS HUGEINT) AS sx,
+                     CAST(SUM(qp) AS HUGEINT) AS sy,
+                     CAST(SUM(CAST(qc AS HUGEINT) * qc) AS HUGEINT)
+                         AS sxx,
+                     CAST(SUM(CAST(qc AS HUGEINT) * qp) AS HUGEINT)
+                         AS sxy
+              FROM j
+            )
+            SELECT CAST(j.d AS BIGINT) AS decile,
+                   CAST(j.qp AS BIGINT) AS q_purchase,
+                   CAST(j.qc AS BIGINT) AS q_click,
+                   CASE WHEN s.k * s.sxx - s.sx * s.sx = 0 THEN NULL
+                        ELSE CAST(s.k * s.sxy - s.sx * s.sy AS DOUBLE)
+                             / CAST(s.k * s.sxx - s.sx * s.sx
+                                    AS DOUBLE)
+                   END AS qq_slope
+            FROM j, s
         """,
         # Kruskal-Wallis: 2*avg-rank integers (first+last of tie
         # runs), prod(n_g) common denominator, mirrored H trees.

@@ -189,7 +189,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 76: PACF at lag 2, yearly rank-volatility curve
         "events_pacf_lag2", "nation_rank_volatility",
         # wave 77: Kruskal-Wallis across weekdays, dedup token savings
-        "orders_weekday_kruskal", "docs_dedup_token_savings"]
+        "orders_weekday_kruskal", "docs_dedup_token_savings",
+        # wave 78: Mann-Whitney U, Q-Q decile slope
+        "events_mann_whitney", "events_qq_decile_slope"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
