@@ -13562,6 +13562,125 @@ def _events_qq_decile_slope(sf_dir: str):
                           ("nb", pa.int64())]))
 
 
+def _events_lateness_hist(sf_dir: str):
+    """Watermark / out-of-orderness profile: for each event in ARRIVAL
+    order — a deterministic mix64 permutation of event_id simulating a
+    shuffled ingest (stored order is already time-sorted, which would
+    make the probe vacuous) — the lateness vs the running max
+    event-time seen so far, histogrammed by log2 seconds (-1 = in
+    order): the streaming diagnostic that sizes allowed-lateness
+    windows. Built on the NEW global exclusive prefix-MAX primitive
+    (ops.scan.global_exclusive_cummax — bucket partial maxima, one
+    driver carry scan, per-bucket running max; no global sort); the
+    arrival key is the int64 BIT-VIEW of the hash (the repo's
+    shuffle-key convention) and the log2 bucket is an exact
+    power-of-two digitize. ALL-INTEGER."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.io.pages import _mix64
+    from h3ray.ops.join import seed_schema
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.ops.scan import global_exclusive_cummax
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        arr = _mix64(eid).view(np.int64)
+        return pa.table({"arr": arr, "u": u})
+
+    wm = global_exclusive_cummax(
+        seed_schema(ds.map_batches(prep, batch_format="pyarrow",
+                                   batch_size=131072),
+                    pa.schema([("arr", pa.int64()),
+                               ("u", pa.int64())])),
+        "arr", "u", out_col="pm")
+
+    POWS = (2 ** np.arange(1, 63, dtype=np.int64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        valid = pc.is_valid(batch["pm"]).to_numpy(zero_copy_only=False)
+        u = batch["u"].to_numpy(zero_copy_only=False)[valid]
+        pm = batch["pm"].to_numpy(zero_copy_only=False)[valid]
+        late = pm > u
+        b = np.full(u.shape[0], -1, np.int64)
+        if late.any():
+            ls = (pm[late] - u[late]) // 1_000_000
+            b[late] = np.digitize(ls + 1, POWS, right=False)
+        uniq, cnt = np.unique(b, return_counts=True)
+        return pa.table({"log2_lateness_s": uniq,
+                         "n": cnt.astype(np.int64)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("log2_lateness_s").aggregate([("n", "sum")])
+        b = g["log2_lateness_s"].to_numpy(zero_copy_only=False)
+        o = np.argsort(b)
+        return pa.table({
+            "log2_lateness_s": pa.array(b[o].astype(np.int64)),
+            "n_events": pa.array(
+                g["n_sum"].to_numpy(zero_copy_only=False)[o]
+                .astype(np.int64))})
+
+    return driver_merge(
+        wm.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("log2_lateness_s", pa.int64()),
+                          ("n", pa.int64())]))
+
+
+def _events_shuffle_balance(sf_dir: str):
+    """Shuffle-balance audit: the row-count distribution a 64-way
+    user-hash exchange would see (the engine's own mix64 % 64 bucket
+    function, mirrored bit-exactly in SQL) plus each bucket's share —
+    the skew evidence behind every bucketed reducer in this repo.
+    Bucket-bounded combiner; one division per bucket."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.io.pages import _mix64
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        b = (_mix64(uid) % np.uint64(64)).astype(np.int64)
+        uniq, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bucket": uniq, "n": cnt.astype(np.int64)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("bucket").aggregate([("n", "sum")])
+        b = g["bucket"].to_numpy(zero_copy_only=False)
+        if b.shape[0] == 0:
+            return pa.table({
+                "bucket": pa.array([], pa.int64()),
+                "n_rows": pa.array([], pa.int64()),
+                "share": pa.array([], pa.float64())})
+        o = np.argsort(b)
+        n = g["n_sum"].to_numpy(zero_copy_only=False)[o]
+        tot = int(n.sum())
+        return pa.table({
+            "bucket": pa.array(b[o].astype(np.int64)),
+            "n_rows": pa.array(n.astype(np.int64)),
+            "share": pa.array(n.astype(np.float64) / float(tot))})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("bucket", pa.int64()), ("n", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -13571,6 +13690,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 79: lateness watermark, shuffle balance ---
+        "events_lateness_hist": _events_lateness_hist,
+        "events_shuffle_balance": _events_shuffle_balance,
         # --- round-5 wave 78: Mann-Whitney U, Q-Q decile slope ---
         "events_mann_whitney": _events_mann_whitney,
         "events_qq_decile_slope": _events_qq_decile_slope,
@@ -14004,6 +14126,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 79: never driver-checked.
+    "events_lateness_hist", "events_shuffle_balance",
     # (3) round-5 wave 78: never driver-checked.
     "events_mann_whitney", "events_qq_decile_slope",
     # (3) round-5 wave 77: never driver-checked.
@@ -15185,6 +15309,57 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Lateness: window MAX over the mix64 bit-view arrival order;
+        # log2 bucket via binary-string length.
+        "events_lateness_hist": f"""
+            WITH e0 AS (
+              SELECT CAST(event_id AS UBIGINT) AS x0,
+                     epoch_us(ts) AS u
+              FROM events
+            ), e1 AS (
+              SELECT {_sql_mulmod('xor(x0, x0 >> 30)',
+                                  13787848793156543929)} AS x1, u
+              FROM e0
+            ), e2 AS (
+              SELECT {_sql_mulmod('xor(x1, x1 >> 27)',
+                                  10723151780598845931)} AS x2, u
+              FROM e1
+            ), eh AS (
+              SELECT xor(x2, x2 >> 31) AS h, u FROM e2
+            ), w AS (
+              SELECT u,
+                     MAX(u) OVER (
+                         ORDER BY CAST(CAST(h AS HUGEINT)
+                             - CASE WHEN h >=
+                                 9223372036854775808::HUGEINT
+                               THEN 18446744073709551616::HUGEINT
+                               ELSE 0::HUGEINT END AS BIGINT)
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS pm
+              FROM eh
+            ), l AS (
+              SELECT CASE WHEN pm <= u THEN CAST(-1 AS BIGINT)
+                          ELSE CAST(length(printf('%b',
+                                   (pm - u) // 1000000 + 1)) - 1
+                               AS BIGINT)
+                     END AS b
+              FROM w WHERE pm IS NOT NULL
+            )
+            SELECT b AS log2_lateness_s,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM l GROUP BY 1
+        """,
+        # Shuffle balance: the engine's own mix64 % 64, bit-exact.
+        "events_shuffle_balance": f"""
+            WITH {_mix64_cte("SELECT CAST(user_id AS UBIGINT) AS x0"
+                             " FROM events")}
+            SELECT CAST(h % 64 AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS DOUBLE)
+                   / CAST((SELECT COUNT(*) FROM hashed) AS DOUBLE)
+                       AS share
+            FROM hashed GROUP BY 1
         """,
         # Mann-Whitney U: doubled tie-averaged ranks off the value
         # histogram prefix scan; 2U exact; mirrored z tree.

@@ -90,6 +90,78 @@ def global_exclusive_cumsum(ds, order_col: str, value_col: str,
         .groupby("_bucket").map_groups(scan, batch_format="pyarrow")
 
 
+def global_exclusive_cummax(ds, order_col: str, value_col: str,
+                            out_col: str = "excl_cummax",
+                            bucket_width: int = 65536):
+    """Append `out_col` = MAX of `value_col` over all rows with a
+    strictly smaller `order_col` (exclusive running maximum in global
+    key order) — the watermark / out-of-orderness primitive. NULL for
+    the globally-first row, exactly like the SQL
+    `MAX(v) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND
+    1 PRECEDING)` frame. Same two-pass shape and scale contract as
+    `global_exclusive_cumsum` (max is associative and commutative, so
+    bucket partial maxima + an exclusive driver prefix-max carry are
+    exact). Keys must be unique int64."""
+    import ray
+    import ray.data  # noqa: F401
+
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
+    NEG = np.iinfo(np.int64).min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = k // bucket_width
+        ub, inv = np.unique(b, return_inverse=True)
+        mx = np.full(ub.shape[0], NEG, dtype=np.int64)
+        np.maximum.at(mx, inv, v)
+        return pa.Table.from_arrays(
+            [pa.array(ub), pa.array(mx)], names=["_bucket", "_max"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        b = t["_bucket"].to_numpy(zero_copy_only=False)
+        s = t["_max"].to_numpy(zero_copy_only=False)
+        ub, inv = np.unique(b, return_inverse=True)
+        tot = np.full(ub.shape[0], NEG, dtype=np.int64)
+        np.maximum.at(tot, inv, s)
+        carry = (np.concatenate(
+            [[NEG], np.maximum.accumulate(tot)[:-1]])
+            if ub.size else np.empty(0, np.int64))
+        return pa.Table.from_arrays(
+            [pa.array(ub), pa.array(carry.astype(np.int64))],
+            names=["_bucket", "_carry"])
+
+    totals = driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow"), merge,
+        schema=pa.schema([pa.field("_bucket", pa.int64()),
+                          pa.field("_max", pa.int64())]))
+    carry_ref = ray.put((totals["_bucket"].to_numpy(),
+                         totals["_carry"].to_numpy()))
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        k = batch[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("_bucket",
+                                   pa.array(k // bucket_width))
+
+    def scan(group: pa.Table) -> pa.Table:
+        buckets, carries = ray.get(carry_ref)
+        k = group[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = group[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        excl = np.concatenate(
+            [[NEG], np.maximum.accumulate(v[order])[:-1]])
+        carry = carries[np.searchsorted(buckets, k[order[0]] // bucket_width)]
+        run = np.maximum(excl, carry)
+        out = group.take(pa.array(order)).drop_columns(["_bucket"])
+        return out.append_column(
+            out_col, pa.array(np.where(run == NEG, None, run),
+                              pa.int64()))
+
+    return ds.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(scan, batch_format="pyarrow")
+
+
 def pack_sequences(ds, order_col: str, size_col: str, budget: int,
                    out_col: str = "pack_id",
                    bucket_width: int = 65536):

@@ -191,7 +191,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 77: Kruskal-Wallis across weekdays, dedup token savings
         "orders_weekday_kruskal", "docs_dedup_token_savings",
         # wave 78: Mann-Whitney U, Q-Q decile slope
-        "events_mann_whitney", "events_qq_decile_slope"]
+        "events_mann_whitney", "events_qq_decile_slope",
+        # wave 79: lateness watermark histogram, shuffle balance audit
+        "events_lateness_hist", "events_shuffle_balance"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
