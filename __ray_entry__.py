@@ -13681,6 +13681,197 @@ def _events_shuffle_balance(sf_dir: str):
         schema=pa.schema([("bucket", pa.int64()), ("n", pa.int64())]))
 
 
+def _emb_knn_label_purity(sf_dir: str):
+    """kNN label purity — do embedding neighborhoods respect labels?
+    For the 200-query panel, the fraction of each query's EXACT
+    micro-int top-10 neighbors sharing its label, rolled up per label:
+    the retrieval-quality sanity check a training pipeline runs on new
+    embeddings. Same bit-exact matmul partials as the hubness probe
+    (labels ride the broadcast); hits/total is ONE division per
+    label."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.pipelines.ann import _embedding_matrix
+
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "label"])
+    all_id = full["vec_id"].to_numpy().astype(np.int64)
+    fo = np.argsort(all_id)
+    all_id = all_id[fo]
+    all_lab = full["label"].to_numpy().astype(np.int64)[fo]
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding", "label"],
+                       filters=[("vec_id", "<", 200)])
+    empty = pa.table({"label": pa.array([], pa.int64()),
+                      "n_queries": pa.array([], pa.int64()),
+                      "n_hits": pa.array([], pa.int64()),
+                      "n_neighbors": pa.array([], pa.int64()),
+                      "purity": pa.array([], pa.float64())})
+    if qt.num_rows == 0:
+        return empty
+    qid = qt["vec_id"].to_numpy().astype(np.int64)
+    qo = np.argsort(qid)
+    qid = qid[qo]
+    qlab = qt["label"].to_numpy().astype(np.int64)[qo]
+    qm = np.floor(_embedding_matrix(qt, "embedding",
+                                    dtype=np.float64) * 1_000_000
+                  + 0.5)[qo]
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    K = 10
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = np.floor(_embedding_matrix(batch, "embedding",
+                                       dtype=np.float64) * 1_000_000
+                     + 0.5)
+        dots = qm @ m.T
+        dots[qid[:, None] == vid[None, :]] = -np.inf
+        k = min(K, vid.shape[0])
+        out_q, out_v, out_d = [], [], []
+        for i in range(qid.shape[0]):
+            row = dots[i]
+            top = np.argpartition(-row, k - 1)[:k] if k < row.shape[0] \
+                else np.arange(row.shape[0])
+            for j in top:
+                if row[j] != -np.inf:
+                    out_q.append(int(qid[i]))
+                    out_v.append(int(vid[j]))
+                    out_d.append(int(row[j]))
+        return pa.table({"qid": pa.array(out_q, pa.int64()),
+                         "vid": pa.array(out_v, pa.int64()),
+                         "dot": pa.array(out_d, pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        q = t["qid"].to_numpy(zero_copy_only=False)
+        v = t["vid"].to_numpy(zero_copy_only=False)
+        dd = t["dot"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -dd, q))
+        q, v = q[order], v[order]
+        seg = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
+        rank = np.arange(q.shape[0]) - np.repeat(
+            seg, np.diff(np.r_[seg, q.shape[0]]))
+        keep = rank < K
+        q, v = q[keep], v[keep]
+        qpos = np.searchsorted(qid, q)
+        vpos = np.searchsorted(all_id, v)
+        hit = (qlab[qpos] == all_lab[vpos]).astype(np.int64)
+        labs = qlab[qpos]
+        ul = np.unique(qlab)
+        out_l, out_nq, out_h, out_nn, out_p = [], [], [], [], []
+        for lb in ul:
+            m2 = labs == lb
+            nn = int(m2.sum())
+            if nn == 0:
+                continue
+            h = int(hit[m2].sum())
+            out_l.append(int(lb))
+            out_nq.append(int((qlab == lb).sum()))
+            out_h.append(h)
+            out_nn.append(nn)
+            out_p.append(float(h) / float(nn))
+        return pa.table({
+            "label": pa.array(out_l, pa.int64()),
+            "n_queries": pa.array(out_nq, pa.int64()),
+            "n_hits": pa.array(out_h, pa.int64()),
+            "n_neighbors": pa.array(out_nn, pa.int64()),
+            "purity": pa.array(out_p, pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=4096), merge,
+        schema=pa.schema([("qid", pa.int64()), ("vid", pa.int64()),
+                          ("dot", pa.int64())]))
+
+
+def _docs_len_welch_t(sf_dir: str):
+    """Welch's unequal-variance t between the two largest language
+    populations (en vs zh) on document length — the parametric
+    complement to the rank tests. Exact integer moments per side (one
+    combiner row per batch); t = (m1-m2)/sqrt(v1/n1 + v2/n2) and the
+    Welch-Satterthwaite df are mirrored float trees."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["lang"], value_set=pa.array(["en", "zh"]))
+        batch = batch.filter(keep)
+        c = batch["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        is_a = pc.equal(batch["lang"], "en").to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "na": pa.array([int(is_a.sum())], pa.int64()),
+            "sa": pa.array([int(c[is_a].sum())], pa.int64()),
+            "qa": pa.array([int((c[is_a] * c[is_a]).sum())],
+                           pa.int64()),
+            "nb": pa.array([int((~is_a).sum())], pa.int64()),
+            "sb": pa.array([int(c[~is_a].sum())], pa.int64()),
+            "qb": pa.array([int((c[~is_a] * c[~is_a]).sum())],
+                           pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_en": pa.array([], pa.int64()),
+            "n_zh": pa.array([], pa.int64()),
+            "welch_t": pa.array([], pa.float64()),
+            "welch_df": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        g = {c: sum(int(v) for v in t[c].to_pylist())
+             for c in t.column_names}
+        na, nb = g["na"], g["nb"]
+        if na + nb == 0:
+            return empty
+        if na < 2 or nb < 2:
+            tt = df = None
+        else:
+            va = float(na * g["qa"] - g["sa"] ** 2) \
+                / float(na * na * (na - 1))
+            vb = float(nb * g["qb"] - g["sb"] ** 2) \
+                / float(nb * nb * (nb - 1))
+            se2 = va / float(na) + vb / float(nb)
+            if se2 <= 0.0:
+                tt = df = None
+            else:
+                ma = float(g["sa"]) / float(na)
+                mb = float(g["sb"]) / float(nb)
+                tt = (ma - mb) / math.sqrt(se2)
+                df = se2 * se2 / (
+                    (va / float(na)) ** 2 / float(na - 1)
+                    + (vb / float(nb)) ** 2 / float(nb - 1))
+        return pa.table({
+            "n_en": pa.array([na], pa.int64()),
+            "n_zh": pa.array([nb], pa.int64()),
+            "welch_t": pa.array([tt], pa.float64()),
+            "welch_df": pa.array([df], pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("na", pa.int64()), ("sa", pa.int64()),
+                          ("qa", pa.int64()), ("nb", pa.int64()),
+                          ("sb", pa.int64()), ("qb", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -13690,6 +13881,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 80: kNN label purity, Welch's t ---
+        "emb_knn_label_purity": _emb_knn_label_purity,
+        "docs_len_welch_t": _docs_len_welch_t,
         # --- round-5 wave 79: lateness watermark, shuffle balance ---
         "events_lateness_hist": _events_lateness_hist,
         "events_shuffle_balance": _events_shuffle_balance,
@@ -14126,6 +14320,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 80: never driver-checked.
+    "emb_knn_label_purity", "docs_len_welch_t",
     # (3) round-5 wave 79: never driver-checked.
     "events_lateness_hist", "events_shuffle_balance",
     # (3) round-5 wave 78: never driver-checked.
@@ -15309,6 +15505,106 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # kNN label purity: the hubness dot join + label joins; one
+        # division per label.
+        "emb_knn_label_purity": """
+            WITH el AS (
+              SELECT vec_id,
+                     CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                                * 1000000 + 0.5) AS BIGINT) AS micro,
+                     unnest(range(1, len(embedding) + 1)) AS dim
+              FROM embeddings
+            ), q AS (SELECT * FROM el WHERE vec_id < 200), d AS (
+              SELECT q.vec_id AS qid, e.vec_id AS vid,
+                     CAST(SUM(q.micro * e.micro) AS BIGINT) AS dot
+              FROM q JOIN el e ON e.dim = q.dim
+                             AND e.vec_id <> q.vec_id
+              GROUP BY 1, 2
+            ), r AS (
+              SELECT qid, vid, ROW_NUMBER() OVER (
+                  PARTITION BY qid ORDER BY dot DESC, vid) AS rn
+              FROM d
+            ), lab AS (
+              SELECT vec_id, CAST(label AS BIGINT) AS l
+              FROM embeddings
+            ), h AS (
+              SELECT lq.l AS label,
+                     CASE WHEN lv.l = lq.l THEN 1 ELSE 0 END AS hit
+              FROM r JOIN lab lq ON lq.vec_id = r.qid
+                     JOIN lab lv ON lv.vec_id = r.vid
+              WHERE r.rn <= 10
+            ), nq AS (
+              SELECT CAST(label AS BIGINT) AS l,
+                     CAST(COUNT(*) AS BIGINT) AS nq
+              FROM embeddings WHERE vec_id < 200 GROUP BY 1
+            )
+            SELECT h.label, nq.nq AS n_queries,
+                   CAST(SUM(hit) AS BIGINT) AS n_hits,
+                   CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+                   CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS purity
+            FROM h JOIN nq ON nq.l = h.label
+            GROUP BY 1, 2
+        """,
+        # Welch's t: per-side HUGEINT moments, mirrored t and
+        # Welch-Satterthwaite df trees.
+        "docs_len_welch_t": """
+            WITH m AS (
+              SELECT CAST(COALESCE(SUM(CASE WHEN lang = 'en' THEN 1
+                                        ELSE 0 END), 0) AS HUGEINT)
+                         AS na,
+                     CAST(COALESCE(SUM(CASE WHEN lang = 'en'
+                                        THEN n_chars ELSE 0 END), 0)
+                          AS HUGEINT) AS sa,
+                     CAST(COALESCE(SUM(CASE WHEN lang = 'en'
+                                        THEN n_chars * n_chars
+                                        ELSE 0 END), 0) AS HUGEINT)
+                         AS qa,
+                     CAST(COALESCE(SUM(CASE WHEN lang = 'zh' THEN 1
+                                        ELSE 0 END), 0) AS HUGEINT)
+                         AS nb,
+                     CAST(COALESCE(SUM(CASE WHEN lang = 'zh'
+                                        THEN n_chars ELSE 0 END), 0)
+                          AS HUGEINT) AS sb,
+                     CAST(COALESCE(SUM(CASE WHEN lang = 'zh'
+                                        THEN n_chars * n_chars
+                                        ELSE 0 END), 0) AS HUGEINT)
+                         AS qb
+              FROM documents WHERE lang IN ('en', 'zh')
+            ), k AS (
+              SELECT *,
+                     CASE WHEN na < 2 OR nb < 2 THEN NULL
+                          ELSE CAST(na * qa - sa * sa AS DOUBLE)
+                               / CAST(na * na * (na - 1) AS DOUBLE)
+                     END AS va,
+                     CASE WHEN na < 2 OR nb < 2 THEN NULL
+                          ELSE CAST(nb * qb - sb * sb AS DOUBLE)
+                               / CAST(nb * nb * (nb - 1) AS DOUBLE)
+                     END AS vb
+              FROM m
+            ), k2 AS (
+              SELECT *, va / CAST(na AS DOUBLE)
+                        + vb / CAST(nb AS DOUBLE) AS se2
+              FROM k
+            )
+            SELECT CAST(na AS BIGINT) AS n_en,
+                   CAST(nb AS BIGINT) AS n_zh,
+                   CASE WHEN se2 IS NULL OR se2 <= 0.0 THEN NULL
+                        ELSE (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                              - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                             / SQRT(se2)
+                   END AS welch_t,
+                   CASE WHEN se2 IS NULL OR se2 <= 0.0 THEN NULL
+                        ELSE se2 * se2
+                             / ((va / CAST(na AS DOUBLE))
+                                * (va / CAST(na AS DOUBLE))
+                                / CAST(na - 1 AS DOUBLE)
+                                + (vb / CAST(nb AS DOUBLE))
+                                  * (vb / CAST(nb AS DOUBLE))
+                                  / CAST(nb - 1 AS DOUBLE))
+                   END AS welch_df
+            FROM k2 WHERE na + nb > 0
         """,
         # Lateness: window MAX over the mix64 bit-view arrival order;
         # log2 bucket via binary-string length.

@@ -193,7 +193,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 78: Mann-Whitney U, Q-Q decile slope
         "events_mann_whitney", "events_qq_decile_slope",
         # wave 79: lateness watermark histogram, shuffle balance audit
-        "events_lateness_hist", "events_shuffle_balance"]
+        "events_lateness_hist", "events_shuffle_balance",
+        # wave 80: kNN label purity, Welch's unequal-variance t
+        "emb_knn_label_purity", "docs_len_welch_t"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
