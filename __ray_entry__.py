@@ -13872,6 +13872,107 @@ def _docs_len_welch_t(sf_dir: str):
                           ("sb", pa.int64()), ("qb", pa.int64())]))
 
 
+def _docs_langid_kappa(sf_dir: str):
+    """Cohen's kappa for the langid classifier — chance-corrected
+    agreement between prediction and stored label. The algebra
+    collapses to ONE exact division:
+    kappa = (N*sum(tp) - sum(row_i*col_i)) / (N^2 - sum(row_i*col_i))
+    over the langs^2-bounded confusion cells (Python bigints / HUGEINT
+    mirror). The single-number model scorecard next to the per-lang
+    P/R/F1 rows."""
+    import pyarrow as pa
+
+    conf = _docs_langid_confusion(sf_dir)
+    empty = pa.table({
+        "n_docs": pa.array([], pa.int64()),
+        "agree": pa.array([], pa.int64()),
+        "chance_num": pa.array([], pa.int64()),
+        "kappa": pa.array([], pa.float64())})
+    if conf.num_rows == 0:
+        return empty
+    langs = conf["lang"].to_pylist()
+    preds = conf["lang_pred"].to_pylist()
+    ns = [int(v) for v in conf["n_docs"].to_pylist()]
+    row: dict = {}
+    col: dict = {}
+    agree = 0
+    for t, p, n in zip(langs, preds, ns):
+        row[t] = row.get(t, 0) + n
+        col[p] = col.get(p, 0) + n
+        if t == p:
+            agree += n
+    big_n = sum(ns)
+    s = sum(row[k] * col.get(k, 0) for k in row)
+    den = big_n * big_n - s
+    kappa = None if den == 0 \
+        else float(big_n * agree - s) / float(den)
+    return pa.table({
+        "n_docs": pa.array([big_n], pa.int64()),
+        "agree": pa.array([agree], pa.int64()),
+        "chance_num": pa.array([s], pa.int64()),
+        "kappa": pa.array([kappa], pa.float64())})
+
+
+def _docs_lang_len_eta2(sf_dir: str):
+    """Eta-squared effect size of language on document length — the
+    how-much-variance-does-lang-explain companion to the ANOVA F.
+    SSB/SST forms as the exact integer rational
+    (N*T - S^2*P) / (P*(N*Q - S^2)) with T = sum s_g^2*(P/n_g) over
+    the common denominator P = prod(n_g) (Python bigints / HUGEINT,
+    |langs| <= 5 groups); eta^2 is ONE terminal division. Per-lang
+    moment combiner is the only exchange."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        t = pa.table({"lang": batch["lang"],
+                      "n": np.ones(c.shape[0], np.int64),
+                      "s": c, "q": c * c})
+        return t.group_by("lang").aggregate(
+            [("n", "sum"), ("s", "sum"), ("q", "sum")]) \
+            .rename_columns(["lang", "n", "s", "q"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("lang").aggregate(
+            [("n", "sum"), ("s", "sum"), ("q", "sum")])
+        empty = pa.table({
+            "n_docs": pa.array([], pa.int64()),
+            "k_langs": pa.array([], pa.int64()),
+            "eta2": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        ns = [int(v) for v in g["n_sum"].to_pylist()]
+        ss = [int(v) for v in g["s_sum"].to_pylist()]
+        qs = [int(v) for v in g["q_sum"].to_pylist()]
+        k = len(ns)
+        big_n, big_s, big_q = sum(ns), sum(ss), sum(qs)
+        pp = 1
+        for n_ in ns:
+            pp *= n_
+        tt = sum(s_ * s_ * (pp // n_) for s_, n_ in zip(ss, ns))
+        den = pp * (big_n * big_q - big_s * big_s)
+        eta2 = None if den <= 0 \
+            else float(tt * big_n - big_s * big_s * pp) / float(den)
+        return pa.table({
+            "n_docs": pa.array([big_n], pa.int64()),
+            "k_langs": pa.array([k], pa.int64()),
+            "eta2": pa.array([eta2], pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("lang", pa.string()), ("n", pa.int64()),
+                          ("s", pa.int64()), ("q", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -13881,6 +13982,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 81: Cohen's kappa, eta-squared ---
+        "docs_langid_kappa": _docs_langid_kappa,
+        "docs_lang_len_eta2": _docs_lang_len_eta2,
         # --- round-5 wave 80: kNN label purity, Welch's t ---
         "emb_knn_label_purity": _emb_knn_label_purity,
         "docs_len_welch_t": _docs_len_welch_t,
@@ -14320,6 +14424,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 81: never driver-checked.
+    "docs_langid_kappa", "docs_lang_len_eta2",
     # (3) round-5 wave 80: never driver-checked.
     "emb_knn_label_purity", "docs_len_welch_t",
     # (3) round-5 wave 79: never driver-checked.
@@ -15505,6 +15611,82 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Cohen's kappa: one exact division over confusion marginals.
+        "docs_langid_kappa": f"""
+            WITH pred AS ({_langid_oracle()}), conf AS (
+              SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+              FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+              GROUP BY 1, 2
+            ), r AS (
+              SELECT lang, CAST(SUM(n) AS HUGEINT) AS rn
+              FROM conf GROUP BY 1
+            ), c AS (
+              SELECT lang_pred, CAST(SUM(n) AS HUGEINT) AS cn
+              FROM conf GROUP BY 1
+            ), a AS (
+              SELECT CAST(COALESCE(SUM(n), 0) AS HUGEINT) AS ag
+              FROM conf WHERE lang = lang_pred
+            ), s AS (
+              SELECT CAST(COALESCE(SUM(r.rn * COALESCE(c.cn, 0)), 0)
+                          AS HUGEINT) AS sc
+              FROM r LEFT JOIN c ON c.lang_pred = r.lang
+            ), nn AS (
+              SELECT CAST(COALESCE(SUM(n), 0) AS HUGEINT) AS n
+              FROM conf
+            )
+            SELECT CAST(n AS BIGINT) AS n_docs,
+                   CAST(ag AS BIGINT) AS agree,
+                   CAST(sc AS BIGINT) AS chance_num,
+                   CASE WHEN n * n - sc = 0 THEN NULL
+                        ELSE CAST(n * ag - sc AS DOUBLE)
+                             / CAST(n * n - sc AS DOUBLE)
+                   END AS kappa
+            FROM nn, a, s WHERE n > 0
+        """,
+        # Eta-squared: prod(n_g) common denominator over the 5-lang
+        # pivot; one terminal division.
+        "docs_lang_len_eta2": """
+            WITH g AS (
+              SELECT lang, CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(n_chars) AS HUGEINT) AS s,
+                     CAST(SUM(CAST(n_chars AS BIGINT) * n_chars)
+                          AS HUGEINT) AS q
+              FROM documents GROUP BY 1
+            ), t AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS k, SUM(n) AS nn,
+                     SUM(s) AS ss, SUM(q) AS qq,
+                     (CASE WHEN SUM(CASE WHEN lang = 'en' THEN n
+                                    ELSE 0 END) = 0 THEN 1
+                           ELSE SUM(CASE WHEN lang = 'en' THEN n
+                                    ELSE 0 END) END)
+                     * (CASE WHEN SUM(CASE WHEN lang = 'zh' THEN n
+                                      ELSE 0 END) = 0 THEN 1
+                             ELSE SUM(CASE WHEN lang = 'zh' THEN n
+                                      ELSE 0 END) END)
+                     * (CASE WHEN SUM(CASE WHEN lang = 'es' THEN n
+                                      ELSE 0 END) = 0 THEN 1
+                             ELSE SUM(CASE WHEN lang = 'es' THEN n
+                                      ELSE 0 END) END)
+                     * (CASE WHEN SUM(CASE WHEN lang = 'de' THEN n
+                                      ELSE 0 END) = 0 THEN 1
+                             ELSE SUM(CASE WHEN lang = 'de' THEN n
+                                      ELSE 0 END) END)
+                     * (CASE WHEN SUM(CASE WHEN lang = 'fr' THEN n
+                                      ELSE 0 END) = 0 THEN 1
+                             ELSE SUM(CASE WHEN lang = 'fr' THEN n
+                                      ELSE 0 END) END) AS pp
+              FROM g
+            ), x AS (
+              SELECT SUM(g.s * g.s * (t.pp // g.n)) AS tt FROM g, t
+            )
+            SELECT CAST(nn AS BIGINT) AS n_docs, k AS k_langs,
+                   CASE WHEN pp * (nn * qq - ss * ss) <= 0 THEN NULL
+                        ELSE CAST(tt * nn - ss * ss * pp AS DOUBLE)
+                             / CAST(pp * (nn * qq - ss * ss)
+                                    AS DOUBLE)
+                   END AS eta2
+            FROM t, x WHERE nn > 0
         """,
         # kNN label purity: the hubness dot join + label joins; one
         # division per label.

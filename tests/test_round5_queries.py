@@ -195,7 +195,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 79: lateness watermark histogram, shuffle balance audit
         "events_lateness_hist", "events_shuffle_balance",
         # wave 80: kNN label purity, Welch's unequal-variance t
-        "emb_knn_label_purity", "docs_len_welch_t"]
+        "emb_knn_label_purity", "docs_len_welch_t",
+        # wave 81: Cohen's kappa, eta-squared effect size
+        "docs_langid_kappa", "docs_lang_len_eta2"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
