@@ -13973,6 +13973,131 @@ def _docs_lang_len_eta2(sf_dir: str):
                           ("s", pa.int64()), ("q", pa.int64())]))
 
 
+def _lineitem_abc_analysis(sf_dir: str):
+    """ABC inventory classification of parts by revenue: A while the
+    EXCLUSIVE cumulative share is under 80%, B under 95%, C the tail
+    (so the part crossing a line still belongs to the richer class) —
+    the classic Pareto-class rollup, with boundaries as exact integer
+    cross-products 100*(cum-cents) < pct*total. Per-part cent partials
+    are the only exchange; one (cents DESC, partkey) sort + cumsum at
+    the part-bounded root; one share division per class."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - batch["l_discount"].to_numpy(
+                zero_copy_only=False)) * 100 + 0.5).astype(np.int64)
+        uniq, inv = np.unique(k, return_inverse=True)
+        acc = np.zeros(uniq.shape[0], np.int64)
+        np.add.at(acc, inv, cents)
+        return pa.table({"pk": uniq, "cents": acc})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("pk").aggregate([("cents", "sum")])
+        empty = pa.table({
+            "abc_class": pa.array([], pa.string()),
+            "n_parts": pa.array([], pa.int64()),
+            "revenue_cents": pa.array([], pa.int64()),
+            "revenue_share": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        pk = g["pk"].to_numpy(zero_copy_only=False)
+        cents = g["cents_sum"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((pk, -cents))
+        cs = [int(v) for v in cents[o]]
+        tot = sum(cs)
+        cum = 0
+        agg = {"A": [0, 0], "B": [0, 0], "C": [0, 0]}
+        for c in cs:
+            excl = cum
+            cum += c
+            cls = "A" if 100 * excl < 80 * tot else (
+                "B" if 100 * excl < 95 * tot else "C")
+            agg[cls][0] += 1
+            agg[cls][1] += c
+        keys = [k for k in ("A", "B", "C") if agg[k][0] > 0]
+        return pa.table({
+            "abc_class": pa.array(keys, pa.string()),
+            "n_parts": pa.array([agg[k][0] for k in keys], pa.int64()),
+            "revenue_cents": pa.array([agg[k][1] for k in keys],
+                                      pa.int64()),
+            "revenue_share": pa.array(
+                [None if tot == 0 else float(agg[k][1]) / float(tot)
+                 for k in keys], pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("pk", pa.int64()), ("cents", pa.int64())]))
+
+
+def _docs_chao1_vocab(sf_dir: str):
+    """Chao1 richness estimate of the TRUE vocabulary size from
+    singleton/doubleton term counts — how much vocabulary the corpus
+    has not yet shown (the ecology estimator applied to tokens, the
+    capture-recapture answer Heaps-law extrapolation can't give).
+    Vocabulary-bounded term-frequency combiner; S_obs, f1, f2 are
+    exact integers; the bias-corrected chao1 =
+    S + f1(f1-1)/(2(f2+1)) is ONE division."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern_regex(
+            batch["text"], r"\s+"))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        toks = toks.filter(pc.not_equal(toks, ""))
+        uniq, cnt = np.unique(
+            toks.to_numpy(zero_copy_only=False).astype(str),
+            return_counts=True)
+        return pa.table({"term": pa.array(uniq, pa.string()),
+                         "n": cnt.astype(np.int64)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("term").aggregate([("n", "sum")])
+        empty = pa.table({
+            "n_terms_obs": pa.array([], pa.int64()),
+            "f1": pa.array([], pa.int64()),
+            "f2": pa.array([], pa.int64()),
+            "chao1": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        n = g["n_sum"].to_numpy(zero_copy_only=False)
+        s = int(n.shape[0])
+        f1 = int((n == 1).sum())
+        f2 = int((n == 2).sum())
+        chao1 = float(s) + float(f1 * (f1 - 1)) / float(2 * (f2 + 1))
+        return pa.table({
+            "n_terms_obs": pa.array([s], pa.int64()),
+            "f1": pa.array([f1], pa.int64()),
+            "f2": pa.array([f2], pa.int64()),
+            "chao1": pa.array([chao1], pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=32768), merge,
+        schema=pa.schema([("term", pa.string()), ("n", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -13982,6 +14107,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 82: ABC classes, Chao1 richness ---
+        "lineitem_abc_analysis": _lineitem_abc_analysis,
+        "docs_chao1_vocab": _docs_chao1_vocab,
         # --- round-5 wave 81: Cohen's kappa, eta-squared ---
         "docs_langid_kappa": _docs_langid_kappa,
         "docs_lang_len_eta2": _docs_lang_len_eta2,
@@ -14424,6 +14552,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 82: never driver-checked.
+    "lineitem_abc_analysis", "docs_chao1_vocab",
     # (3) round-5 wave 81: never driver-checked.
     "docs_langid_kappa", "docs_lang_len_eta2",
     # (3) round-5 wave 80: never driver-checked.
@@ -15611,6 +15741,62 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # ABC classes: exclusive-prefix boundaries as exact
+        # cross-products over a window cumsum.
+        "lineitem_abc_analysis": """
+            WITH p AS (
+              SELECT l_partkey AS pk,
+                     CAST(SUM(CAST(FLOOR(l_extendedprice
+                                         * (1 - l_discount) * 100
+                                         + 0.5) AS BIGINT)) AS BIGINT)
+                         AS cents
+              FROM lineitem GROUP BY 1
+            ), w AS (
+              SELECT cents,
+                     CAST(COALESCE(SUM(cents) OVER (
+                         ORDER BY cents DESC, pk
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS HUGEINT) AS excl,
+                     CAST(SUM(cents) OVER () AS HUGEINT) AS tot
+              FROM p
+            ), c AS (
+              SELECT CASE WHEN 100 * excl < 80 * tot THEN 'A'
+                          WHEN 100 * excl < 95 * tot THEN 'B'
+                          ELSE 'C' END AS abc_class,
+                     cents, tot
+              FROM w
+            )
+            SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+                   CASE WHEN MAX(tot) = 0 THEN NULL
+                        ELSE CAST(SUM(cents) AS DOUBLE)
+                             / CAST(MAX(tot) AS DOUBLE)
+                   END AS revenue_share
+            FROM c GROUP BY 1
+        """,
+        # Chao1: singleton/doubleton counts over the term-frequency
+        # table; one division.
+        "docs_chao1_vocab": r"""
+            WITH tok AS (
+              SELECT unnest(regexp_extract_all(text, '\S+')) AS t
+              FROM documents
+            ), tc AS (
+              SELECT t, CAST(COUNT(*) AS BIGINT) AS n
+              FROM tok GROUP BY 1
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_terms_obs,
+                   CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS f1,
+                   CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS f2,
+                   CAST(COUNT(*) AS DOUBLE)
+                   + CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                          * (SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                             - 1) AS DOUBLE)
+                     / CAST(2 * (SUM(CASE WHEN n = 2 THEN 1 ELSE 0
+                                      END) + 1) AS DOUBLE) AS chao1
+            FROM tc HAVING COUNT(*) > 0
         """,
         # Cohen's kappa: one exact division over confusion marginals.
         "docs_langid_kappa": f"""

@@ -197,7 +197,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 80: kNN label purity, Welch's unequal-variance t
         "emb_knn_label_purity", "docs_len_welch_t",
         # wave 81: Cohen's kappa, eta-squared effect size
-        "docs_langid_kappa", "docs_lang_len_eta2"]
+        "docs_langid_kappa", "docs_lang_len_eta2",
+        # wave 82: ABC inventory classes, Chao1 vocabulary richness
+        "lineitem_abc_analysis", "docs_chao1_vocab"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
