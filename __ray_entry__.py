@@ -14098,6 +14098,146 @@ def _docs_chao1_vocab(sf_dir: str):
         schema=pa.schema([("term", pa.string()), ("n", pa.int64())]))
 
 
+def _docs_good_turing(sf_dir: str):
+    """Good-Turing frequency smoothing table for the corpus vocabulary:
+    for r = 1..5 the frequency-of-frequency f_r, f_{r+1} and the
+    adjusted count r* = (r+1) f_{r+1} / f_r, plus the unseen
+    probability mass p0 = f1/N on every row — the language-model
+    smoothing statistic. Vocabulary-bounded term-frequency combiner;
+    the freq-of-freq fold and the two divisions per row run at the
+    root."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern_regex(
+            batch["text"], r"\s+"))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        toks = toks.filter(pc.not_equal(toks, ""))
+        uniq, cnt = np.unique(
+            toks.to_numpy(zero_copy_only=False).astype(str),
+            return_counts=True)
+        return pa.table({"term": pa.array(uniq, pa.string()),
+                         "n": cnt.astype(np.int64)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("term").aggregate([("n", "sum")])
+        empty = pa.table({
+            "r": pa.array([], pa.int64()),
+            "f_r": pa.array([], pa.int64()),
+            "f_r1": pa.array([], pa.int64()),
+            "r_star": pa.array([], pa.float64()),
+            "p0_unseen": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        n = g["n_sum"].to_numpy(zero_copy_only=False)
+        big_n = int(n.sum())
+        fr = {int(r): int((n == r).sum()) for r in range(1, 7)}
+        p0 = None if big_n == 0 else float(fr[1]) / float(big_n)
+        rows_r, rows_f, rows_f1, rows_rs = [], [], [], []
+        for r in range(1, 6):
+            rows_r.append(r)
+            rows_f.append(fr[r])
+            rows_f1.append(fr[r + 1])
+            rows_rs.append(
+                None if fr[r] == 0
+                else float((r + 1) * fr[r + 1]) / float(fr[r]))
+        return pa.table({
+            "r": pa.array(rows_r, pa.int64()),
+            "f_r": pa.array(rows_f, pa.int64()),
+            "f_r1": pa.array(rows_f1, pa.int64()),
+            "r_star": pa.array(rows_rs, pa.float64()),
+            "p0_unseen": pa.array([p0] * 5, pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=32768), merge,
+        schema=pa.schema([("term", pa.string()), ("n", pa.int64())]))
+
+
+def _emb_centroid_shift(sf_dir: str):
+    """Embedding drift probe: the EXACT squared distance between the
+    centroids of the even and odd vec_id halves, via the cross-product
+    identity ||S_e/n_e - S_o/n_o||^2 =
+    sum_d (S_ed*n_o - S_od*n_e)^2 / (n_e*n_o)^2 — per-dim micro-int
+    sums are the only exchange, the numerator folds on Python bigints
+    and the distance is ONE division (micro^2 units). The two-version
+    A/B check an embedding pipeline runs before swapping models."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.pipelines.ann import _embedding_matrix
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        micro = np.floor(_embedding_matrix(batch, "embedding",
+                                           dtype=np.float64)
+                         * 1_000_000 + 0.5).astype(np.int64)
+        d = micro.shape[1]
+        even = (vid % 2 == 0)
+        se = micro[even].sum(axis=0).astype(np.int64)
+        so = micro[~even].sum(axis=0).astype(np.int64)
+        dims = np.arange(1, d + 1, dtype=np.int64)
+        return pa.table({
+            "dim": np.concatenate([dims, dims, [0, 0]]),
+            "par": np.concatenate([np.zeros(d, np.int64),
+                                   np.ones(d, np.int64), [0, 1]]),
+            "v": np.concatenate([se, so,
+                                 [int(even.sum()),
+                                  int((~even).sum())]])})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["dim", "par"]).aggregate([("v", "sum")])
+        empty = pa.table({
+            "n_even": pa.array([], pa.int64()),
+            "n_odd": pa.array([], pa.int64()),
+            "dist2_micro": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        dim = g["dim"].to_numpy(zero_copy_only=False)
+        par = g["par"].to_numpy(zero_copy_only=False)
+        v = g["v_sum"].to_numpy(zero_copy_only=False)
+        ne = int(v[(dim == 0) & (par == 0)][0])
+        no = int(v[(dim == 0) & (par == 1)][0])
+        if ne == 0 or no == 0:
+            return pa.table({
+                "n_even": pa.array([ne], pa.int64()),
+                "n_odd": pa.array([no], pa.int64()),
+                "dist2_micro": pa.array([None], pa.float64())})
+        se = {int(a): int(b) for a, b, p in zip(dim, v, par)
+              if p == 0 and a > 0}
+        so = {int(a): int(b) for a, b, p in zip(dim, v, par)
+              if p == 1 and a > 0}
+        num = sum((se.get(k, 0) * no - so.get(k, 0) * ne) ** 2
+                  for k in sorted(set(se) | set(so)))
+        den = (ne * no) ** 2
+        return pa.table({
+            "n_even": pa.array([ne], pa.int64()),
+            "n_odd": pa.array([no], pa.int64()),
+            "dist2_micro": pa.array([float(num) / float(den)],
+                                    pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=32768), merge,
+        schema=pa.schema([("dim", pa.int64()), ("par", pa.int64()),
+                          ("v", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -14107,6 +14247,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 83: Good-Turing, centroid shift ---
+        "docs_good_turing": _docs_good_turing,
+        "emb_centroid_shift": _emb_centroid_shift,
         # --- round-5 wave 82: ABC classes, Chao1 richness ---
         "lineitem_abc_analysis": _lineitem_abc_analysis,
         "docs_chao1_vocab": _docs_chao1_vocab,
@@ -14552,6 +14695,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 83: never driver-checked.
+    "docs_good_turing", "emb_centroid_shift",
     # (3) round-5 wave 82: never driver-checked.
     "lineitem_abc_analysis", "docs_chao1_vocab",
     # (3) round-5 wave 81: never driver-checked.
@@ -15741,6 +15886,74 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Good-Turing: freq-of-freq lattice, two divisions per row.
+        "docs_good_turing": r"""
+            WITH tok AS (
+              SELECT unnest(regexp_extract_all(text, '\S+')) AS t
+              FROM documents
+            ), tc AS (
+              SELECT t, CAST(COUNT(*) AS BIGINT) AS n
+              FROM tok GROUP BY 1
+            ), ff AS (
+              SELECT n AS r, CAST(COUNT(*) AS BIGINT) AS f
+              FROM tc GROUP BY 1
+            ), nn AS (
+              SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS total
+              FROM tc
+            )
+            SELECT CAST(k.r AS BIGINT) AS r,
+                   COALESCE(a.f, 0) AS f_r,
+                   COALESCE(b.f, 0) AS f_r1,
+                   CASE WHEN COALESCE(a.f, 0) = 0 THEN NULL
+                        ELSE CAST((k.r + 1) * COALESCE(b.f, 0)
+                                  AS DOUBLE) / CAST(a.f AS DOUBLE)
+                   END AS r_star,
+                   CAST((SELECT COALESCE(MAX(f), 0) FROM ff
+                         WHERE r = 1) AS DOUBLE)
+                   / CAST(total AS DOUBLE) AS p0_unseen
+            FROM (VALUES (1), (2), (3), (4), (5)) k(r)
+            LEFT JOIN ff a ON a.r = k.r
+            LEFT JOIN ff b ON b.r = k.r + 1
+            CROSS JOIN nn
+            WHERE total > 0
+        """,
+        # Centroid shift: per-dim parity sums; exact cross-product
+        # numerator; one division.
+        "emb_centroid_shift": """
+            WITH el AS (
+              SELECT vec_id,
+                     CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                                * 1000000 + 0.5) AS BIGINT) AS micro,
+                     unnest(range(1, len(embedding) + 1)) AS dim
+              FROM embeddings
+            ), pe AS (
+              SELECT dim,
+                     CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN micro
+                              ELSE 0 END) AS HUGEINT) AS se,
+                     CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN micro
+                              ELSE 0 END) AS HUGEINT) AS so
+              FROM el GROUP BY 1
+            ), c AS (
+              SELECT CAST(COALESCE(SUM(CASE WHEN vec_id % 2 = 0
+                                        THEN 1 ELSE 0 END), 0)
+                          AS HUGEINT) AS ne,
+                     CAST(COALESCE(SUM(CASE WHEN vec_id % 2 = 1
+                                        THEN 1 ELSE 0 END), 0)
+                          AS HUGEINT) AS nod
+              FROM embeddings
+            ), s AS (
+              SELECT SUM((pe.se * c.nod - pe.so * c.ne)
+                         * (pe.se * c.nod - pe.so * c.ne)) AS num
+              FROM pe, c
+            )
+            SELECT CAST(ne AS BIGINT) AS n_even,
+                   CAST(nod AS BIGINT) AS n_odd,
+                   CASE WHEN ne = 0 OR nod = 0 THEN NULL
+                        ELSE CAST(num AS DOUBLE)
+                             / CAST((ne * nod) * (ne * nod) AS DOUBLE)
+                   END AS dist2_micro
+            FROM c, s WHERE ne + nod > 0
         """,
         # ABC classes: exclusive-prefix boundaries as exact
         # cross-products over a window cumsum.

@@ -199,7 +199,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 81: Cohen's kappa, eta-squared effect size
         "docs_langid_kappa", "docs_lang_len_eta2",
         # wave 82: ABC inventory classes, Chao1 vocabulary richness
-        "lineitem_abc_analysis", "docs_chao1_vocab"]
+        "lineitem_abc_analysis", "docs_chao1_vocab",
+        # wave 83: Good-Turing smoothing, embedding centroid shift
+        "docs_good_turing", "emb_centroid_shift"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
