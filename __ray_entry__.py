@@ -14238,6 +14238,125 @@ def _emb_centroid_shift(sf_dir: str):
                           ("v", pa.int64())]))
 
 
+def _events_gap_burstiness(sf_dir: str):
+    """Goh-Barabasi burstiness B = (sigma - mu)/(sigma + mu) of
+    inter-event gaps per event type (B -> -1 periodic, 0 Poisson,
+    +1 bursty) — the one-number arrival-process classifier. Whole-
+    second gaps off the per-(user,type) LAG exchange; exact integer
+    moments per type (Python-bigint root) and ONE mirrored float tree
+    per row."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.ops.window import window_lag_lead
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+    w = window_lag_lead(ds, "user_id", "ts", "ts",
+                        tiebreak_col="event_id", lag_col="prev_ts")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        valid = pc.is_valid(batch["prev_ts"]).to_numpy(
+            zero_copy_only=False)
+        cur = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)[valid] \
+            // 1_000_000
+        prev = batch["prev_ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)[valid] \
+            // 1_000_000
+        gap = cur - prev
+        et = batch["event_type"].filter(pa.array(valid))
+        t = pa.table({"t": et,
+                      "n": np.ones(gap.shape[0], np.int64),
+                      "s": gap, "q": gap * gap})
+        return t.group_by("t").aggregate(
+            [("n", "sum"), ("s", "sum"), ("q", "sum")]) \
+            .rename_columns(["t", "n", "s", "q"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("t").aggregate(
+            [("n", "sum"), ("s", "sum"), ("q", "sum")])
+        empty = pa.table({
+            "event_type": pa.array([], pa.string()),
+            "n_gaps": pa.array([], pa.int64()),
+            "burstiness": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        types = g["t"].to_pylist()
+        ns = [int(v) for v in g["n_sum"].to_pylist()]
+        ss = [int(v) for v in g["s_sum"].to_pylist()]
+        qs = [int(v) for v in g["q_sum"].to_pylist()]
+        out_t, out_n, out_b = [], [], []
+        for ty, n, s, q in sorted(zip(types, ns, ss, qs)):
+            if n < 2 or n * q - s * s < 0:
+                b = None
+            else:
+                mu = float(s) / float(n)
+                sigma = math.sqrt(float(n * q - s * s)
+                                  / float(n * n))
+                b = None if sigma + mu == 0.0 \
+                    else (sigma - mu) / (sigma + mu)
+            out_t.append(str(ty))
+            out_n.append(n)
+            out_b.append(b)
+        return pa.table({
+            "event_type": pa.array(out_t, pa.string()),
+            "n_gaps": pa.array(out_n, pa.int64()),
+            "burstiness": pa.array(out_b, pa.float64())})
+
+    return driver_merge(
+        w.map_batches(partial, batch_format="pyarrow",
+                      batch_size=131072), merge,
+        schema=pa.schema([("t", pa.string()), ("n", pa.int64()),
+                          ("s", pa.int64()), ("q", pa.int64())]))
+
+
+def _sites_rich_club(sf_dir: str):
+    """Rich-club coefficient curve of the link graph: for degree
+    thresholds k in {5, 10, 15, 20}, the density of edges among nodes
+    with degree > k vs the complete graph — do hubs preferentially
+    interlink? Exact integer counts off the graph-order-bounded
+    distinct-edge root; phi = 2E/(N(N-1)) is ONE division per lattice
+    point."""
+    import numpy as np
+    import pyarrow as pa
+
+    from h3ray.ops.graph import _distinct_undirected
+
+    e = _distinct_undirected(_sites_edges_ds(sf_dir), 997, "src", "dst")
+    empty = pa.table({"k": pa.array([], pa.int64()),
+                      "n_rich": pa.array([], pa.int64()),
+                      "n_edges_rich": pa.array([], pa.int64()),
+                      "phi": pa.array([], pa.float64())})
+    if e.shape[0] == 0:
+        return empty
+    u = (e // 997).astype(np.int64)
+    v = (e % 997).astype(np.int64)
+    deg = np.bincount(u, minlength=997) + np.bincount(v, minlength=997)
+    out_k, out_n, out_e, out_p = [], [], [], []
+    for k in (5, 10, 15, 20):
+        rich = deg > k
+        nr = int(rich.sum())
+        er = int((rich[u] & rich[v]).sum())
+        phi = None if nr < 2 \
+            else float(2 * er) / float(nr * (nr - 1))
+        out_k.append(k)
+        out_n.append(nr)
+        out_e.append(er)
+        out_p.append(phi)
+    return pa.table({
+        "k": pa.array(out_k, pa.int64()),
+        "n_rich": pa.array(out_n, pa.int64()),
+        "n_edges_rich": pa.array(out_e, pa.int64()),
+        "phi": pa.array(out_p, pa.float64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -14247,6 +14366,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 84: gap burstiness, rich-club curve ---
+        "events_gap_burstiness": _events_gap_burstiness,
+        "sites_rich_club": _sites_rich_club,
         # --- round-5 wave 83: Good-Turing, centroid shift ---
         "docs_good_turing": _docs_good_turing,
         "emb_centroid_shift": _emb_centroid_shift,
@@ -14695,6 +14817,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 84: never driver-checked.
+    "events_gap_burstiness", "sites_rich_club",
     # (3) round-5 wave 83: never driver-checked.
     "docs_good_turing", "emb_centroid_shift",
     # (3) round-5 wave 82: never driver-checked.
@@ -15886,6 +16010,76 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Burstiness: per-type gap moments; mirrored sigma/mu tree.
+        "events_gap_burstiness": """
+            WITH w AS (
+              SELECT event_type, ts,
+                     LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+              FROM events
+            ), g AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 1000000
+                          - epoch_us(prev) // 1000000 AS BIGINT) AS gap
+              FROM w WHERE prev IS NOT NULL
+            ), m AS (
+              SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(gap) AS HUGEINT) AS s,
+                     CAST(SUM(CAST(gap AS HUGEINT) * gap) AS HUGEINT)
+                         AS q
+              FROM g GROUP BY 1
+            ), k AS (
+              SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+                     CASE WHEN n < 2 OR n * q - s * s < 0 THEN NULL
+                          ELSE SQRT(CAST(n * q - s * s AS DOUBLE)
+                                    / CAST(n * n AS DOUBLE))
+                     END AS sigma,
+                     CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu
+              FROM m
+            )
+            SELECT event_type, n_gaps,
+                   CASE WHEN sigma IS NULL OR sigma + mu = 0.0
+                        THEN NULL
+                        ELSE (sigma - mu) / (sigma + mu)
+                   END AS burstiness
+            FROM k
+        """,
+        # Rich club: degree-threshold lattice; exact edge counts among
+        # rich nodes; one division per k.
+        "sites_rich_club": f"""
+            WITH {_sites_edges_cte()}, ue AS (
+              SELECT DISTINCT LEAST(src, dst) AS u,
+                              GREATEST(src, dst) AS v
+              FROM edges
+            ), nb AS (
+              SELECT u AS x FROM ue UNION ALL SELECT v FROM ue
+            ), deg AS (
+              SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM nb GROUP BY 1
+            ), nr AS (
+              SELECT k.k, CAST(COUNT(*) AS BIGINT) AS n
+              FROM (VALUES (5), (10), (15), (20)) k(k)
+              JOIN deg ON deg.d > k.k GROUP BY 1
+            ), er AS (
+              SELECT k.k, CAST(COUNT(*) AS BIGINT) AS e
+              FROM (VALUES (5), (10), (15), (20)) k(k)
+              JOIN ue ON TRUE
+              JOIN deg da ON da.x = ue.u
+              JOIN deg db ON db.x = ue.v
+              WHERE da.d > k.k AND db.d > k.k
+              GROUP BY 1
+            ), any_ AS (SELECT COUNT(*) AS c FROM ue)
+            SELECT CAST(k.k AS BIGINT) AS k,
+                   COALESCE(nr.n, 0) AS n_rich,
+                   COALESCE(er.e, 0) AS n_edges_rich,
+                   CASE WHEN COALESCE(nr.n, 0) < 2 THEN NULL
+                        ELSE CAST(2 * COALESCE(er.e, 0) AS DOUBLE)
+                             / CAST(nr.n * (nr.n - 1) AS DOUBLE)
+                   END AS phi
+            FROM (VALUES (5), (10), (15), (20)) k(k)
+            LEFT JOIN nr ON nr.k = k.k
+            LEFT JOIN er ON er.k = k.k
+            CROSS JOIN any_ WHERE any_.c > 0
         """,
         # Good-Turing: freq-of-freq lattice, two divisions per row.
         "docs_good_turing": r"""

@@ -201,7 +201,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 82: ABC inventory classes, Chao1 vocabulary richness
         "lineitem_abc_analysis", "docs_chao1_vocab",
         # wave 83: Good-Turing smoothing, embedding centroid shift
-        "docs_good_turing", "emb_centroid_shift"]
+        "docs_good_turing", "emb_centroid_shift",
+        # wave 84: gap burstiness, rich-club coefficient curve
+        "events_gap_burstiness", "sites_rich_club"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
