@@ -14357,6 +14357,176 @@ def _sites_rich_club(sf_dir: str):
         "phi": pa.array(out_p, pa.float64())})
 
 
+def _users_event_count_nbfit(sf_dir: str):
+    """Negative-binomial method-of-moments fit to per-user event
+    counts: r = m^2/(v - m), p = m/v — the overdispersion model behind
+    'which users are heavy' (complements the Fano factor with actual
+    distribution parameters). Per-user counts fold in one combiner
+    (user-bounded root); the moments are exact integers and the two
+    parameters are mirrored float trees (NULL when v <= m: not
+    overdispersed, Poisson or under)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uniq, cnt = np.unique(uid, return_counts=True)
+        return pa.table({"uid": uniq, "n": cnt.astype(np.int64)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("uid").aggregate([("n", "sum")])
+        empty = pa.table({
+            "n_users": pa.array([], pa.int64()),
+            "mean_events": pa.array([], pa.float64()),
+            "nb_r": pa.array([], pa.float64()),
+            "nb_p": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        c = [int(v) for v in g["n_sum"].to_pylist()]
+        n = len(c)
+        s = sum(c)
+        q = sum(v * v for v in c)
+        m = float(s) / float(n)
+        if n < 2:
+            r = p = None
+        else:
+            v = float(n * q - s * s) / float(n * (n - 1))
+            if v <= m or v == 0.0:
+                r = p = None
+            else:
+                r = m * m / (v - m)
+                p = m / v
+        return pa.table({
+            "n_users": pa.array([n], pa.int64()),
+            "mean_events": pa.array([m], pa.float64()),
+            "nb_r": pa.array([r], pa.float64()),
+            "nb_p": pa.array([p], pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("uid", pa.int64()), ("n", pa.int64())]))
+
+
+def _nation_trade_balance(sf_dir: str):
+    """Bilateral trade-balance matrix: for every unordered nation pair
+    the revenue flowing each way (supplier nation -> customer nation)
+    and the net — the antisymmetric generalization of the Q7 two-
+    nation volume. Supplier->nation broadcasts and drops nothing (all
+    nations qualify); the lineitem x orders hash join carries key +
+    2 ints; the |nations|^2-bounded pair combiner folds at the root.
+    ALL-INTEGER."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from h3ray.ops.join import hash_join, seed_schema
+    from h3ray.ops.reduce import driver_merge
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    skeys = sup["s_suppkey"].to_numpy()
+    sorder = np.argsort(skeys)
+    sup_ref = ray.put((skeys[sorder],
+                       sup["s_nationkey"].to_numpy()[sorder]
+                       .astype(np.int64)))
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_suppkey",
+                                    "l_extendedprice", "l_discount"])
+
+    def line_prep(batch: pa.Table) -> pa.Table:
+        keys, nat = ray.get(sup_ref)
+        empty = pa.table({"l_orderkey": pa.array([], pa.int64()),
+                          "s_nat": pa.array([], pa.int64()),
+                          "cents": pa.array([], pa.int64())})
+        ls = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        if keys.shape[0] == 0 or ls.shape[0] == 0:
+            return empty
+        pos = np.minimum(np.searchsorted(keys, ls), keys.shape[0] - 1)
+        sel = keys[pos] == ls
+        cents = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - batch["l_discount"].to_numpy(
+                zero_copy_only=False)) * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"].to_numpy(
+                zero_copy_only=False)[sel],
+            "s_nat": nat[pos[sel]], "cents": cents[sel]})
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    ord_nat = hash_join(orders, cust, "o_custkey", "c_custkey") \
+        .select_columns(["o_orderkey", "c_nationkey"])
+
+    prepped = seed_schema(
+        line.map_batches(line_prep, batch_format="pyarrow",
+                         batch_size=131072),
+        pa.schema([("l_orderkey", pa.int64()), ("s_nat", pa.int64()),
+                   ("cents", pa.int64())]))
+    joined = hash_join(prepped, ord_nat, "l_orderkey", "o_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sn = batch["s_nat"].to_numpy(zero_copy_only=False)
+        cn = batch["c_nationkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cents = batch["cents"].to_numpy(zero_copy_only=False)
+        key = sn * 1000 + cn
+        uniq, inv = np.unique(key, return_inverse=True)
+        acc = np.zeros(uniq.shape[0], np.int64)
+        np.add.at(acc, inv, cents)
+        return pa.table({"k": uniq, "cents": acc})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("k").aggregate([("cents", "sum")])
+        empty = pa.table({
+            "nation_a": pa.array([], pa.int64()),
+            "nation_b": pa.array([], pa.int64()),
+            "rev_ab_cents": pa.array([], pa.int64()),
+            "rev_ba_cents": pa.array([], pa.int64()),
+            "net_cents": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        flows = {int(k): int(c) for k, c in
+                 zip(g["k"].to_pylist(), g["cents_sum"].to_pylist())}
+        nations = sorted({k // 1000 for k in flows}
+                         | {k % 1000 for k in flows})
+        out = {c: [] for c in ("a", "b", "ab", "ba", "net")}
+        for i, a in enumerate(nations):
+            for b in nations[i + 1:]:
+                ab = flows.get(a * 1000 + b, 0)
+                ba = flows.get(b * 1000 + a, 0)
+                if ab == 0 and ba == 0:
+                    continue
+                out["a"].append(a)
+                out["b"].append(b)
+                out["ab"].append(ab)
+                out["ba"].append(ba)
+                out["net"].append(ab - ba)
+        return pa.table({
+            "nation_a": pa.array(out["a"], pa.int64()),
+            "nation_b": pa.array(out["b"], pa.int64()),
+            "rev_ab_cents": pa.array(out["ab"], pa.int64()),
+            "rev_ba_cents": pa.array(out["ba"], pa.int64()),
+            "net_cents": pa.array(out["net"], pa.int64())})
+
+    return driver_merge(
+        joined.map_batches(partial, batch_format="pyarrow",
+                           batch_size=131072), merge,
+        schema=pa.schema([("k", pa.int64()), ("cents", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -14366,6 +14536,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 85: NB fit, trade-balance matrix ---
+        "users_event_count_nbfit": _users_event_count_nbfit,
+        "nation_trade_balance": _nation_trade_balance,
         # --- round-5 wave 84: gap burstiness, rich-club curve ---
         "events_gap_burstiness": _events_gap_burstiness,
         "sites_rich_club": _sites_rich_club,
@@ -14817,6 +14990,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 85: never driver-checked.
+    "users_event_count_nbfit", "nation_trade_balance",
     # (3) round-5 wave 84: never driver-checked.
     "events_gap_burstiness", "sites_rich_club",
     # (3) round-5 wave 83: never driver-checked.
@@ -16010,6 +16185,73 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # NB method-of-moments fit over per-user counts; mirrored
+        # r/p trees, NULL when not overdispersed.
+        "users_event_count_nbfit": """
+            WITH c AS (
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1
+            ), m AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(n) AS HUGEINT) AS s,
+                     CAST(SUM(n * n) AS HUGEINT) AS q
+              FROM c
+            ), k AS (
+              SELECT CAST(n AS BIGINT) AS n_users,
+                     CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                         AS mean_events,
+                     CASE WHEN n < 2 THEN NULL
+                          ELSE CAST(n * q - s * s AS DOUBLE)
+                               / CAST(n * (n - 1) AS DOUBLE)
+                     END AS v
+              FROM m
+            )
+            SELECT n_users, mean_events,
+                   CASE WHEN v IS NULL OR v <= mean_events OR v = 0.0
+                        THEN NULL
+                        ELSE mean_events * mean_events
+                             / (v - mean_events)
+                   END AS nb_r,
+                   CASE WHEN v IS NULL OR v <= mean_events OR v = 0.0
+                        THEN NULL
+                        ELSE mean_events / v
+                   END AS nb_p
+            FROM k WHERE n_users > 0
+        """,
+        # Trade balance: both directed flows per unordered pair; net;
+        # all integers.
+        "nation_trade_balance": """
+            WITH f AS (
+              SELECT s.s_nationkey AS sn, c.c_nationkey AS cn,
+                     CAST(SUM(CAST(FLOOR(l.l_extendedprice
+                                         * (1 - l.l_discount) * 100
+                                         + 0.5) AS BIGINT)) AS BIGINT)
+                         AS cents
+              FROM lineitem l
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              JOIN orders o ON o.o_orderkey = l.l_orderkey
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT LEAST(sn, cn) AS a, GREATEST(sn, cn) AS b
+              FROM f WHERE sn <> cn
+              UNION
+              SELECT sn, cn FROM f WHERE sn < cn
+            ), dedup AS (SELECT DISTINCT a, b FROM pairs WHERE a < b)
+            SELECT CAST(d.a AS BIGINT) AS nation_a,
+                   CAST(d.b AS BIGINT) AS nation_b,
+                   CAST(COALESCE(ab.cents, 0) AS BIGINT)
+                       AS rev_ab_cents,
+                   CAST(COALESCE(ba.cents, 0) AS BIGINT)
+                       AS rev_ba_cents,
+                   CAST(COALESCE(ab.cents, 0) - COALESCE(ba.cents, 0)
+                        AS BIGINT) AS net_cents
+            FROM dedup d
+            LEFT JOIN f ab ON ab.sn = d.a AND ab.cn = d.b
+            LEFT JOIN f ba ON ba.sn = d.b AND ba.cn = d.a
+            WHERE COALESCE(ab.cents, 0) <> 0
+               OR COALESCE(ba.cents, 0) <> 0
         """,
         # Burstiness: per-type gap moments; mirrored sigma/mu tree.
         "events_gap_burstiness": """

@@ -203,7 +203,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 83: Good-Turing smoothing, embedding centroid shift
         "docs_good_turing", "emb_centroid_shift",
         # wave 84: gap burstiness, rich-club coefficient curve
-        "events_gap_burstiness", "sites_rich_club"]
+        "events_gap_burstiness", "sites_rich_club",
+        # wave 85: negative-binomial fit, trade-balance matrix
+        "users_event_count_nbfit", "nation_trade_balance"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
