@@ -14527,6 +14527,127 @@ def _nation_trade_balance(sf_dir: str):
         schema=pa.schema([("k", pa.int64()), ("cents", pa.int64())]))
 
 
+def _lineitem_ca_trend(sf_dir: str):
+    """Cochran-Armitage trend test: does the return probability move
+    monotonically with the discount dose (basis-point levels as
+    scores)? The statistic reduces to the exact integer pair
+    num = N*T - R*W1 and var-scaled big = R(N-R)(N*W2 - W1^2), with
+    z = num*sqrt(N)/sqrt(big) as ONE mirrored float tree.
+    Dose-bounded (s, n, r) combiner — 11 levels — is the only
+    exchange."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_discount", "l_returnflag"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = np.floor(batch["l_discount"].to_numpy(
+            zero_copy_only=False) * 10000 + 0.5).astype(np.int64)
+        r = pc.equal(batch["l_returnflag"], "R").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(s, return_inverse=True)
+        n = np.bincount(inv, minlength=uniq.shape[0]).astype(np.int64)
+        rr = np.zeros(uniq.shape[0], np.int64)
+        np.add.at(rr, inv, r)
+        return pa.table({"s": uniq, "n": n, "r": rr})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("s").aggregate([("n", "sum"), ("r", "sum")])
+        empty = pa.table({
+            "n_lines": pa.array([], pa.int64()),
+            "n_returns": pa.array([], pa.int64()),
+            "z_ca_trend": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        s = [int(v) for v in g["s"].to_pylist()]
+        n = [int(v) for v in g["n_sum"].to_pylist()]
+        r = [int(v) for v in g["r_sum"].to_pylist()]
+        big_n, big_r = sum(n), sum(r)
+        tt = sum(si * ri for si, ri in zip(s, r))
+        w1 = sum(si * ni for si, ni in zip(s, n))
+        w2 = sum(si * si * ni for si, ni in zip(s, n))
+        num = big_n * tt - big_r * w1
+        big = big_r * (big_n - big_r) * (big_n * w2 - w1 * w1)
+        z = None if big <= 0 \
+            else float(num) * math.sqrt(float(big_n)) \
+            / math.sqrt(float(big))
+        return pa.table({
+            "n_lines": pa.array([big_n], pa.int64()),
+            "n_returns": pa.array([big_r], pa.int64()),
+            "z_ca_trend": pa.array([z], pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("s", pa.int64()), ("n", pa.int64()),
+                          ("r", pa.int64())]))
+
+
+def _docs_lexical_density_by_source(sf_dir: str):
+    """Lexical density per source: the share of tokens that are NOT
+    stopwords — the information-per-token quality signal a curation
+    mix monitors per provider. Exact RE2 token and stopword-hit counts
+    (the quality stage's pattern source of truth) in a source-bounded
+    combiner; density is ONE division per source."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.text.analysis import _STOPWORDS
+
+    stop_all = set().union(*_STOPWORDS.values())
+    stop_pat = r"(?i)\b(?:" + "|".join(sorted(stop_all)) + r")\b"
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.count_substring_regex(batch["text"], r"\S+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        stops = pc.count_substring_regex(batch["text"], stop_pat) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({"source": batch["source"],
+                      "w": words, "st": stops})
+        return t.group_by("source").aggregate(
+            [("w", "sum"), ("st", "sum")]) \
+            .rename_columns(["source", "w", "st"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate(
+            [("w", "sum"), ("st", "sum")])
+        src = g["source"].to_pylist()
+        if not src:
+            return pa.table({
+                "source": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_stopword_hits": pa.array([], pa.int64()),
+                "lexical_density": pa.array([], pa.float64())})
+        w = [int(v) for v in g["w_sum"].to_pylist()]
+        st = [int(v) for v in g["st_sum"].to_pylist()]
+        dens = [None if wi == 0 else float(wi - si) / float(wi)
+                for wi, si in zip(w, st)]
+        return pa.table({
+            "source": pa.array([str(x) for x in src], pa.string()),
+            "n_tokens": pa.array(w, pa.int64()),
+            "n_stopword_hits": pa.array(st, pa.int64()),
+            "lexical_density": pa.array(dens, pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=32768), merge,
+        schema=pa.schema([("source", pa.string()), ("w", pa.int64()),
+                          ("st", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -14536,6 +14657,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 86: CA trend test, lexical density ---
+        "lineitem_ca_trend": _lineitem_ca_trend,
+        "docs_lexical_density_by_source": _docs_lexical_density_by_source,
         # --- round-5 wave 85: NB fit, trade-balance matrix ---
         "users_event_count_nbfit": _users_event_count_nbfit,
         "nation_trade_balance": _nation_trade_balance,
@@ -14990,6 +15114,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 86: never driver-checked.
+    "lineitem_ca_trend", "docs_lexical_density_by_source",
     # (3) round-5 wave 85: never driver-checked.
     "users_event_count_nbfit", "nation_trade_balance",
     # (3) round-5 wave 84: never driver-checked.
@@ -15306,6 +15432,30 @@ def _hll_oracle() -> str:
                      {ALPHA_NUM * two53}::HUGEINT
                          // ({ALPHA_DEN}::HUGEINT * s53) AS raw
               FROM stats)
+    """
+
+
+def _lexical_density_oracle() -> str:
+    """SQL mirror of _docs_lexical_density_by_source: same stopword
+    pattern source of truth as the quality stage."""
+    from h3ray.text.analysis import _STOPWORDS
+
+    stop_all = sorted(set().union(*_STOPWORDS.values()))
+    pat = "(?i)\\b(?:" + "|".join(stop_all) + ")\\b"
+    return f"""
+        WITH m AS (
+          SELECT source,
+                 CAST(SUM(len(regexp_extract_all(text, '\\S+')))
+                      AS BIGINT) AS w,
+                 CAST(SUM(len(regexp_extract_all(text, '{pat}')))
+                      AS BIGINT) AS st
+          FROM documents GROUP BY source
+        )
+        SELECT source, w AS n_tokens, st AS n_stopword_hits,
+               CASE WHEN w = 0 THEN NULL
+                    ELSE CAST(w - st AS DOUBLE) / CAST(w AS DOUBLE)
+               END AS lexical_density
+        FROM m
     """
 
 
@@ -16186,6 +16336,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
         """,
+        # Cochran-Armitage: exact integer num and var-scaled big;
+        # z = num*sqrt(N)/sqrt(big).
+        "lineitem_ca_trend": """
+            WITH d AS (
+              SELECT CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)
+                         AS s,
+                     CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(CASE WHEN l_returnflag = 'R'
+                              THEN 1 ELSE 0 END) AS HUGEINT) AS r
+              FROM lineitem GROUP BY 1
+            ), m AS (
+              SELECT SUM(n) AS nn, SUM(r) AS rr,
+                     SUM(s * r) AS tt, SUM(s * n) AS w1,
+                     SUM(s * s * n) AS w2
+              FROM d
+            )
+            SELECT CAST(nn AS BIGINT) AS n_lines,
+                   CAST(rr AS BIGINT) AS n_returns,
+                   CASE WHEN rr * (nn - rr) * (nn * w2 - w1 * w1)
+                             <= 0 THEN NULL
+                        ELSE CAST(nn * tt - rr * w1 AS DOUBLE)
+                             * SQRT(CAST(nn AS DOUBLE))
+                             / SQRT(CAST(rr * (nn - rr)
+                                         * (nn * w2 - w1 * w1)
+                                         AS DOUBLE))
+                   END AS z_ca_trend
+            FROM m WHERE nn > 0
+        """,
+        # Lexical density: exact RE2 counts, one division per source.
+        "docs_lexical_density_by_source": _lexical_density_oracle(),
         # NB method-of-moments fit over per-user counts; mirrored
         # r/p trees, NULL when not overdispersed.
         "users_event_count_nbfit": """

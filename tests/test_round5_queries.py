@@ -205,7 +205,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 84: gap burstiness, rich-club coefficient curve
         "events_gap_burstiness", "sites_rich_club",
         # wave 85: negative-binomial fit, trade-balance matrix
-        "users_event_count_nbfit", "nation_trade_balance"]
+        "users_event_count_nbfit", "nation_trade_balance",
+        # wave 86: Cochran-Armitage trend, lexical density
+        "lineitem_ca_trend", "docs_lexical_density_by_source"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
