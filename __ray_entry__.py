@@ -14648,6 +14648,112 @@ def _docs_lexical_density_by_source(sf_dir: str):
                           ("st", pa.int64())]))
 
 
+def _orders_seasonal_mann_kendall(sf_dir: str):
+    """SEASONAL Mann-Kendall: the trend test compared only within each
+    calendar month across years (January vs January...), summing the
+    12 per-season S statistics and tie-corrected variance numerators —
+    immune to the seasonality that contaminates the plain MK. Exact
+    integers at the (month, year)-bounded root; the combined z is ONE
+    mirrored float tree."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dt = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        ym = dt.astype("datetime64[M]").astype(np.int64)
+        y = ym // 12 + 1970
+        m = ym % 12 + 1
+        cents = np.floor(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        t = pa.table({"m": m, "y": y, "cents": cents})
+        return t.group_by(["m", "y"]).aggregate([("cents", "sum")]) \
+            .rename_columns(["m", "y", "cents"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["m", "y"]).aggregate([("cents", "sum")])
+        empty = pa.table({
+            "n_cells": pa.array([], pa.int64()),
+            "s_seasonal": pa.array([], pa.int64()),
+            "var_num": pa.array([], pa.int64()),
+            "z_smk": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        mm = g["m"].to_numpy(zero_copy_only=False)
+        yy = g["y"].to_numpy(zero_copy_only=False)
+        cc = g["cents_sum"].to_numpy(zero_copy_only=False)
+        s_tot = 0
+        vnum = 0
+        n_cells = int(mm.shape[0])
+        for month in np.unique(mm):
+            sel = mm == month
+            ys = yy[sel]
+            cs = cc[sel][np.argsort(ys)]
+            n = int(cs.shape[0])
+            if n < 2:
+                continue
+            iu, iv = np.triu_indices(n, k=1)
+            s_tot += int(np.sign(cs[iv] - cs[iu]).sum())
+            _, tc = np.unique(cs, return_counts=True)
+            tie = sum(int(c) * (int(c) - 1) * (2 * int(c) + 5)
+                      for c in tc if c > 1)
+            vnum += n * (n - 1) * (2 * n + 5) - tie
+        if vnum <= 0:
+            z = None
+        elif s_tot > 0:
+            z = float(s_tot - 1) / math.sqrt(float(vnum) / 18.0)
+        elif s_tot < 0:
+            z = float(s_tot + 1) / math.sqrt(float(vnum) / 18.0)
+        else:
+            z = 0.0
+        return pa.table({
+            "n_cells": pa.array([n_cells], pa.int64()),
+            "s_seasonal": pa.array([s_tot], pa.int64()),
+            "var_num": pa.array([vnum], pa.int64()),
+            "z_smk": pa.array([z], pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("m", pa.int64()), ("y", pa.int64()),
+                          ("cents", pa.int64())]))
+
+
+def _sites_edge_support_hist(sf_dir: str):
+    """Edge triangle-support histogram (the k-truss building block):
+    for each undirected edge, how many triangles contain it — counted
+    exactly as (A^2)[u,v] at the graph-order-bounded root — then the
+    count-of-counts. ALL-INTEGER; the cohesion profile that separates
+    bridge edges from community cores."""
+    import numpy as np
+    import pyarrow as pa
+
+    from h3ray.ops.graph import _distinct_undirected
+
+    e = _distinct_undirected(_sites_edges_ds(sf_dir), 997, "src", "dst")
+    if e.shape[0] == 0:
+        return pa.table({
+            "n_triangles_on_edge": pa.array([], pa.int64()),
+            "n_edges": pa.array([], pa.int64())})
+    u = (e // 997).astype(np.int64)
+    v = (e % 997).astype(np.int64)
+    adj = np.zeros((997, 997), np.int32)
+    adj[u, v] = 1
+    adj[v, u] = 1
+    support = (adj @ adj)[u, v].astype(np.int64)
+    uniq, cnt = np.unique(support, return_counts=True)
+    return pa.table({
+        "n_triangles_on_edge": pa.array(uniq.astype(np.int64)),
+        "n_edges": pa.array(cnt.astype(np.int64))})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -14657,6 +14763,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 87: seasonal MK, edge triangle support ---
+        "orders_seasonal_mann_kendall": _orders_seasonal_mann_kendall,
+        "sites_edge_support_hist": _sites_edge_support_hist,
         # --- round-5 wave 86: CA trend test, lexical density ---
         "lineitem_ca_trend": _lineitem_ca_trend,
         "docs_lexical_density_by_source": _docs_lexical_density_by_source,
@@ -15114,6 +15223,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 87: never driver-checked.
+    "orders_seasonal_mann_kendall", "sites_edge_support_hist",
     # (3) round-5 wave 86: never driver-checked.
     "lineitem_ca_trend", "docs_lexical_density_by_source",
     # (3) round-5 wave 85: never driver-checked.
@@ -16335,6 +16446,72 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Seasonal MK: within-month pair sign sums + per-month
+        # tie-corrected variance numerators; mirrored z tree.
+        "orders_seasonal_mann_kendall": """
+            WITH mo AS (
+              SELECT CAST(MONTH(o_orderdate) AS BIGINT) AS m,
+                     CAST(YEAR(o_orderdate) AS BIGINT) AS y,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS cents
+              FROM orders GROUP BY 1, 2
+            ), s AS (
+              SELECT CAST(COALESCE(SUM(
+                         CASE WHEN b.cents > a.cents THEN 1
+                              WHEN b.cents < a.cents THEN -1
+                              ELSE 0 END), 0) AS BIGINT) AS st
+              FROM mo a JOIN mo b ON b.m = a.m AND b.y > a.y
+            ), nm AS (
+              SELECT m, CAST(COUNT(*) AS BIGINT) AS n
+              FROM mo GROUP BY 1
+            ), tm AS (
+              SELECT m, CAST(COALESCE(SUM(tc * (tc - 1)
+                                          * (2 * tc + 5)), 0)
+                             AS BIGINT) AS tie
+              FROM (SELECT m, CAST(COUNT(*) AS BIGINT) AS tc
+                    FROM mo GROUP BY m, cents)
+              WHERE tc > 1 GROUP BY m
+            ), vv AS (
+              SELECT CAST(COALESCE(SUM(
+                         CASE WHEN nm.n >= 2
+                              THEN nm.n * (nm.n - 1) * (2 * nm.n + 5)
+                                   - COALESCE(tm.tie, 0)
+                              ELSE 0 END), 0) AS BIGINT) AS vnum
+              FROM nm LEFT JOIN tm ON tm.m = nm.m
+            ), c AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM mo)
+            SELECT nc AS n_cells, st AS s_seasonal, vnum AS var_num,
+                   CASE WHEN vnum <= 0 THEN NULL
+                        WHEN st > 0
+                        THEN CAST(st - 1 AS DOUBLE)
+                             / SQRT(CAST(vnum AS DOUBLE) / 18.0)
+                        WHEN st < 0
+                        THEN CAST(st + 1 AS DOUBLE)
+                             / SQRT(CAST(vnum AS DOUBLE) / 18.0)
+                        ELSE 0.0
+                   END AS z_smk
+            FROM c, s, vv WHERE nc > 0
+        """,
+        # Edge triangle support: correlated common-neighbor counts;
+        # count-of-counts.
+        "sites_edge_support_hist": f"""
+            WITH {_sites_edges_cte()}, ue AS (
+              SELECT DISTINCT LEAST(src, dst) AS u,
+                              GREATEST(src, dst) AS v
+              FROM edges
+            ), nb AS (
+              SELECT u AS x, v AS w FROM ue
+              UNION ALL SELECT v, u FROM ue
+            ), sup AS (
+              SELECT ue.u, ue.v,
+                     (SELECT CAST(COUNT(*) AS BIGINT)
+                      FROM nb a JOIN nb b ON b.w = a.w
+                      WHERE a.x = ue.u AND b.x = ue.v) AS s
+              FROM ue
+            )
+            SELECT s AS n_triangles_on_edge,
+                   CAST(COUNT(*) AS BIGINT) AS n_edges
+            FROM sup GROUP BY 1
         """,
         # Cochran-Armitage: exact integer num and var-scaled big;
         # z = num*sqrt(N)/sqrt(big).

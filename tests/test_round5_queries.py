@@ -207,7 +207,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 85: negative-binomial fit, trade-balance matrix
         "users_event_count_nbfit", "nation_trade_balance",
         # wave 86: Cochran-Armitage trend, lexical density
-        "lineitem_ca_trend", "docs_lexical_density_by_source"]
+        "lineitem_ca_trend", "docs_lexical_density_by_source",
+        # wave 87: seasonal Mann-Kendall, edge triangle support
+        "orders_seasonal_mann_kendall", "sites_edge_support_hist"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
