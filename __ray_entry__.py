@@ -14754,6 +14754,133 @@ def _sites_edge_support_hist(sf_dir: str):
         "n_edges": pa.array(cnt.astype(np.int64))})
 
 
+def _events_shapley_attribution(sf_dir: str):
+    """EXACT Shapley-value conversion attribution over the four
+    non-purchase channels: v(S) = converted users whose pre-purchase
+    touch set is contained in S, and each channel's Shapley value
+    folds the 16-subset lattice with factorial weights — 4! times the
+    value is an exact INTEGER (|S|!(3-|S|)! in {6,2,2,6}), so the
+    game-theoretic attribution carries a value-hash oracle; only the
+    final /24 is float. Per-(user, channel) min-timestamp partials are
+    the only exchange; masks, the lattice and the Shapley sums fold at
+    the user-bounded root."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    CODES = {"click": 1, "view": 2, "signup": 4, "error": 8,
+             "purchase": 16}
+    CHANNELS = [("click", 1), ("view", 2), ("signup", 4),
+                ("error", 8)]
+    W = {0: 6, 1: 2, 2: 2, 3: 6}      # |S|!(3-|S|)! for n = 4
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        et = batch["event_type"].to_pylist()
+        code = np.array([CODES.get(t, 0) for t in et], np.int64)
+        keep = code > 0
+        t = pa.table({"uid": uid[keep], "code": code[keep],
+                      "mn": ts[keep]})
+        return t.group_by(["uid", "code"]).aggregate([("mn", "min")]) \
+            .rename_columns(["uid", "code", "mn"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["uid", "code"]).aggregate([("mn", "min")])
+        uid = g["uid"].to_numpy(zero_copy_only=False)
+        code = g["code"].to_numpy(zero_copy_only=False)
+        mn = g["mn_min"].to_numpy(zero_copy_only=False)
+        # first-purchase ts per user
+        pts: dict = {}
+        for u, c, m in zip(uid.tolist(), code.tolist(), mn.tolist()):
+            if c == 16:
+                pts[u] = m
+        cnt = [0] * 16
+        masks: dict = {}
+        for u, c, m in zip(uid.tolist(), code.tolist(), mn.tolist()):
+            if c != 16 and u in pts and m < pts[u]:
+                masks[u] = masks.get(u, 0) | c
+        for u in pts:
+            cnt[masks.get(u, 0)] += 1
+        v = [sum(cnt[m] for m in range(16) if m & s == m)
+             for s in range(16)]
+        out_c, out_x, out_s = [], [], []
+        for name, bit in CHANNELS:
+            acc = 0
+            for s in range(16):
+                if s & bit:
+                    continue
+                acc += W[bin(s).count("1")] * (v[s | bit] - v[s])
+            out_c.append(name)
+            out_x.append(acc)
+            out_s.append(float(acc) / 24.0)
+        return pa.table({
+            "channel": pa.array(out_c, pa.string()),
+            "shapley_x24": pa.array(out_x, pa.int64()),
+            "shapley": pa.array(out_s, pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("uid", pa.int64()), ("code", pa.int64()),
+                          ("mn", pa.int64())]))
+
+
+def _customer_balance_sign_test(sf_dir: str):
+    """Sign test on customer account balances: are positive and
+    negative balances equally likely? Exact counts (zeros excluded)
+    and the normal-approximation z = (2k - n)/sqrt(n) as one mirrored
+    expression. The simplest member of the test family, kept for
+    completeness."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_acctbal"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch["c_acctbal"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "pos": pa.array([int((cents > 0).sum())], pa.int64()),
+            "neg": pa.array([int((cents < 0).sum())], pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_pos": pa.array([], pa.int64()),
+            "n_neg": pa.array([], pa.int64()),
+            "z_sign": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        pos = sum(int(v) for v in t["pos"].to_pylist())
+        neg = sum(int(v) for v in t["neg"].to_pylist())
+        n = pos + neg
+        if n == 0:
+            return empty
+        z = float(2 * pos - n) / math.sqrt(float(n))
+        return pa.table({
+            "n_pos": pa.array([pos], pa.int64()),
+            "n_neg": pa.array([neg], pa.int64()),
+            "z_sign": pa.array([z], pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("pos", pa.int64()), ("neg", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -14763,6 +14890,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 88: Shapley attribution, sign test ---
+        "events_shapley_attribution": _events_shapley_attribution,
+        "customer_balance_sign_test": _customer_balance_sign_test,
         # --- round-5 wave 87: seasonal MK, edge triangle support ---
         "orders_seasonal_mann_kendall": _orders_seasonal_mann_kendall,
         "sites_edge_support_hist": _sites_edge_support_hist,
@@ -15223,6 +15353,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 88: never driver-checked.
+    "events_shapley_attribution", "customer_balance_sign_test",
     # (3) round-5 wave 87: never driver-checked.
     "orders_seasonal_mann_kendall", "sites_edge_support_hist",
     # (3) round-5 wave 86: never driver-checked.
@@ -16446,6 +16578,72 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Shapley attribution: 16-subset lattice with factorial
+        # weights; 24x the value is an exact integer.
+        "events_shapley_attribution": """
+            WITH fp AS (
+              SELECT user_id,
+                     MIN(CASE WHEN event_type = 'purchase' THEN ts
+                         END) AS pts
+              FROM events GROUP BY 1
+            ), tm AS (
+              SELECT e.user_id,
+                     BIT_OR(CASE e.event_type
+                            WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                            WHEN 'signup' THEN 4 WHEN 'error' THEN 8
+                            ELSE 0 END) AS mask
+              FROM events e JOIN fp ON fp.user_id = e.user_id
+              WHERE fp.pts IS NOT NULL AND e.ts < fp.pts
+              GROUP BY 1
+            ), conv AS (
+              SELECT fp.user_id, COALESCE(tm.mask, 0) AS mask
+              FROM fp LEFT JOIN tm ON tm.user_id = fp.user_id
+              WHERE fp.pts IS NOT NULL
+            ), cnt AS (
+              SELECT mask, CAST(COUNT(*) AS BIGINT) AS c
+              FROM conv GROUP BY 1
+            ), subs AS (SELECT unnest(range(0, 16)) AS s), v AS (
+              SELECT subs.s,
+                     CAST(COALESCE(SUM(cnt.c), 0) AS BIGINT) AS v
+              FROM subs LEFT JOIN cnt ON (cnt.mask & subs.s)
+                                         = cnt.mask
+              GROUP BY 1
+            ), ch AS (
+              SELECT * FROM (VALUES ('click', 1), ('view', 2),
+                                    ('signup', 4), ('error', 8))
+                  t(channel, bit)
+            ), terms AS (
+              SELECT ch.channel,
+                     CASE bit_count(v0.s)
+                          WHEN 0 THEN 6 WHEN 1 THEN 2
+                          WHEN 2 THEN 2 WHEN 3 THEN 6 END AS w,
+                     v1.v - v0.v AS dv
+              FROM ch
+              JOIN v v0 ON (v0.s & ch.bit) = 0
+              JOIN v v1 ON v1.s = v0.s + ch.bit
+            )
+            SELECT channel,
+                   CAST(SUM(w * dv) AS BIGINT) AS shapley_x24,
+                   CAST(SUM(w * dv) AS DOUBLE) / 24.0 AS shapley
+            FROM terms GROUP BY 1
+        """,
+        # Sign test: exact counts, one mirrored expression.
+        "customer_balance_sign_test": """
+            WITH c AS (
+              SELECT CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS v
+              FROM customer
+            ), m AS (
+              SELECT CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS pos,
+                     CAST(SUM(CASE WHEN v < 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS neg
+              FROM c
+            )
+            SELECT pos AS n_pos, neg AS n_neg,
+                   CAST(2 * pos - (pos + neg) AS DOUBLE)
+                   / SQRT(CAST(pos + neg AS DOUBLE)) AS z_sign
+            FROM m WHERE pos + neg > 0
         """,
         # Seasonal MK: within-month pair sign sums + per-month
         # tie-corrected variance numerators; mirrored z tree.

@@ -209,7 +209,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 86: Cochran-Armitage trend, lexical density
         "lineitem_ca_trend", "docs_lexical_density_by_source",
         # wave 87: seasonal Mann-Kendall, edge triangle support
-        "orders_seasonal_mann_kendall", "sites_edge_support_hist"]
+        "orders_seasonal_mann_kendall", "sites_edge_support_hist",
+        # wave 88: exact Shapley attribution, sign test
+        "events_shapley_attribution", "customer_balance_sign_test"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -270,6 +272,10 @@ def test_empty_tables_round5_queries(ray_session, tmp_path):
                  "docs_dedup_method_agreement": 1,
                  # cross-joined scalar census CTEs yield one zero row
                  "docs_dup_transitivity": 1,
+                 # fixed 4-channel lattice, like the SQL mirror's
+                 # VALUES channel table over the always-present
+                 # 16-subset lattice
+                 "events_shapley_attribution": 4,
                  "sites_reciprocity": 1,
                  "sites_clustering_coeff": 1,
                  "sites_degree_assortativity": 1}.get(name, 0)
