@@ -14881,6 +14881,186 @@ def _customer_balance_sign_test(sf_dir: str):
         schema=pa.schema([("pos", pa.int64()), ("neg", pa.int64())]))
 
 
+_POIS1_CDF = (0.36787944117144233, 0.7357588823428847,
+              0.9196986029286059, 0.9810118431238462,
+              0.9963401531726563, 0.9994058151824183)
+
+
+def _orders_bootstrap_resamples(sf_dir: str):
+    """Deterministic Poissonized bootstrap: 16 resamples of the order
+    stream where each row's multiplicity is Poisson(1) inverted from
+    the key-stable mix64 uniform (same CDF literals in both engines,
+    capped at 6) — the repartition-proof resampling infrastructure
+    an SE/CI estimator needs, with NO RNG state. Per-resample
+    (n, sum_cents) partials are exact integers; one mean division per
+    resample row."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.io.pages import _mix64
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_totalprice"])
+    B = 16
+    CDF = np.array(_POIS1_CDF, np.float64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = batch["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        cents = np.floor(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        out_b, out_n, out_s = [], [], []
+        for b in range(1, B + 1):
+            u = (_mix64(key + np.uint64(b))
+                 >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+            w = np.searchsorted(CDF, u, side="right").astype(np.int64)
+            out_b.append(b)
+            out_n.append(int(w.sum()))
+            out_s.append(int(np.dot(w, cents)))
+        return pa.table({"b": pa.array(out_b, pa.int64()),
+                         "n": pa.array(out_n, pa.int64()),
+                         "s": pa.array(out_s, pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("b").aggregate([("n", "sum"), ("s", "sum")])
+        if g.num_rows == 0:
+            return pa.table({
+                "resample_id": pa.array([], pa.int64()),
+                "n_rows": pa.array([], pa.int64()),
+                "sum_cents": pa.array([], pa.int64()),
+                "mean_cents": pa.array([], pa.float64())})
+        b = g["b"].to_numpy(zero_copy_only=False)
+        o = np.argsort(b)
+        n = g["n_sum"].to_numpy(zero_copy_only=False)[o]
+        s = g["s_sum"].to_numpy(zero_copy_only=False)[o]
+        mean = [None if ni == 0 else float(si) / float(ni)
+                for ni, si in zip(n.tolist(), s.tolist())]
+        return pa.table({
+            "resample_id": pa.array(b[o].astype(np.int64)),
+            "n_rows": pa.array(n.astype(np.int64)),
+            "sum_cents": pa.array(s.astype(np.int64)),
+            "mean_cents": pa.array(mean, pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("b", pa.int64()), ("n", pa.int64()),
+                          ("s", pa.int64())]))
+
+
+def _nation_export_concentration(sf_dir: str):
+    """Export-dependency profile per supplier nation: total outbound
+    revenue, the single biggest customer-nation flow, the partner
+    behind it (smallest key on ties) and its share — the
+    concentration-risk readout of the trade matrix. Same
+    |nations|^2-bounded flow combiner and join shape as the balance
+    matrix; one share division per nation."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from h3ray.ops.join import hash_join, seed_schema
+    from h3ray.ops.reduce import driver_merge
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    skeys = sup["s_suppkey"].to_numpy()
+    sorder = np.argsort(skeys)
+    sup_ref = ray.put((skeys[sorder],
+                       sup["s_nationkey"].to_numpy()[sorder]
+                       .astype(np.int64)))
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_suppkey",
+                                    "l_extendedprice", "l_discount"])
+
+    def line_prep(batch: pa.Table) -> pa.Table:
+        keys, nat = ray.get(sup_ref)
+        empty = pa.table({"l_orderkey": pa.array([], pa.int64()),
+                          "s_nat": pa.array([], pa.int64()),
+                          "cents": pa.array([], pa.int64())})
+        ls = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        if keys.shape[0] == 0 or ls.shape[0] == 0:
+            return empty
+        pos = np.minimum(np.searchsorted(keys, ls), keys.shape[0] - 1)
+        sel = keys[pos] == ls
+        cents = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - batch["l_discount"].to_numpy(
+                zero_copy_only=False)) * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"].to_numpy(
+                zero_copy_only=False)[sel],
+            "s_nat": nat[pos[sel]], "cents": cents[sel]})
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    ord_nat = hash_join(orders, cust, "o_custkey", "c_custkey") \
+        .select_columns(["o_orderkey", "c_nationkey"])
+
+    prepped = seed_schema(
+        line.map_batches(line_prep, batch_format="pyarrow",
+                         batch_size=131072),
+        pa.schema([("l_orderkey", pa.int64()), ("s_nat", pa.int64()),
+                   ("cents", pa.int64())]))
+    joined = hash_join(prepped, ord_nat, "l_orderkey", "o_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sn = batch["s_nat"].to_numpy(zero_copy_only=False)
+        cn = batch["c_nationkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cents = batch["cents"].to_numpy(zero_copy_only=False)
+        key = sn * 1000 + cn
+        uniq, inv = np.unique(key, return_inverse=True)
+        acc = np.zeros(uniq.shape[0], np.int64)
+        np.add.at(acc, inv, cents)
+        return pa.table({"k": uniq, "cents": acc})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("k").aggregate([("cents", "sum")])
+        empty = pa.table({
+            "s_nation": pa.array([], pa.int64()),
+            "total_cents": pa.array([], pa.int64()),
+            "top_partner": pa.array([], pa.int64()),
+            "top_cents": pa.array([], pa.int64()),
+            "top_share": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        k = g["k"].to_numpy(zero_copy_only=False)
+        c = g["cents_sum"].to_numpy(zero_copy_only=False)
+        sn = k // 1000
+        cn = k % 1000
+        out = {x: [] for x in ("s", "t", "p", "tc", "sh")}
+        for s in np.unique(sn):
+            m = sn == s
+            cc, pp = c[m], cn[m]
+            tot = int(cc.sum())
+            o = np.lexsort((pp, -cc))[0]
+            out["s"].append(int(s))
+            out["t"].append(tot)
+            out["p"].append(int(pp[o]))
+            out["tc"].append(int(cc[o]))
+            out["sh"].append(None if tot == 0
+                             else float(int(cc[o])) / float(tot))
+        return pa.table({
+            "s_nation": pa.array(out["s"], pa.int64()),
+            "total_cents": pa.array(out["t"], pa.int64()),
+            "top_partner": pa.array(out["p"], pa.int64()),
+            "top_cents": pa.array(out["tc"], pa.int64()),
+            "top_share": pa.array(out["sh"], pa.float64())})
+
+    return driver_merge(
+        joined.map_batches(partial, batch_format="pyarrow",
+                           batch_size=131072), merge,
+        schema=pa.schema([("k", pa.int64()), ("cents", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -14890,6 +15070,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 89: bootstrap resamples, export profile ---
+        "orders_bootstrap_resamples": _orders_bootstrap_resamples,
+        "nation_export_concentration": _nation_export_concentration,
         # --- round-5 wave 88: Shapley attribution, sign test ---
         "events_shapley_attribution": _events_shapley_attribution,
         "customer_balance_sign_test": _customer_balance_sign_test,
@@ -15353,6 +15536,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 89: never driver-checked.
+    "orders_bootstrap_resamples", "nation_export_concentration",
     # (3) round-5 wave 88: never driver-checked.
     "events_shapley_attribution", "customer_balance_sign_test",
     # (3) round-5 wave 87: never driver-checked.
@@ -16578,6 +16763,86 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Deterministic bootstrap: mix64 uniform -> Poisson(1) inverse
+        # CDF with shared literals; exact per-resample sums.
+        "orders_bootstrap_resamples": f"""
+            WITH e0 AS (
+              SELECT CAST(o_orderkey AS UBIGINT) + bb.b AS x0,
+                     bb.b AS b,
+                     CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                         AS cents
+              FROM orders CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),
+                  (7),(8),(9),(10),(11),(12),(13),(14),(15),(16))
+                  bb(b)
+            ), e1 AS (
+              SELECT {_sql_mulmod('xor(x0, x0 >> 30)',
+                                  13787848793156543929)} AS x1,
+                     b, cents
+              FROM e0
+            ), e2 AS (
+              SELECT {_sql_mulmod('xor(x1, x1 >> 27)',
+                                  10723151780598845931)} AS x2,
+                     b, cents
+              FROM e1
+            ), eh AS (
+              SELECT xor(x2, x2 >> 31) AS h, b, cents FROM e2
+            ), uu AS (
+              SELECT b, cents,
+                     CAST(h >> 11 AS DOUBLE) / 9007199254740992.0 AS u
+              FROM eh
+            ), w AS (
+              SELECT b, cents,
+                     CASE WHEN u < {_POIS1_CDF[0]!r} THEN 0
+                          WHEN u < {_POIS1_CDF[1]!r} THEN 1
+                          WHEN u < {_POIS1_CDF[2]!r} THEN 2
+                          WHEN u < {_POIS1_CDF[3]!r} THEN 3
+                          WHEN u < {_POIS1_CDF[4]!r} THEN 4
+                          WHEN u < {_POIS1_CDF[5]!r} THEN 5
+                          ELSE 6 END AS w
+              FROM uu
+            )
+            SELECT CAST(b AS BIGINT) AS resample_id,
+                   CAST(SUM(w) AS BIGINT) AS n_rows,
+                   CAST(SUM(w * cents) AS BIGINT) AS sum_cents,
+                   CASE WHEN SUM(w) = 0 THEN NULL
+                        ELSE CAST(SUM(w * cents) AS DOUBLE)
+                             / CAST(SUM(w) AS DOUBLE)
+                   END AS mean_cents
+            FROM w GROUP BY 1
+        """,
+        # Export concentration: top flow per supplier nation with
+        # deterministic ties; one share division.
+        "nation_export_concentration": """
+            WITH f AS (
+              SELECT s.s_nationkey AS sn, c.c_nationkey AS cn,
+                     CAST(SUM(CAST(FLOOR(l.l_extendedprice
+                                         * (1 - l.l_discount) * 100
+                                         + 0.5) AS BIGINT)) AS BIGINT)
+                         AS cents
+              FROM lineitem l
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              JOIN orders o ON o.o_orderkey = l.l_orderkey
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              GROUP BY 1, 2
+            ), r AS (
+              SELECT sn, cn, cents,
+                     ROW_NUMBER() OVER (PARTITION BY sn
+                                        ORDER BY cents DESC, cn)
+                         AS rn,
+                     CAST(SUM(cents) OVER (PARTITION BY sn) AS BIGINT)
+                         AS tot
+              FROM f
+            )
+            SELECT CAST(sn AS BIGINT) AS s_nation,
+                   tot AS total_cents,
+                   CAST(cn AS BIGINT) AS top_partner,
+                   cents AS top_cents,
+                   CASE WHEN tot = 0 THEN NULL
+                        ELSE CAST(cents AS DOUBLE)
+                             / CAST(tot AS DOUBLE)
+                   END AS top_share
+            FROM r WHERE rn = 1
         """,
         # Shapley attribution: 16-subset lattice with factorial
         # weights; 24x the value is an exact integer.

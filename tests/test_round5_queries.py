@@ -211,7 +211,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 87: seasonal Mann-Kendall, edge triangle support
         "orders_seasonal_mann_kendall", "sites_edge_support_hist",
         # wave 88: exact Shapley attribution, sign test
-        "events_shapley_attribution", "customer_balance_sign_test"]
+        "events_shapley_attribution", "customer_balance_sign_test",
+        # wave 89: deterministic bootstrap, export concentration
+        "orders_bootstrap_resamples", "nation_export_concentration"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
