@@ -15061,6 +15061,129 @@ def _nation_export_concentration(sf_dir: str):
         schema=pa.schema([("k", pa.int64()), ("cents", pa.int64())]))
 
 
+def _orders_control_chart(sf_dir: str):
+    """Shewhart c-chart over daily order counts: center line
+    lambda = mean daily count, control limits lambda +- 3*sqrt(lambda),
+    and the out-of-control day counts — the SPC monitoring readout.
+    Daily counts via a date-bounded combiner; the limits are ONE
+    mirrored float tree and the violation counts compare every day
+    against the identical doubles, so they stay hash-exact."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+        uniq, cnt = np.unique(day, return_counts=True)
+        return pa.table({"day": uniq, "n": cnt.astype(np.int64)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("day").aggregate([("n", "sum")])
+        empty = pa.table({
+            "n_days": pa.array([], pa.int64()),
+            "center": pa.array([], pa.float64()),
+            "ucl": pa.array([], pa.float64()),
+            "lcl": pa.array([], pa.float64()),
+            "n_above_ucl": pa.array([], pa.int64()),
+            "n_below_lcl": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        n = g["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        days = int(n.shape[0])
+        lam = float(int(n.sum())) / float(days)
+        ucl = lam + 3.0 * math.sqrt(lam)
+        lcl = lam - 3.0 * math.sqrt(lam)
+        above = int((n.astype(np.float64) > ucl).sum())
+        below = int((n.astype(np.float64) < lcl).sum())
+        return pa.table({
+            "n_days": pa.array([days], pa.int64()),
+            "center": pa.array([lam], pa.float64()),
+            "ucl": pa.array([ucl], pa.float64()),
+            "lcl": pa.array([lcl], pa.float64()),
+            "n_above_ucl": pa.array([above], pa.int64()),
+            "n_below_lcl": pa.array([below], pa.int64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("day", pa.int64()), ("n", pa.int64())]))
+
+
+def _emb_quant_error_curve(sf_dir: str):
+    """Uniform-quantization error curve for the embedding store: at
+    b in {2, 4, 8} bits, quantize micro-int elements over the fixed
+    [-8, 8) range with pure integer floor arithmetic (step =
+    16e6 >> b, symmetric clamp) and report the EXACT reconstruction
+    SSE and the MSE — the compression-vs-fidelity table a vector-store
+    sizing decision needs. Per-(b) SSE partials are exact ints
+    (Python-bigint root); MSE is one division per row."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.pipelines.ann import _embedding_matrix
+
+    BITS = (2, 4, 8)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        micro = np.floor(_embedding_matrix(batch, "embedding",
+                                           dtype=np.float64)
+                         * 1_000_000 + 0.5).astype(np.int64).ravel()
+        out_b, out_n, out_s = [], [], []
+        for b in BITS:
+            step = 16_000_000 >> b
+            lo, hi = -(1 << (b - 1)), (1 << (b - 1)) - 1
+            code = np.clip((micro + step // 2) // step, lo, hi)
+            err = micro - code * step
+            out_b.append(b)
+            out_n.append(int(micro.shape[0]))
+            out_s.append(int(np.dot(err, err)))
+        return pa.table({"b": pa.array(out_b, pa.int64()),
+                         "n": pa.array(out_n, pa.int64()),
+                         "sse": pa.array(out_s, pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("b").aggregate([("n", "sum"), ("sse", "sum")])
+        if g.num_rows == 0:
+            return pa.table({
+                "bits": pa.array([], pa.int64()),
+                "n_values": pa.array([], pa.int64()),
+                "sse_micro2": pa.array([], pa.float64()),
+                "mse_micro2": pa.array([], pa.float64())})
+        b = g["b"].to_numpy(zero_copy_only=False)
+        o = np.argsort(b)
+        n = [int(v) for v in
+             g["n_sum"].to_numpy(zero_copy_only=False)[o]]
+        s = [int(v) for v in
+             g["sse_sum"].to_numpy(zero_copy_only=False)[o]]
+        return pa.table({
+            "bits": pa.array(b[o].astype(np.int64)),
+            "n_values": pa.array(n, pa.int64()),
+            "sse_micro2": pa.array([float(v) for v in s],
+                                   pa.float64()),
+            "mse_micro2": pa.array(
+                [None if ni == 0 else float(si) / float(ni)
+                 for ni, si in zip(n, s)], pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=32768), merge,
+        schema=pa.schema([("b", pa.int64()), ("n", pa.int64()),
+                          ("sse", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -15070,6 +15193,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 90: c-chart, quantization error curve ---
+        "orders_control_chart": _orders_control_chart,
+        "emb_quant_error_curve": _emb_quant_error_curve,
         # --- round-5 wave 89: bootstrap resamples, export profile ---
         "orders_bootstrap_resamples": _orders_bootstrap_resamples,
         "nation_export_concentration": _nation_export_concentration,
@@ -15536,6 +15662,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 90: never driver-checked.
+    "orders_control_chart", "emb_quant_error_curve",
     # (3) round-5 wave 89: never driver-checked.
     "orders_bootstrap_resamples", "nation_export_concentration",
     # (3) round-5 wave 88: never driver-checked.
@@ -16763,6 +16891,67 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # c-chart: mirrored center/limit tree; violation counts
+        # compare identical doubles.
+        "orders_control_chart": """
+            WITH d AS (
+              SELECT CAST(epoch_us(o_orderdate) // 86400000000
+                          AS BIGINT) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM orders GROUP BY 1
+            ), m AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS days,
+                     CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                         AS lam
+              FROM d
+            ), k AS (
+              SELECT days, lam, lam + 3.0 * SQRT(lam) AS ucl,
+                     lam - 3.0 * SQRT(lam) AS lcl
+              FROM m
+            )
+            SELECT k.days AS n_days, k.lam AS center, k.ucl, k.lcl,
+                   CAST(SUM(CASE WHEN CAST(d.n AS DOUBLE) > k.ucl
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_above_ucl,
+                   CAST(SUM(CASE WHEN CAST(d.n AS DOUBLE) < k.lcl
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_below_lcl
+            FROM d CROSS JOIN k
+            GROUP BY 1, 2, 3, 4
+        """,
+        # Quantization error curve: FLOOR division emulated for
+        # negatives (DuckDB // truncates toward zero, numpy floors);
+        # exact SSE, one MSE division per row.
+        "emb_quant_error_curve": """
+            WITH el AS (
+              SELECT CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                                * 1000000 + 0.5) AS BIGINT) AS micro
+              FROM embeddings
+            ), bb AS (
+              SELECT * FROM (VALUES (2, 4000000, -2, 1),
+                                    (4, 1000000, -8, 7),
+                                    (8, 62500, -128, 127))
+                  t(b, step, lo, hi)
+            ), q AS (
+              SELECT bb.b, el.micro, bb.step,
+                     LEAST(GREATEST(
+                         CASE WHEN el.micro + bb.step // 2 >= 0
+                              THEN (el.micro + bb.step // 2) // bb.step
+                              ELSE -((-(el.micro + bb.step // 2)
+                                      + bb.step - 1) // bb.step)
+                         END, bb.lo), bb.hi) AS code
+              FROM el CROSS JOIN bb
+            )
+            SELECT CAST(b AS BIGINT) AS bits,
+                   CAST(COUNT(*) AS BIGINT) AS n_values,
+                   CAST(SUM(CAST(micro - code * step AS HUGEINT)
+                            * (micro - code * step)) AS DOUBLE)
+                       AS sse_micro2,
+                   CAST(SUM(CAST(micro - code * step AS HUGEINT)
+                            * (micro - code * step)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS mse_micro2
+            FROM q GROUP BY 1
         """,
         # Deterministic bootstrap: mix64 uniform -> Poisson(1) inverse
         # CDF with shared literals; exact per-resample sums.

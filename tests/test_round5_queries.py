@@ -213,7 +213,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 88: exact Shapley attribution, sign test
         "events_shapley_attribution", "customer_balance_sign_test",
         # wave 89: deterministic bootstrap, export concentration
-        "orders_bootstrap_resamples", "nation_export_concentration"]
+        "orders_bootstrap_resamples", "nation_export_concentration",
+        # wave 90: Shewhart c-chart, quantization error curve
+        "orders_control_chart", "emb_quant_error_curve"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
