@@ -15184,6 +15184,101 @@ def _emb_quant_error_curve(sf_dir: str):
                           ("sse", pa.int64())]))
 
 
+def _sites_bowtie(sf_dir: str):
+    """Bow-tie decomposition of the directed link graph around seed
+    site 0 (the classic web-graph structure map): CORE = nodes both
+    reaching and reachable from the seed (its SCC), IN = reach the
+    seed only, OUT = reached only, OTHER = the rest of the linked
+    nodes. Two frontier BFS passes (forward edges + reversed edges,
+    ops.graph.bfs_hops — edges never leave their blocks) and exact
+    set algebra at the graph-order-bounded root. ALL-INTEGER."""
+    import pyarrow as pa
+
+    from h3ray.ops.graph import _distinct_undirected, bfs_hops
+
+    def reverse(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch["dst"], "dst": batch["src"]})
+
+    fwd = bfs_hops(_sites_edges_ds(sf_dir), 997, [0])
+    rev = bfs_hops(_sites_edges_ds(sf_dir)
+                   .map_batches(reverse, batch_format="pyarrow",
+                                batch_size=131072), 997, [0])
+    f = set(int(v) for v in fwd["site"].to_pylist())
+    b = set(int(v) for v in rev["site"].to_pylist())
+    e = _distinct_undirected(_sites_edges_ds(sf_dir), 997,
+                             "src", "dst")
+    if e.shape[0] == 0:
+        return pa.table({"component": pa.array([], pa.string()),
+                         "n_sites": pa.array([], pa.int64())})
+    linked = set((e // 997).tolist()) | set((e % 997).tolist())
+    core = f & b & linked
+    inn = (b - f) & linked
+    out = (f - b) & linked
+    other = linked - f - b
+    return pa.table({
+        "component": pa.array(["CORE", "IN", "OUT", "OTHER"],
+                              pa.string()),
+        "n_sites": pa.array([len(core), len(inn), len(out),
+                             len(other)], pa.int64())})
+
+
+def _users_episode_hist(sf_dir: str):
+    """Activity-episode histogram: each user's event history splits
+    into engagement episodes wherever the inter-event gap exceeds 7
+    days (episodes = 1 + count of big gaps) — the re-engagement shape
+    a lifecycle model consumes. Rides the per-user LAG exchange;
+    per-user big-gap counts fold at the user-bounded root into a
+    count-of-counts. ALL-INTEGER."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.ops.window import window_lag_lead
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    w = window_lag_lead(ds, "user_id", "ts", "ts",
+                        tiebreak_col="event_id", lag_col="prev_ts")
+    GAP_US = 7 * 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        valid = pc.is_valid(batch["prev_ts"]).to_numpy(
+            zero_copy_only=False)
+        cur = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        prev = batch["prev_ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        big = valid & (cur - prev > GAP_US)
+        uniq, inv = np.unique(uid, return_inverse=True)
+        gaps = np.zeros(uniq.shape[0], np.int64)
+        np.add.at(gaps, inv, big.astype(np.int64))
+        seen = np.ones(uniq.shape[0], np.int64)
+        return pa.table({"uid": uniq, "gaps": gaps, "seen": seen})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("uid").aggregate(
+            [("gaps", "sum"), ("seen", "sum")])
+        if g.num_rows == 0:
+            return pa.table({
+                "n_episodes": pa.array([], pa.int64()),
+                "n_users": pa.array([], pa.int64())})
+        ep = g["gaps_sum"].to_numpy(zero_copy_only=False) + 1
+        uniq, cnt = np.unique(ep, return_counts=True)
+        return pa.table({
+            "n_episodes": pa.array(uniq.astype(np.int64)),
+            "n_users": pa.array(cnt.astype(np.int64))})
+
+    return driver_merge(
+        w.map_batches(partial, batch_format="pyarrow",
+                      batch_size=131072), merge,
+        schema=pa.schema([("uid", pa.int64()), ("gaps", pa.int64()),
+                          ("seen", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -15193,6 +15288,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 91: bow-tie decomposition, episodes ---
+        "sites_bowtie": _sites_bowtie,
+        "users_episode_hist": _users_episode_hist,
         # --- round-5 wave 90: c-chart, quantization error curve ---
         "orders_control_chart": _orders_control_chart,
         "emb_quant_error_curve": _emb_quant_error_curve,
@@ -15662,6 +15760,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 91: never driver-checked.
+    "sites_bowtie", "users_episode_hist",
     # (3) round-5 wave 90: never driver-checked.
     "orders_control_chart", "emb_quant_error_curve",
     # (3) round-5 wave 89: never driver-checked.
@@ -16891,6 +16991,61 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Bow-tie: forward + backward transitive closures from the
+        # seed; lattice-stable component counts.
+        "sites_bowtie": f"""
+            WITH RECURSIVE {_sites_edges_cte()}, fw(site) AS (
+              SELECT CAST(0 AS BIGINT)
+              UNION
+              SELECT e.dst FROM fw JOIN edges e ON e.src = fw.site
+            ), bw(site) AS (
+              SELECT CAST(0 AS BIGINT)
+              UNION
+              SELECT e.src FROM bw JOIN edges e ON e.dst = bw.site
+            ), linked AS (
+              SELECT DISTINCT s FROM (
+                SELECT src AS s FROM edges
+                UNION SELECT dst FROM edges)
+            ), cls AS (
+              SELECT CASE WHEN f.site IS NOT NULL
+                               AND b.site IS NOT NULL THEN 'CORE'
+                          WHEN b.site IS NOT NULL THEN 'IN'
+                          WHEN f.site IS NOT NULL THEN 'OUT'
+                          ELSE 'OTHER' END AS component
+              FROM linked l
+              LEFT JOIN (SELECT DISTINCT site FROM fw) f
+                     ON f.site = l.s
+              LEFT JOIN (SELECT DISTINCT site FROM bw) b
+                     ON b.site = l.s
+            ), comp AS (
+              SELECT component, CAST(COUNT(*) AS BIGINT) AS n
+              FROM cls GROUP BY 1
+            ), any_ AS (SELECT COUNT(*) AS c FROM edges)
+            SELECT v.component, COALESCE(comp.n, 0) AS n_sites
+            FROM (VALUES ('CORE'), ('IN'), ('OUT'), ('OTHER'))
+                v(component)
+            LEFT JOIN comp ON comp.component = v.component
+            CROSS JOIN any_ WHERE any_.c > 0
+        """,
+        # Episodes: big-gap counts per user + count-of-counts.
+        "users_episode_hist": """
+            WITH w AS (
+              SELECT user_id, ts,
+                     LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+              FROM events
+            ), u AS (
+              SELECT user_id,
+                     CAST(1 + COALESCE(SUM(CASE WHEN prev IS NOT NULL
+                              AND epoch_us(ts) - epoch_us(prev)
+                                  > 604800000000
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS ep
+              FROM w GROUP BY 1
+            )
+            SELECT ep AS n_episodes,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM u GROUP BY 1
         """,
         # c-chart: mirrored center/limit tree; violation counts
         # compare identical doubles.

@@ -215,7 +215,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 89: deterministic bootstrap, export concentration
         "orders_bootstrap_resamples", "nation_export_concentration",
         # wave 90: Shewhart c-chart, quantization error curve
-        "orders_control_chart", "emb_quant_error_curve"]
+        "orders_control_chart", "emb_quant_error_curve",
+        # wave 91: bow-tie decomposition, activity episodes
+        "sites_bowtie", "users_episode_hist"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
