@@ -15279,6 +15279,185 @@ def _users_episode_hist(sf_dir: str):
                           ("seen", pa.int64())]))
 
 
+_MARKOV_K = 6
+_MARKOV_SCALE = 1_000_000_000
+_MARKOV_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _events_markov_removal(sf_dir: str):
+    """Markov removal-effect attribution — the standard companion to
+    the Shapley values: seed each user's START state (first event
+    type), walk K=6 integer fixed-point steps of the transition chain
+    with purchase absorbing, and for each channel re-run with that
+    state DELETED (mass stepping into it dies, no renormalization —
+    the removal convention); effect = 1 - absorbed_without/absorbed.
+    Per-term floor division keeps every mass flow an order-free exact
+    integer, so all five scenario runs hash-match the generated
+    chained-CTE oracle; only the final effect ratio is float. One
+    window exchange (transitions) + one user-bounded first-event
+    combiner."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+    from h3ray.ops.window import partitioned_transitions
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+    pairs = partitioned_transitions(ds, "user_id", "ts", "event_type",
+                                    tiebreak_col="event_id",
+                                    prev_col="prev_type")
+
+    trans = driver_merge(pairs, lambda t: t.group_by(
+        ["prev_type", "event_type"]).aggregate([("n", "sum")])
+        .rename_columns(["prev_type", "event_type", "n"]),
+        schema=pa.schema([("prev_type", pa.string()),
+                          ("event_type", pa.string()),
+                          ("n", pa.int64())]))
+
+    first_ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts",
+                                        "event_type"])
+
+    def first_partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        et = batch["event_type"]
+        order = np.lexsort((eid, ts, uid))
+        u = uid[order]
+        keep = np.r_[True, u[1:] != u[:-1]]
+        idx = np.flatnonzero(keep)
+        return pa.table({
+            "uid": u[idx],
+            "ts": ts[order][idx],
+            "eid": eid[order][idx],
+            "t": et.take(pa.array(order[idx]))})
+
+    def first_merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"t": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        uid = t["uid"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        eid = t["eid"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u = uid[order]
+        keep = np.r_[True, u[1:] != u[:-1]]
+        idx = np.flatnonzero(keep)
+        tt = t["t"].take(pa.array(order[idx])).to_pylist()
+        starts: dict = {}
+        for ty in tt:
+            starts[ty] = starts.get(ty, 0) + 1
+        ks = sorted(starts)
+        return pa.table({"t": pa.array(ks, pa.string()),
+                         "n": pa.array([starts[k] for k in ks],
+                                       pa.int64())})
+
+    starts_t = driver_merge(
+        first_ds.map_batches(first_partial, batch_format="pyarrow",
+                             batch_size=131072), first_merge,
+        schema=pa.schema([("uid", pa.int64()), ("ts", pa.int64()),
+                          ("eid", pa.int64()), ("t", pa.string())]))
+
+    starts = {t_: int(n) for t_, n in
+              zip(starts_t["t"].to_pylist(),
+                  starts_t["n"].to_pylist())}
+    src = trans["prev_type"].to_pylist()
+    dst = trans["event_type"].to_pylist()
+    cnt = [int(v) for v in trans["n"].to_pylist()]
+    rowsum: dict = {}
+    for s, c in zip(src, cnt):
+        rowsum[s] = rowsum.get(s, 0) + c
+
+    def absorbed(removed: str | None) -> int:
+        v = {t_: n * _MARKOV_SCALE for t_, n in starts.items()
+             if t_ != "purchase" and t_ != removed}
+        acc = sum(n * _MARKOV_SCALE for t_, n in starts.items()
+                  if t_ == "purchase")
+        for _ in range(_MARKOV_K):
+            nxt: dict = {}
+            for s, d_, c in zip(src, dst, cnt):
+                if s == "purchase" or s == removed or d_ == removed:
+                    continue
+                m = v.get(s, 0)
+                if m == 0:
+                    continue
+                flow = (m * c) // rowsum[s]
+                if d_ == "purchase":
+                    acc += flow
+                else:
+                    nxt[d_] = nxt.get(d_, 0) + flow
+            v = nxt
+        return acc
+
+    full = absorbed(None)
+    out_c, out_f, out_r, out_e = [], [], [], []
+    for ch in _MARKOV_CHANNELS:
+        rem = absorbed(ch)
+        out_c.append(ch)
+        out_f.append(full)
+        out_r.append(rem)
+        out_e.append(None if full == 0
+                     else float(full - rem) / float(full))
+    return pa.table({
+        "channel": pa.array(out_c, pa.string()),
+        "absorbed_full": pa.array(out_f, pa.int64()),
+        "absorbed_removed": pa.array(out_r, pa.int64()),
+        "removal_effect": pa.array(out_e, pa.float64())})
+
+
+def _events_hour_uniformity_chi2(sf_dir: str):
+    """Chi-square goodness-of-fit of hourly event volume against the
+    uniform 24-hour profile — is traffic round-the-clock or peaked?
+    The statistic collapses to the exact rational
+    (24*sum(o^2) - N^2)/N: integer moments off a 24-bounded combiner,
+    ONE terminal division."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from h3ray.ops.reduce import driver_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = (batch["ts"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype(np.int64)
+                // 3_600_000_000) % 24
+        uniq, cnt = np.unique(hour, return_counts=True)
+        return pa.table({"h": uniq.astype(np.int64),
+                         "n": cnt.astype(np.int64)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("h").aggregate([("n", "sum")])
+        empty = pa.table({
+            "n_events": pa.array([], pa.int64()),
+            "n_hours_seen": pa.array([], pa.int64()),
+            "chi2_uniform": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        n = [int(v) for v in g["n_sum"].to_pylist()]
+        big_n = sum(n)
+        q = sum(v * v for v in n)
+        chi2 = None if big_n == 0 \
+            else float(24 * q - big_n * big_n) / float(big_n)
+        return pa.table({
+            "n_events": pa.array([big_n], pa.int64()),
+            "n_hours_seen": pa.array([len(n)], pa.int64()),
+            "chi2_uniform": pa.array([chi2], pa.float64())})
+
+    return driver_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=131072), merge,
+        schema=pa.schema([("h", pa.int64()), ("n", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external correctness sweep checks a prefix
     # window of this dict (50 entries in round 3), so the newest / most
@@ -15288,6 +15467,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from h3ray.pipelines import relational as rel
 
     d = {
+        # --- round-5 wave 92: Markov removal, hour uniformity ---
+        "events_markov_removal": _events_markov_removal,
+        "events_hour_uniformity_chi2": _events_hour_uniformity_chi2,
         # --- round-5 wave 91: bow-tie decomposition, episodes ---
         "sites_bowtie": _sites_bowtie,
         "users_episode_hist": _users_episode_hist,
@@ -15760,6 +15942,8 @@ _WINDOW_FIRST = [
     # (2) rotation candidates the round-4 verdict named (r03-only evidence).
     "events_value_bands", "docs_top_terms", "emb_centroids_by_label",
     "events_heavy_users",
+    # (3) round-5 wave 92: never driver-checked.
+    "events_markov_removal", "events_hour_uniformity_chi2",
     # (3) round-5 wave 91: never driver-checked.
     "sites_bowtie", "users_episode_hist",
     # (3) round-5 wave 90: never driver-checked.
@@ -16113,6 +16297,83 @@ def _lexical_density_oracle() -> str:
                END AS lexical_density
         FROM m
     """
+
+
+def _markov_removal_oracle() -> str:
+    """Generated SQL mirror of _events_markov_removal: shared
+    transition/rowsum/start CTEs, then for each scenario (full + one
+    chain per removed channel) K chained mass-flow CTEs with per-term
+    floor division — bit-identical to the engine's integer
+    fixed-point walk. The CTE text is generated by loops; the algebra
+    is the same."""
+    k_steps = _MARKOV_K
+    scale = _MARKOV_SCALE
+    scenarios = [("full", None)] + [(c, c) for c in _MARKOV_CHANNELS]
+    parts = [f"""
+        WITH m AS (
+          SELECT prev AS src, event_type AS dst,
+                 CAST(COUNT(*) AS HUGEINT) AS n
+          FROM (SELECT event_type,
+                       LAG(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+                FROM events)
+          WHERE prev IS NOT NULL GROUP BY 1, 2
+        ), rs AS (
+          SELECT src, SUM(n) AS rn FROM m GROUP BY 1
+        ), st AS (
+          SELECT event_type AS t, CAST(COUNT(*) AS BIGINT) AS n
+          FROM (SELECT event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rn
+                FROM events)
+          WHERE rn = 1 GROUP BY 1
+        )"""]
+    for name, rem in scenarios:
+        guard_v = f" AND t <> '{rem}'" if rem else ""
+        guard_m = (f" AND m.src <> '{rem}' AND m.dst <> '{rem}'"
+                   if rem else "")
+        parts.append(f""", v_{name}_0 AS (
+          SELECT t, CAST(n * {scale} AS HUGEINT) AS v
+          FROM st WHERE t <> 'purchase'{guard_v}
+        ), a_{name}_0 AS (
+          SELECT CAST(COALESCE(SUM(CAST(n * {scale} AS HUGEINT)), 0)
+                      AS HUGEINT) AS a
+          FROM st WHERE t = 'purchase'
+        )""")
+        for k in range(1, k_steps + 1):
+            parts.append(f""", f_{name}_{k} AS (
+              SELECT m.dst, CAST(SUM(v.v * m.n // rs.rn) AS HUGEINT)
+                         AS f
+              FROM m JOIN rs ON rs.src = m.src
+                     JOIN v_{name}_{k - 1} v ON v.t = m.src
+              WHERE m.src <> 'purchase'{guard_m}
+              GROUP BY 1
+            ), v_{name}_{k} AS (
+              SELECT dst AS t, f AS v FROM f_{name}_{k}
+              WHERE dst <> 'purchase'
+            ), a_{name}_{k} AS (
+              SELECT a_{name}_{k - 1}.a
+                     + COALESCE((SELECT f FROM f_{name}_{k}
+                                 WHERE dst = 'purchase'), 0) AS a
+              FROM a_{name}_{k - 1}
+            )""")
+    rows = []
+    for c in _MARKOV_CHANNELS:
+        rows.append(f"""
+          SELECT '{c}' AS channel,
+                 CAST((SELECT a FROM a_full_{k_steps}) AS BIGINT)
+                     AS absorbed_full,
+                 CAST((SELECT a FROM a_{c}_{k_steps}) AS BIGINT)
+                     AS absorbed_removed""")
+    parts.append("""
+        SELECT channel, absorbed_full, absorbed_removed,
+               CASE WHEN absorbed_full = 0 THEN NULL
+                    ELSE CAST(absorbed_full - absorbed_removed
+                              AS DOUBLE)
+                         / CAST(absorbed_full AS DOUBLE)
+               END AS removal_effect
+        FROM (""" + " UNION ALL ".join(rows) + ")")
+    return "".join(parts)
 
 
 def _winnow_oracle() -> str:
@@ -16991,6 +17252,26 @@ def oracle_sql() -> dict[str, str]:
             FROM ue e1
             JOIN ue e2 ON e2.u = e1.v
             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Markov removal attribution: generated per-scenario chained
+        # mass-flow CTEs; integer fixed-point throughout.
+        "events_markov_removal": _markov_removal_oracle(),
+        # Hour uniformity: chi2 collapses to (24*sum(o^2) - N^2)/N.
+        "events_hour_uniformity_chi2": """
+            WITH h AS (
+              SELECT (epoch_us(ts) // 3600000000) % 24 AS h,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1
+            )
+            SELECT CAST(SUM(n) AS BIGINT) AS n_events,
+                   CAST(COUNT(*) AS BIGINT) AS n_hours_seen,
+                   CASE WHEN SUM(n) = 0 THEN NULL
+                        ELSE CAST(24 * SUM(CAST(n AS HUGEINT) * n)
+                                  - CAST(SUM(n) AS HUGEINT)
+                                    * SUM(n) AS DOUBLE)
+                             / CAST(SUM(n) AS DOUBLE)
+                   END AS chi2_uniform
+            FROM h HAVING COUNT(*) > 0
         """,
         # Bow-tie: forward + backward transitive closures from the
         # seed; lattice-stable component counts.

@@ -217,7 +217,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 90: Shewhart c-chart, quantization error curve
         "orders_control_chart", "emb_quant_error_curve",
         # wave 91: bow-tie decomposition, activity episodes
-        "sites_bowtie", "users_episode_hist"]
+        "sites_bowtie", "users_episode_hist",
+        # wave 92: Markov removal attribution, hour uniformity chi2
+        "events_markov_removal", "events_hour_uniformity_chi2"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -282,6 +284,9 @@ def test_empty_tables_round5_queries(ray_session, tmp_path):
                  # VALUES channel table over the always-present
                  # 16-subset lattice
                  "events_shapley_attribution": 4,
+                 # fixed 4-channel scenario rows, like the generated
+                 # oracle's UNION ALL of scalar subqueries
+                 "events_markov_removal": 4,
                  "sites_reciprocity": 1,
                  "sites_clustering_coeff": 1,
                  "sites_degree_assortativity": 1}.get(name, 0)
