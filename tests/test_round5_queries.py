@@ -219,7 +219,9 @@ WAVE = ["forecast_revenue_delta", "promo_revenue_pct",
         # wave 91: bow-tie decomposition, activity episodes
         "sites_bowtie", "users_episode_hist",
         # wave 92: Markov removal attribution, hour uniformity chi2
-        "events_markov_removal", "events_hour_uniformity_chi2"]
+        "events_markov_removal", "events_hour_uniformity_chi2",
+        # wave 93: source vocab overlap, rapid-repeat share
+        "docs_source_vocab_overlap", "events_rapid_repeat_share"]
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
